@@ -1,0 +1,20 @@
+"""pandas_tsdb_spark — a PySpark-native analytics engine with the
+capabilities of ``dashesy/pandas-tsdb`` (pandas time-series extension),
+re-expressed Spark-first for 100 TB scale.
+
+Scope contract: SURVEY.md §2 (the reference checkout at /root/reference
+is empty — see SURVEY.md §0 — so the operator inventory there is the
+authoritative capability definition; no reference file:line citations
+are possible).
+
+Layout:
+  session.py    — SparkSession factory tuned for the local[32] bench box
+  catalog.py    — fixture table loaders + declared schemas
+  registry.py   — query/oracle registry consumed by __spark_entry__.py
+  operators/    — plan builders, one module per SURVEY §2 family
+  streaming/    — Structured Streaming jobs over the events schema
+"""
+
+from pandas_tsdb_spark.registry import REGISTRY, query  # noqa: F401
+
+__version__ = "0.1.0"

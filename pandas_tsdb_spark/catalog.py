@@ -1,0 +1,162 @@
+"""Fixture catalog: declared schemas + lazy loaders.
+
+Tables (FIXTURES.md, measured from the driver parquet):
+  region nation customer supplier part orders lineitem events
+  documents embeddings
+
+Design notes for scale:
+- Every loader is a plain ``spark.read.parquet`` — a lazy scan node, so
+  Catalyst keeps predicate pushdown / column pruning / partition pruning
+  on the table; nothing is materialized here.
+- ``events.ts`` is INT64 TIMESTAMP(NANOS) in parquet. Spark 4 refuses
+  the type outright; with ``spark.sql.legacy.parquet.nanosAsLong=true``
+  (set by session.ensure_conf) it scans as bigint ns and we convert with
+  ``timestamp_micros(ts div 1000)``. ``div`` is 64-bit integer floor
+  division — the same truncation DuckDB 1.0 applies when it narrows
+  TIMESTAMP_NS to its µs TIMESTAMP, so both engines see bit-equal µs.
+  (Never ``/1000``: that routes through double, which cannot represent
+  1.7e18 exactly and perturbs the microsecond.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pandas_tsdb_spark.session import ensure_conf
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "supplier",
+    "customer",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Declared logical schemas (what a user of the engine sees), per FIXTURES.md.
+# events.ts is declared as TimestampType — catalog converts from raw ns.
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+
+class Tables:
+    """Lazy per-(session, sf_dir) table access: ``Tables(spark, d).lineitem``."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = ensure_conf(spark)
+        self.sf_dir = sf_dir.rstrip("/")
+
+    def path(self, name: str) -> str:
+        return f"{self.sf_dir}/{name}.parquet"
+
+    def load(self, name: str) -> DataFrame:
+        if name not in TABLE_NAMES:
+            raise KeyError(name)
+        df = self.spark.read.parquet(self.path(name))
+        if name == "events":
+            # bigint ns (via nanosAsLong) -> µs timestamp; integer div == floor,
+            # matching DuckDB's ns->µs narrowing exactly.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLE_NAMES:
+            return self.load(name)
+        raise AttributeError(name)

@@ -1,0 +1,9 @@
+"""Operator plan builders — importing this package registers every query.
+
+One module per SURVEY.md §2 family. Add new modules to _MODULES.
+"""
+
+from pandas_tsdb_spark.operators import (  # noqa: F401
+    relational,
+    scans,
+)

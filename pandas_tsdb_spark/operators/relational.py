@@ -1,0 +1,399 @@
+"""§2.2 projection/filter/predicates + §2.4 aggregations.
+
+Pandas-capability mapping (SURVEY.md §2.2/§2.4): boolean masks, column
+assign, dropna/notna, drop_duplicates, groupby().agg(...), nunique,
+describe, pivot_table, masked aggregation, groupby().agg(list).
+
+Scale notes:
+- Filters are single Column expressions -> Catalyst pushes them into the
+  parquet scan (PushedFilters) and prunes columns via the select list.
+- Every groupBy here is a hash aggregate with map-side partial
+  aggregation (automatic); output cardinality is tiny, so the shuffle
+  moves only partial states, not rows.
+- Float discipline: SUM/AVG of doubles are order-dependent -> rounded
+  identically on both sides; raw or single-multiply values are
+  bit-identical to the oracle and stay unrounded (registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.registry import query
+
+# ---------------------------------------------------------------- projection
+
+
+@query(
+    "project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           upper(l_returnflag) AS flag,
+           l_quantity + 1 AS qty_plus
+    FROM lineitem
+    """,
+)
+def project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column select/compute/rename (pandas df[['a']] / assign)."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.upper("l_returnflag").alias("flag"),
+        (F.col("l_quantity") + 1).alias("qty_plus"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT * FROM lineitem
+    WHERE (l_quantity > 30 OR l_returnflag = 'A')
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_linestatus IN ('O', 'F')
+      AND NOT (l_returnflag = 'N' AND l_quantity < 5)
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound boolean mask: AND/OR/NOT, IN, BETWEEN (pandas df[mask])."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.filter(
+        ((F.col("l_quantity") > 30) | (F.col("l_returnflag") == "A"))
+        & F.col("l_discount").between(0.02, 0.08)
+        & F.col("l_linestatus").isin("O", "F")
+        & ~((F.col("l_returnflag") == "N") & (F.col("l_quantity") < 5))
+    )
+
+
+@query(
+    "filter_null",
+    oracle="""
+    SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled
+    FROM orders
+    WHERE nullif(o_orderstatus, 'P') IS NOT NULL
+    """,
+)
+def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isna/notna/fillna semantics (fixtures are null-free, so nulls are
+    manufactured with nullif and then filtered/filled)."""
+    o = Tables(spark, sf_dir).orders
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return (
+        o.select(
+            "o_orderkey",
+            status_or_null.alias("status_or_null"),
+            F.coalesce(status_or_null, F.lit("PENDING")).alias("status_filled"),
+        )
+        .filter(F.col("status_or_null").isNotNull())
+    )
+
+
+@query(
+    "filter_time_range",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+    """,
+)
+def filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DatetimeIndex slice df['2024-01-05':'2024-01-10'] as a ts filter.
+
+    The predicate lands in PushedFilters -> parquet row-group min/max
+    pruning at scale.
+    """
+    ev = Tables(spark, sf_dir).events
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-10 00:00:00").cast("timestamp"))
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_duplicates() over a projection."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.select("l_returnflag", "l_linestatus", "l_shipdate").distinct()
+
+
+@query(
+    "distinct_subset",
+    oracle="""
+    SELECT user_id, event_type, event_id, value FROM (
+        SELECT user_id, event_type, event_id, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def distinct_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_duplicates(subset=..., keep='first') — first row per key in
+    event_id order, made deterministic via row_number (unique key)."""
+    from pyspark.sql import Window as W
+
+    ev = Tables(spark, sf_dir).events
+    w = W.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        ev.select("user_id", "event_type", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ------------------------------------------------------------- aggregations
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table reduce (pandas df.agg) — partial aggregation means the
+    shuffle carries one state per partition regardless of table size."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("agg_groupby", oracle=Q1_ORACLE)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped multi-aggregate groupBy over lineitem.
+
+    scan -> pushed filter -> hash agg (partial+final). Group cardinality
+    is 6, so at 100 TB the shuffle is 6 rows x partitions of partial
+    state — the canonical scalable aggregation shape.
+    """
+    li = Tables(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nunique per group (expands to a two-phase distinct aggregate)."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # approximate by design: rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx nunique (HyperLogLog++) — the 100 TB path where exact
+    distinct would shuffle every key. Value is approximate, so no oracle;
+    tests assert it within rsd of the exact count instead."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_extendedprice), 4) AS var_price,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-style moments + exact interpolated percentiles.
+
+    Spark `percentile` (exact, interpolated) == DuckDB quantile_cont.
+    Skew/kurtosis live in agg_skew_kurt (definition mismatch handled
+    there)."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_skew_kurt",
+    # Spark emits POPULATION skewness g1 and excess kurtosis g2; DuckDB's
+    # skewness/kurtosis are the SAMPLE-corrected G1/G2, so the oracle
+    # computes the population moments explicitly.
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag AS flag, avg(l_quantity) AS mu,
+               stddev_pop(l_quantity) AS sd, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT s.flag AS l_returnflag,
+           round(sum(pow(l_quantity - s.mu, 3)) / s.n / pow(s.sd, 3), 4) AS skew_qty,
+           round(sum(pow(l_quantity - s.mu, 4)) / s.n / pow(s.sd, 4) - 3, 4) AS kurt_qty
+    FROM lineitem JOIN s ON lineitem.l_returnflag = s.flag
+    GROUP BY s.flag, s.n, s.sd
+    """,
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas .skew()/.kurt() analogue (population definition)."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot_table(margins=True) analogue: CUBE subtotals."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           round(sum(value) FILTER (event_type = 'click'), 2) AS click,
+           round(sum(value) FILTER (event_type = 'error'), 2) AS error,
+           round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+           round(sum(value) FILTER (event_type = 'signup'), 2) AS signup,
+           round(sum(value) FILTER (event_type = 'view'), 2) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot_table wide reshape: one column per event_type.
+
+    Explicit pivot values -> single pass, no extra job to discover
+    distinct values (matters at scale)."""
+    ev = Tables(spark, sf_dir).events
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2)
+               AS high_disc_rev,
+           count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_big,
+           round(avg(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS avg_open_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked aggregation (pandas sum-where) via when/otherwise."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0.0)),
+            2,
+        ).alias("high_disc_rev"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
+        F.round(
+            F.avg(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))), 4
+        ).alias("avg_open_qty"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby().agg(list/set): collect_set sorted for determinism, then
+    string-joined so the hash sees a scalar."""
+    ev = Tables(spark, sf_dir).events
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+        F.count("*").alias("n"),
+    )

@@ -1,0 +1,61 @@
+"""Query/oracle registry.
+
+Every operator from SURVEY.md §2 is registered here as a named
+``QuerySpec``: a plan builder ``(spark, sf_dir) -> DataFrame`` plus an
+optional DuckDB oracle SQL string over the driver's pre-registered views
+(region nation customer supplier part orders lineitem events documents
+embeddings). ``__spark_entry__.py`` exposes the registry to the driver;
+tests/harness.py runs the same comparison locally.
+
+Determinism discipline (FIXTURES.md pitfalls — every spec must follow):
+- alias every computed column identically in Spark and SQL;
+- wrap float aggregates in round(x, n) on BOTH sides (Spark and DuckDB
+  sum doubles in different orders; raw column values from parquet are
+  bit-identical and need no rounding);
+- top-k / limit queries carry a total tie-break on a unique key;
+- never emit raw events.ts fractional seconds unless both sides are
+  µs-truncated (they are — see catalog.py); date-like cols go out as
+  DATE casts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Builder
+    oracle: str | None  # None => driver records weaker rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: Builder) -> Builder:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(
+            name=name, builder=fn, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module (registration side effects) once."""
+    import pandas_tsdb_spark.operators  # noqa: F401
+
+    return REGISTRY
