@@ -1,0 +1,254 @@
+"""§2.3 joins — pandas merge/isin/merge_asof surface (asof lives in
+timeseries.py).
+
+Scale notes per shape:
+- Equi-joins: declared as plain join conditions -> Catalyst/AQE pick
+  broadcast vs sort-merge vs shuffled-hash; dims (region/nation/
+  supplier) fit any broadcast threshold.
+- join_broadcast pins the small side with an explicit broadcast() hint
+  (at 100 TB the fact side never shuffles for dim joins).
+- join_range keeps an equi component (l_orderkey = o_orderkey) so the
+  plan stays a hash/SMJ join with the interval as a post-filter — never
+  a nested-loop over the fact table.
+- join_theta is the pure-interval case: the band dimension is O(1)
+  rows, so BroadcastNestedLoop is the *correct* scalable plan.
+- join_self_pairs restricts pairs with a < key ordering inside an
+  equi-bucket (same region) — the bucketing pattern that keeps pairwise
+  similarity from going O(n²) globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.registry import query
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.merge(how='inner') equi-join orders⋈customer."""
+    t = Tables(spark, sf_dir)
+    return t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 400000
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left merge keeping unmatched customers (null right side)."""
+    t = Tables(spark, sf_dir)
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_totalprice") > 400000)
+    return t.customer.join(t.orders, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    WITH o_open AS (
+        SELECT o_custkey AS k, count(*) AS n_open
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    ), o_done AS (
+        SELECT o_custkey AS k, count(*) AS n_done
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    )
+    SELECT coalesce(o_open.k, o_done.k) AS custkey, n_open, n_done
+    FROM o_open FULL JOIN o_done ON o_open.k = o_done.k
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer merge with nulls possible on both sides."""
+    o = Tables(spark, sf_dir).orders
+    left = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("lk"))
+        .agg(F.count("*").alias("n_open"))
+    )
+    right = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("rk"))
+        .agg(F.count("*").alias("n_done"))
+    )
+    return left.join(right, F.col("lk") == F.col("rk"), "full").select(
+        F.coalesce("lk", "rk").alias("custkey"), "n_open", "n_done"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas isin-mask: customers having a big order (EXISTS)."""
+    t = Tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 300000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~isin mask (NOT EXISTS)."""
+    t = Tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 300000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT n_name, r_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped star join: fact stays in place, every dim is an
+    explicit broadcast — zero fact-side shuffle before the final agg."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT o_orderkey, count(*) AS n_quick,
+           round(sum(l_extendedprice), 2) AS quick_rev
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderkey
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (lineitems shipped within 90 days of their order).
+
+    Equi key + range predicate => hash/sort-merge join with the interval
+    as a join filter; no nested loop at any scale."""
+    t = Tables(spark, sf_dir)
+    cond = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+    )
+    return (
+        t.orders.join(t.lineitem, cond)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_quick"),
+            F.round(F.sum("l_extendedprice"), 2).alias("quick_rev"),
+        )
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT band, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events JOIN (VALUES ('low', 0.0, 50.0),
+                             ('mid', 50.0, 200.0),
+                             ('high', 200.0, 1e9)) AS bands(band, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta (band lookup) join — tiny broadcast dim, so the
+    nested-loop side is O(1) per event row."""
+    t = Tables(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    cond = (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    return (
+        t.events.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (tiny dims only — guarded use)."""
+    t = Tables(spark, sf_dir)
+    return t.region.crossJoin(t.nation).select("r_name", "n_name")
+
+
+@query(
+    "join_self_pairs",
+    oracle="""
+    SELECT a.n_regionkey AS region_key, a.n_name AS name_a, b.n_name AS name_b
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join pair generation bucketed by an equi key (same region) —
+    the shape that keeps pairwise ops sub-quadratic at scale."""
+    n = Tables(spark, sf_dir).nation
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_regionkey").alias("region_key"),
+        F.col("a.n_name").alias("name_a"),
+        F.col("b.n_name").alias("name_b"),
+    )
