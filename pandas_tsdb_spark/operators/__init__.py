@@ -8,4 +8,5 @@ from pandas_tsdb_spark.operators import (  # noqa: F401
     relational,
     scans,
     sorts_sets,
+    windows,
 )

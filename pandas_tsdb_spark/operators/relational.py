@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_tsdb_spark.catalog import Tables
-from pandas_tsdb_spark.registry import query
+from pandas_tsdb_spark.registry import oracle_avg, query
 
 # ---------------------------------------------------------------- projection
 
@@ -156,10 +156,10 @@ def distinct_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_global",
-    oracle="""
+    oracle=f"""
     SELECT round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_price,
-           round(avg(l_extendedprice), 4) AS avg_price,
+           {oracle_avg('l_extendedprice')} AS avg_price,
            min(l_extendedprice) AS min_price,
            max(l_extendedprice) AS max_price,
            count(*) AS n_rows
@@ -173,22 +173,22 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
         F.count("*").alias("n_rows"),
     )
 
 
-Q1_ORACLE = """
+Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       {oracle_avg('l_quantity')} AS avg_qty,
+       {oracle_avg('l_extendedprice')} AS avg_price,
+       {oracle_avg('l_discount')} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -214,9 +214,9 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
+            (F.round(F.sum("l_discount"), 2) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -356,12 +356,12 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_conditional",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2)
                AS high_disc_rev,
            count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_big,
-           round(avg(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS avg_open_qty
+           {oracle_avg("CASE WHEN l_linestatus = 'O' THEN l_quantity END", "count(CASE WHEN l_linestatus = 'O' THEN 1 END)")} AS avg_open_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -374,8 +374,9 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("high_disc_rev"),
         F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
-        F.round(
-            F.avg(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))), 4
+        (
+            F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))), 2)
+            / F.count(F.when(F.col("l_linestatus") == "O", 1))
         ).alias("avg_open_qty"),
     )
 

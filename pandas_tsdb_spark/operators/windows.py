@@ -1,0 +1,322 @@
+"""§2.5 window functions — the pandas time-series core re-expressed as
+Spark window specs (shift/diff/pct_change/cumsum/rolling/expanding/
+rank/resample).
+
+Scale notes:
+- Every query here is ONE shuffle: partitionBy(series key) then ordered
+  evaluation within the partition — the canonical distributed layout
+  for per-series time ops (each user's series lands on one task).
+- Frames are declared (rows/range), so evaluation is streaming within
+  the sorted partition — no per-row re-sort, no driver loops.
+- Ties: ts is not unique within a user, so every orderBy carries
+  event_id (unique, monotone) as the tie-break; without it lag/lead and
+  running sums are nondeterministic under retries (FIXTURES.md pitfall 5).
+- Floats: running/rolling sums accumulate in engine-specific order ->
+  rounded on both sides; lag/diff/ratio are arithmetic on identical
+  scalars -> bit-stable unrounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.registry import oracle_avg, query
+
+_US_7D = 7 * 86_400 * 1_000_000  # rangeBetween unit: microseconds
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Tables(spark, sf_dir).events
+
+
+_WSER = "PARTITION BY user_id ORDER BY event_id"
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS prk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile/percent_rank per group (pandas rank/qcut)."""
+    o = Tables(spark, sf_dir).orders
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prk"),
+    )
+
+
+@query(
+    "win_row_number",
+    oracle=f"""
+    SELECT user_id, event_id,
+           row_number() OVER ({_WSER}) AS seq
+    FROM events
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumcount/reset_index: positional id within each series."""
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return _ev(spark, sf_dir).select(
+        "user_id", "event_id", F.row_number().over(w).alias("seq")
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle=f"""
+    SELECT user_id, event_id, value,
+           lag(value)     OVER ({_WSER}) AS prev_value,
+           lead(value)    OVER ({_WSER}) AS next_value,
+           lag(value, 2)  OVER ({_WSER}) AS prev2_value
+    FROM events
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shift(±n) per series."""
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2).over(w).alias("prev2_value"),
+    )
+
+
+@query(
+    "win_diff",
+    oracle=f"""
+    SELECT user_id, event_id,
+           value - lag(value) OVER ({_WSER}) AS dv
+    FROM events
+    """,
+)
+def win_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diff(): x - shift(x). Identical operands both engines -> no rounding."""
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("dv"),
+    )
+
+
+@query(
+    "win_pct_change",
+    oracle=f"""
+    SELECT user_id, event_id,
+           (value - lag(value) OVER ({_WSER})) / lag(value) OVER ({_WSER}) AS pct
+    FROM events
+    """,
+)
+def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pct_change() per series."""
+    w = W.partitionBy("user_id").orderBy("event_id")
+    prev = F.lag("value").over(w)
+    return _ev(spark, sf_dir).select(
+        "user_id", "event_id", ((F.col("value") - prev) / prev).alias("pct")
+    )
+
+
+@query(
+    "win_cumsum",
+    oracle=f"""
+    SELECT user_id, event_id,
+           round(sum(value) OVER ({_WSER}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value,
+           max(value) OVER ({_WSER}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_max,
+           count(*)   OVER ({_WSER}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+    FROM events
+    """,
+)
+def win_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumsum/cummax/running count per series."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("cum_value"),
+        F.max("value").over(w).alias("cum_max"),
+        F.count("*").over(w).alias("cum_n"),
+    )
+
+
+@query(
+    "win_rolling_rows",
+    oracle="""
+    SELECT user_id, event_id,
+           CASE WHEN count(*) OVER w >= 7
+                THEN round(sum(value) OVER w, 2) / 7 END AS roll_avg,
+           CASE WHEN count(*) OVER w >= 7
+                THEN min(value) OVER w END AS roll_min,
+           CASE WHEN count(*) OVER w >= 7
+                THEN round(stddev_samp(value) OVER w, 4) END AS roll_sd
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling(7) count-based window with pandas min_periods=7 semantics
+    (NULL until the frame is full)."""
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
+    full = F.count("*").over(w) >= 7
+    return _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.when(full, F.round(F.sum("value").over(w), 2) / 7).alias("roll_avg"),
+        F.when(full, F.min("value").over(w)).alias("roll_min"),
+        F.when(full, F.round(F.stddev_samp("value").over(w), 4)).alias("roll_sd"),
+    )
+
+
+@query(
+    "win_rolling_time",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 4) AS sum_7d,
+           count(*) OVER w AS n_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling('7D') time-based window.
+
+    Spark rangeBetween needs a numeric sort key -> order by unix_micros
+    with the interval in µs; DuckDB's INTERVAL arithmetic on its µs
+    timestamps is the same frame boundary exactly.
+    """
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_US_7D, 0)
+    )
+    return _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("sum_7d"),
+        F.count("*").over(w).alias("n_7d"),
+    )
+
+
+@query(
+    "win_expanding",
+    oracle=f"""
+    SELECT user_id, event_id,
+           round(sum(value) OVER ({_WSER}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             / (count(*) OVER ({_WSER}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS exp_avg,
+           min(value) OVER ({_WSER}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS exp_min
+    FROM events
+    """,
+)
+def win_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expanding().mean()/min() per series."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        (F.round(F.sum("value").over(w), 2) / F.count("*").over(w)).alias("exp_avg"),
+        F.min("value").over(w).alias("exp_min"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle=f"""
+    SELECT user_id, event_id,
+           first_value(value) OVER ({_WSER}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_v,
+           last_value(value)  OVER ({_WSER}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+    FROM events
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value of each series broadcast to every row."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+    )
+
+
+@query(
+    "win_resample",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n, round(sum(value), 4) AS total,
+           {oracle_avg('value')} AS mean_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def win_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample('1D').agg(...): time bucketing is a groupBy on the
+    truncated axis (plain hash agg — embarrassingly parallel), not a
+    window.
+
+    Bucket goes out as the truncated TIMESTAMP, not DATE: DateType
+    surfaces as python objects in pandas while DuckDB DATE arrives as
+    datetime64 — timestamps compare cleanly on both sides."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+            (F.round(F.sum("value"), 2) / F.count("*")).alias("mean_v"),
+        )
+    )
+
+
+@query(
+    "win_resample_hour",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def win_resample_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample('1h') across all users — emits the bucket timestamp
+    itself (µs-aligned on both engines)."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )

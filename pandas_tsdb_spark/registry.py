@@ -28,6 +28,22 @@ from pyspark.sql import DataFrame, SparkSession
 Builder = Callable[[SparkSession, str], DataFrame]
 
 
+def oracle_avg(expr: str, cnt: str = "count(*)") -> str:
+    """Cross-engine-stable AVG for the oracle SQL side.
+
+    Rounding an average directly can never be made engine-stable here:
+    2-decimal fixture data makes true averages land EXACTLY on decimal
+    ties (x.xxxx5), and the two engines' sums differ by ~1e-13, so each
+    engine resolves the tie by its own accumulated noise. Instead:
+    round(sum, 2) recovers the exact decimal total (noise ≪ 0.005, and a
+    sum of 2-decimal data is never a tie at digit 3), both engines land
+    on the bit-identical double, and the division by an integer count is
+    then bit-identical too — the quotient is emitted RAW, no rounding.
+    Spark side mirrors with (F.round(F.sum(x), 2) / F.count(...)).
+    """
+    return f"(round(sum({expr}), 2) / {cnt})"
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str
