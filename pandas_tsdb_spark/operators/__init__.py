@@ -8,5 +8,6 @@ from pandas_tsdb_spark.operators import (  # noqa: F401
     relational,
     scans,
     sorts_sets,
+    timeseries,
     windows,
 )

@@ -1,0 +1,259 @@
+"""§2.3 join_asof + §2.5 resample-ffill / ewm + §2.11 UDF surface — the
+pandas time-series operations with no native Spark operator.
+
+Key designs:
+
+- ``join_asof`` (pd.merge_asof): union-and-window. Tag right rows, union
+  with left rows, one window per series ordered by (ts, side, event_id)
+  with ``last(value, ignorenulls=True)``. ONE shuffle on the series key,
+  no range explosion, no per-key driver loop — this is the 100 TB path
+  (the alternative, range-join + row_number, re-materializes every
+  candidate pair). Right rows sort BEFORE left rows at equal ts, giving
+  merge_asof's inclusive ``right.ts <= left.ts`` semantics; event_id
+  breaks ts ties deterministically (latest wins, matching the oracle's
+  ``ORDER BY ts DESC, event_id DESC LIMIT 1``).
+
+- ``win_resample_ffill``: calendar densification. Build the day grid
+  with sequence()+explode from the data's own min/max (broadcast 1-row
+  agg), cross join the user dimension, left-join the per-day aggregate,
+  then forward-fill with last(ignorenulls) over the day order. All
+  DataFrame ops; grid size is days x users, shuffled once by user.
+
+- ``win_ewm`` (pandas ewm().mean(): recursive, not frame-expressible):
+  ``applyInPandas`` per series — exact pandas semantics, Arrow-batched,
+  scales per-key (each user's series is one pandas kernel call). The
+  closed-form two-window-sum variant is numerically unstable for long
+  series ((1-a)^-n overflows), so it exists only as a test cross-check
+  (tests/test_timeseries.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.registry import query
+
+_US_3D = 3 * 86_400 * 1_000_000
+
+ASOF_ORACLE = """
+SELECT e.event_id, e.user_id, e.value,
+       (SELECT p.value FROM events p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+           AND p.ts <= e.ts
+         ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS last_purchase_value,
+       (SELECT p.event_id FROM events p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+           AND p.ts <= e.ts
+         ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS last_purchase_id,
+       (SELECT p.value FROM events p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+           AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 3 DAY
+         ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS last_purchase_value_3d
+FROM events e
+"""
+
+
+@query("join_asof", oracle=ASOF_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.merge_asof(events, purchases, on=ts, by=user_id,
+    tolerance=3d-variant) via union-and-window (see module docstring)."""
+    ev = Tables(spark, sf_dir).events
+    left = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("r_value"),
+        F.lit(None).cast("long").alias("r_event_id"),
+        F.lit(None).cast("long").alias("r_ts_us"),
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("side"),
+        F.col("value").alias("r_value"),
+        F.col("event_id").alias("r_event_id"),
+        F.unix_micros("ts").alias("r_ts_us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_val = F.last("r_value", ignorenulls=True).over(w)
+    last_id = F.last("r_event_id", ignorenulls=True).over(w)
+    last_ts_us = F.last("r_ts_us", ignorenulls=True).over(w)
+    fresh = F.unix_micros("ts") - last_ts_us <= F.lit(_US_3D)
+    return (
+        left.unionByName(right)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            "side",
+            last_val.alias("last_purchase_value"),
+            last_id.alias("last_purchase_id"),
+            F.when(fresh, last_val).alias("last_purchase_value_3d"),
+        )
+        .filter(F.col("side") == 1)
+        .drop("side")
+    )
+
+
+@query("join_asof_cogroup", oracle=None)  # rows-only: pandas-kernel variant
+def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of join, implemented with cogrouped applyInPandas calling
+    pd.merge_asof per key (§2.11 cogroup surface). Tests assert it equals
+    join_asof; the union-and-window plan stays the production path (one
+    window vs Arrow round-trip per key)."""
+    ev = Tables(spark, sf_dir).events
+    left = ev.select("user_id", "ts", "event_id", "value")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("last_purchase_value"),
+        F.col("event_id").alias("last_purchase_id"),
+    )
+
+    out_cols = ["event_id", "user_id", "value", "last_purchase_value", "last_purchase_id"]
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        # a key missing on one side arrives as a ZERO-COLUMN frame
+        if l.shape[1] == 0 or l.empty:
+            return pd.DataFrame({c: [] for c in out_cols})
+        l = l.sort_values(["ts", "event_id"])
+        if r.shape[1] == 0 or r.empty:
+            out = l.assign(last_purchase_value=pd.NA, last_purchase_id=pd.NA)
+            return out[out_cols]
+        # stable sort keeps the highest event_id last within equal ts, so
+        # merge_asof's "last matching row" == the oracle's DESC LIMIT 1.
+        r = r.sort_values(["ts", "last_purchase_id"], kind="stable").drop(columns=["user_id"])
+        out = pd.merge_asof(l, r, on="ts", direction="backward")
+        return out[out_cols]
+
+    return (
+        left.groupBy("user_id")
+        .cogroup(right.groupBy("user_id"))
+        .applyInPandas(
+            lambda l, r: merge(l, r),
+            "event_id long, user_id long, value double, "
+            "last_purchase_value double, last_purchase_id long",
+        )
+    )
+
+
+FFILL_ORACLE = """
+WITH bounds AS (
+    SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+    FROM events
+), cal AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+), users AS (
+    SELECT DISTINCT user_id FROM events
+), daily AS (
+    SELECT user_id, date_trunc('day', ts) AS day,
+           arg_max(value, event_id) AS day_close, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT u.user_id, c.day,
+       coalesce(d.n_events, 0) AS n_events,
+       d.day_close,
+       last_value(d.day_close IGNORE NULLS)
+           OVER (PARTITION BY u.user_id ORDER BY c.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill
+FROM users u
+CROSS JOIN cal c
+LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = c.day
+"""
+
+
+@query("win_resample_ffill", oracle=FFILL_ORACLE)
+def win_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample('1D').last().ffill() per series: densify to the calendar,
+    forward-fill gaps; days before a user's first event stay null."""
+    ev = Tables(spark, sf_dir).events
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.max_by("value", "event_id").alias("day_close"),
+        F.count("*").alias("n_events"),
+    )
+    grid = users.crossJoin(F.broadcast(cal))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "day_close",
+            F.last("day_close", ignorenulls=True).over(w).alias("close_ffill"),
+        )
+    )
+
+
+@query("win_ewm", oracle=None)  # recursive: not SQL-expressible, rows-only
+def win_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ewm(alpha=0.3, adjust=True).mean() per series via applyInPandas.
+
+    Exact pandas recursion, one Arrow-batched kernel per user; verified
+    in tests against the closed-form window formulation at small sf.
+    """
+    ev = Tables(spark, sf_dir).events
+
+    def ewm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        pdf["ewm_value"] = pdf["value"].ewm(alpha=0.3, adjust=True).mean()
+        return pdf[["user_id", "event_id", "value", "ewm_value"]]
+
+    return ev.select("user_id", "event_id", "value").groupBy("user_id").applyInPandas(
+        ewm, "user_id long, event_id long, value double, ewm_value double"
+    )
+
+
+@query(
+    "udf_scalar",
+    oracle="""
+    SELECT doc_id, length(text) AS text_len,
+           length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+    FROM documents
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 vectorized scalar UDF (Arrow pandas_udf) mirrored in SQL so
+    the Python-worker path itself is oracle-checked."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def text_len(s: pd.Series) -> pd.Series:
+        return s.str.len().astype("int64")
+
+    @pandas_udf("long")
+    def n_tokens(s: pd.Series) -> pd.Series:
+        return (s.str.count(" ") + 1).astype("int64")
+
+    docs = Tables(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        text_len("text").alias("text_len"),
+        n_tokens("text").alias("n_tokens"),
+    )

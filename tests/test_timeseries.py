@@ -1,0 +1,82 @@
+"""Internal cross-checks for the non-SQL-expressible time-series ops
+(SURVEY.md §5.5): two independent implementations must agree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pandas_tsdb_spark.registry import load_all
+
+SPECS = load_all()
+SMALL = "/root/testdata/sf0.001"
+
+
+def _sorted_pdf(df, keys):
+    return df.toPandas().sort_values(keys).reset_index(drop=True)
+
+
+def test_asof_cogroup_matches_window_plan(spark, sf_dir):
+    # sf0.01 matters: it contains users with zero purchases (empty cogroup side)
+    a = _sorted_pdf(
+        SPECS["join_asof"].builder(spark, sf_dir).drop("last_purchase_value_3d"),
+        ["event_id"],
+    )
+    b = _sorted_pdf(SPECS["join_asof_cogroup"].builder(spark, sf_dir), ["event_id"])
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_asof_invariant_right_ts_lte_left(spark):
+    out = SPECS["join_asof"].builder(spark, SMALL)
+    ev = out.sparkSession.read.parquet(f"{SMALL}/events.parquet")
+    # matched purchase id must reference an earlier-or-equal event_id's ts
+    joined = (
+        out.filter(F.col("last_purchase_id").isNotNull())
+        .join(
+            ev.selectExpr("event_id AS last_purchase_id", "ts AS p_ts_ns"),
+            "last_purchase_id",
+        )
+        .join(ev.selectExpr("event_id", "ts AS e_ts_ns"), "event_id")
+    )
+    assert joined.filter(F.col("p_ts_ns") > F.col("e_ts_ns")).count() == 0
+
+
+def test_ewm_matches_closed_form(spark):
+    """applyInPandas ewm vs the closed-form two-window-sum formulation."""
+    alpha = 0.3
+    got = _sorted_pdf(SPECS["win_ewm"].builder(spark, SMALL), ["user_id", "event_id"])
+
+    ev = SPECS["win_ewm"].builder(spark, SMALL).sparkSession  # session handle
+    from pandas_tsdb_spark.catalog import Tables
+
+    df = Tables(ev, SMALL).events.select("user_id", "event_id", "value")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    # ewm_t = sum_i x_i (1-a)^(t-i) / sum_i (1-a)^(t-i), via n = row_number
+    n = F.row_number().over(w)
+    p = 1 - alpha
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    num = F.sum(F.col("value") * F.pow(F.lit(1 / p), n)).over(wf)
+    den = F.sum(F.pow(F.lit(1 / p), n)).over(wf)
+    closed = (
+        df.withColumn("n", n)
+        .withColumn("ewm_closed", num / den)
+        .select("user_id", "event_id", "ewm_closed")
+    )
+    ref = _sorted_pdf(closed, ["user_id", "event_id"])
+    assert np.allclose(got["ewm_value"], ref["ewm_closed"], rtol=1e-8)
+
+
+def test_ffill_partitions_time_axis(spark):
+    out = SPECS["win_resample_ffill"].builder(spark, SMALL)
+    pdf = out.toPandas()
+    n_users = pdf["user_id"].nunique()
+    n_days = pdf["day"].nunique()
+    assert len(pdf) == n_users * n_days  # dense grid
+    # forward fill: once a user has a value, close_ffill never reverts to null
+    pdf = pdf.sort_values(["user_id", "day"])
+    for _, g in pdf.groupby("user_id"):
+        seen = g["close_ffill"].notna().to_numpy()
+        assert not (seen[:-1] & ~seen[1:]).any()
