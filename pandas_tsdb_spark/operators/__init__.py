@@ -6,6 +6,7 @@ One module per SURVEY.md §2 family. Add new modules to _MODULES.
 from pandas_tsdb_spark.operators import (  # noqa: F401
     joins,
     relational,
+    scalars,
     scans,
     sorts_sets,
     timeseries,

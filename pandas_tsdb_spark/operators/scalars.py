@@ -1,0 +1,319 @@
+"""§2.8 scalar function surface — string/date/math/cond/cast/array/map/
+JSON expression coverage, all JVM-side (whole-stage codegen; no UDFs).
+
+Cross-dialect notes baked into the oracles:
+- dayofweek: Spark is 1=Sunday..7; DuckDB dayofweek/dow is 0=Sunday..6
+  -> oracle adds 1.
+- double->int CAST: Spark truncates toward zero, DuckDB rounds ->
+  always floor() explicitly before casting in both.
+- round() on raw 2-decimal data at <=2 digits is a guaranteed decimal
+  tie (123.45 @1 digit) where the engines disagree -> never do that;
+  irrational outputs (ln/exp) round at 6 digits where ties are
+  measure-zero.
+- libm (ln/exp/log10/pow): JVM Math vs C libm can differ in the last
+  ulp -> round(6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_up,
+           lower(c_mktsegment) AS seg_lo,
+           substring(c_name, 1, 9) AS name_pfx,
+           concat_ws('-', c_mktsegment, c_name) AS seg_name,
+           length(c_name) AS name_len,
+           replace(c_name, 'Customer#', 'C') AS name_short,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           (c_name LIKE 'Customer#%') AS is_cust,
+           regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_mask,
+           trim('  ' || c_mktsegment || ' ') AS seg_trim
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substr/concat/length/replace/regex/like/trim."""
+    c = Tables(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_up"),
+        F.lower("c_mktsegment").alias("seg_lo"),
+        F.substring("c_name", 1, 9).alias("name_pfx"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C")).alias("name_short"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.col("c_name").like("Customer#%").alias("is_cust"),
+        F.regexp_replace("c_mktsegment", "[AEIOU]", "_").alias("seg_mask"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           quarter(o_orderdate) AS q,
+           dayofweek(o_orderdate) + 1 AS dow_sun1,
+           weekofyear(o_orderdate) AS iso_week,
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_ts,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           epoch_ms(o_orderdate) AS epoch_millis
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/quarter/dow/week/trunc/add/diff/format/epoch.
+
+    dayofweek epochs differ (Spark 1=Sun, DuckDB 0=Sun) — normalized in
+    the oracle, not here, so the engine keeps Spark-native semantics.
+    """
+    o = Tables(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_ts"),
+        F.datediff(
+            F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_y2k"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("epoch_millis"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 30000) AS abs_dev,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(log10(l_extendedprice), 6) AS log10_price,
+           round(exp(l_discount), 6) AS exp_disc,
+           power(l_quantity, 2) AS qty_sq,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_side,
+           l_orderkey % 7 AS mod7
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/ceil/floor/ln/log10/exp/pow/sqrt/sign/mod (codegen'd)."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 30000).alias("abs_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_side"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+    )
+
+
+@query(
+    "fn_cond",
+    oracle="""
+    SELECT s_suppkey,
+           CASE WHEN s_acctbal < 0 THEN 'neg'
+                WHEN s_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           greatest(s_acctbal, 1000.0) AS floor_1k,
+           least(s_acctbal, 5000.0) AS cap_5k,
+           least(greatest(s_acctbal, 0.0), 8000.0) AS clipped,
+           coalesce(nullif(s_name, ''), 'unknown') AS name_filled,
+           (s_acctbal IS NOT NULL AND s_acctbal > 0) AS in_credit
+    FROM supplier
+    """,
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.where/mask/fillna/clip: CASE, greatest/least, coalesce/nullif."""
+    s = Tables(spark, sf_dir).supplier
+    return s.select(
+        "s_suppkey",
+        F.when(F.col("s_acctbal") < 0, "neg")
+        .when(F.col("s_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.greatest("s_acctbal", F.lit(1000.0)).alias("floor_1k"),
+        F.least("s_acctbal", F.lit(5000.0)).alias("cap_5k"),
+        F.least(F.greatest("s_acctbal", F.lit(0.0)), F.lit(8000.0)).alias("clipped"),
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias(
+            "name_filled"
+        ),
+        (F.col("s_acctbal").isNotNull() & (F.col("s_acctbal") > 0)).alias("in_credit"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_int,
+           CAST(l_linenumber AS VARCHAR) AS line_str,
+           CAST(l_linenumber AS DOUBLE) AS line_dbl,
+           CAST(substring(c_name, 10, 9) AS BIGINT) AS cust_num
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """astype() surface. double->int goes through floor() explicitly:
+    bare CAST truncates in Spark but ROUNDS in DuckDB."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "l_orderkey",
+            F.floor("l_quantity").cast("bigint").alias("qty_int"),
+            F.col("l_linenumber").cast("string").alias("line_str"),
+            F.col("l_linenumber").cast("double").alias("line_dbl"),
+            F.substring("c_name", 10, 9).cast("bigint").alias("cust_num"),
+        )
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1] AS e0,
+           embedding[64] AS e_last,
+           list_sort(embedding[1:3])[1] AS s3_a,
+           list_sort(embedding[1:3])[2] AS s3_b,
+           list_sort(embedding[1:3])[3] AS s3_c,
+           list_contains([CAST(label AS INTEGER)], label) AS self_contains
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array structural ops on the embedding column: size/element_at/
+    slice/sort/contains. Numeric kernels (dot product, norms) live in
+    the llm module."""
+    e = Tables(spark, sf_dir).embeddings
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("e0"),
+        F.element_at("embedding", 64).alias("e_last"),
+        F.element_at(F.array_sort(F.slice("embedding", 1, 3)), 1).alias("s3_a"),
+        F.element_at(F.array_sort(F.slice("embedding", 1, 3)), 2).alias("s3_b"),
+        F.element_at(F.array_sort(F.slice("embedding", 1, 3)), 3).alias("s3_c"),
+        F.array_contains(F.array(F.col("label")), F.col("label")).alias(
+            "self_contains"
+        ),
+    )
+
+
+@query(
+    "fn_array_lambda",
+    oracle="""
+    SELECT p_partkey,
+           CAST(list_aggregate(list_transform(generate_series(1, p_size),
+                                               x -> x * x), 'sum') AS BIGINT) AS sq_sum,
+           coalesce(array_to_string(list_filter(generate_series(1, p_size),
+                                                x -> x % 2 = 0), ','), '') AS evens,
+           len(generate_series(1, p_size)) AS n_terms
+    FROM part
+    """,
+)
+def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform/filter/aggregate over a
+    generated integer sequence (exact integer math, no float hazards)."""
+    p = Tables(spark, sf_dir).part
+    seq = F.sequence(F.lit(1), F.col("p_size"))
+    return p.select(
+        "p_partkey",
+        F.aggregate(
+            F.transform(seq, lambda x: x * x), F.lit(0), lambda a, x: a + x
+        ).cast("bigint").alias("sq_sum"),
+        F.array_join(F.filter(seq, lambda x: x % 2 == 0), ",").alias("evens"),
+        F.size(seq).cast("bigint").alias("n_terms"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           m['k'][1] AS k_val,
+           m['v'][1] AS v_val,
+           cardinality(m) AS m_size,
+           array_to_string(map_keys(m), ',') AS keys
+    FROM (
+        SELECT event_id,
+               map(['k', 'v'],
+                   [CAST(json_extract(props, '$.k') AS DOUBLE), value]) AS m
+        FROM events
+    )
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map column ops (no map col in fixtures — synthesized from props):
+    create_map/element_at/size/map_keys."""
+    ev = Tables(spark, sf_dir).events
+    m = F.create_map(
+        F.lit("k"),
+        F.get_json_object("props", "$.k").cast("double"),
+        F.lit("v"),
+        F.col("value"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(m, "v").alias("v_val"),
+        F.size(m).alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("keys"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+           json_extract_string(props, '$.k') AS k_str,
+           to_json(struct_pack(event_id := event_id, k := CAST(json_extract(props, '$.k') AS BIGINT)))
+               AS packed
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload surface: extract (string + typed), re-serialize."""
+    ev = Tables(spark, sf_dir).events
+    k_num = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select(
+        "event_id",
+        k_num.alias("k_num"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.to_json(F.struct(F.col("event_id"), k_num.alias("k"))).alias("packed"),
+    )

@@ -71,6 +71,11 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> list[
     b = _sort_rows(_normalize(duck_pdf))
     for c in a.columns:
         av, bv = a[c], b[c]
+        # numeric KIND must agree (int vs float): the driver's value hash
+        # stringifies, where 44474 != 44474.0
+        if av.dtype.kind in "if" and bv.dtype.kind in "if" and av.dtype.kind != bv.dtype.kind:
+            errs.append(f"{name}.{c}: dtype kind spark={av.dtype} duck={bv.dtype}")
+            continue
         if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
             both_nan = av.isna() & bv.isna()
             eq = (av == bv) | both_nan
