@@ -5,6 +5,8 @@ One module per SURVEY.md §2 family. Add new modules to _MODULES.
 
 from pandas_tsdb_spark.operators import (  # noqa: F401
     joins,
+    llm_text,
+    llm_vectors,
     relational,
     scalars,
     scans,

@@ -1,0 +1,416 @@
+"""§2.9 LLM-pipeline text operators: dedup (exact / token-set /
+MinHash-LSH / SimHash), tokenize, tf-idf, stats, quality, fingerprint,
+language-ID.
+
+Scale designs:
+- dedup_exact partitions by the TEXT HASH, not the text, so the shuffle
+  key is 16 bytes regardless of document size.
+- dedup_minhash is the 100 TB near-dup path: distinct (doc, token) ->
+  k=16 min-hashes in ONE aggregation pass -> 4-row bands -> candidate
+  pairs only where a band collides -> exact Jaccard verification on the
+  candidates. Work is proportional to collisions, never all-pairs.
+  Identical token sets collide in every band, so recall on true
+  duplicates is 1.0 (asserted in tests against the exact-signature op).
+- dedup_simhash: 32-bit sign-sum fingerprint in one aggregation pass
+  (32 conditional sums); equal-fingerprint groups are near-dup clusters.
+- lang_id: two-pass n-gram profiling (top-20 char trigrams per language
+  -> overlap score -> argmax). On this synthetic corpus every language
+  shares one vocabulary, so accuracy is chance — the pipeline shape is
+  what matters and the whole thing is SQL-expressible and oracle-checked.
+- Hash choice: md5 (bit-identical in Spark and DuckDB) for anything
+  oracle-checked; xxhash64 (JVM-side, cheaper) for engine-internal
+  minhash/simhash where the oracle is a structural test instead.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.registry import query
+
+STOPWORDS = ("a", "the")
+
+_TOKS = "string_split(lower(text), ' ')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Tables(spark, sf_dir).documents
+
+
+def _tokens_col() -> F.Column:
+    return F.split(F.lower(F.col("text")), " ")
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep lowest doc_id per text. Shuffle key = md5(text)
+    (constant width); full text only compared within a hash bucket."""
+    d = _docs(spark, sf_dir)
+    w = W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+_SIG_SQL = (
+    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+)
+
+
+def _sig_col() -> F.Column:
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "))
+
+
+@query(
+    "dedup_near",
+    oracle=f"""
+    SELECT min(doc_id) AS keep_id, count(*) AS group_size
+    FROM (SELECT doc_id, {_SIG_SQL} AS sig FROM documents)
+    GROUP BY sig
+    """,
+)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup by token-SET signature (n-gram Jaccard = 1.0 groups:
+    same words, any order/multiplicity). One hash-agg over md5 sigs."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", _sig_col().alias("sig"))
+        .groupBy("sig")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("group_size"))
+        .drop("sig")
+    )
+
+
+@query(
+    "dedup_near_pairs",
+    oracle=f"""
+    WITH sig AS (SELECT doc_id, {_SIG_SQL} AS sig FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All near-duplicate pairs (token-set equality), a < b ordered."""
+    d = _docs(spark, sf_dir).select("doc_id", _sig_col().alias("sig"))
+    a, b = d.alias("a"), d.alias("b")
+    return a.join(
+        b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+
+_MINHASH_K = 16
+_BAND_ROWS = 4  # 4 bands x 4 rows
+
+
+@query("dedup_minhash", oracle=None)  # xxhash64 seeds are engine-internal
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate generation + exact-Jaccard verification —
+    the scalable near-dup path (see module docstring). Emits candidate
+    pairs with exact jaccard >= 0.5."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens_col())).alias("tok")
+    )
+    sigs = toks.groupBy("doc_id").agg(
+        F.count("*").alias("set_size"),
+        *[
+            F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}")
+            for i in range(_MINHASH_K)
+        ],
+    )
+    n_bands = _MINHASH_K // _BAND_ROWS
+    bands = sigs.select(
+        "doc_id",
+        "set_size",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "set_size", "band.band_id", "band.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .distinct()
+    )
+    # exact verification: |A ∩ B| via the token table, work only on candidates
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"], "left_semi")  # keeps matching tokens only
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query("dedup_simhash", oracle=None)  # xxhash64 bit-mix is engine-internal
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over the distinct-token set: per bit, sign of the
+    sum of ±1 contributions; one aggregation pass, fingerprint assembled
+    with shifts. Equal fingerprints => near-dup cluster."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.array_distinct(_tokens_col())).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(32)
+        ]
+    )
+    fingerprint = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"b{j}") >= 0, F.lit(2**j).cast("long")).otherwise(0),
+        range(32),
+        F.lit(0).cast("long"),
+    )
+    return bit_sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+@query(
+    "text_tokenize",
+    oracle=f"""
+    SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+    WHERE tok NOT IN ('a', 'the')
+    GROUP BY tok
+    """,
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + stopword filter + corpus term/document frequencies."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(_tokens_col()).alias("tok"))
+        .filter(~F.col("tok").isin(*STOPWORDS))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf per (doc, term), smoothed idf = ln((N+1)/(df+1)) + 1.
+
+    The document-frequency side is tiny (vocabulary) -> broadcast; the
+    corpus size joins as a broadcast 1-row literal. tf table never
+    re-shuffles after its own aggregation."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(_tokens_col()).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; folded into the expression as a literal
+    tfidf = F.col("tf") * (
+        F.log((n_docs + 1.0) / (F.col("df") + F.lit(1.0))) + 1.0
+    )
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .select("doc_id", "tok", "tf", "df", F.round(tfidf, 6).alias("tfidf"))
+    )
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id, n_chars, length(text) AS n_chars_calc,
+           len({_TOKS}) AS n_tokens,
+           len(list_distinct({_TOKS})) AS n_unique,
+           CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) AS ttr,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TOKS})
+               AS avg_word_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc length/word-count/type-token-ratio/avg-word-length.
+    n_chars_calc cross-checks the stored n_chars column (FIXTURES.md).
+    Integer/integer divisions are bit-identical across engines — raw."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens_col()
+    n_tokens = F.size(toks).cast("bigint")
+    n_unique = F.size(F.array_distinct(toks)).cast("bigint")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique"),
+        (n_unique.cast("double") / n_tokens).alias("ttr"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens
+        ).alias("avg_word_len"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id, lang,
+           round(0.4 * least(len({_TOKS}) / 50.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))
+               + 0.3 * (1.0 - CAST(len(list_filter({_TOKS}, x -> x IN ('a', 'the')))
+                               AS DOUBLE) / len({_TOKS})), 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + lexical diversity +
+    (1 - stopword ratio), the standard pre-training filter shape."""
+    toks = _tokens_col()
+    n_tok = F.size(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+    score = (
+        0.4 * F.least(n_tok / 50.0, F.lit(1.0))
+        + 0.3 * (n_uniq / n_tok)
+        + 0.3 * (1.0 - n_stop / n_tok)
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.round(score, 6).alias("quality")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(toks, ' ')) AS fp,
+           CASE WHEN len(toks) >= 3 THEN
+               list_aggregate(list_transform(generate_series(1, len(toks) - 2),
+                   i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))), 'min')
+           END AS min_shingle_fp
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text md5 + min 3-token-shingle md5
+    (a 1-permutation MinHash, cross-engine-stable because md5 is)."""
+    d = _docs(spark, sf_dir).withColumn("toks", _tokens_col())
+    shingle = lambda i: F.md5(
+        F.concat_ws(
+            " ",
+            F.element_at("toks", i),
+            F.element_at("toks", i + F.lit(1)),
+            F.element_at("toks", i + F.lit(2)),
+        )
+    )
+    min_shingle = F.array_min(
+        F.transform(F.sequence(F.lit(1), F.size("toks") - 2), shingle)
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join("toks", " ")).alias("fp"),
+        F.when(F.size("toks") >= 3, min_shingle).alias("min_shingle_fp"),
+    )
+
+
+LANG_ID_ORACLE = """
+WITH tg AS (
+    SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(text) - 2),
+                                               i -> substring(text, i, 3))) AS tg
+    FROM documents
+), profile AS (
+    SELECT lang, tg FROM (
+        SELECT lang, tg, row_number() OVER (PARTITION BY lang
+                   ORDER BY count(*) DESC, tg) AS rk
+        FROM tg GROUP BY lang, tg
+    ) WHERE rk <= 20
+), doc_tg AS (
+    SELECT DISTINCT doc_id, lang AS true_lang, tg FROM tg
+), scores AS (
+    SELECT d.doc_id, d.true_lang, p.lang AS cand_lang, count(*) AS score
+    FROM doc_tg d JOIN profile p ON d.tg = p.tg
+    GROUP BY 1, 2, 3
+)
+SELECT doc_id, true_lang, cand_lang AS pred_lang, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, cand_lang) AS rk
+    FROM scores
+) WHERE rk = 1
+"""
+
+
+@query("lang_id", oracle=LANG_ID_ORACLE)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram language-ID: corpus-trained top-20 char-trigram profile per
+    language, docs classified by profile overlap (argmax, deterministic
+    tie-break). Profiles are tiny -> broadcast to the scoring join."""
+    d = _docs(spark, sf_dir)
+    tg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("tg"),
+    )
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "tg")
+    profile = (
+        tg.groupBy("lang", "tg")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(F.col("lang").alias("cand_lang"), "tg")
+    )
+    doc_tg = tg.select("doc_id", F.col("lang").alias("true_lang"), "tg").distinct()
+    scores = (
+        doc_tg.join(F.broadcast(profile), "tg")
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w2 = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
+    return (
+        scores.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "true_lang", F.col("cand_lang").alias("pred_lang"), "score")
+    )

@@ -1,0 +1,326 @@
+"""§2.9 vector operators: cosine top-k, threshold pairs, kNN labeling,
+LSH-bucketed ANN, multimodal columns (text+vector+binary through one
+plan).
+
+Numeric discipline: embeddings are float32 arrays; both engines cast to
+double FIRST, then multiply-accumulate sequentially (Spark
+zip_with+aggregate generates a left-to-right loop; DuckDB
+list_dot_product likewise), so dot products are bit-identical and only
+the final cosine is rounded (6) before ranking — making top-k ranks
+deterministic across engines with the vec_id tie-break.
+
+Scale designs:
+- sim_topk: the query set is the SMALL side -> broadcast it against the
+  full collection; per-query top-k via window. At 100 TB the collection
+  stays partitioned, queries replicate, no all-pairs shuffle.
+- sim_pairs_threshold: label-bucketed self-join keeps the pair space
+  sub-quadratic (the general technique: any coarse bucket — LSH bucket,
+  cluster id, shard key — bounds the quadratic term per bucket).
+- ann_lsh: random-hyperplane signatures via a seeded numpy kernel in
+  mapInPandas (Arrow-batched); exact re-scoring only within a bucket.
+  Recall vs brute force is asserted in tests, not assumed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.registry import query
+
+_N_QUERIES = 20  # vec_id < 20 are the demo query vectors
+_TOP_K = 5
+
+
+def _dot(a, b):  # bit-stable double dot product
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _with_norm(df: DataFrame, out: str = "norm") -> DataFrame:
+    return df.withColumn(out, F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+
+
+_DUCK_COS = (
+    "round(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+
+
+@query(
+    "sim_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT query_id, neighbor_id, cos, rk FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_DUCK_COS} AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY {_DUCK_COS} DESC, b.vec_id) AS rk
+        FROM e a JOIN e b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < {_N_QUERIES}
+    ) WHERE rk <= {_TOP_K}
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k per query vector (the exactness baseline;
+    ann_lsh is the scale path). Broadcast queries x partitioned
+    collection -> window top-k."""
+    e = Tables(spark, sf_dir).embeddings
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        _dot(F.col("qv"), F.col("embedding"))
+        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))),
+        6,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+    )
+
+
+@query(
+    "sim_pairs_threshold",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUCK_COS} AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DUCK_COS} >= 0.75
+    """,
+)
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine >= 0.75 within a label bucket — the bucketed
+    self-join shape that bounds the quadratic pair space per bucket."""
+    e = _with_norm(Tables(spark, sf_dir).embeddings)
+    a = e.select("vec_id", "label", "embedding", "norm")
+    b = (
+        e.select(
+            F.col("vec_id").alias("vec_id_b"),
+            F.col("label").alias("label_b"),
+            F.col("embedding").alias("embedding_b"),
+            F.col("norm").alias("norm_b"),
+        )
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("embedding_b")) / (F.col("norm") * F.col("norm_b")),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("vec_id") < F.col("vec_id_b")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.75)
+        .select(
+            F.col("vec_id").alias("id_a"), F.col("vec_id_b").alias("id_b"), "cos"
+        )
+    )
+
+
+@query(
+    "knn_label",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ranked AS (
+        SELECT a.vec_id AS query_id, a.label AS true_label,
+               b.label AS cand_label,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY {_DUCK_COS} DESC, b.vec_id) AS rk
+        FROM e a JOIN e b ON b.vec_id >= {_N_QUERIES}
+        WHERE a.vec_id < {_N_QUERIES}
+    ), votes AS (
+        SELECT query_id, true_label, cand_label, count(*) AS n_votes
+        FROM ranked WHERE rk <= {_TOP_K}
+        GROUP BY 1, 2, 3
+    )
+    SELECT query_id, true_label, cand_label AS pred_label, n_votes FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY n_votes DESC, cand_label) AS vrk
+        FROM votes
+    ) WHERE vrk = 1
+    """,
+)
+def knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-label: 5 nearest (cosine) among the non-query set,
+    majority vote with deterministic tie-break."""
+    e = Tables(spark, sf_dir).embeddings
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qv"),
+    )
+    cand = e.filter(F.col("vec_id") >= _N_QUERIES)
+    cos = F.round(
+        _dot(F.col("qv"), F.col("embedding"))
+        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))),
+        6,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    ranked = (
+        cand.join(F.broadcast(q), F.lit(True))
+        .withColumn("cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+    )
+    votes = ranked.groupBy("query_id", "true_label", F.col("label").alias("cand_label")).agg(
+        F.count("*").alias("n_votes")
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "cand_label")
+    return (
+        votes.withColumn("vrk", F.row_number().over(w2))
+        .filter(F.col("vrk") == 1)
+        .select("query_id", "true_label", F.col("cand_label").alias("pred_label"), "n_votes")
+    )
+
+
+_N_TABLES = 8  # L independent hash tables...
+_N_PLANES = 4  # ...of 4 hyperplanes each (16 buckets/table)
+_LSH_SEED = 42
+
+
+@query("ann_lsh", oracle=None)  # bucketing is engine-internal; recall tested
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: multi-table random-hyperplane LSH (seeded numpy in
+    mapInPandas, Arrow-batched). A true neighbor is a candidate if it
+    collides in ANY of the L tables; exact cosine re-scoring runs only on
+    candidates. The scale path for sim_topk: candidate count, not n²,
+    bounds the work."""
+    e = Tables(spark, sf_dir).embeddings
+
+    def bucketize(batches):
+        rng = np.random.RandomState(_LSH_SEED)
+        planes = rng.standard_normal((_N_TABLES, _N_PLANES, 64))
+        weights = 1 << np.arange(_N_PLANES)
+        for pdf in batches:
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # bucket id per table, offset so buckets are globally unique
+            buckets = [
+                (t << 32) | int(b)
+                for row in ((emb @ planes.reshape(-1, 64).T) > 0)
+                .reshape(len(emb), _N_TABLES, _N_PLANES)
+                .dot(weights)
+                for t, b in enumerate(row)
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].repeat(_N_TABLES),
+                    "bucket": np.array(buckets, dtype=np.int64),
+                }
+            )
+
+    memberships = e.mapInPandas(bucketize, "vec_id long, bucket long")
+    cand = (
+        memberships.alias("a")
+        .join(
+            memberships.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("vec_id_b")
+        )
+        .distinct()
+    )
+    ev = _with_norm(e)
+    a = ev.select("vec_id", "embedding", "norm")
+    b = ev.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("embedding_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("embedding_b")) / (F.col("norm") * F.col("norm_b")),
+        6,
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "vec_id_b")
+    return (
+        cand.join(a, "vec_id")
+        .join(b, "vec_id_b")
+        .withColumn("cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("vec_id_b").alias("nn_id"), "cos")
+    )
+
+
+@query(
+    "multimodal_cols",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           len(e.embedding) AS dim,
+           round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
+               AS self_dot
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One plan carrying text + vector + scalar columns: documents ⋈
+    embeddings on doc_id = vec_id with per-modality derivations."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.join(t.embeddings, F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "label",
+            F.size("embedding").cast("bigint").alias("dim"),
+            F.round(_dot(F.col("embedding"), F.col("embedding")), 6).alias("self_dot"),
+        )
+    )
+
+
+@query(
+    "multimodal_binary",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           octet_length(encode(text)) % 7 + 1 AS n_frames,
+           ascii(substring(text, 1, 1)) AS head_byte
+    FROM documents
+    """,
+)
+def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary modality plumbing: text encoded to a binary column,
+    pushed through an Arrow mapInPandas 'decoder'.
+
+    The real decode (image/audio libs) is STUBBED with a deterministic
+    fake — byte length, a fake frame count, the lead byte — but the
+    Spark-side schema/batching/binary transport is real and the fake is
+    SQL-mirrorable, so even the stub is oracle-checked. Swap `fake_decode`
+    for a real codec on a cluster with media libs installed.
+    """
+    d = Tables(spark, sf_dir).documents.select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+
+    def fake_decode(batches):
+        for pdf in batches:
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": blobs.map(len).astype("int64"),
+                    "n_frames": (blobs.map(len) % 7 + 1).astype("int64"),
+                    "head_byte": blobs.map(lambda b: b[0]).astype("int64"),
+                }
+            )
+
+    return d.mapInPandas(
+        fake_decode, "doc_id long, byte_len long, n_frames long, head_byte long"
+    )

@@ -1,0 +1,63 @@
+"""Internal differentials for the engine-internal (non-oracled) LLM ops:
+each approximate path is checked against its exact counterpart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_tsdb_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def test_minhash_recall_on_true_duplicates(spark, sf_dir):
+    """Identical token sets collide in every LSH band -> the MinHash path
+    must find 100% of the exact-signature duplicate pairs."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["dedup_near_pairs"].builder(spark, sf_dir).collect()
+    }
+    assert exact, "fixture should contain near-duplicate pairs"
+    mh = SPECS["dedup_minhash"].builder(spark, sf_dir)
+    found = {(r.doc_a, r.doc_b) for r in mh.filter(F.col("jaccard") >= 0.999).collect()}
+    assert exact <= found
+    # and those pairs carry jaccard exactly 1.0
+    ones = mh.filter(F.col("jaccard") >= 0.999).count()
+    assert ones >= len(exact)
+
+
+def test_simhash_identical_token_sets_share_fingerprint(spark, sf_dir):
+    sh = SPECS["dedup_simhash"].builder(spark, sf_dir).collect()
+    fp = {r.doc_id: r.simhash for r in sh}
+    pairs = SPECS["dedup_near_pairs"].builder(spark, sf_dir).collect()
+    for r in pairs:
+        assert fp[r.doc_a] == fp[r.doc_b]
+
+
+def test_dedup_exact_idempotent(spark, sf_dir):
+    out = SPECS["dedup_exact"].builder(spark, sf_dir)
+    n1 = out.count()
+    # running dedup on an already-deduped id set changes nothing
+    assert out.select("doc_id").distinct().count() == n1
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """Bucketed ANN top-1 must agree with brute-force top-1 for a decent
+    fraction of vectors (8 hyperplanes, unnormalized synthetic data)."""
+    small = "/root/testdata/sf0.001"
+    brute = SPECS["sim_topk"].builder(spark, small).filter(F.col("rk") == 1)
+    truth = {r.query_id: r.neighbor_id for r in brute.collect()}
+    ann = SPECS["ann_lsh"].builder(spark, small)
+    got = {
+        r.vec_id: r.nn_id for r in ann.filter(F.col("vec_id") < 20).collect()
+    }
+    hits = sum(1 for k, v in truth.items() if got.get(k) == v)
+    assert hits / len(truth) >= 0.5, f"ANN recall {hits}/{len(truth)}"
+
+
+def test_knn_majority_is_from_topk(spark, sf_dir):
+    out = SPECS["knn_label"].builder(spark, sf_dir)
+    pdf = out.toPandas()
+    assert (pdf["n_votes"] >= 1).all() and (pdf["n_votes"] <= 5).all()
+    assert len(pdf) == 20
