@@ -11,6 +11,7 @@ from pandas_tsdb_spark.operators import (  # noqa: F401
     scalars,
     scans,
     sorts_sets,
+    streaming,
     timeseries,
     windows,
 )

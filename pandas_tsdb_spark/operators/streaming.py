@@ -1,0 +1,354 @@
+"""§2.10 Structured Streaming over the events schema.
+
+Every op here runs a REAL streaming query — file source over the fixture,
+``Trigger.AvailableNow``, memory sink — and returns the sink table. With
+the full fixture processed to completion the final result is
+deterministic, so (beyond SURVEY §2.10's expectation of rows-only
+checks) most streaming ops carry a full DuckDB oracle: the stream's
+final state must equal the batch answer. tests/test_streaming.py
+additionally replays the fixture as MULTIPLE micro-batches
+(ts-ordered file chunks, maxFilesPerTrigger=1) and asserts the same
+results, which is what actually exercises cross-batch state.
+
+Scale design:
+- State-bounded by watermarks: the append-mode ops (`stream_watermark`,
+  `stream_dedup`) evict state older than the 1-hour watermark — the only
+  design that survives an unbounded stream; complete-mode ops are demo
+  aggregations whose key spaces (days, users) are small and bounded.
+- Stateful per-key processing uses `applyInPandasWithState`
+  (Arrow-batched, one state row per user) — state size O(keys), not
+  O(events).
+- The file source is the test stand-in for Kafka/queue sources: the
+  transformations are source-agnostic (all keyed on the `events`
+  schema), so `readStream.format("kafka")` + `from_json` slots in
+  without touching any query below.
+- Parquet is never streamed from `/root/testdata` directly (the file
+  source requires a directory per table); `stage_stream_dir` symlinks
+  the single fixture file into a per-sf staging dir under /tmp. Tests
+  use the same helper to build multi-file feeds.
+
+Emission conventions (FIXTURES.md pitfalls): event timestamps leave as
+`unix_micros` bigints or hour/day-aligned `date_trunc` timestamps (both
+engines µs-exact); value sums are round(·,2) (2-decimal source data =>
+the rounded sum is the exact decimal total on both engines).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.registry import query
+from pandas_tsdb_spark.session import ensure_conf
+
+# Raw parquet schema of events under nanosAsLong: ts is bigint nanoseconds.
+RAW_EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "pandas_tsdb_spark", "stream_src")
+_QID = itertools.count()
+
+_US_30M = 30 * 60 * 1_000_000
+_US_1H = 3_600 * 1_000_000
+_US_3H = 3 * _US_1H
+
+
+def stage_stream_dir(sf_dir: str, table: str = "events") -> str:
+    """Symlink `{sf_dir}/{table}.parquet` into a directory the file
+    stream source can list (it refuses bare file paths)."""
+    src = os.path.realpath(f"{sf_dir.rstrip('/')}/{table}.parquet")
+    key = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = os.path.join(_STAGE_ROOT, key, table)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "part-00000.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    src_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """events as an append stream with the same logical schema as the
+    batch catalog (ts: ns bigint -> µs timestamp, see catalog.py)."""
+    ensure_conf(spark)
+    reader = spark.readStream.schema(RAW_EVENTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    d = src_dir if src_dir is not None else stage_stream_dir(sf_dir)
+    return reader.parquet(d).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_to_memory(df: DataFrame, mode: str, name_hint: str = "q") -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    memory sink; return the sink table. The memory sink is the test
+    harness — production sinks are parquet/Kafka (`stream_sink`)."""
+    name = f"ptsdb_{name_hint}_{next(_QID)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "stream_source",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    """,
+)
+def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append pass-through: every event flows through the stream intact
+    (schema fidelity + exactly-once file-source accounting)."""
+    ev = events_stream(spark, sf_dir)
+    out = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    return run_to_memory(out, "append", "source")
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day/type counts+sums as a streaming tumbling-window agg; the
+    completed stream must equal the batch GROUP BY."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    out = agg.select(
+        F.col("w.start").alias("day"), "event_type", "n", "sum_value"
+    )
+    return run_to_memory(out, "complete", "tumbling")
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+    WITH e AS (SELECT (epoch_us(ts) // {_US_3H}) * {_US_3H} AS b0, value
+               FROM events),
+    x AS (SELECT unnest([b0, b0 - {_US_3H}]) AS bs, value FROM e)
+    SELECT make_timestamp(bs) AS bucket, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM x GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour windows sliding every 3 hours: each event lands in exactly
+    two windows (oracle enumerates both via unnest)."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    out = agg.select(F.col("w.start").alias("bucket"), "n", "sum_value")
+    return run_to_memory(out, "complete", "sliding")
+
+
+@query(
+    "stream_session",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+    f AS (SELECT user_id, us, value,
+          CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                    >= {_US_30M} THEN 1 ELSE 0 END AS brk
+          FROM e),
+    s AS (SELECT user_id, us, value,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                         ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f)
+    SELECT user_id, min(us) AS start_us, max(us) + {_US_30M} AS end_us,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap). Oracle is
+    the classic gap-and-island rewrite on µs integers — Spark merges
+    iff gap < 30 min (half-open window), hence `>=` marks a break."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    out = agg.select(
+        "user_id",
+        F.unix_micros("sw.start").alias("start_us"),
+        F.unix_micros("sw.end").alias("end_us"),
+        "n",
+        "sum_value",
+    )
+    return run_to_memory(out, "complete", "session")
+
+
+@query(
+    "stream_watermark",
+    oracle=f"""
+    WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+    e AS (SELECT (epoch_us(ts) // {_US_1H}) * {_US_1H} AS b, value FROM events)
+    SELECT make_timestamp(b) AS bucket, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM e, m
+    WHERE b + {_US_1H} <= mx - {_US_1H}
+    GROUP BY b
+    """,
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly agg under a 1-hour watermark, APPEND mode: only finalized
+    windows (window.end <= final watermark = max ts − 1 h) are emitted;
+    the trailing open windows stay in state. The oracle states exactly
+    that closure predicate — this checks the eviction semantics, not
+    just the arithmetic."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    out = agg.select(F.col("w.start").alias("bucket"), "n", "sum_value")
+    return run_to_memory(out, "append", "watermark")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once by event_id within the watermark horizon: the stream
+    unioned with itself (every event duplicated) must dedup back to the
+    original. State is evicted 1 hour behind the watermark — bounded
+    regardless of stream length."""
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir)
+    out = (
+        a.union(b)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    return run_to_memory(out, "append", "dedup")
+
+
+def make_cumsum_kernel():
+    """Per-user running-sum kernel with explicit cross-batch state (acc).
+
+    Built as a closure so cloudpickle serializes it BY VALUE: executor
+    Python workers don't import this repo, so a module-level function
+    (pickled by reference) would fail to unpickle there."""
+
+    def kernel(key, pdf_iter, state):
+        # GroupState.get is a PROPERTY (raises when absent) — guard on
+        # .exists; only multi-batch runs ever take the True branch.
+        acc = state.get[0] if state.exists else 0.0
+        pdf = pd.concat(list(pdf_iter)).sort_values("event_id")
+        cum = acc + pdf["value"].cumsum()
+        state.update((float(cum.iloc[-1]),))
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "cum_value": cum.round(4),
+            }
+        )
+
+    return kernel
+
+
+@query(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS cum_value
+    FROM events
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key stateful op (applyInPandasWithState): per-user
+    running sum carried across micro-batches in a one-row state. The
+    streamed cumsum must equal the batch window cumsum (event_id is
+    ts-monotone, so arrival order == event_id order)."""
+    ev = events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        make_cumsum_kernel(),
+        "user_id long, event_id long, cum_value double",
+        "acc double",
+        "Append",
+        "NoTimeout",
+    )
+    return run_to_memory(out, "append", "stateful")
+
+
+@query(
+    "stream_sink",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable-sink round-trip: stream events to a parquet sink (with
+    checkpoint), read the sink back as batch, aggregate. Exercises the
+    production sink path end-to-end (exactly-once file commit log)."""
+    ev = events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="ptsdb_sink_")
+    ckpt = tempfile.mkdtemp(prefix="ptsdb_ckpt_")
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+def batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of events_stream (for differential tests)."""
+    return Tables(spark, sf_dir).events

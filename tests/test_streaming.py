@@ -1,0 +1,174 @@
+"""Batch↔stream differentials for §2.10.
+
+The registered queries run the fixture as one micro-batch (single file).
+These tests replay the SAME events as MULTIPLE ts-ordered micro-batches
+(file chunks + maxFilesPerTrigger=1) and assert the final result is
+unchanged — this is what proves watermark advancement, state carry-over
+in applyInPandasWithState, and cross-batch dedup state actually work.
+A final test injects genuinely late data and asserts the watermark
+DROPS it (the semantics the single-batch oracle cannot see).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_tsdb_spark.operators import streaming as S
+from pandas_tsdb_spark.registry import load_all
+
+SPECS = load_all()
+SMALL = "/root/testdata/sf0.001"
+N_CHUNKS = 4
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(spark, tmp_path_factory):
+    """events (sf0.001) split into N ts-ordered parquet files whose
+    names and mtimes both increase with ts, so the file source replays
+    them in event-time order one per micro-batch."""
+    d = str(tmp_path_factory.mktemp("events_chunks"))
+    ev = spark.read.parquet(f"{SMALL}/events.parquet").orderBy("event_id")
+    pdf = ev.toPandas()
+    step = (len(pdf) + N_CHUNKS - 1) // N_CHUNKS
+    for i in range(N_CHUNKS):
+        chunk = pdf.iloc[i * step : (i + 1) * step]
+        path = os.path.join(d, f"part-{i:05d}.parquet")
+        chunk.to_parquet(path, index=False)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return d
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _run_chunks(spark, chunk_dir, transform, mode):
+    ev = S.events_stream(
+        spark, SMALL, src_dir=chunk_dir, max_files_per_trigger=1
+    )
+    return S.run_to_memory(transform(ev), mode, "diff")
+
+
+def test_chunked_tumbling_equals_single_batch(spark, chunk_dir):
+    tf = lambda ev: (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .select(F.col("w.start").alias("day"), "event_type", "n", "s")
+    )
+    got = _run_chunks(spark, chunk_dir, tf, "complete")
+    want = (
+        S.batch_events(spark, SMALL)
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    cols = ["day", "event_type", "n", "s"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_chunked_stateful_cumsum_carries_state(spark, chunk_dir):
+    """With 4 micro-batches every user's series spans batches, so this
+    fails unless the acc state survives batch boundaries."""
+    tf = lambda ev: ev.groupBy("user_id").applyInPandasWithState(
+        S.make_cumsum_kernel(),
+        "user_id long, event_id long, cum_value double",
+        "acc double",
+        "Append",
+        "NoTimeout",
+    )
+    got = _run_chunks(spark, chunk_dir, tf, "append")
+    w = "PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING"
+    want = S.batch_events(spark, SMALL).selectExpr(
+        "user_id", "event_id", f"round(sum(value) OVER ({w}), 4) AS cum_value"
+    )
+    cols = ["user_id", "event_id", "cum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_chunked_dedup_across_batches(spark, chunk_dir, tmp_path):
+    """Duplicate the chunk files (same rows arrive again in later
+    micro-batches, within the watermark) — dedup state must drop them."""
+    d = str(tmp_path / "dup")
+    os.makedirs(d)
+    for i, f in enumerate(sorted(os.listdir(chunk_dir))):
+        for j in (0, 1):
+            dst = os.path.join(d, f"part-{i:05d}-{j}.parquet")
+            os.link(os.path.join(chunk_dir, f), dst)
+            os.utime(dst, (1_700_000_000 + 2 * i + j,) * 2)
+    tf = lambda ev: ev.withWatermark("ts", "10 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    ).select("event_id", "user_id", "value")
+    got = _run_chunks(spark, d, tf, "append")
+    n_orig = S.batch_events(spark, SMALL).count()
+    assert got.count() == n_orig
+    assert got.select("event_id").distinct().count() == n_orig
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """A second micro-batch that time-travels behind the watermark must
+    be excluded from the aggregation (single-batch runs can't show this):
+    the emitted finalized windows must count every original event exactly
+    once and the late re-sent copies zero times."""
+    import pandas as pd
+
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+    # raw read keeps ts as bigint ns (nanosAsLong) — chunks stay raw.
+    ev = (
+        spark.read.parquet(f"{SMALL}/events.parquet")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    split = ev.ts.quantile(0.9)
+    head, tail = ev[ev.ts <= split], ev[ev.ts > split]
+    late = head.head(50)  # re-sent copies, far behind tail's watermark
+    # THREE batches: Spark evicts state one batch behind the watermark,
+    # so late rows are only dropped once their window left the state —
+    # head advances the clock, tail triggers eviction of head's windows,
+    # then the re-sent head rows arrive behind the watermark and must be
+    # dropped (verified empirically: numRowsDroppedByWatermark > 0).
+    for i, part in enumerate([head, tail, late]):
+        p = os.path.join(d, f"part-{i:05d}.parquet")
+        part.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i,) * 2)
+
+    got = S.run_to_memory(
+        S.events_stream(spark, SMALL, src_dir=d, max_files_per_trigger=1)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros("w.start").alias("bucket_us"), "n"),
+        "append",
+        "late",
+    )
+    us_1h = 3_600 * 1_000_000
+    expect = (
+        S.batch_events(spark, SMALL)
+        .select((F.floor(F.unix_micros("ts") / us_1h) * us_1h).alias("bucket_us"))
+        .groupBy("bucket_us")
+        .agg(F.count("*").alias("n"))
+        .filter(
+            F.col("bucket_us") + us_1h
+            <= S.batch_events(spark, SMALL).agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+            - us_1h
+        )
+    )
+    cols = ["bucket_us", "n"]
+    assert _rows(got, cols) == _rows(expect, cols)
+
+
+def test_chunked_session_window(spark, chunk_dir):
+    tf = lambda ev: (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.unix_micros("sw.start").alias("s"), "n")
+    )
+    got = _run_chunks(spark, chunk_dir, tf, "complete")
+    want = SPECS["stream_session"].builder(spark, SMALL).select(
+        "user_id", F.col("start_us").alias("s"), "n"
+    )
+    cols = ["user_id", "s", "n"]
+    assert _rows(got, cols) == _rows(want, cols)
