@@ -13,5 +13,6 @@ from pandas_tsdb_spark.operators import (  # noqa: F401
     sorts_sets,
     streaming,
     timeseries,
+    udfs,
     windows,
 )

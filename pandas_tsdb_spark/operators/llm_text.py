@@ -355,6 +355,41 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_token_regex",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+               AS n_bpe_tokens,
+           len(list_distinct(regexp_extract_all(lower(text), '[a-z]+')))
+               AS n_word_types
+    FROM documents
+    """,
+)
+def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split vs a BPE-ish regex
+    (letter runs | digit runs | single punctuation) — the standard cheap
+    proxy for LLM token budgeting. POSIX-simple pattern so the Spark
+    (Java regex) and DuckDB (RE2) dialects agree; all JVM-side."""
+    d = _docs(spark, sf_dir)
+    bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(bpe), 0)).cast("bigint").alias(
+            "n_bpe_tokens"
+        ),
+        F.size(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_word_types"),
+    )
+
+
 LANG_ID_ORACLE = """
 WITH tg AS (
     SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(text) - 2),

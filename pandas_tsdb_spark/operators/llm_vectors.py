@@ -258,6 +258,53 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_TAU = 0.98
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id FROM e a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM e b
+        WHERE b.label = a.label AND b.vec_id < a.vec_id
+          AND {_DUCK_COS} >= {_DEDUP_TAU}
+    )
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup: greedy keep-lowest-id — drop any
+    vector with cosine >= τ against a lower-id vector in its bucket
+    (label = the coarse bucket, standing in for an LSH/cluster key at
+    scale; same sub-quadratic shape as sim_pairs_threshold). Anti-join
+    keeps survivors."""
+    e = _with_norm(Tables(spark, sf_dir).embeddings)
+    a = e.select("vec_id", "label", "embedding", "norm")
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("embedding_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("embedding_b"))
+        / (F.col("norm") * F.col("norm_b")),
+        6,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("vec_id_b") < F.col("vec_id")),
+        )
+        .filter(cos >= _DEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+    )
+    return a.join(dropped, "vec_id", "left_anti").select("vec_id")
+
+
 @query(
     "multimodal_cols",
     oracle="""
