@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Headline benchmark: representative queries from every operator family
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Protocol (BASELINE.md §M7): per query, 1 discarded warm-up then median
+of 3 timed runs. Each run fully materializes the result through the
+`noop` sink (executes the whole plan, pays no write cost, collects
+nothing to the driver — the same discipline as benching on a cluster).
+
+`--duckdb` times each query's oracle SQL in DuckDB on the same parquet
+(result fully fetched) — the single-node upper-bound column.
+`--pandas` times reference-model implementations (single-node eager
+pandas, the reference's execution model) — the BASELINE column
+BASELINE.md calls for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# name -> registry key; one representative per family, weighted toward
+# the scale-critical paths (joins, windows, LLM ops, streaming).
+HEADLINE = {
+    "q1_lineitem_agg": "agg_groupby",
+    "q2_join_inner": "join_inner",
+    "q3_join_broadcast": "join_broadcast",
+    "q4_join_asof": "join_asof",
+    "q5_rolling_time": "win_rolling_time",
+    "q6_resample": "win_resample",
+    "q7_ewm": "win_ewm",
+    "q8_topk_per_group": "topk_per_group",
+    "q9_dedup_exact": "dedup_exact",
+    "q10_dedup_minhash": "dedup_minhash",
+    "q11_sim_topk": "sim_topk",
+    "q12_text_tfidf": "text_tfidf",
+    "q13_lang_id": "lang_id",
+    "q14_stream_tumbling": "stream_tumbling",
+}
+
+WARMUP, RUNS = 1, 3
+
+
+def _sf(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def bench_spark() -> dict[str, float]:
+    from pandas_tsdb_spark.registry import load_all
+    from pandas_tsdb_spark.session import get_spark
+
+    spark = get_spark("pandas-tsdb-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+    times: dict[str, float] = {}
+    for label, key in HEADLINE.items():
+        builder = specs[key].builder
+        samples = []
+        for i in range(WARMUP + RUNS):
+            t0 = time.perf_counter()
+            builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            if i >= WARMUP:
+                samples.append(dt)
+        times[label] = round(statistics.median(samples), 3)
+    return times
+
+
+def bench_duckdb() -> dict[str, float]:
+    import duckdb
+
+    from pandas_tsdb_spark.registry import load_all
+
+    specs = load_all()
+    con = duckdb.connect()
+    con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    times: dict[str, float] = {}
+    for label, key in HEADLINE.items():
+        sql = specs[key].oracle
+        if sql is None:
+            continue  # engine-internal op: no SQL twin
+        samples = []
+        for i in range(WARMUP + RUNS):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = time.perf_counter() - t0
+            if i >= WARMUP:
+                samples.append(dt)
+        times[label] = round(statistics.median(samples), 3)
+    return times
+
+
+def bench_pandas() -> dict[str, float]:
+    from tools.bench_pandas import PANDAS_QUERIES
+
+    times: dict[str, float] = {}
+    for label, fn in PANDAS_QUERIES.items():
+        samples = []
+        for i in range(WARMUP + RUNS):
+            t0 = time.perf_counter()
+            fn(SF_DIR)
+            dt = time.perf_counter() - t0
+            if i >= WARMUP:
+                samples.append(dt)
+        times[label] = round(statistics.median(samples), 3)
+    return times
+
+
+def main() -> None:
+    engine = "spark"
+    if "--duckdb" in sys.argv:
+        engine = "duckdb"
+    elif "--pandas" in sys.argv:
+        engine = "pandas"
+    times = {"spark": bench_spark, "duckdb": bench_duckdb, "pandas": bench_pandas}[
+        engine
+    ]()
+    print(
+        json.dumps(
+            {
+                "metric": f"headline_total_{engine}",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

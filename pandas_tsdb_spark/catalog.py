@@ -136,6 +136,25 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def _normalize_ts(dt: T.DataType) -> F.Column:
+    """events.ts -> TimestampType whatever the parquet physical type.
+
+    - TIMESTAMP(NANOS) scans as bigint ns (via nanosAsLong) -> µs
+      timestamp; integer ``div`` == floor, matching DuckDB's ns->µs
+      narrowing exactly (never ``/1000``: double rounding at 1.7e18 ns
+      perturbs the microsecond).
+    - TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false) scans as
+      TIMESTAMP_NTZ -> cast to TIMESTAMP (session zone is pinned UTC, so
+      the wall time IS the instant, same as DuckDB's naive semantics).
+    - Adjusted-to-UTC parquet already scans as TimestampType.
+    """
+    if isinstance(dt, T.LongType):
+        return F.expr("timestamp_micros(ts div 1000)")
+    if isinstance(dt, T.TimestampNTZType):
+        return F.col("ts").cast(T.TimestampType())
+    return F.col("ts")
+
+
 class Tables:
     """Lazy per-(session, sf_dir) table access: ``Tables(spark, d).lineitem``."""
 
@@ -151,9 +170,7 @@ class Tables:
             raise KeyError(name)
         df = self.spark.read.parquet(self.path(name))
         if name == "events":
-            # bigint ns (via nanosAsLong) -> µs timestamp; integer div == floor,
-            # matching DuckDB's ns->µs narrowing exactly.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            df = df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
         return df
 
     def __getattr__(self, name: str) -> DataFrame:

@@ -5,12 +5,14 @@ language-ID.
 Scale designs:
 - dedup_exact partitions by the TEXT HASH, not the text, so the shuffle
   key is 16 bytes regardless of document size.
-- dedup_minhash is the 100 TB near-dup path: distinct (doc, token) ->
-  k=16 min-hashes in ONE aggregation pass -> 4-row bands -> candidate
-  pairs only where a band collides -> exact Jaccard verification on the
-  candidates. Work is proportional to collisions, never all-pairs.
-  Identical token sets collide in every band, so recall on true
-  duplicates is 1.0 (asserted in tests against the exact-signature op).
+- dedup_minhash is the 100 TB near-dup path: distinct (doc, 3-shingle)
+  -> k=16 min-hashes in ONE aggregation pass -> 4-row bands -> candidate
+  pairs only where a band collides -> size-ratio prune -> exact Jaccard
+  verification on the candidates. Work is proportional to collisions,
+  never all-pairs. Shingles (not unigrams) keep the similarity space
+  non-degenerate on small vocabularies — see the op docstring for the
+  measured failure mode. Identical texts collide in every band, so
+  recall on exact duplicates is 1.0 (asserted in tests).
 - dedup_simhash: 32-bit sign-sum fingerprint in one aggregation pass
   (32 conditional sums); equal-fingerprint groups are near-dup clusters.
 - lang_id: two-pass n-gram profiling (top-20 char trigrams per language
@@ -43,6 +45,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tokens_col() -> F.Column:
     return F.split(F.lower(F.col("text")), " ")
+
+
+def _shingles_col(n: int = 3) -> F.Column:
+    """w-shingles (n-token windows) of the lowercased text."""
+    toks = _tokens_col()
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
 
 
 @query(
@@ -116,12 +129,23 @@ _BAND_ROWS = 4  # 4 bands x 4 rows
 
 @query("dedup_minhash", oracle=None)  # xxhash64 seeds are engine-internal
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH candidate generation + exact-Jaccard verification —
+    """MinHash + LSH over 3-token SHINGLES + exact-Jaccard verification —
     the scalable near-dup path (see module docstring). Emits candidate
-    pairs with exact jaccard >= 0.5."""
+    pairs with exact shingle-jaccard >= 0.5.
+
+    Shingles, not unigrams, are load-bearing at any scale: the fixture
+    corpus has a 31-word vocabulary, so unigram token-set Jaccard is
+    degenerate (median 0.625 across ALL pairs — measured) and unigram
+    LSH banding collides half the corpus into candidates (6.2M pairs at
+    sf0.1). 3-shingle Jaccard between non-near-dup docs is ~0 (p99 =
+    0.014), so candidates ≈ true near-dups and the verification join is
+    proportional to real duplication, not corpus².
+
+    A size-ratio prefilter (j >= 0.5 forces shingle counts within 2x)
+    cuts band-collision noise before the verification join."""
     d = _docs(spark, sf_dir)
     toks = d.select(
-        "doc_id", F.explode(F.array_distinct(_tokens_col())).alias("tok")
+        "doc_id", F.explode(F.array_distinct(_shingles_col(3))).alias("tok")
     )
     sigs = toks.groupBy("doc_id").agg(
         F.count("*").alias("set_size"),
@@ -163,6 +187,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.set_size").alias("size_b"),
         )
         .distinct()
+        # j >= 0.5 requires |A|/|B| in [1/2, 2] — prune before the
+        # (much more expensive) exact-intersection join.
+        .filter(
+            (F.col("size_a") <= 2 * F.col("size_b"))
+            & (F.col("size_b") <= 2 * F.col("size_a"))
+        )
     )
     # exact verification: |A ∩ B| via the token table, work only on candidates
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")

@@ -50,7 +50,9 @@ from pandas_tsdb_spark.catalog import Tables
 from pandas_tsdb_spark.registry import query
 from pandas_tsdb_spark.session import ensure_conf
 
-# Raw parquet schema of events under nanosAsLong: ts is bigint nanoseconds.
+# Raw parquet schema of the fixture events under nanosAsLong: ts is
+# bigint nanoseconds. events_stream peeks the actual footer type and
+# falls back to this when the source is TIMESTAMP(NANOS).
 RAW_EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -92,11 +94,17 @@ def events_stream(
     """events as an append stream with the same logical schema as the
     batch catalog (ts: ns bigint -> µs timestamp, see catalog.py)."""
     ensure_conf(spark)
-    reader = spark.readStream.schema(RAW_EVENTS)
+    d = src_dir if src_dir is not None else stage_stream_dir(sf_dir)
+    # Streaming sources need a declared schema; peek the footer (cheap
+    # batch metadata read) so both ns-as-long and native µs sources work.
+    actual = spark.read.parquet(d).schema
+    reader = spark.readStream.schema(actual)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    d = src_dir if src_dir is not None else stage_stream_dir(sf_dir)
-    return reader.parquet(d).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from pandas_tsdb_spark.catalog import _normalize_ts
+
+    df = reader.parquet(d)
+    return df.withColumn("ts", _normalize_ts(actual["ts"].dataType))
 
 
 def run_to_memory(df: DataFrame, mode: str, name_hint: str = "q") -> DataFrame:

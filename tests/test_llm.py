@@ -11,20 +11,30 @@ from pandas_tsdb_spark.registry import load_all
 SPECS = load_all()
 
 
-def test_minhash_recall_on_true_duplicates(spark, sf_dir):
-    """Identical token sets collide in every LSH band -> the MinHash path
-    must find 100% of the exact-signature duplicate pairs."""
+def test_minhash_recall_on_true_duplicates(spark):
+    """Identical texts have identical shingle sets, which collide in
+    every LSH band -> the MinHash path must find 100% of exact-text
+    duplicate pairs, each with shingle-jaccard 1.0. sf0.1 is the only
+    fixture scale containing exact-text duplicates (8 pairs)."""
+    from pandas_tsdb_spark.catalog import Tables
+
+    sf_dir = "/root/testdata/sf0.1"
+    d = Tables(spark, sf_dir).documents.select("doc_id", "text")
     exact = {
         (r.doc_a, r.doc_b)
-        for r in SPECS["dedup_near_pairs"].builder(spark, sf_dir).collect()
+        for r in d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.text") == F.col("b.text"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .collect()
     }
-    assert exact, "fixture should contain near-duplicate pairs"
+    assert exact, "fixture should contain exact-duplicate texts"
     mh = SPECS["dedup_minhash"].builder(spark, sf_dir)
     found = {(r.doc_a, r.doc_b) for r in mh.filter(F.col("jaccard") >= 0.999).collect()}
     assert exact <= found
-    # and those pairs carry jaccard exactly 1.0
-    ones = mh.filter(F.col("jaccard") >= 0.999).count()
-    assert ones >= len(exact)
 
 
 def test_simhash_identical_token_sets_share_fingerprint(spark, sf_dir):

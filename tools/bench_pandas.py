@@ -1,0 +1,256 @@
+"""Reference-model baseline: the headline queries implemented in
+idiomatic single-node eager pandas — the execution model of the
+reference library (a pandas extension, SURVEY.md §1.1). bench.py
+--pandas times these on the same parquet inputs; parquet read is inside
+each timed function (all three engines pay the scan per run).
+
+Each function mirrors the semantics of the same-named registry op (not
+bit-exactness — BASELINE timing only; bit-exactness is the DuckDB
+oracle's job).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+ALPHA = 0.3  # win_ewm
+
+
+def _read(sf_dir: str, table: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def q1_lineitem_agg(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    li = li[li.l_shipdate <= pd.Timestamp("1998-09-02")]
+    g = li.assign(
+        disc_price=li.l_extendedprice * (1 - li.l_discount),
+        charge=li.l_extendedprice * (1 - li.l_discount) * (1 + li.l_tax),
+    ).groupby(["l_returnflag", "l_linestatus"])
+    return g.agg(
+        sum_qty=("l_quantity", "sum"),
+        sum_base_price=("l_extendedprice", "sum"),
+        sum_disc_price=("disc_price", "sum"),
+        sum_charge=("charge", "sum"),
+        avg_qty=("l_quantity", "mean"),
+        avg_price=("l_extendedprice", "mean"),
+        avg_disc=("l_discount", "mean"),
+        count_order=("l_quantity", "size"),
+    ).reset_index()
+
+
+def q2_join_inner(sf_dir):
+    o, c = _read(sf_dir, "orders"), _read(sf_dir, "customer")
+    return o.merge(c, left_on="o_custkey", right_on="c_custkey")[
+        ["o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"]
+    ]
+
+
+def q3_join_broadcast(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    s, n, r = (_read(sf_dir, t) for t in ("supplier", "nation", "region"))
+    j = (
+        li.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(n, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    j["revenue"] = j.l_extendedprice * (1 - j.l_discount)
+    return (
+        j.groupby(["n_name", "r_name"])
+        .agg(revenue=("revenue", "sum"), n_items=("revenue", "size"))
+        .reset_index()
+    )
+
+
+def q4_join_asof(sf_dir):
+    ev = _read(sf_dir, "events").sort_values("ts")
+    p = ev[ev.event_type == "purchase"][["user_id", "ts", "value", "event_id"]]
+    p = p.rename(
+        columns={"value": "last_purchase_value", "event_id": "last_purchase_id"}
+    )
+    out = pd.merge_asof(ev, p, on="ts", by="user_id")
+    tol = pd.merge_asof(
+        ev,
+        p.rename(columns={"last_purchase_value": "last_purchase_value_3d"})[
+            ["user_id", "ts", "last_purchase_value_3d"]
+        ],
+        on="ts",
+        by="user_id",
+        tolerance=pd.Timedelta("3D"),
+    )
+    out["last_purchase_value_3d"] = tol["last_purchase_value_3d"].to_numpy()
+    return out[
+        ["event_id", "user_id", "value", "last_purchase_value",
+         "last_purchase_id", "last_purchase_value_3d"]
+    ]
+
+
+def q5_rolling_time(sf_dir):
+    ev = _read(sf_dir, "events").sort_values(["user_id", "ts"])
+    g = ev.set_index("ts").groupby("user_id")["value"].rolling("7D")
+    out = ev[["user_id", "event_id"]].copy()
+    out["sum_7d"] = g.sum().to_numpy().round(4)
+    out["n_7d"] = g.count().to_numpy()
+    return out
+
+
+def q6_resample(sf_dir):
+    ev = _read(sf_dir, "events")
+    ev["day"] = ev.ts.dt.floor("D")
+    return (
+        ev.groupby(["day", "event_type"])
+        .agg(n=("value", "size"), total=("value", "sum"), mean_v=("value", "mean"))
+        .reset_index()
+    )
+
+
+def q7_ewm(sf_dir):
+    ev = _read(sf_dir, "events").sort_values(["user_id", "event_id"])
+    ev["ewm"] = (
+        ev.groupby("user_id", sort=False)["value"]
+        .transform(lambda s: s.ewm(alpha=ALPHA, adjust=True).mean())
+    )
+    return ev[["user_id", "event_id", "ewm"]]
+
+
+def q8_topk_per_group(sf_dir):
+    o = _read(sf_dir, "orders").sort_values(
+        ["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+    )
+    top = o.groupby("o_custkey", sort=False).head(3)
+    return top[["o_custkey", "o_orderkey", "o_totalprice"]]
+
+
+def q9_dedup_exact(sf_dir):
+    d = _read(sf_dir, "documents")
+    keep = d.groupby("text", sort=False)["doc_id"].min()
+    return d[d.doc_id.isin(keep)][["doc_id", "lang", "source", "n_chars"]]
+
+
+def q10_dedup_minhash(sf_dir):
+    d = _read(sf_dir, "documents")
+    k, rows = 16, 4
+    rng = np.random.RandomState(7)
+    a = rng.randint(1, 2**61 - 1, size=k).astype(np.uint64)
+    b = rng.randint(0, 2**61 - 1, size=k).astype(np.uint64)
+    sigs, shingle_sets = {}, {}
+    for doc_id, text in zip(d.doc_id, d.text):
+        toks = text.lower().split(" ")
+        sh = {hash(" ".join(toks[i : i + 3])) & 0xFFFFFFFFFFFFFFFF
+              for i in range(len(toks) - 2)}
+        shingle_sets[doc_id] = sh
+        hv = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        sigs[doc_id] = [(a[i] * hv + b[i]).min() for i in range(k)]
+    buckets: dict[tuple, list] = {}
+    for doc_id, sig in sigs.items():
+        for band in range(k // rows):
+            key = (band, tuple(sig[band * rows : (band + 1) * rows]))
+            buckets.setdefault(key, []).append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    out = []
+    for da, db in pairs:
+        sa, sb = shingle_sets[da], shingle_sets[db]
+        inter = len(sa & sb)
+        jac = inter / (len(sa) + len(sb) - inter)
+        if jac >= 0.5:
+            out.append((da, db, round(jac, 6)))
+    return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+
+
+def q11_sim_topk(sf_dir):
+    e = _read(sf_dir, "embeddings")
+    E = np.stack(e.embedding.to_numpy()).astype(np.float64)
+    ids = e.vec_id.to_numpy()
+    qmask = ids < 20
+    Q = E[qmask]
+    sim = (Q @ E.T) / (
+        np.linalg.norm(Q, axis=1)[:, None] * np.linalg.norm(E, axis=1)[None, :]
+    )
+    out = []
+    for qi, qid in enumerate(ids[qmask]):
+        s = sim[qi].copy()
+        s[ids == qid] = -np.inf
+        top = np.argsort(-s, kind="stable")[:5]
+        out.extend(
+            (qid, ids[t], round(s[t], 6), r + 1) for r, t in enumerate(top)
+        )
+    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos", "rk"])
+
+
+def q12_text_tfidf(sf_dir):
+    d = _read(sf_dir, "documents")
+    tok = d[["doc_id"]].assign(tok=d.text.str.lower().str.split(" ")).explode("tok")
+    tf = tok.groupby(["doc_id", "tok"], sort=False).size().rename("tf").reset_index()
+    df = tok.drop_duplicates().groupby("tok", sort=False).size().rename("df")
+    n_docs = len(d)
+    out = tf.merge(df, on="tok")
+    out["tfidf"] = (out.tf * (np.log((n_docs + 1.0) / (out.df + 1.0)) + 1.0)).round(6)
+    return out
+
+
+def q13_lang_id(sf_dir):
+    d = _read(sf_dir, "documents")
+    recs = []
+    for doc_id, lang, text in zip(d.doc_id, d.lang, d.text):
+        recs.append((doc_id, lang, [text[i : i + 3] for i in range(len(text) - 2)]))
+    tg = (
+        pd.DataFrame(recs, columns=["doc_id", "lang", "tg"])
+        .explode("tg")
+    )
+    prof = (
+        tg.groupby(["lang", "tg"], sort=False)
+        .size()
+        .rename("cnt")
+        .reset_index()
+        .sort_values(["lang", "cnt", "tg"], ascending=[True, False, True])
+        .groupby("lang", sort=False)
+        .head(20)[["lang", "tg"]]
+        .rename(columns={"lang": "cand_lang"})
+    )
+    doc_tg = tg.drop_duplicates().rename(columns={"lang": "true_lang"})
+    scores = (
+        doc_tg.merge(prof, on="tg")
+        .groupby(["doc_id", "true_lang", "cand_lang"], sort=False)
+        .size()
+        .rename("score")
+        .reset_index()
+        .sort_values(["doc_id", "score", "cand_lang"], ascending=[True, False, True])
+    )
+    return scores.groupby("doc_id", sort=False).head(1).rename(
+        columns={"cand_lang": "pred_lang"}
+    )
+
+
+def q14_stream_tumbling(sf_dir):
+    # pandas is eager: "streaming" is just the batch aggregation.
+    ev = _read(sf_dir, "events")
+    ev["day"] = ev.ts.dt.floor("D")
+    return (
+        ev.groupby(["day", "event_type"])
+        .agg(n=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+    )
+
+
+PANDAS_QUERIES = {
+    "q1_lineitem_agg": q1_lineitem_agg,
+    "q2_join_inner": q2_join_inner,
+    "q3_join_broadcast": q3_join_broadcast,
+    "q4_join_asof": q4_join_asof,
+    "q5_rolling_time": q5_rolling_time,
+    "q6_resample": q6_resample,
+    "q7_ewm": q7_ewm,
+    "q8_topk_per_group": q8_topk_per_group,
+    "q9_dedup_exact": q9_dedup_exact,
+    "q10_dedup_minhash": q10_dedup_minhash,
+    "q11_sim_topk": q11_sim_topk,
+    "q12_text_tfidf": q12_text_tfidf,
+    "q13_lang_id": q13_lang_id,
+    "q14_stream_tumbling": q14_stream_tumbling,
+}

