@@ -40,13 +40,19 @@ EXPECTATIONS = {
 
 def audit(name: str, plan: str) -> list[str]:
     flags = []
-    n_exchange = len(re.findall(r"\bExchange\b", plan))
+    # formatted explain = tree, blank line, then per-node details that
+    # repeat every node name — count shuffles in the tree only, and not
+    # BroadcastExchange (broadcast is the cheap path, not a shuffle).
+    tree = plan.split("\n\n")[0]
+    n_exchange = len(re.findall(r"\+- Exchange|:- Exchange", tree))
     max_ex, want_bcast = EXPECTATIONS.get(name, (None, False))
     if max_ex is not None and n_exchange > max_ex:
         flags.append(f"{n_exchange} Exchange nodes (expected <= {max_ex})")
-    if want_bcast and "BroadcastHashJoin" not in plan:
-        flags.append("no BroadcastHashJoin (small side should broadcast)")
-    if "SortMergeJoin" in plan and want_bcast:
+    if want_bcast and not re.search(
+        r"BroadcastHashJoin|BroadcastNestedLoopJoin", tree
+    ):
+        flags.append("no broadcast join (small side should broadcast)")
+    if "SortMergeJoin" in tree and want_bcast:
         flags.append("SortMergeJoin present where broadcast expected")
     if "InMemoryTableScan" not in plan and "Scan parquet" in plan:
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
