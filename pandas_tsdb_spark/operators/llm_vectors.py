@@ -333,6 +333,47 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frames",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS byte_len,
+                      ascii(substring(text, 1, 1)) AS head_byte
+               FROM documents)
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           (head_byte + i * 31) % 256 AS frame_feature
+    FROM b, LATERAL (SELECT unnest(generate_series(0, byte_len % 7)) AS i)
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling modality plumbing: a 1->N row-expanding Arrow
+    kernel (mapInPandas), the batch shape of video frame-sample /
+    audio chunking. The 'decoder' is a deterministic stub (real codecs
+    aren't in this container) but SQL-mirrorable, so the expanding
+    wire format itself is oracle-checked; swap the frame loop for a
+    real decoder on a cluster with media libs."""
+    d = Tables(spark, sf_dir).documents.select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+
+    def sample_frames(batches):
+        for pdf in batches:
+            n = pdf["blob"].map(len) % 7 + 1
+            doc = pdf["doc_id"].repeat(n.to_numpy())
+            idx = np.concatenate([np.arange(k) for k in n]).astype("int64")
+            head = pdf["blob"].map(lambda b: b[0]).repeat(n.to_numpy()).to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc.to_numpy(),
+                    "frame_idx": idx,
+                    "frame_feature": (head + idx * 31) % 256,
+                }
+            )
+
+    return d.mapInPandas(
+        sample_frames, "doc_id long, frame_idx long, frame_feature long"
+    )
+
+
+@query(
     "multimodal_binary",
     oracle="""
     SELECT doc_id,

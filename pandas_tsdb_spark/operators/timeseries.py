@@ -212,6 +212,100 @@ def win_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERP_ORACLE = """
+WITH bounds AS (
+    SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+    FROM events
+), cal AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+), users AS (
+    SELECT DISTINCT user_id FROM events
+), daily AS (
+    SELECT user_id, date_trunc('day', ts) AS day,
+           arg_max(value, event_id) AS day_close
+    FROM events GROUP BY 1, 2
+), grid AS (
+    SELECT u.user_id, c.day, d.day_close
+    FROM users u CROSS JOIN cal c
+    LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = c.day
+), nb AS (
+    SELECT user_id, day, day_close,
+        last_value(day_close IGNORE NULLS) OVER wp AS prev_val,
+        last_value(CASE WHEN day_close IS NOT NULL THEN day END IGNORE NULLS)
+            OVER wp AS prev_day,
+        first_value(day_close IGNORE NULLS) OVER wn AS next_val,
+        first_value(CASE WHEN day_close IS NOT NULL THEN day END IGNORE NULLS)
+            OVER wn AS next_day
+    FROM grid
+    WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day, day_close,
+    round(CASE
+        WHEN day_close IS NOT NULL THEN day_close
+        WHEN prev_val IS NULL THEN NULL
+        WHEN next_val IS NULL THEN prev_val
+        ELSE prev_val + (next_val - prev_val)
+             * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                / date_diff('day', prev_day, next_day))
+    END, 6) AS close_interp
+FROM nb
+"""
+
+
+@query("win_resample_interp", oracle=INTERP_ORACLE)
+def win_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample('1D').last().interpolate() per series — pandas linear
+    interpolation semantics: gaps between known days are linear in
+    calendar days, trailing gaps pad the last known value, leading gaps
+    stay null. Same one-pass two-window shape as ffill (no extra
+    shuffle: both windows share the user_id partitioning)."""
+    ev = Tables(spark, sf_dir).events
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.max_by("value", "event_id").alias("day_close"))
+    grid = users.crossJoin(F.broadcast(cal)).join(
+        daily, ["user_id", "day"], "left"
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    known_day = F.when(F.col("day_close").isNotNull(), F.col("day"))
+    prev_val = F.last("day_close", ignorenulls=True).over(wp)
+    prev_day = F.last(known_day, ignorenulls=True).over(wp)
+    next_val = F.first("day_close", ignorenulls=True).over(wn)
+    next_day = F.first(known_day, ignorenulls=True).over(wn)
+    frac = F.datediff(F.col("day"), prev_day).cast("double") / F.datediff(
+        next_day, prev_day
+    )
+    interp = (
+        F.when(F.col("day_close").isNotNull(), F.col("day_close"))
+        .when(prev_val.isNull(), F.lit(None))
+        .when(next_val.isNull(), prev_val)
+        .otherwise(prev_val + (next_val - prev_val) * frac)
+    )
+    return grid.select(
+        "user_id", "day", "day_close", F.round(interp, 6).alias("close_interp")
+    )
+
+
 @query("win_ewm", oracle=None)  # recursive: not SQL-expressible, rows-only
 def win_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ewm(alpha=0.3, adjust=True).mean() per series — partition-batched.
