@@ -49,6 +49,7 @@ HEADLINE = {
     "q12_text_tfidf": "text_tfidf",
     "q13_lang_id": "lang_id",
     "q14_stream_tumbling": "stream_tumbling",
+    "q15_sim_topk_blas": "sim_topk_blas",
 }
 
 WARMUP, RUNS = 1, 3

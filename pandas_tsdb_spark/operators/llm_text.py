@@ -450,24 +450,44 @@ SELECT doc_id, true_lang, cand_lang AS pred_lang, score FROM (
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram language-ID: corpus-trained top-20 char-trigram profile per
     language, docs classified by profile overlap (argmax, deterministic
-    tie-break). Profiles are tiny -> broadcast to the scoring join."""
+    tie-break). Profiles are tiny -> broadcast to the scoring join.
+
+    One heavy shuffle total: the raw trigram stream aggregates ONCE to
+    per-(doc, tg) counts; the language profile re-aggregates that small
+    result (per-doc-distinct trigrams, not raw occurrences... the
+    profile needs occurrence counts, so it sums the per-doc counts) and
+    the per-doc distinct set is the same aggregate's key set — the
+    separate corpus-wide `.distinct()` over raw trigrams is gone."""
     d = _docs(spark, sf_dir)
-    tg = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
-        ).alias("tg"),
+    # split to a char array ONCE: substring(text, i, 3) per position is
+    # O(len) UTF-8 re-traversal each call => O(len^2) per doc (measured:
+    # the explode alone was 1.7s at sf0.1); element_at on the array is
+    # O(1), same trigrams, ~3x faster end-to-end.
+    tg = (
+        d.withColumn("cs", F.split("text", ""))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2), i -> "
+                    "concat(element_at(cs, i), element_at(cs, i + 1), "
+                    "element_at(cs, i + 2)))"
+                )
+            ).alias("tg"),
+        )
     )
+    # one shuffle over the exploded stream (map-side combine applies)
+    doc_counts = tg.groupBy("doc_id", "lang", "tg").agg(F.count("*").alias("cnt"))
     w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "tg")
     profile = (
-        tg.groupBy("lang", "tg")
-        .agg(F.count("*").alias("cnt"))
+        doc_counts.groupBy("lang", "tg")
+        .agg(F.sum("cnt").alias("cnt"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 20)
         .select(F.col("lang").alias("cand_lang"), "tg")
     )
-    doc_tg = tg.select("doc_id", F.col("lang").alias("true_lang"), "tg").distinct()
+    doc_tg = doc_counts.select("doc_id", F.col("lang").alias("true_lang"), "tg")
     scores = (
         doc_tg.join(F.broadcast(profile), "tg")
         .groupBy("doc_id", "true_lang", "cand_lang")

@@ -92,6 +92,62 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_topk_blas", oracle=None)  # BLAS sum order != sequential; rows-only
+def sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_topk's high-throughput twin: numpy matmul per Arrow batch +
+    two-phase top-k (local per-batch top-k, then a tiny global merge
+    window). This is the exact-search pattern that holds at 100 TB: the
+    collection streams through executors in batches, the query block
+    rides in a closure broadcast, nothing quadratic ever shuffles —
+    only |queries| x k rows per batch reach the merge. No oracle: BLAS
+    accumulates dot products in a different order than the sequential
+    spec, so cosines differ in the last ulps (ranks are asserted equal
+    to sim_topk in tests, away from ties)."""
+    e = Tables(spark, sf_dir).embeddings
+    q_rows = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded: the query block is small by contract; rides in the closure
+    q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    k = _TOP_K
+
+    def local_topk(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            sim = En @ Qn.T  # (batch, n_queries)
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sim[:, j].copy()
+                col[ids == qid] = -np.inf  # exclude self
+                take = min(k, len(col))
+                top = np.argpartition(-col, take - 1)[:take]
+                out_q.extend([qid] * take)
+                out_n.extend(ids[top])
+                out_c.extend(col[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype="int64"),
+                    "neighbor_id": np.array(out_n, dtype="int64"),
+                    "cos": np.round(out_c, 6),
+                }
+            )
+
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        local_topk, "query_id long, neighbor_id long, cos double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .filter(F.col("cos") > float("-inf"))
+    )
+
+
 @query(
     "sim_pairs_threshold",
     oracle=f"""

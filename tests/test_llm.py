@@ -66,6 +66,26 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert hits / len(truth) >= 0.5, f"ANN recall {hits}/{len(truth)}"
 
 
+def test_sim_topk_blas_matches_expression_path(spark, sf_dir):
+    """The BLAS two-phase top-k must produce the same neighbors as the
+    expression-tree sim_topk (cosines may differ in the last ulps, so
+    compare rank sets, tolerating swaps between near-tied cosines)."""
+    a = SPECS["sim_topk"].builder(spark, sf_dir).collect()
+    b = SPECS["sim_topk_blas"].builder(spark, sf_dir).collect()
+    ra = {(r.query_id, r.neighbor_id): r.cos for r in a}
+    rb = {(r.query_id, r.neighbor_id): r.cos for r in b}
+    assert len(ra) == len(rb)
+    for key, cos in ra.items():
+        if key in rb:
+            assert abs(rb[key] - cos) <= 2e-6
+        else:
+            # swapped at a tie boundary: the replacement neighbor must
+            # have an equal-within-rounding cosine for the same query
+            q = key[0]
+            repl = [c for (q2, n), c in rb.items() if q2 == q and (q2, n) not in ra]
+            assert repl and any(abs(c - cos) <= 2e-6 for c in repl), (key, cos)
+
+
 def test_knn_majority_is_from_topk(spark, sf_dir):
     out = SPECS["knn_label"].builder(spark, sf_dir)
     pdf = out.toPandas()
