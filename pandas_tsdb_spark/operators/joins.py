@@ -252,3 +252,53 @@ def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.n_name").alias("name_a"),
         F.col("b.n_name").alias("name_b"),
     )
+
+
+_N_SALT = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    WITH f AS (SELECT event_id, value,
+                      CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k
+               FROM events),
+    dim AS (SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k,
+                   count(*) AS k_events, round(sum(value), 2) AS k_total
+            FROM events GROUP BY 1)
+    SELECT f.event_id, f.k, f.value, dim.k_events, dim.k_total
+    FROM f JOIN dim USING (k)
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: a third of the fact rows share one hot
+    key (synthesized), which would land on a single reducer in a plain
+    shuffle join. Standard salting: the fact side appends a salt
+    pmod(event_id, S) to the join key; the (small) dim side explodes to
+    all S salt values — the hot key spreads over S tasks and the result
+    is provably identical to the unsalted join (that's the oracle).
+    AQE's skew-join split handles this adaptively at runtime; the salted
+    plan is the explicit form that also works where AQE can't see the
+    skew (e.g. a first-stage shuffle straight out of the scan)."""
+    ev = Tables(spark, sf_dir).events
+    hot = F.when(F.col("user_id") % 3 == 0, F.lit(0).cast("long")).otherwise(
+        F.col("user_id")
+    )
+    fact = ev.select(
+        "event_id",
+        "value",
+        hot.alias("k"),
+        F.pmod(F.col("event_id"), F.lit(_N_SALT)).alias("salt"),
+    )
+    dim = (
+        ev.select(hot.alias("k"), "value")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("k_events"),
+            F.round(F.sum("value"), 2).alias("k_total"),
+        )
+        .withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(_N_SALT)])))
+    )
+    return fact.join(dim, ["k", "salt"]).select(
+        "event_id", "k", "value", "k_events", "k_total"
+    )
