@@ -361,6 +361,86 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(dropped, "vec_id", "left_anti").select("vec_id")
 
 
+_IVF_CELLS = 32
+_IVF_NPROBE = 4
+
+
+@query("ann_ivf", oracle=None)  # quantizer is engine-internal; recall tested
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN, IVF-style: a coarse quantizer partitions the
+    collection into cells; each query probes only its nprobe nearest
+    cells and re-scores exactly inside them. The second ANN family
+    beside ann_lsh (random hyperplanes): IVF adapts to the data
+    distribution where LSH is data-oblivious.
+
+    Centroids here are the first C vectors by vec_id — a deterministic
+    stand-in for a k-means codebook (same plan shape; swap the centroid
+    table for trained centroids in production). Everything downstream is
+    the real IVF plan: centroid block broadcast in a closure, one
+    mapInPandas assignment pass over the collection (numpy argmax), an
+    equi-join on cell_id for candidate generation (bounded by cell
+    population, never n²), exact cosine re-scoring on candidates only."""
+    e = Tables(spark, sf_dir).embeddings
+    cent_rows = (
+        e.filter(F.col("vec_id") < _IVF_CELLS).select("vec_id", "embedding").collect()
+    )
+    C = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            sim = En @ Cn.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": np.argmax(sim, axis=1).astype("int64"),
+                }
+            )
+
+    def probe(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            sim = En @ Cn.T
+            cells = np.argsort(-sim, axis=1, kind="stable")[:, :_IVF_NPROBE]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["vec_id"].repeat(_IVF_NPROBE).to_numpy(),
+                    "cell": cells.reshape(-1).astype("int64"),
+                }
+            )
+
+    cells = e.select("vec_id", "embedding").mapInPandas(assign, "vec_id long, cell long")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    probes = q.select("vec_id", "embedding").mapInPandas(
+        probe, "query_id long, cell long"
+    )
+    cand = probes.join(cells, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id")
+    ev = _with_norm(Tables(spark, sf_dir).embeddings)
+    qe = ev.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    ce = ev.select("vec_id", "embedding", "norm")
+    cos = F.round(
+        _dot(F.col("qv"), F.col("embedding")) / (F.col("qnorm") * F.col("norm")), 6
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "vec_id")
+        .withColumn("cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rk")
+    )
+
+
 @query(
     "multimodal_cols",
     oracle="""

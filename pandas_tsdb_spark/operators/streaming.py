@@ -360,3 +360,68 @@ def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 def batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of events_stream (for differential tests)."""
     return Tables(spark, sf_dir).events
+
+
+KAFKA_VALUE_SCHEMA = (
+    "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Kafka wire-format -> events schema: the transformation a real
+    `readStream.format("kafka")` source plugs into. Input contract is
+    Kafka's fixed output schema (key/value as binary, topic, partition,
+    offset, timestamp); values are JSON events with µs epoch ts.
+    Source-agnostic by design: every streaming op in this module keys on
+    the events schema, so swapping the file source for Kafka is this one
+    function."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), KAFKA_VALUE_SCHEMA).alias("e")
+    ).select(
+        F.col("e.event_id").alias("event_id"),
+        F.timestamp_micros(F.col("e.ts_us")).alias("ts"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+        F.col("e.props").alias("props"),
+    )
+
+
+@query(
+    "stream_kafka_shape",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    """,
+)
+def stream_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the Kafka wire format: events serialized to
+    (key=user_id bytes, value=JSON bytes) exactly as they would sit on a
+    topic, then parsed back with parse_kafka_events. The oracle proves
+    the serialize->parse path is lossless (to the µs, value bit-exact).
+    No broker in this container, so the 'topic' is a DataFrame with
+    Kafka's output schema — the parse path is byte-identical either way."""
+    ev = Tables(spark, sf_dir).events
+    wire = ev.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+        ).cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        F.spark_partition_id().alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    parsed = parse_kafka_events(wire)
+    return parsed.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+        "event_type", "value",
+    )

