@@ -320,3 +320,38 @@ def win_resample_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
     )
+
+
+@query(
+    "win_rolling_corr",
+    oracle=f"""
+    SELECT user_id, event_id,
+           round(corr(value, lag_v) OVER wf, 6) AS corr_20
+    FROM (
+        SELECT user_id, event_id, value,
+               lag(value) OVER ({_WSER}) AS lag_v
+        FROM events
+    )
+    WINDOW wf AS ({_WSER} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas rolling(20).corr() surface: rolling correlation of each
+    series against its own lag (autocorrelation shape). One partitioning
+    serves the lag and the rolling frame — a single shuffle. corr is
+    emitted rather than covariance: correlation is scale-free (in
+    [-1,1]) so round(6) is far outside both engines' accumulation noise,
+    while raw covariance at this data's magnitude (~1e3) lands on
+    rounding ties (16/10k rows measured) because the engines use
+    different covariance update formulas."""
+    ev = _ev(spark, sf_dir)
+    wl = W.partitionBy("user_id").orderBy("event_id")
+    wf = wl.rowsBetween(-19, 0)
+    lagged = ev.select(
+        "user_id", "event_id", "value", F.lag("value").over(wl).alias("lag_v")
+    )
+    return lagged.select(
+        "user_id",
+        "event_id",
+        F.round(F.corr("value", "lag_v").over(wf), 6).alias("corr_20"),
+    )

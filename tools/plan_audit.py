@@ -35,6 +35,14 @@ EXPECTATIONS = {
     "dedup_exact": (1, False),
     "sim_topk": (2, True),
     "text_tfidf": (3, True),
+    "join_range": (3, False),
+    "join_skew_salted": (4, False),
+    "win_resample_ffill": (4, True),
+    "win_resample_interp": (4, True),
+    "win_rolling_corr": (1, False),
+    "lang_id": (6, True),
+    "sim_topk_blas": (2, False),
+    "dedup_embedding": (3, False),
 }
 
 
