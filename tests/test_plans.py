@@ -1,0 +1,29 @@
+"""Physical-plan regression guard: the scale-critical queries must keep
+clean plans (filters pushed, small sides broadcast, no surplus
+shuffles). Pure plan compilation — no jobs run, so this is cheap and
+catches optimizer-hostile refactors immediately.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pandas_tsdb_spark.registry import load_all
+from tools.plan_audit import EXPECTATIONS, audit
+
+SPECS = load_all()
+
+
+def _formatted_plan(spark, df):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTATIONS))
+def test_plan_is_clean(name, spark, sf_dir):
+    df = SPECS[name].builder(spark, sf_dir)
+    flags = audit(name, _formatted_plan(spark, df))
+    assert not flags, f"{name}: {flags}"
