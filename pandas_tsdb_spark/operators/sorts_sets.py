@@ -144,3 +144,32 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
     b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
     return a.subtract(b)
+
+
+@query(
+    "reshape_melt",
+    oracle="""
+    SELECT o_orderkey, metric, val FROM (
+        SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE) AS custkey_d
+        FROM orders
+    ) UNPIVOT (val FOR metric IN (o_totalprice, custkey_d))
+    """,
+)
+def reshape_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas melt / DataFrame.unpivot: wide -> long reshape (the
+    inverse of agg_pivot). Narrow-schema emission keeps the shuffle-free
+    plan: unpivot is a per-row flatMap, no exchange."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_custkey").cast("double").alias("custkey_d"),
+        )
+        .unpivot(
+            ["o_orderkey"],
+            ["o_totalprice", "custkey_d"],
+            "metric",
+            "val",
+        )
+    )
