@@ -425,3 +425,60 @@ def stream_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
         "event_type", "value",
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle=f"""
+    WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           p.us - c.us AS lag_us, p.value AS purchase_value
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.us >= c.us AND p.us <= c.us + {_US_1H}
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: every click joined to the same user's
+    purchases within the following hour. Both sides carry watermarks and
+    the join condition bounds event-time distance, so Spark can evict
+    join state (the only shape that survives unbounded streams). Inner
+    join output is batch-equivalent regardless of micro-batching —
+    hence the full oracle."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        "purchase_value",
+    )
+    return run_to_memory(joined, "append", "ssjoin")

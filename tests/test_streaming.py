@@ -160,6 +160,59 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert _rows(got, cols) == _rows(expect, cols)
 
 
+def test_chunked_stream_stream_join(spark, chunk_dir):
+    """Click->purchase pairs that straddle a micro-batch boundary only
+    appear if the join buffers the click in state until the purchase
+    arrives — replaying as 4 batches must reproduce the batch join."""
+    us_1h = 3_600 * 1_000_000
+
+    def tf(ev):
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        return clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        ).select("click_id", "purchase_id", "user_id")
+
+    got = _run_chunks(spark, chunk_dir, tf, "append")
+    ev = S.batch_events(spark, SMALL)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.unix_micros("ts").alias("c_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    want = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_us") >= F.col("c_us"))
+        & (F.col("p_us") <= F.col("c_us") + us_1h),
+    ).select("click_id", "purchase_id", "user_id")
+    cols = ["click_id", "purchase_id", "user_id"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_chunked_session_window(spark, chunk_dir):
     tf = lambda ev: (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
