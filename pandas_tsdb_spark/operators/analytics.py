@@ -1,0 +1,465 @@
+"""Event/behavioral analytics + composite benchmark queries.
+
+Beyond-survey additions (SURVEY.md §2 lists the mandated inventory; this
+module adds the event-analytics layer a production time-series engine is
+actually used for): batch sessionization, gaps-and-islands, funnel
+analysis, cohort retention, deterministic hash sampling, grouped exact
+quantiles, rolling z-score anomaly flags, and two TPC-H composite
+queries (Q3/Q5 shapes) that exercise multi-join + agg + top-k planning
+in one oracle-checked plan.
+
+Scale notes (100 TB discipline):
+- every op here is a pure DataFrame plan — one shuffle per logical
+  repartition (sessionize/zscore: one window partitioning by user_id;
+  cohort: two hash aggs on the same key; funnel: three partial-agg
+  shuffles on user_id, each map-side combined);
+- tpch_q3/q5 rely on Catalyst join selection — nation/region/supplier
+  auto-broadcast under the threshold, the orders⋈lineitem join is a
+  shuffle join on the orderkey, AQE re-plans skew at runtime;
+- sample_det is a pure map-side filter (no shuffle at all): md5-prefix
+  sampling is THE way to take a deterministic, reshardable sample of a
+  100 TB table without coordination (same rows on every run/engine).
+
+Determinism: all ts comparisons run on unix_micros (both engines
+truncate the fixtures' ns to µs identically — FIXTURES.md pitfall 1);
+window orderings carry event_id tie-breaks; float aggregates rounded
+per registry discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.registry import query
+
+_GAP_US = 30 * 60 * 1_000_000  # 30 min session gap
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Tables(spark, sf_dir).events
+
+
+# ---------------------------------------------------------------------------
+# sessionize: gap-based batch sessionization (the batch twin of
+# stream_session's session_window)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sessionize",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  IS NOT DISTINCT FROM NULL THEN 1
+                  WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  > {_GAP_US} THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id) AS BIGINT)
+                AS session_seq
+      FROM g
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+           max(ts_us) - min(ts_us) AS duration_us,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+    tags=("analytics", "timeseries"),
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity splits a session):
+    lag-gap flag -> running sum = session id -> per-session aggregate.
+    Single shuffle on user_id serves both windows AND the final groupBy
+    (same partitioning key), so the whole op is one exchange."""
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0)
+    seq = F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        ev.withColumn("session_seq", seq)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: consecutive-active-day runs per user
+# ---------------------------------------------------------------------------
+
+@query(
+    "gaps_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS island
+      FROM d
+    )
+    SELECT user_id, CAST(min(day) AS TIMESTAMP) AS start_day,
+           CAST(max(day) AS TIMESTAMP) AS end_day,
+           count(*) AS n_days
+    FROM r GROUP BY user_id, island
+    """,
+    tags=("analytics", "timeseries"),
+)
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user via the classic day - row_number() constant-key trick. Distinct
+    + window + groupBy all partition by user_id -> one shuffle."""
+    ev = _ev(spark, sf_dir)
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    return (
+        d.withColumn("island", F.date_sub(F.col("day"), rn))
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("day").cast("timestamp").alias("start_day"),
+            F.max("day").cast("timestamp").alias("end_day"),
+            F.count("*").alias("n_days"),
+        )
+        .drop("island")
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel: staged conversion (signup -> click -> purchase), order-aware
+# ---------------------------------------------------------------------------
+
+@query(
+    "funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s.signup_us
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.click_us
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_us, c.click_us, p.purchase_us,
+           1 + CASE WHEN c.click_us IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN p.purchase_us IS NULL THEN 0 ELSE 1 END AS stage
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+           LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    tags=("analytics",),
+)
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware funnel: first signup, first click AT/AFTER that
+    signup, first purchase at/after that click; stage = how deep the
+    user got. Three partial-aggregated shuffles on user_id (each stage's
+    min() combines map-side); the stage joins are key-colocated so AQE
+    plans them shuffle-free after the first exchange."""
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("signup_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts_us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("click_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") >= F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("purchase_us"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("click_us").isNull(), 0).otherwise(1)
+        + F.when(F.col("purchase_us").isNull(), 0).otherwise(1)
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "signup_us", "click_us", "purchase_us",
+                stage.alias("stage"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention: customers by first-order month x months-since
+# ---------------------------------------------------------------------------
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey, min(o_orderdate) AS first_dt FROM orders
+      GROUP BY o_custkey
+    )
+    SELECT date_trunc('month', f.first_dt) AS cohort_month,
+           (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+             - (year(f.first_dt) * 12 + month(f.first_dt)) AS month_offset,
+           count(DISTINCT o.o_custkey) AS n_customers
+    FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("analytics",),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: cohort = month of a customer's first
+    order; cell = distinct customers active at each month offset. The
+    month offset is computed as year*12+month arithmetic (identical
+    integer semantics in both engines; months_between() is float and
+    engine-specific). first-order agg and the retention agg both hash
+    on o_custkey first -> the join is co-partitioned."""
+    o = Tables(spark, sf_dir).orders
+    f = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    mnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    return (
+        o.join(f, "o_custkey")
+        .select(
+            F.date_trunc("month", "first_dt").alias("cohort_month"),
+            (mnum(F.col("o_orderdate")) - mnum(F.col("first_dt"))).alias(
+                "month_offset"
+            ),
+            "o_custkey",
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.count_distinct("o_custkey").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling (reshardable, engine-independent)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sample_det",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE substr(md5(event_type || ':' || CAST(event_id AS VARCHAR)), 1, 2)
+          <= '1f'
+    """,
+    tags=("analytics", "llm-pipeline"),
+)
+def sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% sample: keep rows whose md5(type:id) hex
+    prefix falls in the first 32/256 of the space. Unlike rand()-based
+    sampling this is reproducible across engines/runs/partitionings --
+    the only defensible way to sample a 100 TB training corpus (rerun
+    gets the same rows; stratum key in the hash input makes it stratified
+    by event_type). Pure map-side filter: no shuffle, fully pushed into
+    the scan stage."""
+    ev = _ev(spark, sf_dir)
+    key = F.md5(F.concat_ws(":", "event_type", F.col("event_id").cast("string")))
+    return ev.filter(F.substring(key, 1, 2) <= "1f").select(
+        "event_id", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped exact quantiles
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+           round(quantile_cont(l_quantity, 0.95), 4) AS q95,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("analytics", "agg"),
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact multi-quantile (pandas groupby().quantile([...])):
+    Spark percentile() and DuckDB quantile_cont() share the linear-
+    interpolation definition; l_quantity's integral values make the
+    interpolated results decimal-exact so round(4) is tie-free. The
+    exact percentile is a sort-based agg -- at 100 TB swap in
+    percentile_approx (t-digest sketch, mergeable map-side) and drop
+    the oracle to rows-only; both run in one hash-agg shuffle."""
+    li = Tables(spark, sf_dir).lineitem
+    qs = [
+        F.round(F.percentile("l_quantity", F.lit(p)), 4).alias(a)
+        for p, a in [(0.25, "q25"), (0.50, "q50"), (0.75, "q75"), (0.95, "q95")]
+    ]
+    return li.groupBy("l_returnflag").agg(*qs, F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# rolling z-score anomaly flag (7-day time window per series)
+# ---------------------------------------------------------------------------
+
+@query(
+    "win_zscore",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+    )
+    SELECT user_id, event_id,
+           round((value - avg(value) OVER w)
+                 / nullif(stddev_samp(value) OVER w, 0.0), 6) AS zscore,
+           CASE WHEN abs((value - avg(value) OVER w)
+                 / nullif(stddev_samp(value) OVER w, 0.0)) > 2
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM b
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {_WEEK_US} PRECEDING AND CURRENT ROW)
+    """,
+    tags=("analytics", "timeseries"),
+)
+def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: z-score of each point against its
+    trailing 7-day window (per user), |z| > 2 flagged. z is scale-free
+    so round(6) sits far above both engines' accumulation noise (the
+    win_rolling_corr argument). One shuffle on user_id; the range frame
+    runs in one pass over each sorted partition."""
+    ev = _ev(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_WEEK_US, 0)
+    )
+    z = (F.col("value") - F.avg("value").over(w)) / F.nullif(
+        F.stddev_samp("value").over(w), F.lit(0.0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(z, 6).alias("zscore"),
+        F.when(F.abs(z) > 2, 1).otherwise(0).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H composite shapes (multi-join + agg + top-k in one plan)
+# ---------------------------------------------------------------------------
+
+_Q3_CUT = "1998-03-15 00:00:00"
+
+@query(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_CUT}'
+      AND l.l_shipdate > TIMESTAMP '{_Q3_CUT}'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("analytics", "tpch"),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): 3-table join, filtered both sides
+    of the date cut, revenue agg, global top-10. Catalyst pushes both
+    date predicates into the parquet scans and the segment filter makes
+    customer broadcast-size; the top-10 runs as TakeOrderedAndProject
+    (no full sort). Tie-break on (revenue, date, orderkey) keeps LIMIT
+    deterministic cross-engine."""
+    t = Tables(spark, sf_dir)
+    cut = F.lit(_Q3_CUT).cast("timestamp")
+    return (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cut)
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > cut)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("analytics", "tpch"),
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-table join with the
+    local-supplier constraint (customer and supplier share a nation).
+    nation/region/supplier broadcast automatically; the big
+    orders⋈lineitem join shuffles on the orderkey once; the year
+    predicate prunes at the orders scan."""
+    t = Tables(spark, sf_dir)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t.region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

@@ -1,0 +1,134 @@
+"""Iterative graph ops on Spark DataFrames: near-dup cluster assignment.
+
+A real LLM-data dedup pipeline does not stop at pairwise similarity --
+it clusters the similarity graph (transitively!) and keeps one canonical
+doc per cluster. The pairwise ops (dedup_near_pairs, dedup_minhash) find
+edges; this module finds the connected components.
+
+Algorithm: min-label propagation with pointer jumping --
+  label(v) <- min(label(v), min_{(v,u) in E} label(u))   [neighbor min]
+  label(v) <- label(label(v))                            [pointer jump]
+iterated to fixpoint. Pointer jumping halves the distance to the
+component minimum each round, so convergence is O(log(diameter)) Spark
+jobs, not O(diameter) -- the sf0.01 fixture has a 29-doc dup chain that
+naive propagation would take 29 joins to resolve; this takes 5. At
+100 TB the same loop holds (each iteration = two co-partitioned joins
+on doc_id + a hash agg; lineage cut with localCheckpoint each round);
+the published refinement for trillion-edge graphs is the large-star/
+small-star variant of exactly this update rule.
+
+Edges are built deliberately as CHAINS (each doc linked only to its
+predecessor in doc_id order within a duplicate group), so recovering the
+full cluster genuinely exercises transitive closure rather than falling
+out of a single groupBy.
+
+Oracle: DuckDB WITH RECURSIVE transitive closure, min reachable id per
+node -- a full value-level check of an iterative distributed algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.registry import query
+
+_MAX_ITERS = 20
+
+_CLUSTER_ORACLE = """
+WITH RECURSIVE
+tok AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                         ' ') AS k
+  FROM documents
+),
+chain AS (
+  SELECT lag(doc_id) OVER (PARTITION BY k ORDER BY doc_id) AS a,
+         doc_id AS b
+  FROM tok
+),
+edges AS (
+  SELECT a, b FROM chain WHERE a IS NOT NULL
+  UNION ALL
+  SELECT b AS a, a AS b FROM chain WHERE a IS NOT NULL
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM tok
+  UNION
+  SELECT reach.id, edges.b
+  FROM reach JOIN edges ON edges.a = reach.r
+)
+SELECT id AS doc_id, min(r) AS component,
+       CASE WHEN id = min(r) THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+@query("dedup_cluster", oracle=_CLUSTER_ORACLE, tags=("llm-pipeline", "graph"))
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate graph (docs sharing
+    an identical token SET, chained pairwise): every doc labeled with
+    the min doc_id of its transitive duplicate cluster; the min itself
+    flagged canonical (the row a dedup keep-first would retain)."""
+    docs = Tables(spark, sf_dir).documents
+    tok = docs.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split("text", " "))), " "
+        ).alias("k"),
+    )
+    w = W.partitionBy("k").orderBy("doc_id")
+    half = (
+        tok.select(F.lag("doc_id").over(w).alias("a"), F.col("doc_id").alias("b"))
+        .filter(F.col("a").isNotNull())
+    )
+    edges = half.unionByName(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+
+    labels = tok.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(_MAX_ITERS):
+        nbr = edges.join(
+            labels, edges["a"] == labels["doc_id"]
+        ).select(edges["b"].alias("doc_id"), "component")
+        merged = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+        )
+        jumped = (
+            merged.alias("x")
+            .join(
+                merged.alias("y"),
+                F.col("x.component") == F.col("y.doc_id"),
+                "left",
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_id"),
+                F.coalesce(F.col("y.component"), F.col("x.component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    else:  # pragma: no cover - fixture graphs converge in <= ~6 rounds
+        raise RuntimeError(f"dedup_cluster: no fixpoint in {_MAX_ITERS} iters")
+
+    return labels.select(
+        "doc_id",
+        "component",
+        F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0).alias(
+            "is_canonical"
+        ),
+    )

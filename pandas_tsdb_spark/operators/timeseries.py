@@ -114,13 +114,21 @@ def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd.merge_asof per key (§2.11 cogroup surface). Tests assert it equals
     join_asof; the union-and-window plan stays the production path (one
     window vs Arrow round-trip per key)."""
-    ev = Tables(spark, sf_dir).events
-    left = ev.select("user_id", "ts", "event_id", "value")
-    right = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.col("value").alias("last_purchase_value"),
-        F.col("event_id").alias("last_purchase_id"),
+    # The right side gets its OWN scan and uniquely-named columns: when
+    # both cogroup children share attribute ids (self-cogroup off one
+    # DataFrame), the duplicated `ts` attribute can be deduplicated out
+    # of the right child's row — observed with a driver-owned plain
+    # session, where the right kernel frame arrived without `ts`.
+    left = Tables(spark, sf_dir).events.select("user_id", "ts", "event_id", "value")
+    right = (
+        Tables(spark, sf_dir)
+        .events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("last_purchase_value"),
+            F.col("event_id").alias("last_purchase_id"),
+        )
     )
 
     out_cols = ["event_id", "user_id", "value", "last_purchase_value", "last_purchase_id"]
@@ -135,8 +143,8 @@ def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return out[out_cols]
         # stable sort keeps the highest event_id last within equal ts, so
         # merge_asof's "last matching row" == the oracle's DESC LIMIT 1.
-        r = r.sort_values(["ts", "last_purchase_id"], kind="stable").drop(columns=["user_id"])
-        out = pd.merge_asof(l, r, on="ts", direction="backward")
+        r = r.sort_values(["r_ts", "last_purchase_id"], kind="stable").drop(columns=["user_id"])
+        out = pd.merge_asof(l, r, left_on="ts", right_on="r_ts", direction="backward")
         return out[out_cols]
 
     return (
