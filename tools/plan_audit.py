@@ -43,6 +43,18 @@ EXPECTATIONS = {
     "lang_id": (6, True),
     "sim_topk_blas": (2, False),
     "dedup_embedding": (3, False),
+    # event-analytics family: sessionize/zscore ride ONE user_id
+    # exchange; sample_det is map-only (deterministic hash filter);
+    # tpch shapes broadcast dims and keep a single data exchange.
+    "sessionize": (1, False),
+    "gaps_islands": (2, False),
+    "funnel": (5, True),
+    "cohort_retention": (3, True),
+    "sample_det": (0, False),
+    "agg_quantiles": (1, False),
+    "win_zscore": (1, False),
+    "tpch_q3": (1, True),
+    "tpch_q5": (1, True),
 }
 
 
