@@ -457,48 +457,59 @@ SELECT doc_id, true_lang, cand_lang AS pred_lang, score FROM (
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram language-ID: corpus-trained top-20 char-trigram profile per
     language, docs classified by profile overlap (argmax, deterministic
-    tie-break). Profiles are tiny -> broadcast to the scoring join.
+    tie-break).
 
-    One heavy shuffle total: the raw trigram stream aggregates ONCE to
-    per-(doc, tg) counts; the language profile re-aggregates that small
-    result (per-doc-distinct trigrams, not raw occurrences... the
-    profile needs occurrence counts, so it sums the per-doc counts) and
-    the per-doc distinct set is the same aggregate's key set — the
-    separate corpus-wide `.distinct()` over raw trigrams is gone."""
+    NO per-(doc, trigram) shuffle anywhere — that shuffle (712k rows at
+    sf0.1, ~2.4 s) dominated the previous formulation. Instead:
+    - profile branch: explode trigrams -> groupBy(lang, tg). Map-side
+      combine collapses each partition to <= |langs|x|trigram vocab|
+      rows, so the exchange is a few KB regardless of corpus size.
+    - scoring branch: the top-20 profile is pivoted to one ARRAY per
+      language (5 rows), broadcast, and each doc scores all languages
+      with size(array_intersect(distinct_doc_trigrams, profile_array))
+      — entirely map-side; only the per-(doc, lang) score rows (|docs| x
+      |langs|) reach the argmax window's exchange.
+    At 100 TB both exchanges stay proportional to |docs|, never to
+    total trigram volume. Two scans of documents (one per branch) are
+    the price — map-only, cheaper than shuffling the trigram stream.
+    """
     d = _docs(spark, sf_dir)
     # split to a char array ONCE: substring(text, i, 3) per position is
     # O(len) UTF-8 re-traversal each call => O(len^2) per doc (measured:
     # the explode alone was 1.7s at sf0.1); element_at on the array is
     # O(1), same trigrams, ~3x faster end-to-end.
-    tg = (
-        d.withColumn("cs", F.split("text", ""))
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(text) - 2), i -> "
-                    "concat(element_at(cs, i), element_at(cs, i + 1), "
-                    "element_at(cs, i + 2)))"
-                )
-            ).alias("tg"),
-        )
+    tgs = F.expr(
+        "transform(sequence(1, length(text) - 2), i -> "
+        "concat(element_at(cs, i), element_at(cs, i + 1), "
+        "element_at(cs, i + 2)))"
     )
-    # one shuffle over the exploded stream (map-side combine applies)
-    doc_counts = tg.groupBy("doc_id", "lang", "tg").agg(F.count("*").alias("cnt"))
+    tri = d.withColumn("cs", F.split("text", "")).select(
+        "doc_id", "lang", tgs.alias("tgs")
+    )
     w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "tg")
     profile = (
-        doc_counts.groupBy("lang", "tg")
-        .agg(F.sum("cnt").alias("cnt"))
+        tri.select("lang", F.explode("tgs").alias("tg"))
+        .groupBy("lang", "tg")
+        .agg(F.count("*").alias("cnt"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 20)
         .select(F.col("lang").alias("cand_lang"), "tg")
     )
-    doc_tg = doc_counts.select("doc_id", F.col("lang").alias("true_lang"), "tg")
+    prof_arr = profile.groupBy("cand_lang").agg(F.collect_list("tg").alias("ptgs"))
     scores = (
-        doc_tg.join(F.broadcast(profile), "tg")
-        .groupBy("doc_id", "true_lang", "cand_lang")
-        .agg(F.count("*").alias("score"))
+        tri.select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.array_distinct("tgs").alias("dtgs"),
+        )
+        .crossJoin(F.broadcast(prof_arr))
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand_lang",
+            F.size(F.array_intersect("dtgs", "ptgs")).cast("bigint").alias("score"),
+        )
+        .filter(F.col("score") > 0)
     )
     w2 = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
     return (
