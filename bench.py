@@ -50,6 +50,8 @@ HEADLINE = {
     "q13_lang_id": "lang_id",
     "q14_stream_tumbling": "stream_tumbling",
     "q15_sim_topk_blas": "sim_topk_blas",
+    "q16_tpch_q6": "tpch_q6",
+    "q17_curate": "pipeline_curate",
 }
 
 WARMUP, RUNS = 1, 3

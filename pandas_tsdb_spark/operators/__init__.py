@@ -9,12 +9,14 @@ from pandas_tsdb_spark.operators import (  # noqa: F401
     joins,
     llm_text,
     llm_vectors,
+    pipeline,
     relational,
     scalars,
     scans,
     sorts_sets,
     streaming,
     timeseries,
+    tpch,
     udfs,
     windows,
 )

@@ -472,6 +472,16 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB both exchanges stay proportional to |docs|, never to
     total trigram volume. Two scans of documents (one per branch) are
     the price — map-only, cheaper than shuffling the trigram stream.
+
+    PLAN TRAP (cost 65x when hit): the profile branch must explode the
+    transform() EXPRESSION inside the Generate, never a materialized
+    array column. Explode over an attribute makes InferFiltersFromGenerate
+    add `size(col) > 0 AND isnotnull(col)` on that attribute, and
+    predicate pushdown then re-substitutes the alias below the project
+    that defined it — re-evaluating the whole trigram transform twice
+    per row with split(text) inlined (the O(len^2) shape this docstring
+    warns about below). Measured: 65 s vs 1 s at sf0.1. The scoring
+    branch has no Generate, so materializing `tgs` there is safe.
     """
     d = _docs(spark, sf_dir)
     # split to a char array ONCE: substring(text, i, 3) per position is
@@ -483,12 +493,11 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat(element_at(cs, i), element_at(cs, i + 1), "
         "element_at(cs, i + 2)))"
     )
-    tri = d.withColumn("cs", F.split("text", "")).select(
-        "doc_id", "lang", tgs.alias("tgs")
-    )
+    cs = d.withColumn("cs", F.split("text", ""))
+    tri = cs.select("doc_id", "lang", tgs.alias("tgs"))
     w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "tg")
     profile = (
-        tri.select("lang", F.explode("tgs").alias("tg"))
+        cs.select("lang", F.explode(tgs).alias("tg"))
         .groupBy("lang", "tg")
         .agg(F.count("*").alias("cnt"))
         .withColumn("rk", F.row_number().over(w))
@@ -509,11 +518,15 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_lang",
             F.size(F.array_intersect("dtgs", "ptgs")).cast("bigint").alias("score"),
         )
-        .filter(F.col("score") > 0)
     )
     w2 = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
+    # score > 0 is applied AFTER the argmax, not before: pre-window it
+    # becomes the BNLJ join condition and array_intersect is evaluated
+    # twice per (doc, lang). Post-window it runs on |docs| rows, and the
+    # result is identical — a zero row never outranks a positive one,
+    # and all-zero docs drop out either way (the oracle's inner join).
     return (
         scores.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") == 1)
+        .filter((F.col("rk") == 1) & (F.col("score") > 0))
         .select("doc_id", "true_lang", F.col("cand_lang").alias("pred_lang"), "score")
     )

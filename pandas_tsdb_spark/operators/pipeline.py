@@ -1,0 +1,229 @@
+"""Training-data pipeline operators over the documents corpus.
+
+These are the corpus-preparation steps a large-scale LLM training
+pipeline runs between raw crawl and tokenizer: weighted mixture
+sampling across sources, deterministic train/val/test splitting,
+sequence packing to a token budget, and an end-to-end curation pass
+(quality filter -> exact dedup -> embedding attach).
+
+Determinism doctrine (shared with sample_det in analytics.py): all
+randomness is md5-hash-derived from stable keys, never rand(). A rerun
+over 100 TB — or a backfill over one repaired partition — selects
+exactly the same rows, and the DuckDB oracle can reproduce the choice
+bit-for-bit. Hex-prefix thresholds compare lexicographically, which
+for fixed-width lowercase hex equals numeric comparison, so no engine
+needs hex->int conversion (DuckDB lacks Spark's conv()).
+
+Scale notes:
+- mixture/split are pure map-side filters/projections: zero shuffle,
+  predicates evaluated per-row during the scan. At 100 TB they are
+  scan-bound and embarrassingly parallel.
+- pack is one shuffle (repartition by lang) + one window cumsum per
+  partition — the contiguous-greedy packing a streaming tokenizer
+  applies; bin assignment is a closed-form floor-div over the running
+  token count, not an iterative loop.
+- curate's dedup shuffles on md5(text) (uniform key, no skew) and the
+  embedding attach is a shuffle equi-join on doc_id — both scale
+  linearly; quality predicates run map-side before either shuffle so
+  rejected rows never hit the network.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import window as _w
+
+from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.registry import query
+
+W = _w.Window
+
+# ------------------------------------------------------- mixture sampling
+
+# source -> keep-fraction numerator (out of 256, encoded as the 2-hex-char
+# threshold the md5 prefix is compared against). Unlisted sources default
+# to DEFAULT_KEEP. In production this table is the mixture config the
+# training run declares (e.g. wiki x2 oversample would repeat rows; here
+# we only downsample, the oracle-able half).
+MIXTURE = {"src0": "ff", "src1": "bf", "src2": "7f", "src3": "3f", "src4": "1f"}
+DEFAULT_KEEP = "7f"
+
+
+@query(
+    "pipeline_mixture",
+    oracle=f"""
+    WITH wt(source, thr) AS (
+      VALUES {", ".join(f"('{s}', '{t}')" for s, t in MIXTURE.items())}
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d LEFT JOIN wt ON d.source = wt.source
+    WHERE substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+          <= coalesce(wt.thr, '{DEFAULT_KEEP}')
+    """,
+    tags=("llm-pipeline",),
+)
+def pipeline_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset-mixture sampling: each source keeps a configured
+    fraction of its documents, chosen by md5(source:doc_id) hex prefix
+    against a per-source threshold. The weights table is a handful of
+    rows -> broadcast; the filter itself is map-side, so the 100 TB scan
+    emits only the sampled subset and nothing shuffles."""
+    d = Tables(spark, sf_dir).documents
+    wt = spark.createDataFrame(
+        [(s, t) for s, t in MIXTURE.items()], "source string, thr string"
+    )
+    key = F.md5(F.concat_ws(":", "source", F.col("doc_id").cast("string")))
+    return (
+        d.join(F.broadcast(wt), "source", "left")
+        .filter(F.substring(key, 1, 2) <= F.coalesce("thr", F.lit(DEFAULT_KEEP)))
+        .select("doc_id", "source", "lang")
+    )
+
+
+# ------------------------------------------------------- train/val/test split
+
+
+@query(
+    "pipeline_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5'
+                THEN 'val'
+                ELSE 'test' END AS split,
+           lang, n_chars
+    FROM documents
+    """,
+    tags=("llm-pipeline",),
+)
+def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split by md5(doc_id)
+    bucket ('00'..'cc' / 'cd'..'e5' / 'e6'..'ff' = 205/25/26 of 256).
+    Hash-based assignment is the only split that survives re-runs,
+    repartitioning, and incremental corpus growth (a doc's split never
+    changes when other docs arrive). Pure projection: no shuffle."""
+    d = Tables(spark, sf_dir).documents
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(b <= "cc", "train").when(b <= "e5", "val").otherwise("test").alias(
+            "split"
+        ),
+        "lang",
+        "n_chars",
+    )
+
+
+# ------------------------------------------------------- sequence packing
+
+PACK_BUDGET = 256  # tokens per packed sequence
+
+
+@query(
+    "pipeline_pack",
+    oracle=f"""
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+    FROM (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             coalesce(sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM documents
+    )
+    """,
+    tags=("llm-pipeline",),
+)
+def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous greedy sequence packing: docs stream in doc_id order
+    within each lang and fall into fixed token-budget bins; a doc's bin
+    is floor(tokens_before_it / budget) — the closed-form equivalent of
+    feeding a streaming tokenizer, computed as ONE window cumsum
+    instead of an iterative loop. One shuffle (partition by lang); at
+    100 TB, partition instead by (lang, shard) where shard =
+    hash-bucket of doc_id to bound per-partition state, at the cost of
+    packing discontinuities at shard edges."""
+    d = Tables(spark, sf_dir).documents
+    n_tokens = F.size(F.split("text", " "))
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr(f"cum_before div {PACK_BUDGET}").alias("pack_id"),
+            (F.col("cum_before") + F.col("n_tokens")).alias("cum_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------------- end-to-end curation
+
+
+@query(
+    "pipeline_curate",
+    oracle="""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      WHERE n_chars >= 50
+        AND len(string_split(text, ' ')) >= 10
+      GROUP BY md5(text)
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           e.label
+    FROM keep k
+    JOIN documents d ON d.doc_id = k.doc_id
+    JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+    tags=("llm-pipeline",),
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality gate (length + word count,
+    evaluated map-side during the scan) -> exact dedup keeping the
+    lowest doc_id per md5(text) -> attach the embedding row (label
+    stands in for the vector payload so the oracle can hash it). The
+    dedup shuffles on md5(text) — uniform, skew-free — and re-joins the
+    winners back to documents on doc_id; the embedding attach is a
+    plain equi-join both engines plan identically. At 100 TB each stage
+    is one linear shuffle; no step holds more than a key+id pair per
+    group in state."""
+    t = Tables(spark, sf_dir)
+    d = t.documents
+    qual = d.filter(
+        (F.col("n_chars") >= 50) & (F.size(F.split("text", " ")) >= 10)
+    )
+    keep = qual.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        keep.select("doc_id")
+        .join(d, "doc_id")
+        .join(
+            t.embeddings.select(
+                F.col("vec_id").alias("doc_id"), "label"
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            "label",
+        )
+    )

@@ -238,6 +238,33 @@ def q14_stream_tumbling(sf_dir):
     )
 
 
+def q16_tpch_q6(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    m = li[
+        (li.l_shipdate >= pd.Timestamp("1996-01-01"))
+        & (li.l_shipdate < pd.Timestamp("1997-01-01"))
+        & (li.l_discount >= 0.05)
+        & (li.l_discount <= 0.07)
+        & (li.l_quantity < 24)
+    ]
+    return round((m.l_extendedprice * m.l_discount).sum(), 2), len(m)
+
+
+def q17_curate(sf_dir):
+    import hashlib
+
+    d = _read(sf_dir, "documents")
+    e = _read(sf_dir, "embeddings")
+    q = d[(d.n_chars >= 50) & (d.text.str.split(" ").str.len() >= 10)]
+    h = q.text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    keep = q.assign(h=h).groupby("h", as_index=False).doc_id.min()
+    out = keep.merge(d, on="doc_id").merge(
+        e.rename(columns={"vec_id": "doc_id"})[["doc_id", "label"]], on="doc_id"
+    )
+    out["n_tokens"] = out.text.str.split(" ").str.len()
+    return out[["doc_id", "lang", "source", "n_tokens", "label"]]
+
+
 PANDAS_QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "q2_join_inner": q2_join_inner,
@@ -253,4 +280,6 @@ PANDAS_QUERIES = {
     "q12_text_tfidf": q12_text_tfidf,
     "q13_lang_id": q13_lang_id,
     "q14_stream_tumbling": q14_stream_tumbling,
+    "q16_tpch_q6": q16_tpch_q6,
+    "q17_curate": q17_curate,
 }

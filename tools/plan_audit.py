@@ -40,7 +40,7 @@ EXPECTATIONS = {
     "win_resample_ffill": (4, True),
     "win_resample_interp": (4, True),
     "win_rolling_corr": (1, False),
-    "lang_id": (6, True),
+    "lang_id": (3, True),
     "sim_topk_blas": (2, False),
     "dedup_embedding": (3, False),
     # event-analytics family: sessionize/zscore ride ONE user_id
@@ -55,6 +55,20 @@ EXPECTATIONS = {
     "win_zscore": (1, False),
     "tpch_q3": (1, True),
     "tpch_q5": (1, True),
+    # q6 is scan+global agg (1 partial/final exchange); q4/q10/q14/q18/
+    # q19 broadcast their small side and keep ONE data exchange (the
+    # group-by); mixture/split are map-only; pack is one lang window;
+    # curate is the md5 dedup shuffle + broadcast re-joins.
+    "tpch_q4": (1, True),
+    "tpch_q6": (1, False),
+    "tpch_q10": (1, True),
+    "tpch_q14": (1, True),
+    "tpch_q18": (1, True),
+    "tpch_q19": (1, True),
+    "pipeline_mixture": (0, True),
+    "pipeline_split": (0, False),
+    "pipeline_pack": (1, False),
+    "pipeline_curate": (1, True),
 }
 
 
@@ -74,6 +88,20 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("no broadcast join (small side should broadcast)")
     if "SortMergeJoin" in tree and want_bcast:
         flags.append("SortMergeJoin present where broadcast expected")
+    # InferFiltersFromGenerate trap: exploding a MATERIALIZED array
+    # column makes Catalyst infer `size(col) > 0 AND isnotnull(col)`,
+    # and pushdown re-substitutes the alias so the whole higher-order
+    # expression is re-evaluated inside a Filter below the project that
+    # defined it (measured 65x on lang_id). Signature: a Filter node
+    # whose condition contains a lambdafunction. Fix: explode the
+    # expression directly inside the Generate.
+    for seg in re.split(r"\n\(\d+\) ", plan):
+        if seg.startswith("Filter") and "lambdafunction" in seg:
+            flags.append(
+                "higher-order function evaluated in a Filter "
+                "(InferFiltersFromGenerate trap: explode the expression, "
+                "not a materialized array column)"
+            )
     if "InMemoryTableScan" not in plan and "Scan parquet" in plan:
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         read = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
