@@ -463,3 +463,32 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT user_id, event_type AS mode_event, cnt FROM (
+      SELECT user_id, event_type, count(*) AS cnt,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY count(*) DESC, event_type) AS rk
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rk = 1
+    """,
+    tags=("analytics", "agg"),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent event_type per user) with a
+    deterministic lexical tie-break — built-in mode() has no tie order,
+    so it can't be oracle-checked; the count + row_number formulation
+    is deterministic AND scales: the groupBy collapses map-side to
+    |users|x|types| rows, and the argmax window rides the same user_id
+    partitioning (exchange of aggregated rows only)."""
+    ev = _ev(spark, sf_dir)
+    cnts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        cnts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "cnt")
+    )

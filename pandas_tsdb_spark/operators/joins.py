@@ -302,3 +302,49 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.join(dim, ["k", "salt"]).select(
         "event_id", "k", "value", "k_events", "k_total"
     )
+
+
+# ---------------------------------------------------------------- bucketed
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join", "bucketed"),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join: both sides pre-bucketed on the join
+    key so the join needs NO exchange — the shape that turns a repeated
+    100 TB fact⋈fact join from two full shuffles into zero. The builder
+    materializes bucketed copies once per (session, sf_dir) into /tmp
+    as external tables (in-memory catalog, no Hive needed), then joins
+    with a merge hint; tests/test_plans assert the plan is
+    exchange-free. Result set is identical to join_inner's shape, so
+    the plain-SQL oracle checks correctness end-to-end.
+
+    At scale this is a write-once-join-many amortization: bucket the
+    fact tables at ingest (bucketBy on the canonical join key), and
+    every later join/aggregation on that key skips its shuffle.
+    """
+    tag = f"b{abs(hash(sf_dir)) % 10**8}"
+    t = Tables(spark, sf_dir)
+    names = {"orders": f"orders_{tag}", "customer": f"customer_{tag}"}
+    if not spark.catalog.tableExists(names["orders"]):
+        for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+            (
+                getattr(t, tbl)
+                .write.format("parquet")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"/tmp/pandas_tsdb_spark_buckets/{names[tbl]}")
+                .mode("overwrite")
+                .saveAsTable(names[tbl])
+            )
+    o = spark.table(names["orders"]).hint("merge")
+    c = spark.table(names["customer"]).hint("merge")
+    return o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )

@@ -530,3 +530,41 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rk") == 1) & (F.col("score") > 0))
         .select("doc_id", "true_lang", F.col("cand_lang").alias("pred_lang"), "score")
     )
+
+
+# ---------------------------------------------------------------- normalize
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id, norm_text, length(norm_text) AS n_norm_chars
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+      FROM documents
+    )
+    """,
+    tags=("llm-pipeline", "text"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization (the cleaning pass before tokenize/
+    dedup): lowercase, strip non-alphanumerics to spaces, collapse
+    whitespace runs, trim. Pure map-side narrow transform — no shuffle,
+    streams through the scan at any SF. Regexes are POSIX-simple so the
+    Java (Spark) and RE2 (DuckDB) dialects agree."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_norm_chars"),
+    )

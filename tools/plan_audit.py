@@ -69,6 +69,11 @@ EXPECTATIONS = {
     "pipeline_split": (0, False),
     "pipeline_pack": (1, False),
     "pipeline_curate": (1, True),
+    # bucketed co-located join: ZERO exchanges is the whole point;
+    # normalize is a narrow map; mode is agg + same-key argmax window.
+    "join_bucketed": (0, False),
+    "text_normalize": (0, False),
+    "agg_mode": (2, False),
 }
 
 
