@@ -492,3 +492,32 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", F.col("event_type").alias("mode_event"), "cnt")
     )
+
+
+@query(
+    "agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("analytics", "agg"),
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group bivariate statistics: Pearson correlation, sample
+    covariance, and regression slope of price on quantity. Single
+    hash-aggregate — Spark's corr/covar_samp/regr_slope are one-pass
+    streaming moments with partial merge, so the exchange carries one
+    moment tuple per (group, partition), not rows. Rounded on both
+    sides: the moment accumulation order differs across engines at
+    ~1e-12 relative, far below the rounding decimals."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_pq"),
+        F.count("*").alias("n"),
+    )

@@ -90,7 +90,13 @@ _SIG_SQL = (
 
 
 def _sig_col() -> F.Column:
-    return F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "))
+    # sort_array, NOT array_sort: array_sort carries a default
+    # comparator lambdafunction in the plan, which Catalyst's inferred
+    # isnotnull(join-key) filter then re-substitutes below the project
+    # (flagged by plan_audit's lambda-in-Filter sweep); sort_array uses
+    # native ordering — same ascending result on non-null strings and
+    # cheaper to evaluate.
+    return F.md5(F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " "))
 
 
 @query(

@@ -317,3 +317,133 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------- q8
+
+
+@query(
+    "tpch_q8",
+    oracle="""
+    SELECT year(o.o_orderdate) AS o_year,
+           100.0 * round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                       THEN l.l_extendedprice * (1 - l.l_discount)
+                       ELSE 0 END), 2)
+                 / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS mkt_share_pct,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY year(o.o_orderdate)
+    """,
+    tags=("analytics", "tpch"),
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), adapted to fixture columns:
+    per order-year share of European-customer revenue supplied by one
+    nation. Joins nation TWICE (customer side for the region filter,
+    supplier side for the share bucket) — both broadcast, disambiguated
+    by renamed projections rather than alias resolution. The only
+    shuffle moving data is the final year group-by of partial sums;
+    both ratio legs are round(sum, 2) so the division is bit-identical
+    cross-engine (registry.py float discipline)."""
+    t = Tables(spark, sf_dir)
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cn = t.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    sn = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(t.region), F.col("cn_rkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.round(
+                    F.sum(F.when(F.col("sn_name") == "NATION_3", net).otherwise(0.0)),
+                    2,
+                )
+                / F.round(F.sum(net), 2)
+            ).alias("mkt_share_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q22
+
+
+@query(
+    "tpch_q22",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_cust,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT round(sum(c_acctbal), 2) / count(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+      )
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("analytics", "tpch"),
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: LAPSED well-funded
+    customers — balance above the positive-balance average, no order in
+    the final data year (every fixture customer has SOME order, so the
+    spec's never-ordered predicate is vacuous here). The scalar
+    subquery becomes a 1-row aggregate broadcast-cross-joined into the
+    filter (no recompute per row); the NOT EXISTS is a left-anti join
+    against the date-pruned orders slice. The threshold is
+    round(sum, 2)/count — bit-identical in both engines — so the strict
+    > comparison against exact 2-decimal balances can't straddle
+    engine noise."""
+    t = Tables(spark, sf_dir)
+    thr = (
+        t.customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.round(F.sum("c_acctbal"), 2) / F.count("*")).alias("thr")
+        )
+    )
+    return (
+        t.customer.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(
+            t.orders.filter(
+                F.col("o_orderdate")
+                >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

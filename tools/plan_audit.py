@@ -74,6 +74,12 @@ EXPECTATIONS = {
     "join_bucketed": (0, False),
     "text_normalize": (0, False),
     "agg_mode": (2, False),
+    # q8 broadcasts region + both nation sides + supplier (one data
+    # exchange for the year group-by); q22 is scalar-agg broadcast +
+    # anti join (agg exchange + final group-by); corr is one hash agg.
+    "tpch_q8": (1, True),
+    "tpch_q22": (2, True),
+    "agg_corr": (1, False),
 }
 
 
@@ -125,7 +131,16 @@ def main() -> None:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
-    names = sys.argv[1:] or list(EXPECTATIONS)
+    if "--all" in sys.argv:
+        # registry-wide smell sweep: no per-query exchange budgets, but
+        # the structural checks (lambda-in-Filter, wide scans) apply to
+        # every registered op. Streaming builders are skipped — their
+        # plans only exist inside a query execution.
+        names = [n for n in sorted(specs) if not n.startswith("stream_")]
+    else:
+        names = [a for a in sys.argv[1:] if not a.startswith("-")] or list(
+            EXPECTATIONS
+        )
     bad = 0
     for name in names:
         df = specs[name].builder(spark, SF_DIR)
