@@ -447,3 +447,419 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------- q7
+
+
+@query(
+    "tpch_q7",
+    oracle="""
+    SELECT cust_nation, supp_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+             year(l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+          OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY cust_nation, supp_nation, l_year
+    """,
+    tags=("analytics", "tpch"),
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    nations per ship-year. Both nation legs broadcast; the disjunctive
+    nation-pair predicate lands as a post-join filter on broadcast
+    hash joins, so at 100 TB only the two-year l_shipdate slice of
+    lineitem moves, and only into the final 4-group aggregation."""
+    t = Tables(spark, sf_dir)
+    cn = t.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
+    ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(pair)
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------- q9
+
+
+@query(
+    "tpch_q9",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT sn.n_name AS nation, year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.6 * p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE p.p_type = 'STANDARD'
+    )
+    GROUP BY nation, o_year
+    """,
+    tags=("analytics", "tpch"),
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit), adapted: the fixtures have no
+    partsupp/ps_supplycost, so unit cost is stood in by
+    0.6 * p_retailprice (same join/agg shape, different constant).
+    part/supplier/nation all broadcast; the p_type filter shrinks the
+    part build side BEFORE broadcast, so lineitem is filtered by the
+    join itself — at 100 TB the only large shuffle is the final
+    (nation, year) aggregation of map-side partials."""
+    t = Tables(spark, sf_dir)
+    sn = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(
+            F.broadcast(t.part.filter(F.col("p_type") == "STANDARD")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------- q12
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l.l_linestatus,
+           count(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           count(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_linestatus
+    """,
+    tags=("analytics", "tpch"),
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping mode / priority), adapted: no l_shipmode or
+    l_receiptdate in the fixtures, so the bucket is l_linestatus and
+    "late" = shipped >30 days after order date. Exercises the
+    conditional-count pivot over a fact-fact join where one predicate
+    (ship year) pushes into the scan and the other (lateness) is a
+    cross-table residual evaluated post-join."""
+    t = Tables(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q13
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("analytics", "tpch"),
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of per-customer
+    order counts, keeping zero-order customers via the outer join
+    (the spec's comment-pattern exclusion becomes a priority
+    exclusion — fixtures have no o_comment). Double aggregation:
+    the first groupBy shuffles on custkey (same key as the join, so
+    AQE coalesces into one exchange); the second is a ~10-group
+    rollup of partials — negligible at any scale."""
+    t = Tables(spark, sf_dir)
+    per_cust = (
+        t.customer.join(
+            t.orders.filter(F.col("o_orderpriority") != "5-LOW"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------- q15
+
+
+@query(
+    "tpch_q15",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    tags=("analytics", "tpch"),
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarter revenue per supplier, keep the
+    max. The scalar-subquery max becomes a 1-row aggregate broadcast
+    cross-joined into the filter — rev is computed once and reused for
+    both legs (Spark reuses the exchange under AQE). Equality on a
+    float is safe ONLY because both sides are round(sum, 2) —
+    bit-identical per registry.py discipline."""
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------- q16
+
+
+@query(
+    "tpch_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("analytics", "tpch"),
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: partsupp is
+    stood in by the lineitem part↔supplier pairs, and the spec's
+    complaint-supplier exclusion becomes a negative-balance exclusion.
+    The NOT IN is a left-anti broadcast join (tiny exclusion set); the
+    distinct-count triggers Spark's two-phase distinct-aggregate
+    expansion — partial distinct on (group, suppkey), then final
+    count — the scalable plan for COUNT(DISTINCT) at 100 TB."""
+    t = Tables(spark, sf_dir)
+    p = t.part.filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = t.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t.lineitem.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------- q17
+
+
+@query(
+    "tpch_q17",
+    oracle="""
+    WITH li_b AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#3'
+    ),
+    thr AS (
+      SELECT l_partkey,
+             0.2 * (round(sum(l_quantity), 2) / count(*)) AS qty_thr
+      FROM li_b GROUP BY l_partkey
+    )
+    SELECT round(sum(li_b.l_extendedprice), 2) / 7.0 AS avg_yearly,
+           count(*) AS n_rows
+    FROM li_b
+    JOIN thr ON li_b.l_partkey = thr.l_partkey
+    WHERE li_b.l_quantity < thr.qty_thr
+    """,
+    tags=("analytics", "tpch"),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue from lineitems
+    below 20% of their part's average quantity. The correlated scalar
+    subquery is decorrelated by hand: one pass builds per-part
+    thresholds, a second joins them back — both passes shuffle on
+    l_partkey, so AQE reuses the exchange. Threshold compare is safe
+    cross-engine: round(sum,2)/count then *0.2 are bit-identical IEEE
+    ops per registry.py (quantities are integral 1..50)."""
+    t = Tables(spark, sf_dir)
+    li_b = t.lineitem.join(
+        F.broadcast(t.part.filter(F.col("p_brand") == "Brand#3")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thr = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.round(F.sum("l_quantity"), 2) / F.count("*"))).alias(
+            "qty_thr"
+        )
+    )
+    return (
+        li_b.join(thr.withColumnRenamed("l_partkey", "t_partkey"),
+                  F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            (F.round(F.sum("l_extendedprice"), 2) / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q21
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    WITH os AS (
+      SELECT l.l_suppkey, l.l_orderkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_suppkey, l.l_orderkey
+    ),
+    flagged AS (
+      SELECT l_suppkey, l_orderkey, late,
+             count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+             sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+      FROM os
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM flagged f
+    JOIN supplier s ON s.s_suppkey = f.l_suppkey
+    WHERE f.late = 1 AND f.n_supp > 1 AND f.n_late = 1
+    GROUP BY s.s_name
+    """,
+    tags=("analytics", "tpch"),
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: no
+    l_receiptdate/l_commitdate, so "late" = shipped >60 days after
+    order date; the spec's EXISTS / NOT EXISTS pair ("another supplier
+    on the order; no OTHER supplier late") collapses to per-order
+    window counts over supplier-deduped rows: n_supp > 1 AND
+    n_late = 1 AND this supplier late. One shuffle on l_orderkey
+    serves the dedup groupBy AND both windows (same partitioning);
+    no self-join of the fact table, which is the naive plan's killer
+    at 100 TB."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    os_ = (
+        t.lineitem.join(
+            t.orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .repartition("l_orderkey")
+        .groupBy("l_suppkey", "l_orderkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = os_.withColumn("n_supp", F.count("*").over(w)).withColumn(
+        "n_late", F.sum("late").over(w)
+    )
+    return (
+        flagged.filter(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

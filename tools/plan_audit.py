@@ -80,6 +80,22 @@ EXPECTATIONS = {
     "tpch_q8": (1, True),
     "tpch_q22": (2, True),
     "agg_corr": (1, False),
+    # q7/q9/q12 broadcast every dim, one group-by exchange; q13 is the
+    # custkey agg + tiny histogram re-agg; q15 compiles the rev subtree
+    # twice (AQE reuses at runtime) + the scalar-max single-partition
+    # agg; q16's COUNT(DISTINCT) expands to two agg exchanges; q17 is
+    # partkey agg + partkey join side + final global agg (its SMJ on
+    # partkey is the RIGHT plan — both sides fact-sized at scale, so
+    # want_bcast stays False to not flag it); q21 rides ONE orderkey
+    # repartition through dedup-agg AND both windows + s_name agg.
+    "tpch_q7": (1, True),
+    "tpch_q9": (1, True),
+    "tpch_q12": (1, True),
+    "tpch_q13": (2, True),
+    "tpch_q15": (3, True),
+    "tpch_q16": (2, True),
+    "tpch_q17": (3, False),
+    "tpch_q21": (2, True),
 }
 
 
