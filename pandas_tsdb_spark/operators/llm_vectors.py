@@ -72,14 +72,18 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k per query vector (the exactness baseline;
     ann_lsh is the scale path). Broadcast queries x partitioned
     collection -> window top-k."""
-    e = Tables(spark, sf_dir).embeddings
+    e = _with_norm(Tables(spark, sf_dir).embeddings)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qnorm"),
     )
     pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    # norms precomputed ONCE per row on each side (not per pair) — the
+    # only per-pair fold is the cross dot product; values are identical
+    # to the per-pair formulation, so the oracle is unchanged.
     cos = F.round(
-        _dot(F.col("qv"), F.col("embedding"))
-        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))),
+        _dot(F.col("qv"), F.col("embedding")) / (F.col("qnorm") * F.col("norm")),
         6,
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
@@ -547,4 +551,57 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.mapInPandas(
         fake_decode, "doc_id long, byte_len long, n_frames long, head_byte long"
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, length(text) AS n,
+             ascii(substring(text, i, 1)) AS b,
+             least(3, CAST((4 * (i - 1)) // length(text) AS INTEGER)) AS q
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)
+    )
+    SELECT doc_id, any_value(n) AS n_bytes,
+           CAST(sum(b) FILTER (WHERE q = 0) AS DOUBLE)
+             / count(*) FILTER (WHERE q = 0) AS t0,
+           CAST(sum(b) FILTER (WHERE q = 1) AS DOUBLE)
+             / count(*) FILTER (WHERE q = 1) AS t1,
+           CAST(sum(b) FILTER (WHERE q = 2) AS DOUBLE)
+             / count(*) FILTER (WHERE q = 2) AS t2,
+           CAST(sum(b) FILTER (WHERE q = 3) AS DOUBLE)
+             / count(*) FILTER (WHERE q = 3) AS t3
+    FROM chars GROUP BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize-shaped modality op: the opaque binary column rides
+    through an Arrow mapInPandas kernel that downsamples each blob to a
+    fixed 4-bucket mean vector — the batch shape, schema, and binary
+    transport of a real thumbnail/resize stage. The 'pixel decode' is a
+    deterministic stub (no image libs in this container): bytes ARE the
+    pixels. Bucket means are exact-integer sums divided in float64, so
+    the DuckDB mirror is bit-identical. Map-only: zero shuffle at any
+    scale; swap the byte loop for a real codec on a cluster."""
+    d = Tables(spark, sf_dir).documents.select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+
+    def resize(batches):
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "n_bytes": [], "t0": [], "t1": [], "t2": [], "t3": []}
+            for blob in pdf["blob"]:
+                a = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+                n = len(a)
+                q = np.minimum(3, (4 * np.arange(n)) // n)
+                out["n_bytes"].append(n)
+                for j in range(4):
+                    seg = a[q == j]
+                    out[f"t{j}"].append(float(seg.sum()) / len(seg))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        resize, "doc_id long, n_bytes long, t0 double, t1 double, t2 double, t3 double"
     )

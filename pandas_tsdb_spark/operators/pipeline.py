@@ -227,3 +227,41 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
         )
     )
+
+
+# ------------------------------------------------------- training-order shuffle
+
+
+@query(
+    "pipeline_shuffle",
+    oracle="""
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id,
+             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS k,
+             substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 2) AS shard
+      FROM documents
+    )
+    """,
+    tags=("llm-pipeline",),
+)
+def pipeline_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle, sharded: each doc
+    hashes to one of 256 shards (md5 hex prefix) and gets a position
+    within its shard by hash order. This is how a 100 TB corpus is
+    actually randomized for training: a single global ORDER BY
+    md5(key) needs a full range-exchange + total sort, while
+    shard + within-shard order gives the same statistical shuffle with
+    one hash exchange and a per-partition sort, and readers stream
+    shards independently. Rerun-stable (md5, not rand()) so a resumed
+    job or a backfilled partition reproduces the identical order."""
+    d = Tables(spark, sf_dir).documents
+    k = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    w = _w.Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        d.select("doc_id", k.alias("k"), F.substring(k, 1, 2).alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )

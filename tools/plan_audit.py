@@ -96,6 +96,10 @@ EXPECTATIONS = {
     "tpch_q16": (2, True),
     "tpch_q17": (3, False),
     "tpch_q21": (2, True),
+    # shuffle is ONE hash exchange on the 256-way shard key + in-shard
+    # sort; resize is a map-only Arrow kernel (zero exchanges).
+    "pipeline_shuffle": (1, False),
+    "multimodal_resize": (0, False),
 }
 
 
