@@ -398,3 +398,31 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_value_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM events) AS frac
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas `value_counts(normalize=True)`: category counts plus
+    proportion of total. The total is a 1-row aggregate broadcast into
+    the projection — never a second full scan per group. Integer/
+    integer division in float64 is bit-identical cross-engine."""
+    ev = Tables(spark, sf_dir).events
+    total = ev.agg(F.count("*").alias("tot"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n",
+            (F.col("n").cast("double") / F.col("tot")).alias("frac"),
+        )
+    )

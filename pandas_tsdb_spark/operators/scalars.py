@@ -317,3 +317,105 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         F.to_json(F.struct(F.col("event_id"), k_num.alias("k"))).alias("packed"),
     )
+
+
+@query(
+    "fn_bin_cut",
+    oracle="""
+    SELECT CAST(least(9, greatest(0,
+             floor((l_extendedprice - 900.0) / 9510.0))) AS BIGINT) AS bin,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def fn_bin_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas `pd.cut` equivalent: fixed-width binning into 10 buckets
+    over [900, 96000), clamped at the edges, with per-bin aggregates.
+    The bin id is closed-form floor arithmetic — identical IEEE ops in
+    both engines, evaluated map-side during the scan (zero extra pass,
+    zero shuffle beyond the 10-group agg). That is the 100 TB shape:
+    histogramming is a projection, never a sort."""
+    li = Tables(spark, sf_dir).lineitem
+    bin_ = F.least(
+        F.lit(9),
+        F.greatest(
+            F.lit(0), F.floor((F.col("l_extendedprice") - 900.0) / 9510.0)
+        ),
+    ).cast("bigint")
+    return (
+        li.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "fn_bin_qcut",
+    oracle="""
+    WITH hist AS (
+      SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY l_quantity
+    ),
+    cdf AS (
+      SELECT v, CAST(sum(c) OVER (ORDER BY v) AS DOUBLE)
+                / (SELECT sum(c) FROM hist) AS frac
+      FROM hist
+    ),
+    binmap AS (
+      SELECT v, CASE WHEN frac <= 0.25 THEN 0
+                     WHEN frac <= 0.50 THEN 1
+                     WHEN frac <= 0.75 THEN 2
+                     ELSE 3 END AS bin
+      FROM cdf
+    )
+    SELECT b.bin, count(*) AS n_rows,
+           round(min(l.l_quantity), 2) AS lo,
+           round(max(l.l_quantity), 2) AS hi
+    FROM lineitem l JOIN binmap b ON l.l_quantity = b.v
+    GROUP BY b.bin
+    """,
+)
+def fn_bin_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas `pd.qcut` equivalent (discrete form): quartile binning of
+    l_quantity where every row with the same value lands in the same
+    bin. The scalable exact construction: a value histogram collapses
+    the 100 TB column to |distinct| rows (one shuffle), the CDF is a
+    window cumsum over that TINY table, and bin assignment broadcasts
+    the value->bin map back over the fact scan. No global sort, no
+    single-partition window, no interpolation ambiguity — the exact
+    trap an ntile()-over-everything formulation hits at scale. Integer
+    counts divide in float64 identically in both engines."""
+    li = Tables(spark, sf_dir).lineitem
+    from pyspark.sql import Window as W
+
+    hist = li.groupBy(F.col("l_quantity").alias("v")).agg(F.count("*").alias("c"))
+    total = hist.agg(F.sum("c").alias("n"))
+    cdf = (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn(
+            "frac",
+            F.sum("c").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, 0))
+            .cast("double")
+            / F.col("n"),
+        )
+    )
+    binmap = cdf.select(
+        "v",
+        F.when(F.col("frac") <= 0.25, 0)
+        .when(F.col("frac") <= 0.50, 1)
+        .when(F.col("frac") <= 0.75, 2)
+        .otherwise(3)
+        .alias("bin"),
+    )
+    return (
+        li.join(F.broadcast(binmap), F.col("l_quantity") == F.col("v"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("l_quantity"), 2).alias("lo"),
+            F.round(F.max("l_quantity"), 2).alias("hi"),
+        )
+    )

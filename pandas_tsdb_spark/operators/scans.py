@@ -109,3 +109,86 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
     back = spark.read.parquet(path)
     return back.select("l_returnflag", "l_linestatus", "sum_qty", "n")
+
+
+_CSV_AGG_ORACLE = """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+@query("sink_csv_roundtrip", oracle=_CSV_AGG_ORACLE)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source round-trip, oracle-checked: aggregate -> write
+    CSV -> read back with an EXPLICIT schema -> compare to the oracle
+    computing the same aggregate directly. Proves value fidelity through
+    the text format: Spark writes doubles as shortest-round-trip
+    decimal strings, so the re-read double is bit-identical. Explicit
+    read schema (never inferSchema) is the 100 TB discipline — schema
+    inference is an extra full scan and can widen types under you."""
+    o = Tables(spark, sf_dir).orders
+    agg = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    path = tempfile.mkdtemp(prefix="pts_csv_") + "/agg"
+    agg.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(
+        "o_orderstatus string, o_orderpriority string, "
+        "n_orders long, total_price double"
+    ).option("header", True).csv(path)
+
+
+_JSON_AGG_ORACLE = """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           CAST(max(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY event_type
+"""
+
+
+@query("sink_json_roundtrip", oracle=_JSON_AGG_ORACLE)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip, oracle-checked (same contract
+    as sink_csv_roundtrip). JSON lines is the interchange format most
+    LLM-corpus tooling speaks; the explicit read schema keeps the scan
+    single-pass and the types exact."""
+    ev = Tables(spark, sf_dir).events
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.max("user_id").alias("max_user"),
+    )
+    path = tempfile.mkdtemp(prefix="pts_json_") + "/agg"
+    agg.write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "event_type string, n_events long, total_value double, max_user long"
+    ).json(path)
+
+
+_ORC_AGG_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sink_orc_roundtrip", oracle=_ORC_AGG_ORACLE)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip, oracle-checked: the second columnar
+    format Spark ships natively (vectorized reader, predicate pushdown,
+    zlib/zstd). Binary columnar round-trip is bit-exact by
+    construction; this op pins the code path so a format regression
+    (or a cluster defaulting to ORC hive tables) is caught."""
+    li = Tables(spark, sf_dir).lineitem
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+    path = tempfile.mkdtemp(prefix="pts_orc_") + "/agg"
+    agg.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

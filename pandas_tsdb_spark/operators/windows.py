@@ -355,3 +355,33 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.corr("value", "lag_v").over(wf), 6).alias("corr_20"),
     )
+
+
+@query(
+    "win_rank_avg",
+    oracle="""
+    SELECT event_id, user_id, value,
+           (2.0 * rank() OVER (PARTITION BY user_id ORDER BY value)
+            + count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0
+             AS avg_rank
+    FROM events
+    """,
+)
+def win_rank_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas `rank(method='average')` — the pandas DEFAULT, which no
+    single Spark rank function provides (Spark rank() is method='min').
+    Composition: avg_rank = min_rank + (ties - 1)/2, from two windows
+    that share the user_id partitioning (one exchange; the tie-count
+    window adds a sort key, not a shuffle). Exact in float64: rank and
+    count are small integers."""
+    ev = Tables(spark, sf_dir).events
+    w_rank = W.partitionBy("user_id").orderBy("value")
+    w_ties = W.partitionBy("user_id", "value")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (
+            (2.0 * F.rank().over(w_rank) + F.count("*").over(w_ties) - 1) / 2.0
+        ).alias("avg_rank"),
+    )
