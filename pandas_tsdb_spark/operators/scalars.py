@@ -419,3 +419,34 @@ def fn_bin_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_quantity"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    WITH s AS (SELECT user_id, {'v': value, 'eid': event_id} AS st
+               FROM events)
+    SELECT user_id, max(st).v AS best_v, max(st).eid AS best_eid,
+           count(*) AS n
+    FROM s GROUP BY user_id
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-column surface: construct (named_struct), lexicographic
+    struct comparison (argmax via max-of-struct — field order (v, eid)
+    makes eid the deterministic tie-break), and field access on the
+    aggregated result. Both engines compare structs field-by-field in
+    declaration order, so max(struct) is a cross-engine argmax idiom
+    that needs no window — one hash-agg, one exchange."""
+    ev = Tables(spark, sf_dir).events
+    st = F.struct(F.col("value").alias("v"), F.col("event_id").alias("eid"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max(st).alias("st"), F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("st.v").alias("best_v"),
+            F.col("st.eid").alias("best_eid"),
+            "n",
+        )
+    )

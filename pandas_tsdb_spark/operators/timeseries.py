@@ -401,3 +401,140 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_len("text").alias("text_len"),
         n_tokens("text").alias("n_tokens"),
     )
+
+
+@query(
+    "win_twa",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS vc,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY event_id))
+                 - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           round(CAST(sum(vc * dt_us) AS DOUBLE)
+                 / (CAST(sum(dt_us) AS DOUBLE) * 100.0), 6) AS twa,
+           count(*) AS n_seg
+    FROM s WHERE dt_us IS NOT NULL GROUP BY user_id
+    """,
+)
+def win_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series — the tsdb aggregate that plain
+    AVG gets wrong on irregular samples: each value is weighted by how
+    long it was current (sum(v_i * Δt_i) / sum(Δt_i), last sample
+    carries no weight).
+
+    Float-determinism: the weighted sum is computed in EXACT integer
+    arithmetic — value scaled to cents (2-decimal fixture data), Δt in
+    µs, so sum(vc·Δt) is a bigint both engines fold identically; one
+    cast and one division at the end are then bit-identical. Segment
+    order keys on event_id alone (strictly monotone with ts — measured,
+    FIXTURES.md) so DuckDB's ns-precision ts can never order segments
+    differently from Spark's µs. Plan: one lead() window + one hash-agg
+    sharing the user_id exchange."""
+    ev = Tables(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("event_id")
+    s = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return s.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("vc") * F.col("dt_us")).cast("double")
+            / (F.sum("dt_us").cast("double") * 100.0),
+            6,
+        ).alias("twa"),
+        F.count("*").alias("n_seg"),
+    )
+
+
+ASOF_DIR_ORACLE = """
+SELECT e.event_id, e.user_id, e.value,
+       (SELECT p.value FROM events p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+           AND p.ts <= e.ts
+         ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS bwd_value,
+       (SELECT p.value FROM events p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+           AND p.ts >= e.ts
+         ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS fwd_value,
+       (SELECT p.value FROM events p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+         ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)), (p.ts > e.ts),
+                  p.event_id
+         LIMIT 1) AS nearest_value
+FROM events e
+"""
+
+
+@query("join_asof_directions", oracle=ASOF_DIR_ORACLE)
+def join_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.merge_asof direction='backward' / 'forward' / 'nearest' in ONE
+    pass. Union-and-window with the right side tagged twice: side=0
+    rows feed the backward window (last ignorenulls over
+    unboundedPreceding..current — at equal ts they sort BEFORE the left
+    row, giving inclusive r.ts <= l.ts), side=2 rows feed the forward
+    window (first ignorenulls over current..unboundedFollowing — at
+    equal ts they sort AFTER, giving inclusive r.ts >= l.ts).
+    'nearest' picks the closer of the two in µs, backward on ties
+    (mirrors the oracle's (p.ts > e.ts) sort key). Both windows share
+    one partitioning and one sort order, so the whole three-direction
+    join costs a single exchange + sort — the same 100 TB shape as
+    join_asof, never a range explosion."""
+    ev = Tables(spark, sf_dir).events
+    nd = F.lit(None).cast("double")
+    nl = F.lit(None).cast("long")
+    left = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.lit(1).alias("side"),
+        nd.alias("b_val"), nl.alias("b_tus"),
+        nd.alias("f_val"), nl.alias("f_tus"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase")
+    bwd = p.select(
+        "user_id", "ts", "event_id",
+        nd.alias("value"), F.lit(0).alias("side"),
+        F.col("value").alias("b_val"), F.unix_micros("ts").alias("b_tus"),
+        nd.alias("f_val"), nl.alias("f_tus"),
+    )
+    fwd = p.select(
+        "user_id", "ts", "event_id",
+        nd.alias("value"), F.lit(2).alias("side"),
+        nd.alias("b_val"), nl.alias("b_tus"),
+        F.col("value").alias("f_val"), F.unix_micros("ts").alias("f_tus"),
+    )
+    order = ["ts", "side", "event_id"]
+    w_b = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_f = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    u = left.unionByName(bwd).unionByName(fwd).select(
+        "user_id", "ts", "event_id", "value", "side",
+        F.last("b_val", ignorenulls=True).over(w_b).alias("bwd_value"),
+        F.last("b_tus", ignorenulls=True).over(w_b).alias("bwd_tus"),
+        F.first("f_val", ignorenulls=True).over(w_f).alias("fwd_value"),
+        F.first("f_tus", ignorenulls=True).over(w_f).alias("fwd_tus"),
+    )
+    tus = F.unix_micros("ts")
+    b_dist = tus - F.col("bwd_tus")
+    f_dist = F.col("fwd_tus") - tus
+    nearest = (
+        F.when(F.col("fwd_value").isNull(), F.col("bwd_value"))
+        .when(F.col("bwd_value").isNull(), F.col("fwd_value"))
+        .when(b_dist <= f_dist, F.col("bwd_value"))
+        .otherwise(F.col("fwd_value"))
+    )
+    return (
+        u.filter(F.col("side") == 1)
+        .select(
+            "event_id", "user_id", "value",
+            "bwd_value", "fwd_value", nearest.alias("nearest_value"),
+        )
+    )

@@ -385,3 +385,38 @@ def win_rank_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2.0 * F.rank().over(w_rank) + F.count("*").over(w_ties) - 1) / 2.0
         ).alias("avg_rank"),
     )
+
+
+@query(
+    "win_resample_ohlc",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           arg_min(value, event_id) AS open_v,
+           max(value) AS high_v, min(value) AS low_v,
+           arg_max(value, event_id) AS close_v,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def win_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample('1D').ohlc() — the canonical tsdb bar aggregation
+    (pandas `Resampler.ohlc`). open/close are order statistics, not
+    frame functions: min_by/max_by(value, event_id) fold to the value at
+    the earliest/latest event in one hash-agg pass, so the whole bar
+    query is a single embarrassingly-parallel groupBy — no window, no
+    sort, one exchange on (day, event_type). event_id is the order key
+    (strictly monotone with ts at every SF — measured; and unique, so
+    ties are impossible and ns-vs-µs precision can't flip the pick).
+    open/close/high/low are raw parquet doubles (bit-identical across
+    engines, no rounding needed); only the sum is rounded."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.min_by("value", "event_id").alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max_by("value", "event_id").alias("close_v"),
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )

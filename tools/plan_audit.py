@@ -100,6 +100,14 @@ EXPECTATIONS = {
     # sort; resize is a map-only Arrow kernel (zero exchanges).
     "pipeline_shuffle": (1, False),
     "multimodal_resize": (0, False),
+    # ohlc = one partial+final hash agg; twa's user_id group-by reuses
+    # the lead-window exchange; asof_directions folds both frames into
+    # ONE Window node over one union exchange; fn_struct is a
+    # partial+final sort-agg (struct max is not hash-aggregable).
+    "win_resample_ohlc": (1, False),
+    "win_twa": (1, False),
+    "join_asof_directions": (1, False),
+    "fn_struct": (1, False),
 }
 
 
