@@ -426,3 +426,79 @@ def agg_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("tot")).alias("frac"),
         )
     )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT user_id,
+           bool_and(value > 0.5) AS all_gt_half,
+           bool_or(value > 300) AS any_gt300,
+           count(*) FILTER (WHERE value > 100) AS n_gt100,
+           count(*) FILTER (WHERE event_type = 'error') AS n_err
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface (pandas `all()`/`any()`/masked count):
+    bool_and/bool_or/count_if — partial-aggregating JVM primitives, one
+    exchange."""
+    ev = Tables(spark, sf_dir).events
+    return ev.groupBy("user_id").agg(
+        F.bool_and(F.col("value") > 0.5).alias("all_gt_half"),
+        F.bool_or(F.col("value") > 300).alias("any_gt300"),
+        F.count_if(F.col("value") > 100).alias("n_gt100"),
+        F.count_if(F.col("event_type") == "error").alias("n_err"),
+    )
+
+
+@query(
+    "filter_time_of_day",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           CAST(extract(hour FROM ts) AS INT) AS hh
+    FROM events
+    WHERE extract(hour FROM ts) * 60 + extract(minute FROM ts)
+          BETWEEN 570 AND 960
+    """,
+)
+def filter_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas `DataFrame.between_time('09:30','16:00')` — time-of-day
+    slice independent of the date. Minute-of-day arithmetic on both
+    sides (ns-vs-µs precision cannot move a minute boundary). Map-only:
+    no shuffle, and the hour/minute extraction stays inside
+    whole-stage codegen."""
+    ev = Tables(spark, sf_dir).events
+    mod = F.hour("ts") * 60 + F.minute("ts")
+    return ev.filter(mod.between(570, 960)).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.hour("ts").alias("hh"),
+    )
+
+
+@query("agg_sketch_rollup", oracle=None)  # sketch estimates are impl-specific
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the hypertable/datacube pattern that
+    makes 100 TB distinct-count rollups cheap: build one HLL sketch per
+    (day, event_type) cell [hll_sketch_agg], persist-sized partials,
+    then MERGE sketches across cells [hll_union_agg] to answer the
+    coarser per-event_type question without rescanning raw data. The
+    merge phase touches |cells| rows, not |events|. Estimates are
+    Datasketches-specific => rows-only check; the companion exact
+    nunique per cell is asserted against the estimate in
+    tests (rsd < 3% at default lgK=12 on this cardinality)."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_nunique"),
+    )
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx_users"),
+        F.sum("exact_nunique").alias("sum_daily_nunique"),
+        F.count("*").alias("n_days"),
+    )

@@ -450,3 +450,29 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS lo8,
+           event_id >> 4 AS hi_shift,
+           xor(event_id, 170) AS xored,
+           CAST(bit_count(event_id) AS INT) AS popcount
+    FROM events
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface (AND/shift/XOR/popcount) — all
+    whole-stage-codegen integer ops; the building blocks the hash/
+    fingerprint operators (simhash, pipeline_shuffle shards) lean on."""
+    ev = Tables(spark, sf_dir).events
+    c = F.col("event_id")
+    return ev.select(
+        "event_id",
+        c.bitwiseAND(F.lit(255)).alias("lo8"),
+        F.shiftright(c, 4).alias("hi_shift"),
+        c.bitwiseXOR(F.lit(170)).alias("xored"),
+        F.bit_count(c).alias("popcount"),
+    )

@@ -420,3 +420,41 @@ def win_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("total"),
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id, value,
+               quantile_cont(value, 0.5) OVER w AS med,
+               count(*) OVER w AS cnt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value,
+           CASE WHEN cnt = 7 THEN med END AS med7
+    FROM s
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling(7).median() — an order statistic per frame, which no
+    running-sum trick can provide and which Spark's `median`/`percentile`
+    aggregates refuse to compute over a window frame
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC). Frame-expressible
+    formulation: collect_list over the rows frame (frames ARE supported
+    for collect_list), array_sort, take the middle element — O(w log w)
+    per row at w=7, exact. min_periods=7 (the pandas default) is
+    emulated by NULLing short frames; the emitted frame is always 7
+    rows (odd), so the median is an exact element — raw parquet
+    doubles, bit-identical across engines, no rounding. One exchange."""
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
+    frame = F.array_sort(F.collect_list("value").over(w))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(F.size(frame) == 7, F.element_at(frame, 4)).alias("med7"),
+    )

@@ -16,6 +16,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from pandas_tsdb_spark.registry import load_all
 
 SPECS = load_all()
@@ -126,3 +128,53 @@ def test_join_asof_matches_pandas_merge_asof(spark, tmp_path_factory, rows):
     lhs = got.last_purchase_value.astype(float)
     rhs = want.want_last.astype(float)
     assert ((lhs == rhs) | (lhs.isna() & rhs.isna())).all()
+
+
+def test_sketch_rollup_estimate_accuracy(spark, sf_dir):
+    """agg_sketch_rollup's merged-HLL estimate must track the true
+    per-event_type distinct user count within the lgK=12 error band
+    (docstring promise: rsd < 3% at fixture cardinalities)."""
+    from pandas_tsdb_spark.catalog import Tables
+
+    got = SPECS["agg_sketch_rollup"].builder(spark, sf_dir).toPandas()
+    ev = Tables(spark, sf_dir).events
+    truth = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .toPandas()
+    )
+    m = got.merge(truth, on="event_type")
+    assert len(m) == len(got) > 0
+    rel_err = (m.approx_users - m.exact).abs() / m.exact
+    assert (rel_err < 0.03).all(), m.to_string()
+    # daily nunique sums always over-count (or tie) the merged uniques
+    assert (m.sum_daily_nunique >= m.exact).all()
+
+
+def test_rolling_median_matches_pandas(spark, sf_dir):
+    """win_rolling_median == pandas rolling(7).median() per user."""
+    from pandas_tsdb_spark.catalog import Tables
+
+    got = (
+        SPECS["win_rolling_median"]
+        .builder(spark, sf_dir)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pdf = (
+        Tables(spark, sf_dir)
+        .events.select("event_id", "user_id", "value")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    want = (
+        pdf.groupby("user_id")["value"]
+        .rolling(7)
+        .median()
+        .reset_index(level=0, drop=True)
+    )
+    pdf["want"] = want
+    m = got.merge(pdf[["event_id", "want"]], on="event_id")
+    ok = (m.med7 == m.want) | (m.med7.isna() & m.want.isna())
+    assert ok.all()

@@ -108,6 +108,15 @@ EXPECTATIONS = {
     "win_twa": (1, False),
     "join_asof_directions": (1, False),
     "fn_struct": (1, False),
+    # rolling-median rides one user_id window exchange; bool aggs are a
+    # plain partial+final hash agg; time-of-day filter and bitwise are
+    # map-only; sketch rollup = day-cell agg + countDistinct expand +
+    # final merge (3 — the exact-nunique companion costs the extra one).
+    "win_rolling_median": (1, False),
+    "agg_bool": (1, False),
+    "filter_time_of_day": (0, False),
+    "fn_bitwise": (0, False),
+    "agg_sketch_rollup": (3, False),
 }
 
 
