@@ -11,10 +11,13 @@ Layout:
   session.py    — SparkSession factory tuned for the local[32] bench box
   catalog.py    — fixture table loaders + declared schemas
   registry.py   — query/oracle registry consumed by __spark_entry__.py
+  api.py        — TsFrame: the pandas-tsdb fluent surface (rolling/
+                  resample/merge_asof/ewm/...) over Spark DataFrames
   operators/    — plan builders, one module per SURVEY §2 family
   streaming/    — Structured Streaming jobs over the events schema
 """
 
+from pandas_tsdb_spark.api import TsFrame  # noqa: F401
 from pandas_tsdb_spark.registry import REGISTRY, query  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,535 @@
+"""pandas-tsdb-flavored fluent API over Spark DataFrames.
+
+The reference is a pandas extension: users write
+``df.rolling('7D').mean()``, ``pd.merge_asof(trades, quotes, by=...)``,
+``df.resample('1D').ohlc()``. This module gives a user of that surface
+the same verbs over a *distributed* Spark DataFrame — every method
+compiles to the scale-shape the registered operators use (one shuffle
+on the series key, window frames, union-and-window as-of), never to a
+driver-side loop.
+
+Semantics deliberately mirror pandas:
+
+- ``TsFrame(df, ts_col, by)`` — explicit time column replaces the
+  DatetimeIndex; ``by`` is the series key (pandas groupby level).
+- ``rolling(n)`` (count) defaults ``min_periods=n`` like pandas;
+  ``rolling('7D')`` (time) defaults ``min_periods=1`` like pandas.
+- ``shift/diff/pct_change`` shift within the series, ordered by time.
+- ``resample(freq)`` buckets the time axis (``agg``/``ohlc``/``ffill``).
+- ``merge_asof`` supports ``direction='backward'|'forward'|'nearest'``
+  and ``tolerance`` — the full pd.merge_asof matrix — via ONE
+  union-and-window pass (no range-join pair explosion at scale).
+- ``ewm(alpha).mean()`` is exact-recursive via a per-key Arrow kernel.
+
+Ordering discipline: every per-series op orders by ``(ts, order_col)``
+where ``order_col`` is a caller-supplied unique tie-break (default: no
+tie-break — supply one when timestamps can collide, exactly like
+sorting a pandas frame before rolling).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["TsFrame"]
+
+_UNIT_US = {
+    "s": 1_000_000,
+    "sec": 1_000_000,
+    "second": 1_000_000,
+    "min": 60_000_000,
+    "t": 60_000_000,
+    "h": 3_600_000_000,
+    "hour": 3_600_000_000,
+    "d": 86_400_000_000,
+    "day": 86_400_000_000,
+}
+
+_TRUNC_UNIT = {
+    "s": "second",
+    "sec": "second",
+    "second": "second",
+    "min": "minute",
+    "t": "minute",
+    "h": "hour",
+    "hour": "hour",
+    "d": "day",
+    "day": "day",
+    "w": "week",
+    "week": "week",
+    "m": "month",
+    "mon": "month",
+    "month": "month",
+    "y": "year",
+    "year": "year",
+}
+
+
+def _parse_freq(freq: str) -> tuple[int, str]:
+    """'7D' -> (7, 'd'); 'h' -> (1, 'h'); '30min' -> (30, 'min')."""
+    m = re.fullmatch(r"(\d*)\s*([A-Za-z]+)", freq.strip())
+    if not m:
+        raise ValueError(f"unparseable frequency: {freq!r}")
+    n = int(m.group(1) or 1)
+    unit = m.group(2).lower()
+    return n, unit
+
+
+def _freq_us(freq: str) -> int:
+    n, unit = _parse_freq(freq)
+    if unit not in _UNIT_US:
+        raise ValueError(f"time-window frequency must be sub-month: {freq!r}")
+    return n * _UNIT_US[unit]
+
+
+class TsFrame:
+    """A Spark DataFrame with an explicit time axis and series key.
+
+    ``by`` (str | list[str] | None): the per-series partition key. When
+    None, series ops run over ONE global series — correct, but a single
+    partition at scale; prefer a key.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        ts_col: str = "ts",
+        by: str | Sequence[str] | None = None,
+        order_col: str | None = None,
+    ):
+        self.df = df
+        self.ts_col = ts_col
+        self.by = [by] if isinstance(by, str) else list(by or [])
+        self.order_col = order_col
+
+    # -- plumbing ---------------------------------------------------------
+
+    def _wrap(self, df: DataFrame) -> "TsFrame":
+        return TsFrame(df, self.ts_col, self.by, self.order_col)
+
+    def _order(self) -> list[Column]:
+        keys = [F.col(self.ts_col)]
+        if self.order_col:
+            keys.append(F.col(self.order_col))
+        return keys
+
+    def _win(self) -> W:
+        return W.partitionBy(*self.by).orderBy(*self._order())
+
+    def to_df(self) -> DataFrame:
+        return self.df
+
+    def to_pandas(self) -> pd.DataFrame:
+        return self.df.toPandas()
+
+    # -- indexing / slicing ----------------------------------------------
+
+    def between(self, start, end) -> "TsFrame":
+        """DatetimeIndex slice df[a:b] — inclusive both ends, like
+        pandas .loc on a sorted index."""
+        c = F.col(self.ts_col)
+        return self._wrap(self.df.filter(c.between(F.lit(start), F.lit(end))))
+
+    def between_time(self, start: str, end: str) -> "TsFrame":
+        """df.between_time('09:30', '16:00') — inclusive bounds."""
+
+        def mod(hhmm: str) -> int:
+            hh, mm = hhmm.split(":")
+            return int(hh) * 60 + int(mm)
+
+        c = F.hour(self.ts_col) * 60 + F.minute(self.ts_col)
+        return self._wrap(self.df.filter(c.between(mod(start), mod(end))))
+
+    # -- per-series shifts ------------------------------------------------
+
+    def shift(self, col: str, n: int = 1, out: str | None = None) -> "TsFrame":
+        fn = F.lag(col, n) if n >= 0 else F.lead(col, -n)
+        return self._wrap(
+            self.df.withColumn(out or f"{col}_shift", fn.over(self._win()))
+        )
+
+    def diff(self, col: str, n: int = 1, out: str | None = None) -> "TsFrame":
+        d = F.col(col) - F.lag(col, n).over(self._win())
+        return self._wrap(self.df.withColumn(out or f"{col}_diff", d))
+
+    def pct_change(self, col: str, n: int = 1, out: str | None = None) -> "TsFrame":
+        prev = F.lag(col, n).over(self._win())
+        return self._wrap(
+            self.df.withColumn(out or f"{col}_pct", (F.col(col) - prev) / prev)
+        )
+
+    def cumsum(self, col: str, out: str | None = None) -> "TsFrame":
+        w = self._win().rowsBetween(W.unboundedPreceding, W.currentRow)
+        return self._wrap(
+            self.df.withColumn(out or f"{col}_cumsum", F.sum(col).over(w))
+        )
+
+    def cummax(self, col: str, out: str | None = None) -> "TsFrame":
+        w = self._win().rowsBetween(W.unboundedPreceding, W.currentRow)
+        return self._wrap(
+            self.df.withColumn(out or f"{col}_cummax", F.max(col).over(w))
+        )
+
+    def cummin(self, col: str, out: str | None = None) -> "TsFrame":
+        w = self._win().rowsBetween(W.unboundedPreceding, W.currentRow)
+        return self._wrap(
+            self.df.withColumn(out or f"{col}_cummin", F.min(col).over(w))
+        )
+
+    def zscore(self, col: str, out: str | None = None) -> "TsFrame":
+        w = W.partitionBy(*self.by)
+        z = (F.col(col) - F.avg(col).over(w)) / F.stddev_samp(col).over(w)
+        return self._wrap(self.df.withColumn(out or f"{col}_z", z))
+
+    # -- windows ----------------------------------------------------------
+
+    def rolling(self, window: int | str, min_periods: int | None = None) -> "Rolling":
+        return Rolling(self, window, min_periods)
+
+    def expanding(self, min_periods: int = 1) -> "Rolling":
+        return Rolling(self, None, min_periods)
+
+    def ewm(self, alpha: float) -> "Ewm":
+        return Ewm(self, alpha)
+
+    def resample(self, freq: str) -> "Resampler":
+        return Resampler(self, freq)
+
+    # -- joins ------------------------------------------------------------
+
+    def merge_asof(
+        self,
+        right: DataFrame,
+        right_cols: Sequence[str],
+        direction: str = "backward",
+        tolerance: str | None = None,
+        suffix: str = "_r",
+    ) -> "TsFrame":
+        """pd.merge_asof(self, right, on=ts_col, by=self.by).
+
+        ``right_cols``: value columns to bring over from ``right`` (each
+        lands as ``{col}{suffix}``). Union-and-window: ONE shuffle on
+        ``by``, one sort, no candidate-pair materialization — survives
+        any right-side density. Equal timestamps match inclusively in
+        the chosen direction (pandas semantics, allow_exact_matches)."""
+        if direction not in ("backward", "forward", "nearest"):
+            raise ValueError(direction)
+        tol_us = _freq_us(tolerance) if tolerance else None
+        ts, by = self.ts_col, self.by
+        val_cols = [c for c in self.df.columns]
+        tus = F.unix_micros(F.col(ts))
+
+        sides = []
+        need_b = direction in ("backward", "nearest")
+        need_f = direction in ("forward", "nearest")
+        null_of = {c: F.lit(None).cast(self.df.schema[c].dataType) for c in val_cols}
+
+        def rnulls(prefix):
+            out = []
+            for c in right_cols:
+                out.append(
+                    F.lit(None).cast(right.schema[c].dataType).alias(f"_{prefix}_{c}")
+                )
+            out.append(F.lit(None).cast("long").alias(f"_{prefix}_tus"))
+            return out
+
+        left_side = self.df.select(
+            *val_cols,
+            F.lit(1).alias("_side"),
+            *rnulls("b"),
+            *rnulls("f"),
+        )
+        sides.append(left_side)
+        # right rows carry NULL left payload except the join keys
+        rkeys = set(by) | {ts}
+        rsel_common = [
+            (F.col(c).alias(c) if c in rkeys else null_of[c].alias(c))
+            for c in val_cols
+        ]
+        if need_b:
+            sides.append(
+                right.select(
+                    *rsel_common,
+                    F.lit(0).alias("_side"),
+                    *[F.col(c).alias(f"_b_{c}") for c in right_cols],
+                    F.unix_micros(F.col(ts)).alias("_b_tus"),
+                    *rnulls("f"),
+                )
+            )
+        if need_f:
+            sides.append(
+                right.select(
+                    *rsel_common,
+                    F.lit(2).alias("_side"),
+                    *rnulls("b"),
+                    *[F.col(c).alias(f"_f_{c}") for c in right_cols],
+                    F.unix_micros(F.col(ts)).alias("_f_tus"),
+                )
+            )
+        u = sides[0]
+        for s in sides[1:]:
+            u = u.unionByName(s)
+
+        order = [F.col(ts), F.col("_side")]
+        if self.order_col:
+            order.append(F.col(self.order_col))
+        w_b = (
+            W.partitionBy(*by).orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        w_f = (
+            W.partitionBy(*by).orderBy(*order)
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        proj = [F.col(c) for c in val_cols] + [F.col("_side")]
+        if need_b:
+            for c in right_cols:
+                proj.append(
+                    F.last(f"_b_{c}", ignorenulls=True).over(w_b).alias(f"_bv_{c}")
+                )
+            proj.append(F.last("_b_tus", ignorenulls=True).over(w_b).alias("_bv_tus"))
+        if need_f:
+            for c in right_cols:
+                proj.append(
+                    F.first(f"_f_{c}", ignorenulls=True).over(w_f).alias(f"_fv_{c}")
+                )
+            proj.append(F.first("_f_tus", ignorenulls=True).over(w_f).alias("_fv_tus"))
+        u = u.select(*proj).filter(F.col("_side") == 1)
+
+        b_ok = F.lit(need_b)
+        f_ok = F.lit(need_f)
+        if need_b:
+            b_dist = tus - F.col("_bv_tus")
+            b_ok = F.col("_bv_tus").isNotNull() & (
+                (b_dist <= tol_us) if tol_us else F.lit(True)
+            )
+        if need_f:
+            f_dist = F.col("_fv_tus") - tus
+            f_ok = F.col("_fv_tus").isNotNull() & (
+                (f_dist <= tol_us) if tol_us else F.lit(True)
+            )
+        out = u
+        for c in right_cols:
+            if direction == "backward":
+                v = F.when(b_ok, F.col(f"_bv_{c}"))
+            elif direction == "forward":
+                v = F.when(f_ok, F.col(f"_fv_{c}"))
+            else:
+                v = (
+                    F.when(b_ok & f_ok & (b_dist <= f_dist), F.col(f"_bv_{c}"))
+                    .when(b_ok & f_ok, F.col(f"_fv_{c}"))
+                    .when(b_ok, F.col(f"_bv_{c}"))
+                    .when(f_ok, F.col(f"_fv_{c}"))
+                )
+            out = out.withColumn(f"{c}{suffix}", v)
+        drop = ["_side"]
+        drop += [f"_bv_{c}" for c in right_cols] + ["_bv_tus"] if need_b else []
+        drop += [f"_fv_{c}" for c in right_cols] + ["_fv_tus"] if need_f else []
+        return self._wrap(out.drop(*drop))
+
+    # -- sessions ---------------------------------------------------------
+
+    def sessionize(self, gap: str, out: str = "session_id") -> "TsFrame":
+        """Assign session ids per series: a new session starts when the
+        gap to the previous event exceeds ``gap``. One window pass."""
+        gap_us = _freq_us(gap)
+        w = self._win()
+        prev = F.lag(F.unix_micros(F.col(self.ts_col))).over(w)
+        new_sess = (
+            F.unix_micros(F.col(self.ts_col)) - F.coalesce(prev, F.lit(-(1 << 62)))
+            > gap_us
+        ).cast("long")
+        return self._wrap(
+            self.df.withColumn(
+                out,
+                F.sum(new_sess).over(
+                    self._win().rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+            )
+        )
+
+
+class Rolling:
+    """rolling(n) / rolling('7D') / expanding() aggregation surface."""
+
+    def __init__(self, tf: TsFrame, window: int | str | None, min_periods: int | None):
+        self.tf = tf
+        self.window = window
+        if window is None:  # expanding
+            self.min_periods = min_periods or 1
+        elif isinstance(window, int):
+            self.min_periods = window if min_periods is None else min_periods
+        else:
+            self.min_periods = 1 if min_periods is None else min_periods
+
+    def _frame(self):
+        if self.window is None:
+            return self.tf._win().rowsBetween(W.unboundedPreceding, W.currentRow)
+        if isinstance(self.window, int):
+            return self.tf._win().rowsBetween(-(self.window - 1), 0)
+        span = _freq_us(self.window)
+        w = W.partitionBy(*self.tf.by).orderBy(
+            F.unix_micros(F.col(self.tf.ts_col))
+        )
+        return w.rangeBetween(-(span - 1), 0)
+
+    def _apply(self, col: str, fn, out: str) -> TsFrame:
+        w = self._frame()
+        guarded = F.when(F.count(col).over(w) >= self.min_periods, fn(col).over(w))
+        return self.tf._wrap(self.tf.df.withColumn(out, guarded))
+
+    def mean(self, col: str, out: str | None = None) -> TsFrame:
+        return self._apply(col, F.avg, out or f"{col}_mean")
+
+    def sum(self, col: str, out: str | None = None) -> TsFrame:
+        return self._apply(col, F.sum, out or f"{col}_sum")
+
+    def min(self, col: str, out: str | None = None) -> TsFrame:
+        return self._apply(col, F.min, out or f"{col}_min")
+
+    def max(self, col: str, out: str | None = None) -> TsFrame:
+        return self._apply(col, F.max, out or f"{col}_max")
+
+    def count(self, col: str, out: str | None = None) -> TsFrame:
+        w = self._frame()
+        return self.tf._wrap(
+            self.tf.df.withColumn(out or f"{col}_count", F.count(col).over(w))
+        )
+
+    def std(self, col: str, out: str | None = None) -> TsFrame:
+        return self._apply(col, F.stddev_samp, out or f"{col}_std")
+
+    def median(self, col: str, out: str | None = None) -> TsFrame:
+        w = self._frame()
+        arr = F.array_sort(F.collect_list(col).over(w))
+        n = F.size(arr)
+        mid = (
+            F.when(
+                n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+            ).otherwise(
+                (
+                    F.element_at(arr, (n / 2).cast("int"))
+                    + F.element_at(arr, (n / 2).cast("int") + 1)
+                )
+                / 2.0
+            )
+        )
+        guarded = F.when(F.count(col).over(w) >= self.min_periods, mid)
+        return self.tf._wrap(self.tf.df.withColumn(out or f"{col}_median", guarded))
+
+
+class Ewm:
+    """ewm(alpha).mean() — exact recursive EWM per series via one Arrow
+    kernel per key group (adjust=True pandas semantics)."""
+
+    def __init__(self, tf: TsFrame, alpha: float):
+        if not 0 < alpha <= 1:
+            raise ValueError("alpha in (0, 1]")
+        self.tf = tf
+        self.alpha = alpha
+
+    def mean(self, col: str, out: str | None = None) -> TsFrame:
+        tf, alpha = self.tf, self.alpha
+        out = out or f"{col}_ewm"
+        # build 'a long, b double, ...' DDL from the existing schema
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in tf.df.schema.fields
+        ) + f", {out} double"
+        ts_col = tf.ts_col
+        order_col = tf.order_col
+        by = tf.by
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            sort_keys = [ts_col] + ([order_col] if order_col else [])
+            pdf = pdf.sort_values(sort_keys)
+            pdf[out] = pdf[col].ewm(alpha=alpha, adjust=True).mean()
+            return pdf
+
+        if by:
+            res = tf.df.groupBy(*by).applyInPandas(kernel, ddl)
+        else:
+            res = tf.df.groupBy(F.lit(1)).applyInPandas(
+                lambda pdf: kernel(pdf), ddl
+            )
+        return tf._wrap(res)
+
+
+class Resampler:
+    """resample(freq): time-bucket aggregation."""
+
+    def __init__(self, tf: TsFrame, freq: str):
+        self.tf = tf
+        n, unit = _parse_freq(freq)
+        self.freq = freq
+        if unit in _TRUNC_UNIT and n == 1:
+            self.bucket = F.date_trunc(_TRUNC_UNIT[unit], F.col(tf.ts_col))
+        else:
+            # n-unit buckets: floor epoch-µs to the bucket width
+            span = _freq_us(freq)
+            us = F.unix_micros(F.col(tf.ts_col))
+            self.bucket = F.timestamp_micros((us - (us % span)))
+
+    def _group(self):
+        return self.tf.df.groupBy(
+            self.bucket.alias("bucket"), *self.tf.by
+        )
+
+    def agg(self, *exprs: Column) -> DataFrame:
+        return self._group().agg(*exprs)
+
+    def mean(self, col: str) -> DataFrame:
+        return self._group().agg(F.avg(col).alias(f"{col}_mean"))
+
+    def sum(self, col: str) -> DataFrame:
+        return self._group().agg(F.sum(col).alias(f"{col}_sum"))
+
+    def count(self) -> DataFrame:
+        return self._group().agg(F.count("*").alias("n"))
+
+    def ohlc(self, col: str, order_col: str | None = None) -> DataFrame:
+        """Resampler.ohlc — order within the bucket by ``order_col``
+        (default: the frame's order_col, else the time column)."""
+        ok = order_col or self.tf.order_col or self.tf.ts_col
+        return self._group().agg(
+            F.min_by(col, ok).alias("open"),
+            F.max(col).alias("high"),
+            F.min(col).alias("low"),
+            F.max_by(col, ok).alias("close"),
+        )
+
+    def ffill(self, col: str) -> DataFrame:
+        """Densify the bucket grid per series and forward-fill the
+        bucket aggregate (resample().last().ffill() semantics), grid
+        spanning the global [min, max] bucket range."""
+        tf = self.tf
+        span = _freq_us(self.freq)
+        ok = tf.order_col or tf.ts_col
+        per_bucket = self._group().agg(F.max_by(col, ok).alias("_last"))
+        lo_hi = per_bucket.select(
+            F.unix_micros(F.min("bucket")).alias("lo"),
+            F.unix_micros(F.max("bucket")).alias("hi"),
+        )
+        series = per_bucket.select(*tf.by).distinct()
+        grid = series.crossJoin(F.broadcast(lo_hi)).select(
+            *tf.by,
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(span))
+            ).alias("_us"),
+        ).select(*tf.by, F.timestamp_micros(F.col("_us")).alias("bucket"))
+        joined = grid.join(per_bucket, on=[*tf.by, "bucket"], how="left")
+        w = (
+            W.partitionBy(*tf.by)
+            .orderBy("bucket")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return joined.select(
+            *tf.by,
+            "bucket",
+            F.last("_last", ignorenulls=True).over(w).alias(col),
+        )

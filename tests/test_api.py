@@ -1,0 +1,267 @@
+"""TsFrame fluent API vs pandas — the reference's surface, verified
+method-by-method against real pandas on the events fixture (sf0.001,
+1k rows). Every comparison sorts on event_id and NaN-safe-compares."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_tsdb_spark.api import TsFrame
+from pandas_tsdb_spark.catalog import Tables
+
+SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return Tables(spark, SMALL).events.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@pytest.fixture(scope="module")
+def pev(ev):
+    return ev.toPandas().sort_values("event_id").reset_index(drop=True)
+
+
+def tsf(ev):
+    return TsFrame(ev, ts_col="ts", by="user_id", order_col="event_id")
+
+
+def _sorted(df):
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def _eq(a: pd.Series, b: pd.Series, tol=1e-9):
+    a = a.astype(float).to_numpy()
+    b = b.astype(float).to_numpy()
+    both_nan = np.isnan(a) & np.isnan(b)
+    close = np.isclose(a, b, rtol=tol, atol=tol, equal_nan=False)
+    return bool((both_nan | close).all())
+
+
+def _pandas_per_user(pev, fn):
+    out = pev.sort_values(["user_id", "ts", "event_id"]).copy()
+    res = fn(out.groupby("user_id"))
+    if isinstance(res.index, pd.MultiIndex):
+        res = res.reset_index(level=0, drop=True)
+    out["want"] = res
+    return _sorted(out)
+
+
+def test_shift_diff_pct(ev, pev):
+    got = _sorted(
+        tsf(ev).shift("value").diff("value").pct_change("value").to_pandas()
+    )
+    want = _pandas_per_user(pev, lambda g: g["value"].shift(1))
+    assert _eq(got.value_shift, want.want)
+    want = _pandas_per_user(pev, lambda g: g["value"].diff(1))
+    assert _eq(got.value_diff, want.want)
+    want = _pandas_per_user(pev, lambda g: g["value"].pct_change(fill_method=None))
+    assert _eq(got.value_pct, want.want)
+
+
+def test_cumsum_cummax(ev, pev):
+    got = _sorted(tsf(ev).cumsum("value").cummax("value").to_pandas())
+    want = _pandas_per_user(pev, lambda g: g["value"].cumsum())
+    assert _eq(got.value_cumsum, want.want, tol=1e-6)
+    want = _pandas_per_user(pev, lambda g: g["value"].cummax())
+    assert _eq(got.value_cummax, want.want)
+
+
+def test_rolling_count_window(ev, pev):
+    got = _sorted(tsf(ev).rolling(5).mean("value").to_pandas())
+    want = _pandas_per_user(pev, lambda g: g["value"].rolling(5).mean())
+    assert _eq(got.value_mean, want.want, tol=1e-6)
+    got = _sorted(tsf(ev).rolling(5, min_periods=2).std("value").to_pandas())
+    want = _pandas_per_user(
+        pev, lambda g: g["value"].rolling(5, min_periods=2).std()
+    )
+    assert _eq(got.value_std, want.want, tol=1e-6)
+
+
+def test_rolling_median_api(ev, pev):
+    got = _sorted(tsf(ev).rolling(4).median("value").to_pandas())
+    want = _pandas_per_user(pev, lambda g: g["value"].rolling(4).median())
+    assert _eq(got.value_median, want.want)
+
+
+def test_rolling_time_window(ev, pev):
+    got = _sorted(tsf(ev).rolling("3d").sum("value").to_pandas())
+
+    def fn(g):
+        return (
+            g.apply(
+                lambda d: d.set_index("ts")["value"].rolling("3D").sum()
+            ).reset_index(level=0, drop=True)
+        ).to_numpy()
+
+    out = pev.sort_values(["user_id", "ts", "event_id"]).copy()
+    rolled = (
+        out.set_index("ts").groupby("user_id")["value"].rolling("3D").sum()
+    )
+    out["want"] = rolled.reset_index(level=0, drop=True).to_numpy()
+    want = _sorted(out)
+    assert _eq(got.value_sum, want.want, tol=1e-6)
+
+
+def test_expanding(ev, pev):
+    got = _sorted(tsf(ev).expanding().max("value").to_pandas())
+    want = _pandas_per_user(pev, lambda g: g["value"].expanding().max())
+    assert _eq(got.value_max, want.want)
+
+
+def test_ewm(ev, pev):
+    got = _sorted(tsf(ev).ewm(alpha=0.3).mean("value").to_pandas())
+    want = _pandas_per_user(
+        pev, lambda g: g["value"].ewm(alpha=0.3, adjust=True).mean()
+    )
+    assert _eq(got.value_ewm, want.want, tol=1e-9)
+
+
+def test_zscore(ev, pev):
+    got = _sorted(tsf(ev).zscore("value").to_pandas())
+    out = pev.copy()
+    out["want"] = out.groupby("user_id")["value"].transform(
+        lambda s: (s - s.mean()) / s.std()
+    )
+    assert _eq(got.value_z, _sorted(out).want, tol=1e-6)
+
+
+def test_between_and_between_time(ev, pev):
+    got = (
+        tsf(ev)
+        .between("2024-01-05", "2024-01-10 23:59:59")
+        .to_df()
+        .count()
+    )
+    lo, hi = pd.Timestamp("2024-01-05"), pd.Timestamp("2024-01-10 23:59:59")
+    assert got == ((pev.ts >= lo) & (pev.ts <= hi)).sum()
+
+    got = tsf(ev).between_time("09:30", "16:00").to_pandas()
+    mod = pev.ts.dt.hour * 60 + pev.ts.dt.minute
+    assert len(got) == ((mod >= 570) & (mod <= 960)).sum()
+
+
+def test_resample_mean_and_nonunit_bucket(ev, pev):
+    got = TsFrame(ev, by=None).resample("1d").mean("value").toPandas()
+    want = pev.set_index("ts")["value"].resample("1D").mean().dropna()
+    got = got.sort_values("bucket").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert _eq(got.value_mean, want.reset_index(drop=True), tol=1e-6)
+
+    got6 = TsFrame(ev, by=None).resample("6h").count().toPandas()
+    want6 = pev.set_index("ts")["value"].resample("6h").count()
+    want6 = want6[want6 > 0]
+    assert len(got6) == len(want6)
+    assert sorted(got6.n) == sorted(want6.to_numpy())
+
+
+def test_resample_ohlc(ev, pev):
+    got = (
+        TsFrame(ev, by=None, order_col="event_id")
+        .resample("1d")
+        .ohlc("value")
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    want = (
+        pev.sort_values("event_id").set_index("ts")["value"].resample("1D").ohlc()
+    )
+    for c in ["open", "high", "low", "close"]:
+        assert _eq(got[c], want[c].reset_index(drop=True))
+
+
+def test_resample_ffill(ev, pev):
+    got = (
+        TsFrame(ev, by="user_id", order_col="event_id")
+        .resample("1d")
+        .ffill("value")
+        .toPandas()
+    )
+    # grid is dense per user over the global day range
+    days = got.bucket.nunique()
+    users = got.user_id.nunique()
+    assert len(got) == days * users
+    # spot-check one user against pandas resample().last().ffill()
+    uid = int(pev.user_id.iloc[0])
+    g = got[got.user_id == uid].sort_values("bucket")
+    p = (
+        pev[pev.user_id == uid]
+        .sort_values("event_id")
+        .set_index("ts")["value"]
+        .resample("1D")
+        .last()
+        .reindex(g.bucket, method="ffill")
+    )
+    lhs, rhs = g.value.to_numpy(), p.to_numpy()
+    mask = ~np.isnan(rhs)
+    assert ((lhs[mask] == rhs[mask])).all()
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_merge_asof_directions_vs_pandas(spark, ev, pev, direction):
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "ts", "user_id", F.col("value").alias("pval")
+    )
+    got = _sorted(
+        tsf(ev)
+        .merge_asof(purchases, ["pval"], direction=direction)
+        .to_pandas()
+    )
+    pp = (
+        pev[pev.event_type == "purchase"][["ts", "user_id", "value"]]
+        .rename(columns={"value": "pval_want"})
+        .sort_values("ts")
+    )
+    want = _sorted(
+        pd.merge_asof(
+            pev.sort_values("ts"),
+            pp,
+            on="ts",
+            by="user_id",
+            direction=direction,
+        )
+    )
+    assert _eq(got["pval_r"], want["pval_want"])
+
+
+def test_merge_asof_tolerance(spark, ev, pev):
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "ts", "user_id", F.col("value").alias("pval")
+    )
+    got = _sorted(
+        tsf(ev)
+        .merge_asof(purchases, ["pval"], direction="backward", tolerance="2d")
+        .to_pandas()
+    )
+    pp = (
+        pev[pev.event_type == "purchase"][["ts", "user_id", "value"]]
+        .rename(columns={"value": "pval_want"})
+        .sort_values("ts")
+    )
+    want = _sorted(
+        pd.merge_asof(
+            pev.sort_values("ts"),
+            pp,
+            on="ts",
+            by="user_id",
+            direction="backward",
+            tolerance=pd.Timedelta("2D"),
+        )
+    )
+    assert _eq(got["pval_r"], want["pval_want"])
+
+
+def test_sessionize_gap(ev, pev):
+    got = _sorted(tsf(ev).sessionize("1d").to_pandas())
+    out = pev.sort_values(["user_id", "ts", "event_id"]).copy()
+    gap = out.groupby("user_id")["ts"].diff() > pd.Timedelta("1D")
+    out["want"] = gap.astype(int).groupby(out.user_id).cumsum() + 1
+    want = _sorted(out)
+    assert (got.session_id.to_numpy() == want.want.to_numpy()).all()
