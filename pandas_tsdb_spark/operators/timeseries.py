@@ -538,3 +538,42 @@ def join_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bwd_value", "fwd_value", nearest.alias("nearest_value"),
         )
     )
+
+
+@query(
+    "win_autocorr",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, value,
+               lag(value, 1) OVER w AS v1,
+               lag(value, 7) OVER w AS v7
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    SELECT user_id,
+           round(corr(value, v1), 6) AS acf1,
+           round(corr(value, v7), 6) AS acf7,
+           count(v7) AS n7
+    FROM s GROUP BY user_id
+    """,
+)
+def win_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation per series (pandas `Series.autocorr(k)` —
+    Pearson corr of the series with its own k-shift). One lag window +
+    one hash-agg sharing the user_id exchange; corr is a one-pass
+    streaming moment with partial merge, so nothing scales with series
+    length except the scan. Ordered by event_id (strictly monotone with
+    ts — FIXTURES.md) so both engines pair identical rows. Rounded at 6:
+    cross-engine moment-fold noise is ~1e-12 relative."""
+    ev = Tables(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("event_id")
+    s = ev.select(
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lag("value", 7).over(w).alias("v7"),
+    )
+    return s.groupBy("user_id").agg(
+        F.round(F.corr("value", "v1"), 6).alias("acf1"),
+        F.round(F.corr("value", "v7"), 6).alias("acf7"),
+        F.count("v7").alias("n7"),
+    )

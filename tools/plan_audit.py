@@ -117,6 +117,8 @@ EXPECTATIONS = {
     "filter_time_of_day": (0, False),
     "fn_bitwise": (0, False),
     "agg_sketch_rollup": (3, False),
+    # autocorr: lag window + hash agg share the user_id exchange.
+    "win_autocorr": (1, False),
 }
 
 
