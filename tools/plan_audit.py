@@ -119,6 +119,14 @@ EXPECTATIONS = {
     "agg_sketch_rollup": (3, False),
     # autocorr: lag window + hash agg share the user_id exchange.
     "win_autocorr": (1, False),
+    # partition-prune read-back: one group-by over the pruned scan;
+    # upsert: each side's compaction window exchange feeds the
+    # full-outer SMJ directly (no third exchange — full outer can't
+    # broadcast, SMJ is the right plan); python datasource: distinct
+    # expand + final agg.
+    "sink_partition_prune": (1, False),
+    "upsert_cdc": (2, False),
+    "source_python_datasource": (2, False),
 }
 
 
