@@ -13,11 +13,14 @@ Layout:
   registry.py   — query/oracle registry consumed by __spark_entry__.py
   api.py        — TsFrame: the pandas-tsdb fluent surface (rolling/
                   resample/merge_asof/ewm/...) over Spark DataFrames
+  store.py      — TsStore: the named-series time-series store (append/
+                  fetch with partition pruning / compact)
   operators/    — plan builders, one module per SURVEY §2 family
   streaming/    — Structured Streaming jobs over the events schema
 """
 
 from pandas_tsdb_spark.api import TsFrame  # noqa: F401
 from pandas_tsdb_spark.registry import REGISTRY, query  # noqa: F401
+from pandas_tsdb_spark.store import TsStore  # noqa: F401
 
 __version__ = "0.1.0"

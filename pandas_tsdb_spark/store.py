@@ -1,0 +1,172 @@
+"""TsStore — the "-tsdb" layer: a named-series time-series store.
+
+The reference packages pandas as a time-series DATABASE: named series
+you append points to and fetch time ranges from (SURVEY.md §1.1 — the
+tsdb layer itself is [UNVERIFIED] with the reference checkout empty, so
+this implements the canonical contract such a layer has: append / fetch
+/ compact over named series).
+
+Spark-first design, sized for 100 TB:
+
+- One directory per series name; data laid out as parquet
+  hive-partitioned by UTC day (``_date=YYYY-MM-DD``). A ``fetch`` for a
+  time range prunes to the touched day directories BEFORE any file is
+  opened (PartitionFilters), and key/column predicates push into the
+  parquet scan — fetch cost is proportional to the slice, never the
+  store.
+- ``append`` is blind (no read-modify-write, no locking beyond the
+  atomic per-task file commit): duplicate/late points are ALLOWED on
+  disk and resolved at read time (``fetch(latest_by=...)``) or
+  compacted away (``compact``) — the standard LSM-ish trade that keeps
+  ingest embarrassingly parallel.
+- ``compact`` rewrites a series keep-latest-per-key (the upsert_cdc
+  plan shape) and coalesces small append files per partition.
+
+Usage:
+    store = TsStore(spark, "/data/tsdb")
+    store.append("clicks", df)                    # df must carry ts_col
+    s = store.fetch("clicks", "2024-01-05", "2024-01-10",
+                    keys={"user_id": [1, 2]}, columns=["user_id", "value"])
+    store.compact("clicks", key_cols=["event_id"], order_col="ts")
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["TsStore"]
+
+_PART = "_date"
+
+
+class TsStore:
+    def __init__(self, spark: SparkSession, root: str, ts_col: str = "ts"):
+        self.spark = spark
+        self.root = root
+        self.ts_col = ts_col
+
+    # -- paths ------------------------------------------------------------
+
+    def path(self, name: str) -> str:
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"bad series name: {name!r}")
+        return os.path.join(self.root, name)
+
+    def series(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    # -- write ------------------------------------------------------------
+
+    def _with_part(self, df: DataFrame) -> DataFrame:
+        if self.ts_col not in df.columns:
+            raise ValueError(f"frame lacks time column {self.ts_col!r}")
+        return df.withColumn(_PART, F.to_date(F.col(self.ts_col)))
+
+    def append(self, name: str, df: DataFrame) -> None:
+        """Blind parallel append — each task commits its files atomically
+        into the day partitions it touches; no global lock, no read."""
+        self._with_part(df).write.mode("append").partitionBy(_PART).parquet(
+            self.path(name)
+        )
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        self._with_part(df).write.mode("overwrite").partitionBy(_PART).parquet(
+            self.path(name)
+        )
+
+    # -- read -------------------------------------------------------------
+
+    def fetch(
+        self,
+        name: str,
+        start=None,
+        end=None,
+        keys: Mapping[str, object] | None = None,
+        columns: Sequence[str] | None = None,
+        latest_by: Sequence[str] | None = None,
+        order_col: str | None = None,
+    ) -> DataFrame:
+        """Fetch a time slice of a named series.
+
+        start/end (inclusive) cut twice: a DAY predicate on the
+        partition column (directory pruning — untouched days are never
+        opened) plus the exact timestamp predicate (parquet row-group
+        min/max pruning within the boundary days). ``keys`` adds
+        equality/IN predicates (pushed to the scan), ``columns``
+        projects early (parquet column pruning), ``latest_by`` resolves
+        duplicate/late appends keep-latest-per-key at read time."""
+        df = self.spark.read.parquet(self.path(name))
+        ts = F.col(self.ts_col)
+        if start is not None:
+            df = df.filter(
+                (F.col(_PART) >= F.to_date(F.lit(start))) & (ts >= F.lit(start))
+            )
+        if end is not None:
+            df = df.filter(
+                (F.col(_PART) <= F.to_date(F.lit(end))) & (ts <= F.lit(end))
+            )
+        for k, v in (keys or {}).items():
+            df = df.filter(
+                F.col(k).isin(list(v))
+                if isinstance(v, (list, tuple, set))
+                else F.col(k) == F.lit(v)
+            )
+        if latest_by:
+            w = W.partitionBy(*latest_by).orderBy(
+                F.col(order_col or self.ts_col).desc()
+            )
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        if columns:
+            cols = list(columns)
+            if self.ts_col not in cols:
+                cols = [self.ts_col] + cols
+            df = df.select(*cols)
+        return df.drop(_PART)
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(
+        self,
+        name: str,
+        key_cols: Sequence[str],
+        order_col: str | None = None,
+        target_files_per_partition: int = 1,
+    ) -> None:
+        """Rewrite keep-latest-per-key and merge small append files.
+
+        The window partitions by (day, key), so compaction never
+        shuffles across days — each day's data compacts independently
+        (at cluster scale: embarrassingly parallel across the
+        partition dimension, like any LSM merge)."""
+        path = self.path(name)
+        df = self.spark.read.parquet(path)
+        w = W.partitionBy(_PART, *key_cols).orderBy(
+            F.col(order_col or self.ts_col).desc()
+        )
+        compacted = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .repartition(target_files_per_partition, F.col(_PART))
+        )
+        tmp = path + ".compact.tmp"
+        compacted.write.mode("overwrite").partitionBy(_PART).parquet(tmp)
+        old = path + ".compact.old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        import shutil
+
+        shutil.rmtree(old)

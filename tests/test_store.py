@@ -1,0 +1,99 @@
+"""TsStore: append/fetch/compact over a named-series parquet store."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.store import TsStore
+
+SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def store(spark):
+    return TsStore(spark, tempfile.mkdtemp(prefix="tsdb_store_"))
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return Tables(spark, SMALL).events
+
+
+def test_roundtrip_and_series_listing(spark, store, events):
+    store.append("events", events)
+    assert store.series() == ["events"]
+    got = store.fetch("events")
+    assert got.count() == events.count()
+    assert set(got.columns) == set(events.columns)
+
+
+def test_fetch_range_prunes_partitions(spark, store, events):
+    store.append("events", events)
+    sliced = store.fetch("events", "2024-01-05", "2024-01-10 23:59:59")
+    want = events.filter(
+        F.col("ts").between("2024-01-05", "2024-01-10 23:59:59")
+    ).count()
+    assert sliced.count() == want
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the day bound must appear inside the partition filter list
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("_date" in ln for ln in pf), pf
+
+
+def test_fetch_keys_and_columns_pushdown(spark, store, events):
+    store.append("events", events)
+    uid = events.select("user_id").first()[0]
+    got = store.fetch(
+        "events", keys={"user_id": uid}, columns=["user_id", "value"]
+    )
+    assert set(got.columns) == {"ts", "user_id", "value"}
+    assert got.count() == events.filter(F.col("user_id") == uid).count()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+
+
+def test_append_is_blind_and_latest_by_resolves(spark, store, events):
+    base = events.limit(100)
+    store.append("events", base)
+    # re-append the same rows with bumped values — duplicates on disk
+    bumped = base.withColumn("value", F.col("value") + 1000.0)
+    store.append("events", bumped)
+    raw = store.fetch("events")
+    assert raw.count() == 200
+    latest = store.fetch(
+        "events", latest_by=["event_id"], order_col="value"
+    )
+    assert latest.count() == 100
+    assert latest.filter(F.col("value") >= 1000.0).count() == 100
+
+
+def test_compact_keeps_latest_and_shrinks(spark, store, events):
+    base = events.limit(100)
+    store.append("events", base)
+    store.append("events", base.withColumn("value", F.col("value") + 1000.0))
+    store.compact("events", key_cols=["event_id"], order_col="value")
+    after = store.fetch("events")
+    assert after.count() == 100
+    assert after.filter(F.col("value") >= 1000.0).count() == 100
+    # compaction must also be idempotent
+    store.compact("events", key_cols=["event_id"], order_col="value")
+    assert store.fetch("events").count() == 100
+
+
+def test_multiple_series_are_isolated(spark, store, events):
+    store.append("a", events.limit(10))
+    store.append("b", events.limit(20))
+    assert store.series() == ["a", "b"]
+    assert store.fetch("a").count() == 10
+    assert store.fetch("b").count() == 20
+
+
+def test_bad_series_name_rejected(store):
+    with pytest.raises(ValueError):
+        store.path("../escape")
