@@ -482,3 +482,36 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
     )
     return run_to_memory(joined, "append", "ssjoin")
+
+
+@query(
+    "stream_store_ingest",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    WHERE date_trunc('day', ts) BETWEEN TIMESTAMP '2024-01-05'
+                                    AND TIMESTAMP '2024-01-10'
+    """,
+)
+def stream_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming -> store -> pruned fetch, oracle-checked end-to-end:
+    the events stream drains through foreachBatch into a TsStore
+    (blind partitioned appends per micro-batch), then a 6-day slice is
+    fetched back — the fetch prunes to the 6 day directories the
+    streaming writer created. This is the production ingest loop
+    (stream in, partitioned store, sliced reads) with the batch oracle
+    closing correctness over the whole path."""
+    import tempfile
+
+    from pandas_tsdb_spark.store import TsStore
+
+    store = TsStore(spark, tempfile.mkdtemp(prefix="pts_ingest_"))
+    store.stream_ingest("events", events_stream(spark, sf_dir))
+    got = store.fetch("events", "2024-01-05", "2024-01-10 23:59:59.999999")
+    return got.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )

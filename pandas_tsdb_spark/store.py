@@ -170,3 +170,27 @@ class TsStore:
         import shutil
 
         shutil.rmtree(old)
+
+    # -- streaming --------------------------------------------------------
+
+    def stream_ingest(self, name: str, stream_df: DataFrame, available_now: bool = True):
+        """Continuously ingest a streaming DataFrame into a series via
+        foreachBatch append — each micro-batch lands as a blind
+        partitioned append (same path as batch ``append``), so the
+        store's read-time/compaction dedup semantics apply to streaming
+        late data too. Returns the StreamingQuery; with
+        ``available_now`` the call blocks until the backlog drains."""
+        path_check = self.path(name)  # validate name before starting
+        del path_check
+        store = self
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            store.append(name, batch_df)
+
+        writer = stream_df.writeStream.foreachBatch(sink)
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            q = writer.start()
+        return q

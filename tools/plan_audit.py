@@ -127,6 +127,8 @@ EXPECTATIONS = {
     "sink_partition_prune": (1, False),
     "upsert_cdc": (2, False),
     "source_python_datasource": (2, False),
+    # store-ingest fetch: pruned scan + map-only projection.
+    "stream_store_ingest": (0, False),
 }
 
 
