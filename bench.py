@@ -75,6 +75,11 @@ def bench_spark() -> dict[str, float]:
     times: dict[str, float] = {}
     for label, key in HEADLINE.items():
         builder = specs[key].builder
+        # JVM GC between queries: accumulated broadcast/shuffle garbage
+        # from earlier queries otherwise degrades later sort-heavy ones
+        # (measured at 64x: join_asof 11.1 s dirty vs 2.3 s clean — a
+        # 5x distortion that has nothing to do with the query itself).
+        spark._jvm.System.gc()
         samples = []
         for i in range(WARMUP + RUNS):
             t0 = time.perf_counter()
