@@ -515,3 +515,103 @@ def stream_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+_PYSTREAM_TOTAL = 4000
+_PYSTREAM_BATCH = 1000
+
+
+@query(
+    "stream_python_source",
+    oracle=f"""
+    WITH g AS (SELECT range AS id FROM range({_PYSTREAM_TOTAL}))
+    SELECT id % 53 AS user_id, count(*) AS n,
+           round(sum(CAST((id * 2654435761) % 10000 AS DOUBLE) / 100.0), 2)
+             AS total
+    FROM g GROUP BY 1
+    """,
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source: a Spark 4 Python
+    SimpleDataSourceStreamReader serving deterministic rows in 1000-row
+    micro-batches with dict offsets ({{pos}}) — the template for
+    wrapping any offset-addressable external feed (queue, ledger,
+    polling API) Spark lacks a connector for. The source advances
+    through 4 offset ranges and then reports no-new-data; the harness
+    polls the memory sink until the backlog drains. Content is pure
+    integer arithmetic on the row id, so the DuckDB oracle regenerates
+    the identical stream from range() — offset bookkeeping, batch
+    boundaries, and the replay contract (readBetweenOffsets) are all
+    value-checked, not just row-counted."""
+    import time as _time
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    total, batch = _PYSTREAM_TOTAL, _PYSTREAM_BATCH
+
+    def gen(lo, hi):
+        # list-backed, NOT a generator: the engine's prefetch cache
+        # copies/pickles the returned iterator between offset commits,
+        # and generators don't pickle.
+        return iter(
+            [
+                (i, i % 53, ((i * 2654435761) % 10000) / 100.0)
+                for i in range(lo, hi)
+            ]
+        )
+
+    class SynthStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            if pos >= total:
+                return iter([]), {"pos": pos}
+            end = min(pos + batch, total)
+            return gen(pos, end), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return gen(start["pos"], end["pos"])
+
+    class SynthStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "tsdb_synth_stream"
+
+        def schema(self):
+            return "id long, user_id long, value double"
+
+        def simpleStreamReader(self, schema):
+            return SynthStreamReader()
+
+    spark.dataSource.register(SynthStreamSource)
+    name = f"ptsdb_pystream_{next(_QID)}"
+    q = (
+        spark.readStream.format("tsdb_synth_stream")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table(name).count() >= total:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )

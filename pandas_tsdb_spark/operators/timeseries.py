@@ -577,3 +577,63 @@ def win_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("value", "v7"), 6).alias("acf7"),
         F.count("v7").alias("n7"),
     )
+
+
+@query(
+    "align_series",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               count(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), p AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               count(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(c.day, p.day) AS day,
+           c.n_clicks, p.n_purchases,
+           CAST(p.n_purchases AS DOUBLE) / c.n_clicks AS buy_rate
+    FROM c FULL OUTER JOIN p
+      ON c.user_id = p.user_id AND c.day = p.day
+    """,
+)
+def align_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas index ALIGNMENT: arithmetic between two differently-keyed
+    series (`s1 / s2` aligns on the union of both indexes, emitting
+    NULL where either side is missing — exactly full-outer-join
+    semantics). Two per-(user, day) aggregates share one grouping
+    exchange shape; the outer join runs on the already-partitioned
+    sides. The division result stays NULL-propagating like pandas NaN
+    arithmetic."""
+    ev = Tables(spark, sf_dir).events
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+
+    def series(etype, out):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id", day)
+            .agg(F.count("*").alias(out))
+        )
+
+    c = series("click", "n_clicks")
+    p = (
+        series("purchase", "n_purchases")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("day").alias("p_day"),
+            "n_purchases",
+        )
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id")) & (F.col("day") == F.col("p_day")),
+        "full_outer",
+    ).select(
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        F.coalesce("day", "p_day").alias("day"),
+        "n_clicks",
+        "n_purchases",
+        (F.col("n_purchases").cast("double") / F.col("n_clicks")).alias("buy_rate"),
+    )
