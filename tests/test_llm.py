@@ -104,3 +104,19 @@ def test_knn_majority_is_from_topk(spark, sf_dir):
     pdf = out.toPandas()
     assert (pdf["n_votes"] >= 1).all() and (pdf["n_votes"] <= 5).all()
     assert len(pdf) == 20
+
+
+def test_dedup_embedding_blas_matches_sql_twin(spark, sf_dir):
+    """dedup_embedding_blas (per-bucket matmul kernel) must keep exactly
+    the survivor set of the oracled SQL formulation — same bucketing,
+    same greedy keep-lowest-id at the same τ; float64 matmul vs
+    sequential fold cannot flip a comparison at τ=0.98 on this data."""
+    sql_ids = {
+        r.vec_id for r in SPECS["dedup_embedding"].builder(spark, sf_dir).collect()
+    }
+    blas_ids = {
+        r.vec_id
+        for r in SPECS["dedup_embedding_blas"].builder(spark, sf_dir).collect()
+    }
+    assert sql_ids == blas_ids
+    assert len(sql_ids) > 0
