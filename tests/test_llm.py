@@ -120,3 +120,19 @@ def test_dedup_embedding_blas_matches_sql_twin(spark, sf_dir):
     }
     assert sql_ids == blas_ids
     assert len(sql_ids) > 0
+
+
+def test_knn_label_blas_matches_expression_path(spark, sf_dir):
+    """knn_label_blas predictions must equal the oracled knn_label's —
+    cos rounds at 6 on both paths and vec_id/label tie-breaks are
+    total, so the two-phase matmul cannot change a vote."""
+    sql = {
+        (r.query_id, r.true_label, r.pred_label, r.n_votes)
+        for r in SPECS["knn_label"].builder(spark, sf_dir).collect()
+    }
+    blas = {
+        (r.query_id, r.true_label, r.pred_label, r.n_votes)
+        for r in SPECS["knn_label_blas"].builder(spark, sf_dir).collect()
+    }
+    assert sql == blas
+    assert len(sql) > 0
