@@ -637,3 +637,86 @@ def align_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
         (F.col("n_purchases").cast("double") / F.col("n_clicks")).alias("buy_rate"),
     )
+
+
+_EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01 UTC
+
+
+@query(
+    "win_trend",
+    oracle=f"""
+    SELECT user_id,
+           round(regr_slope(value,
+               (epoch_us(ts) - {_EPOCH_2024_US}) / 86400000000.0), 6)
+             AS slope_per_day,
+           round(regr_intercept(value,
+               (epoch_us(ts) - {_EPOCH_2024_US}) / 86400000000.0), 4)
+             AS intercept,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def win_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear trend (OLS of value on time) — the tsdb
+    drift/forecast primitive. regr_slope/regr_intercept are one-pass
+    streaming moments with partial merge: one hash-agg, one exchange,
+    nothing scales with series length. The regressor is DAYS SINCE
+    2024-01-01, not raw epoch — centering the x range keeps the
+    moment arithmetic well-conditioned so both engines agree through
+    round(6)/round(4) (raw-epoch x puts the intercept at ~-2e4 with
+    cancellation noise above the rounding digit)."""
+    ev = Tables(spark, sf_dir).events
+    x = (F.unix_micros("ts") - F.lit(_EPOCH_2024_US)) / 86_400_000_000.0
+    return ev.groupBy("user_id").agg(
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "ts_outlier_mad",
+    oracle="""
+    WITH med AS (
+        SELECT user_id, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY user_id
+    ), mad AS (
+        SELECT e.user_id, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (user_id) GROUP BY e.user_id
+    )
+    SELECT e.user_id, round(any_value(med.med), 6) AS med,
+           round(any_value(mad.mad), 6) AS mad,
+           count(*) FILTER (WHERE abs(e.value - med.med) > 5 * mad.mad)
+             AS n_outliers,
+           count(*) AS n
+    FROM events e JOIN med USING (user_id) JOIN mad USING (user_id)
+    GROUP BY e.user_id
+    """,
+)
+def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series outlier detection: |x − median| > 5·MAD (the
+    median-absolute-deviation rule — robust where z-scores break,
+    since mean/stddev are themselves dragged by the outliers). Two
+    grouped exact medians (Spark `median` == DuckDB quantile_cont(0.5),
+    both interpolating) with the per-key median broadcast back between
+    them; all three passes ride the same user_id partitioning. Medians
+    round(6): the even-count interpolation midpoint can differ in the
+    last ulp across engines."""
+    ev = Tables(spark, sf_dir).events
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    with_med = ev.join(med, "user_id")
+    mad = with_med.groupBy("user_id").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    return (
+        with_med.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.any_value("med"), 6).alias("med"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.count_if(
+                F.abs(F.col("value") - F.col("med")) > 5 * F.col("mad")
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
