@@ -699,9 +699,14 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     since mean/stddev are themselves dragged by the outliers). Two
     grouped exact medians (Spark `median` == DuckDB quantile_cont(0.5),
     both interpolating) with the per-key median broadcast back between
-    them; all three passes ride the same user_id partitioning. Medians
-    round(6): the even-count interpolation midpoint can differ in the
-    last ulp across engines."""
+    them. The plan carries one agg exchange per pass (median is not
+    partially-mergeable the way moments are, so each pass re-groups);
+    the med/mad sides are tiny post-agg and broadcast back. A manual
+    repartition("user_id") was tried and does NOT statically dedupe
+    across the three subtrees (ReuseExchange only unifies identical
+    physical subtrees at runtime under AQE), so the straightforward
+    formulation is kept. Medians round(6): the even-count interpolation
+    midpoint can differ in the last ulp across engines."""
     ev = Tables(spark, sf_dir).events
     med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
     with_med = ev.join(med, "user_id")

@@ -129,6 +129,15 @@ EXPECTATIONS = {
     "source_python_datasource": (2, False),
     # store-ingest fetch: pruned scan + map-only projection.
     "stream_store_ingest": (0, False),
+    # alignment: two keyed aggs feed the full-outer SMJ directly;
+    # trend: one moments hash-agg; MAD: one agg exchange per median
+    # pass (exact medians aren't partially mergeable) + broadcasts;
+    # BLAS twins: one kernel/bucket exchange + tiny merge window.
+    "align_series": (2, False),
+    "win_trend": (1, False),
+    "ts_outlier_mad": (4, True),
+    "dedup_embedding_blas": (1, False),
+    "knn_label_blas": (1, False),
 }
 
 
