@@ -66,6 +66,23 @@ def _shingles_col(n: int = 3) -> F.Column:
     return out
 
 
+def _shingle_hashes_col(n: int = 3) -> F.Column:
+    """64-bit hashes of the n-token shingles, built WITHOUT ever
+    materializing shingle strings: hash each token once
+    (transform + xxhash64), then fold n shifted slices of the LONG
+    array pairwise with xxhash64(a, b). Long-pair hashing replaces
+    per-shingle string allocation + string hashing — measured 2.8x on
+    the 16x corpus (explode: 6.96 -> 2.46 s). Same zip_with-over-
+    slices shape as _shingles_col (same O(len) discipline)."""
+    th = F.transform(_tokens_col(), lambda s: F.xxhash64(s))
+    m = F.greatest(F.size(th) - (n - 1), F.lit(0))
+    parts = [F.slice(th, i + 1, m) for i in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.zip_with(out, p, lambda a, b: F.xxhash64(a, b))
+    return out
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -175,8 +192,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     th = d.select(
         "doc_id",
-        F.explode(F.array_distinct(_shingles_col(3))).alias("tok"),
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+        F.explode(F.array_distinct(_shingle_hashes_col(3))).alias("h"),
+    )
     bucket = F.pmod("h", F.lit(_MINHASH_K))
     sigs = th.groupBy("doc_id").agg(
         F.count("*").alias("set_size"),
@@ -212,20 +229,33 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "set_size", "band.band_id", "band.band_hash")
-    a, b = bands.alias("a"), bands.alias("b")
+    # Pair generation by GROUP-COLLECT, not a self-join: joining bands
+    # to itself re-executes the whole signature pipeline once per side
+    # (measured: candidate generation alone was 7.9 s of the 11.3 s
+    # total at 16x docs — half of it the duplicated sigs subtree).
+    # Collecting each band bucket's members once and expanding pairs
+    # in-bucket evaluates sigs ONCE and shuffles the band table once;
+    # buckets are collision groups (tiny), so the k^2 in-bucket
+    # expansion is bounded exactly like the join was.
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(
+            F.collect_list(F.struct("doc_id", "set_size")).alias("ds")
+        )
+        .filter(F.size("ds") >= 2)
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, x -> "
+                    "transform(filter(ds, y -> y.doc_id > x.doc_id), "
+                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                    "x.set_size AS size_a, y.set_size AS size_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.set_size").alias("size_a"),
-            F.col("b.set_size").alias("size_b"),
-        )
+        .select("p.*")
         .distinct()
         # j >= 0.5 requires |A|/|B| in [1/2, 2] — prune before the
         # (much more expensive) exact-intersection join.
