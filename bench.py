@@ -52,6 +52,12 @@ HEADLINE = {
     "q15_sim_topk_blas": "sim_topk_blas",
     "q16_tpch_q6": "tpch_q6",
     "q17_curate": "pipeline_curate",
+    # continuation-3 families: tsdb bars, CDC merge, partitioned-store
+    # write+pruned-read (the sink/scan loop), 3-direction as-of.
+    "q18_ohlc": "win_resample_ohlc",
+    "q19_upsert_cdc": "upsert_cdc",
+    "q20_partition_prune": "sink_partition_prune",
+    "q21_asof_directions": "join_asof_directions",
 }
 
 WARMUP, RUNS = 1, 3
