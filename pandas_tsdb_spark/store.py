@@ -194,3 +194,30 @@ class TsStore:
         else:
             q = writer.start()
         return q
+
+    # -- lifecycle --------------------------------------------------------
+
+    def drop_before(self, name: str, cutoff) -> int:
+        """Retention: drop whole day partitions older than ``cutoff``
+        (a date or 'YYYY-MM-DD' string). Deletion is directory-level —
+        no data is read or rewritten, which is what makes retention
+        free at 100 TB; the boundary day is KEPT (conservative: only
+        partitions strictly before the cutoff date go). Returns the
+        number of partitions dropped."""
+        import datetime as _dt
+        import shutil as _shutil
+
+        if isinstance(cutoff, str):
+            cutoff = _dt.date.fromisoformat(cutoff[:10])
+        elif isinstance(cutoff, _dt.datetime):
+            cutoff = cutoff.date()
+        root = self.path(name)
+        dropped = 0
+        for entry in sorted(os.listdir(root)):
+            if not entry.startswith(f"{_PART}="):
+                continue
+            day = _dt.date.fromisoformat(entry.split("=", 1)[1])
+            if day < cutoff:
+                _shutil.rmtree(os.path.join(root, entry))
+                dropped += 1
+        return dropped

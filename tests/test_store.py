@@ -97,3 +97,19 @@ def test_multiple_series_are_isolated(spark, store, events):
 def test_bad_series_name_rejected(store):
     with pytest.raises(ValueError):
         store.path("../escape")
+
+
+def test_drop_before_retention(spark, store, events):
+    store.append("events", events)
+    days_before = store.fetch("events").select(
+        F.to_date("ts").alias("d")
+    ).distinct().count()
+    dropped = store.drop_before("events", "2024-01-15")
+    assert dropped > 0
+    after = store.fetch("events")
+    days_after = after.select(F.to_date("ts").alias("d")).distinct().count()
+    assert days_after == days_before - dropped
+    # everything remaining is on/after the cutoff
+    assert after.filter(F.col("ts") < "2024-01-15").count() == 0
+    # dropping again is a no-op
+    assert store.drop_before("events", "2024-01-15") == 0
