@@ -178,3 +178,55 @@ def test_rolling_median_matches_pandas(spark, sf_dir):
     m = got.merge(pdf[["event_id", "want"]], on="event_id")
     ok = (m.med7 == m.want) | (m.med7.isna() & m.want.isna())
     assert ok.all()
+
+
+@pytest.mark.slow
+@given(rows=events_strategy, direction=st.sampled_from(["backward", "forward", "nearest"]))
+@SLOW
+def test_tsframe_merge_asof_matches_pandas(spark, rows, direction):
+    """Fuzz TsFrame.merge_asof against pd.merge_asof on random frames —
+    all three directions, including no-purchase users, single-row
+    series, and far-apart timestamps. Unique (user, ts) pairs keep the
+    equal-ts tie-break out of the property (covered by the oracle);
+    'nearest' equal-distance ties are resolved backward by both."""
+    from pandas_tsdb_spark.api import TsFrame
+
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype="int64"),
+            "ts": [base + pd.Timedelta(seconds=s) for _, s, _, _ in rows],
+            "user_id": np.array([u for u, _, _, _ in rows], dtype="int64"),
+            "event_type": [t for _, _, t, _ in rows],
+            "value": [v / 100.0 for _, _, _, v in rows],
+        }
+    ).drop_duplicates(["user_id", "ts"]).reset_index(drop=True)
+
+    sdf = spark.createDataFrame(pdf)
+    tf = TsFrame(sdf, ts_col="ts", by="user_id", order_col="event_id")
+    purchases = sdf.where("event_type = 'purchase'").selectExpr(
+        "ts", "user_id", "value AS pval"
+    )
+    got = (
+        tf.merge_asof(purchases, ["pval"], direction=direction)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pp = (
+        pdf[pdf.event_type == "purchase"][["ts", "user_id", "value"]]
+        .rename(columns={"value": "pval_want"})
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            pdf.sort_values("ts"), pp, on="ts", by="user_id",
+            direction=direction,
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    lhs = got["pval_r"].astype(float).to_numpy()
+    rhs = want["pval_want"].astype(float).to_numpy()
+    assert ((lhs == rhs) | (np.isnan(lhs) & np.isnan(rhs))).all()
