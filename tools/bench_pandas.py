@@ -265,6 +265,67 @@ def q17_curate(sf_dir):
     return out[["doc_id", "lang", "source", "n_tokens", "label"]]
 
 
+def q18_ohlc(sf_dir):
+    ev = _read(sf_dir, "events").sort_values("event_id")
+    return (
+        ev.set_index("ts")
+        .groupby([pd.Grouper(freq="1D"), "event_type"])["value"]
+        .ohlc()
+        .reset_index()
+    )
+
+
+def q19_upsert_cdc(sf_dir):
+    ev = _read(sf_dir, "events")
+    cutoff = pd.Timestamp("2024-01-25")
+    def latest(df):
+        return (
+            df.sort_values("event_id")
+            .drop_duplicates(["user_id", "event_type"], keep="last")
+        )
+    base = latest(ev[ev.ts < cutoff])
+    upd = latest(ev[ev.ts >= cutoff])
+    merged = pd.concat([base, upd]).sort_values("event_id")
+    return merged.drop_duplicates(["user_id", "event_type"], keep="last")
+
+
+def q20_partition_prune(sf_dir):
+    import tempfile
+
+    ev = _read(sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="pd_part_")
+    ev.assign(event_date=ev.ts.dt.strftime("%Y-%m-%d")).to_parquet(
+        d, partition_cols=["event_date"]
+    )
+    back = pd.read_parquet(
+        d,
+        filters=[
+            ("event_date", ">=", "2024-01-10"),
+            ("event_date", "<=", "2024-01-12"),
+        ],
+    )
+    return (
+        back.groupby([back.event_date, "event_type"])["value"]
+        .agg(["count", "sum"])
+        .reset_index()
+    )
+
+
+def q21_asof_directions(sf_dir):
+    ev = _read(sf_dir, "events").sort_values("ts")
+    p = ev[ev.event_type == "purchase"][["ts", "user_id", "value"]]
+    out = ev
+    for d in ("backward", "forward", "nearest"):
+        out = pd.merge_asof(
+            out.sort_values("ts"),
+            p.rename(columns={"value": f"{d[0]}_val"}),
+            on="ts",
+            by="user_id",
+            direction=d,
+        )
+    return out
+
+
 PANDAS_QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "q2_join_inner": q2_join_inner,
@@ -282,4 +343,8 @@ PANDAS_QUERIES = {
     "q14_stream_tumbling": q14_stream_tumbling,
     "q16_tpch_q6": q16_tpch_q6,
     "q17_curate": q17_curate,
+    "q18_ohlc": q18_ohlc,
+    "q19_upsert_cdc": q19_upsert_cdc,
+    "q20_partition_prune": q20_partition_prune,
+    "q21_asof_directions": q21_asof_directions,
 }
