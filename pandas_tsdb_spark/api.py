@@ -533,3 +533,45 @@ class Resampler:
             "bucket",
             F.last("_last", ignorenulls=True).over(w).alias(col),
         )
+
+
+def _tsframe_rank(self, col: str, method: str = "average", out: str | None = None) -> "TsFrame":
+    """pandas `groupby().rank(method=...)` — 'average' (the pandas
+    default, composed from min-rank + tie count), 'min', 'dense', or
+    'first' (row_number over the order_col tie-break)."""
+    out = out or f"{col}_rank"
+    w = W.partitionBy(*self.by).orderBy(F.col(col))
+    if method == "average":
+        ties = W.partitionBy(*self.by, col)
+        expr = (2.0 * F.rank().over(w) + F.count("*").over(ties) - 1) / 2.0
+    elif method == "min":
+        expr = F.rank().over(w).cast("double")
+    elif method == "dense":
+        expr = F.dense_rank().over(w).cast("double")
+    elif method == "first":
+        order = [F.col(col)] + ([F.col(self.order_col)] if self.order_col else [])
+        expr = F.row_number().over(
+            W.partitionBy(*self.by).orderBy(*order)
+        ).cast("double")
+    else:
+        raise ValueError(method)
+    return self._wrap(self.df.withColumn(out, expr))
+
+
+def _tsframe_topk(self, col: str, k: int, ascending: bool = False) -> "TsFrame":
+    """pandas `groupby().nlargest(k)` / `nsmallest(k)` per series —
+    row_number over (value, order_col) keeps exactly k rows per key
+    with a deterministic tie-break; Spark 4's WindowGroupLimit prunes
+    before the exchange."""
+    v = F.col(col).asc() if ascending else F.col(col).desc()
+    order = [v] + ([F.col(self.order_col)] if self.order_col else [])
+    w = W.partitionBy(*self.by).orderBy(*order)
+    return self._wrap(
+        self.df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+TsFrame.rank = _tsframe_rank
+TsFrame.topk = _tsframe_topk

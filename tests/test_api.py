@@ -265,3 +265,21 @@ def test_sessionize_gap(ev, pev):
     out["want"] = gap.astype(int).groupby(out.user_id).cumsum() + 1
     want = _sorted(out)
     assert (got.session_id.to_numpy() == want.want.to_numpy()).all()
+
+
+def test_rank_methods(ev, pev):
+    for method in ["average", "min", "dense", "first"]:
+        got = _sorted(tsf(ev).rank("value", method=method).to_pandas())
+        out = pev.sort_values(["user_id", "ts", "event_id"]).copy()
+        out["want"] = out.groupby("user_id")["value"].rank(method=method)
+        want = _sorted(out)
+        assert _eq(got.value_rank, want.want), method
+
+
+def test_topk_per_series(ev, pev):
+    got = tsf(ev).topk("value", 3).to_pandas()
+    want = pev.groupby("user_id")["value"].nlargest(3)
+    assert len(got) == len(want)
+    got_sum = got.groupby("user_id")["value"].sum().sort_index()
+    want_sum = want.groupby("user_id").sum().sort_index()
+    assert _eq(got_sum, want_sum, tol=1e-9)
