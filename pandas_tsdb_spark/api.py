@@ -575,3 +575,72 @@ def _tsframe_topk(self, col: str, k: int, ascending: bool = False) -> "TsFrame":
 
 TsFrame.rank = _tsframe_rank
 TsFrame.topk = _tsframe_topk
+
+
+def _tsframe_trend(self, col: str) -> DataFrame:
+    """Per-series OLS trend of ``col`` on time (slope per day +
+    intercept at the series' epoch) — streaming regression moments,
+    one exchange. Returns one row per series key."""
+    x = F.unix_micros(F.col(self.ts_col)) / 86_400_000_000.0
+    return self.df.groupBy(*self.by).agg(
+        F.regr_slope(F.col(col), x).alias(f"{col}_slope_per_day"),
+        F.regr_intercept(F.col(col), x).alias(f"{col}_intercept"),
+        F.count(col).alias("n"),
+    )
+
+
+def _tsframe_outliers(self, col: str, n_mads: float = 5.0) -> "TsFrame":
+    """Robust outlier flag per series: |x − median| > n_mads · MAD
+    (median absolute deviation). Adds ``{col}_is_outlier``."""
+    med = self.df.groupBy(*self.by).agg(F.median(col).alias("__med"))
+    with_med = self.df.join(med, self.by or None)
+    mad = with_med.groupBy(*self.by).agg(
+        F.median(F.abs(F.col(col) - F.col("__med"))).alias("__mad")
+    )
+    out = (
+        with_med.join(mad, self.by or None)
+        .withColumn(
+            f"{col}_is_outlier",
+            F.abs(F.col(col) - F.col("__med")) > n_mads * F.col("__mad"),
+        )
+        .drop("__med", "__mad")
+    )
+    return self._wrap(out)
+
+
+def _resampler_twa(self, col: str) -> DataFrame:
+    """Time-weighted average per bucket: each value weighted by how
+    long it was current WITHIN its bucket (last sample of a bucket
+    carries weight to the bucket edge). One lead window + one hash-agg
+    sharing the series-key exchange."""
+    tf = self.tf
+    us = F.unix_micros(F.col(tf.ts_col))
+    order = [F.col(tf.ts_col)] + (
+        [F.col(tf.order_col)] if tf.order_col else []
+    )
+    w = W.partitionBy(*tf.by).orderBy(*order)
+    bucket_end = F.unix_micros(self.bucket) + F.lit(self._width_us())
+    nxt = F.lead(us).over(w)
+    dt = F.least(F.coalesce(nxt, bucket_end), bucket_end) - us
+    s = tf.df.select(
+        *tf.by,
+        self.bucket.alias("bucket"),
+        F.col(col).alias("__v"),
+        dt.alias("__dt"),
+    ).filter(F.col("__dt") > 0)
+    return s.groupBy("bucket", *tf.by).agg(
+        (F.sum(F.col("__v") * F.col("__dt")) / F.sum("__dt")).alias(f"{col}_twa")
+    )
+
+
+def _resampler_width_us(self) -> int:
+    n, unit = _parse_freq(self.freq)
+    if unit in _UNIT_US:
+        return n * _UNIT_US[unit]
+    raise ValueError(f"twa needs a fixed-width bucket, got {self.freq!r}")
+
+
+TsFrame.trend = _tsframe_trend
+TsFrame.outliers = _tsframe_outliers
+Resampler.twa = _resampler_twa
+Resampler._width_us = _resampler_width_us

@@ -283,3 +283,49 @@ def test_topk_per_series(ev, pev):
     got_sum = got.groupby("user_id")["value"].sum().sort_index()
     want_sum = want.groupby("user_id").sum().sort_index()
     assert _eq(got_sum, want_sum, tol=1e-9)
+
+
+def test_trend_matches_numpy(ev, pev):
+    got = tsf(ev).trend("value").toPandas().sort_values("user_id")
+    uid = int(pev.user_id.iloc[0])
+    g = pev[pev.user_id == uid]
+    x = g.ts.astype("int64").to_numpy() / 1e3 / 86_400_000_000.0
+    slope, intercept = np.polyfit(x, g.value.to_numpy(), 1)
+    row = got[got.user_id == uid].iloc[0]
+    assert abs(row.value_slope_per_day - slope) < 1e-6 * max(1, abs(slope))
+    assert abs(row.value_intercept - intercept) < 1e-4 * max(1, abs(intercept))
+
+
+def test_outliers_flag(ev, pev):
+    got = tsf(ev).outliers("value", n_mads=3).to_pandas()
+    assert f"value_is_outlier" in got.columns
+    # per-user MAD rule recomputed in pandas
+    uid = int(pev.user_id.iloc[0])
+    g = pev[pev.user_id == uid]
+    med = g.value.median()
+    mad = (g.value - med).abs().median()
+    want = ((g.value - med).abs() > 3 * mad)
+    sub = got[got.user_id == uid].set_index("event_id").loc[g.event_id]
+    assert (sub.value_is_outlier.to_numpy() == want.to_numpy()).all()
+
+
+def test_resample_twa_constant_series(spark):
+    """TWA of a constant-valued series equals the constant in every
+    bucket, regardless of sample irregularity."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:05", "2024-01-01 07:00", "2024-01-01 23:59",
+                 "2024-01-02 01:00", "2024-01-02 02:00"]
+            ),
+            "user_id": [1] * 5,
+            "value": [7.5] * 5,
+            "event_id": range(5),
+        }
+    )
+    tf = TsFrame(spark.createDataFrame(pdf), by="user_id", order_col="event_id")
+    got = tf.resample("1d").twa("value").toPandas()
+    assert (got.value_twa == 7.5).all()
+    assert len(got) == 2
