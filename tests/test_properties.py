@@ -230,3 +230,43 @@ def test_tsframe_merge_asof_matches_pandas(spark, rows, direction):
     lhs = got["pval_r"].astype(float).to_numpy()
     rhs = want["pval_want"].astype(float).to_numpy()
     assert ((lhs == rhs) | (np.isnan(lhs) & np.isnan(rhs))).all()
+
+
+@pytest.mark.slow
+@given(rows=events_strategy)
+@SLOW
+def test_tsframe_rolling_time_matches_pandas(spark, rows):
+    """Fuzz TsFrame.rolling('1d') on irregular random timestamps —
+    sum and count must match pandas' right-closed time windows."""
+    from pandas_tsdb_spark.api import TsFrame
+
+    base = pd.Timestamp("2024-01-01")
+    pdf = (
+        pd.DataFrame(
+            {
+                "event_id": np.arange(len(rows), dtype="int64"),
+                "ts": [base + pd.Timedelta(seconds=s) for _, s, _, _ in rows],
+                "user_id": np.array([u for u, _, _, _ in rows], dtype="int64"),
+                "value": [v / 100.0 for _, _, _, v in rows],
+            }
+        )
+        .drop_duplicates(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    tf = TsFrame(
+        spark.createDataFrame(pdf), ts_col="ts", by="user_id",
+        order_col="event_id",
+    )
+    got = (
+        tf.rolling("1d").sum("value").to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    out = pdf.sort_values(["user_id", "ts"]).copy()
+    rolled = (
+        out.set_index("ts").groupby("user_id")["value"].rolling("1D").sum()
+    )
+    out["want"] = rolled.reset_index(level=0, drop=True).to_numpy()
+    want = out.sort_values("event_id").reset_index(drop=True)
+    lhs = got["value_sum"].astype(float).to_numpy()
+    rhs = want["want"].astype(float).to_numpy()
+    assert np.allclose(lhs, rhs, rtol=1e-9, atol=1e-9, equal_nan=True)
