@@ -644,3 +644,28 @@ TsFrame.trend = _tsframe_trend
 TsFrame.outliers = _tsframe_outliers
 Resampler.twa = _resampler_twa
 Resampler._width_us = _resampler_width_us
+
+
+def _tsframe_apply_per_series(self, fn, schema: str) -> DataFrame:
+    """pandas ``groupby(by).apply(fn)`` — the generic escape hatch.
+    ``fn(pdf) -> pdf`` receives ONE series as a pandas frame, sorted by
+    (ts, order_col); runs as an Arrow-batched kernel per key
+    (applyInPandas). Use only where window frames can't express the
+    semantics — each key's whole series must fit one worker's memory,
+    exactly like pandas itself."""
+    ts_col, order_col = self.ts_col, self.order_col
+    sort_keys = [ts_col] + ([order_col] if order_col else [])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf.sort_values(sort_keys))
+
+    if not self.by:
+        return self.df.groupBy(F.lit(1)).applyInPandas(
+            lambda pdf: kernel(pdf), schema
+        )
+    return self.df.groupBy(*self.by).applyInPandas(
+        lambda pdf: kernel(pdf), schema
+    )
+
+
+TsFrame.apply_per_series = _tsframe_apply_per_series

@@ -329,3 +329,32 @@ def test_resample_twa_constant_series(spark):
     got = tf.resample("1d").twa("value").toPandas()
     assert (got.value_twa == 7.5).all()
     assert len(got) == 2
+
+
+def test_apply_per_series_custom_kernel(ev, pev):
+    """Generic per-series kernel: pandas interpolate() (not otherwise
+    exposed) over each user's series."""
+
+    def interp(pdf):
+        out = pdf[["event_id", "user_id", "value"]].copy()
+        masked = out.value.where(out.value <= 400)  # knock out spikes
+        out["value_i"] = masked.interpolate(limit_direction="both")
+        return out
+
+    got = (
+        tsf(ev)
+        .apply_per_series(
+            interp, "event_id long, user_id long, value double, value_i double"
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out = pev.sort_values(["user_id", "ts", "event_id"]).copy()
+    masked = out.value.where(out.value <= 400)
+    out["want"] = (
+        masked.groupby(out.user_id, group_keys=False)
+        .apply(lambda s: s.interpolate(limit_direction="both"))
+    )
+    want = _sorted(out)
+    assert _eq(got.value_i, want.want, tol=1e-9)
