@@ -398,7 +398,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CELLS = 32
-_IVF_NPROBE = 4
+_IVF_NPROBE = 8
 
 
 @query("ann_ivf", oracle=None)  # quantizer is engine-internal; recall tested
@@ -409,19 +409,38 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside ann_lsh (random hyperplanes): IVF adapts to the data
     distribution where LSH is data-oblivious.
 
-    Centroids here are the first C vectors by vec_id — a deterministic
-    stand-in for a k-means codebook (same plan shape; swap the centroid
-    table for trained centroids in production). Everything downstream is
-    the real IVF plan: centroid block broadcast in a closure, one
-    mapInPandas assignment pass over the collection (numpy argmax), an
-    equi-join on cell_id for candidate generation (bounded by cell
-    population, never n²), exact cosine re-scoring on candidates only."""
+    The codebook is TRAINED: spherical k-means (10 Lloyd iterations,
+    cosine assignment, mean + renormalize update) on a deterministic
+    sample of the collection — rows ordered by md5(vec_id), capped at
+    4096 — run driver-side in numpy. That is the production recipe at
+    100 TB too: codebooks train on a bounded sample, never the full
+    collection, and a fixed sample order + fixed iteration count makes
+    the index bit-reproducible (no pyspark.ml nondeterminism in the
+    gate). Everything downstream is the real IVF plan: centroid block
+    broadcast in a closure, one mapInPandas assignment pass over the
+    collection (numpy argmax), an equi-join on cell_id for candidate
+    generation (bounded by cell population, never n²), exact cosine
+    re-scoring on candidates only."""
     e = Tables(spark, sf_dir).embeddings
-    cent_rows = (
-        e.filter(F.col("vec_id") < _IVF_CELLS).select("vec_id", "embedding").collect()
+    samp_rows = (
+        e.withColumn("r", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("r", "vec_id")
+        .limit(4096)
+        .select("embedding")
+        .collect()
     )
-    C = np.array([r.embedding for r in cent_rows], dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    X = np.array([r.embedding for r in samp_rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Cn = Xn[: _IVF_CELLS].copy()  # deterministic seeding from the sample
+    for _ in range(10):
+        assign_ = np.argmax(Xn @ Cn.T, axis=1)
+        for c in range(_IVF_CELLS):
+            members = Xn[assign_ == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    Cn[c] = m / n
 
     def assign(batches):
         for pdf in batches:

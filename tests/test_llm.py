@@ -87,9 +87,14 @@ def test_sim_topk_blas_matches_expression_path(spark, sf_dir):
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
-    """IVF with nprobe=4 of 32 cells must recover a reasonable share of
-    true top-1 neighbors (and perfect recall when the neighbor shares
-    the query's cell — asserted implicitly by the floor)."""
+    """IVF with a TRAINED codebook (nprobe=8 of 32 cells) must recover
+    a reasonable share of true top-1 neighbors. Floor 0.5 with margin
+    (measured 0.7 at sf0.001, 0.6 at sf0.01 — honest numbers on
+    near-random synthetic vectors). NOTE the earlier stand-in codebook
+    (first 32 vectors = the query set itself) scored a RIGGED 20/20:
+    when queries are centroids, each query probes its own cell first
+    and its neighbors assign there — recall by construction, not by
+    index quality. Never seed IVF centroids from the query set."""
     small = "/root/testdata/sf0.001"
     brute = SPECS["sim_topk"].builder(spark, small).filter(F.col("rk") == 1)
     truth = {r.query_id: r.neighbor_id for r in brute.collect()}
