@@ -502,3 +502,39 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact_nunique").alias("sum_daily_nunique"),
         F.count("*").alias("n_days"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT least(CAST(floor(l_quantity / 5.0) AS INT), 9) AS bucket
+        FROM lineitem
+    )
+    SELECT bucket, bucket * 5.0 AS lo, (bucket + 1) * 5.0 AS hi,
+           count(*) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram (pandas `value_counts(bins=...)` / np.histogram
+    with fixed edges): explicit floor-division bucketing — deliberately
+    NOT width_bucket(), whose edge conventions differ across engines —
+    then one hash-agg. l_quantity in [1, 50] -> 10 buckets of width 5,
+    top bucket right-closed (least(..., 9)). Map-side bucket compute,
+    one exchange carrying <= 10 groups per partition."""
+    li = Tables(spark, sf_dir).lineitem
+    bucket = F.least(
+        F.floor(F.col("l_quantity") / 5.0).cast("int"), F.lit(9)
+    )
+    return (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 5.0).alias("lo"),
+            ((F.col("bucket") + 1) * 5.0).alias("hi"),
+            "n",
+        )
+    )

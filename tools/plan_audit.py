@@ -129,6 +129,8 @@ EXPECTATIONS = {
     "source_python_datasource": (2, False),
     # store-ingest fetch: pruned scan + map-only projection.
     "stream_store_ingest": (0, False),
+    # histogram: map-side bucket + one hash agg.
+    "agg_histogram": (1, False),
     # alignment: two keyed aggs feed the full-outer SMJ directly;
     # trend: one moments hash-agg; MAD: one agg exchange per median
     # pass (exact medians aren't partially mergeable) + broadcasts;
