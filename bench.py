@@ -58,6 +58,10 @@ HEADLINE = {
     "q19_upsert_cdc": "upsert_cdc",
     "q20_partition_prune": "sink_partition_prune",
     "q21_asof_directions": "join_asof_directions",
+    # training-pipeline curation additions: benchmark decontamination
+    # (broadcast n-gram probe) and unigram-LM quality scoring.
+    "q22_decontaminate": "pipeline_decontaminate",
+    "q23_lm_score": "text_lm_score",
 }
 
 WARMUP, RUNS = 1, 3

@@ -631,3 +631,57 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.length(norm).alias("n_norm_chars"),
     )
+
+
+@query(
+    "text_lm_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+    total AS (SELECT sum(cnt) AS n FROM vocab),
+    scored AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             round(sum(ln(CAST(v.cnt AS DOUBLE) / total.n)), 6) AS sum_lp
+      FROM tok t JOIN vocab v USING (tok) CROSS JOIN total
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, -(sum_lp / n_tokens) AS nll,
+           round(exp(-(sum_lp / n_tokens)), 6) AS ppl
+    FROM scored
+    """,
+    tags=("llm-pipeline",),
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: per-doc mean negative
+    log-likelihood (and perplexity) under the corpus's own unigram
+    distribution — the classic cheap-LM quality filter a pre-training
+    pipeline runs to rank/drop low-likelihood documents.
+
+    Scale design: the vocabulary table is bounded by |vocab|, not
+    corpus size -> broadcast; tokens stream map-side through explode ->
+    broadcast probe, and the per-doc aggregation partial-combines to
+    one row per doc before its exchange. Corpus total token count folds
+    in as a literal (one map-side scan agg, same precedent as
+    text_tfidf's N).
+
+    Float discipline (registry docstring): ln() may differ by 1 ulp
+    across engines, so the per-doc SUM of logs is rounded at 6 digits
+    (noise ~1e-13 << 5e-7) and the division by the integer token count
+    is then bit-identical; ppl re-rounds after exp() for the same
+    reason."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(_tokens_col()).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = d.select(F.sum(F.size(_tokens_col()))).collect()[0][0]
+    sum_lp = F.round(
+        F.sum(F.log(F.col("cnt").cast("double") / F.lit(float(total)))), 6
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), sum_lp.alias("sum_lp"))
+    )
+    nll = -(F.col("sum_lp") / F.col("n_tokens"))
+    return scored.select(
+        "doc_id", "n_tokens", nll.alias("nll"), F.round(F.exp(nll), 6).alias("ppl")
+    )

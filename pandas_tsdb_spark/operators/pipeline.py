@@ -265,3 +265,79 @@ def pipeline_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "shard", "pos")
     )
+
+
+# ------------------------------------------------- benchmark decontamination
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(lower(text), ' ')) - 3,
+                                           0)),
+               i -> array_to_string((string_split(lower(text), ' '))[i:i+3], ' ')
+             )) AS ngs
+      FROM documents
+    ),
+    e AS (SELECT DISTINCT unnest(ngs) AS ng FROM g WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, unnest(ngs) AS ng FROM g WHERE doc_id % 50 <> 0),
+    h AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN e USING (ng) GROUP BY 1)
+    SELECT g.doc_id, CAST(len(g.ngs) AS BIGINT) AS n_ngrams,
+           coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM g LEFT JOIN h USING (doc_id)
+    WHERE g.doc_id % 50 <> 0
+    """,
+    tags=("llm-pipeline",),
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 4-token
+    n-gram with a held-out eval slice (doc_id % 50 == 0 stands in for
+    the benchmark set) — the GPT-3/PaLM-style overlap filter a training
+    pipeline runs before tokenization.
+
+    Scale design: the eval side is small by construction (benchmarks
+    are ~1e5 docs, not 100 TB), so its DISTINCT n-gram set broadcasts;
+    the training side streams map-side through shingle -> explode ->
+    broadcast-hash probe, and only HITS reach the per-doc count
+    aggregation — the one exchange carries contaminated (doc, n-gram)
+    pairs, which for a real corpus/benchmark pair is ~0.01% of rows.
+    The flag join back to the corpus is another broadcast (hits are
+    sparse). At 100 TB nothing shuffles the full corpus.
+
+    N-grams are order-sensitive (4-token windows), unlike the token-SET
+    signature of dedup_near: a doc quoting an eval passage verbatim is
+    caught, a doc merely using the same vocabulary is not."""
+    from pandas_tsdb_spark.operators.llm_text import _shingles_col
+
+    d = Tables(spark, sf_dir).documents
+    is_eval = F.col("doc_id") % 50 == 0
+    # explode the EXPRESSION inside the Generate (never a materialized
+    # array column): the InferFiltersFromGenerate trap re-evaluates the
+    # whole shingle pipeline inside an inferred Filter otherwise
+    # (NOTES.md, measured 65x on lang_id).
+    ngs = F.array_distinct(_shingles_col(4))
+    eval_ngrams = (
+        d.filter(is_eval).select(F.explode(ngs).alias("ng")).distinct()
+    )
+    hits = (
+        d.filter(~is_eval)
+        .select("doc_id", F.explode(ngs).alias("ng"))
+        .join(F.broadcast(eval_ngrams), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        d.filter(~is_eval)
+        .select("doc_id", F.size(ngs).cast("bigint").alias("n_ngrams"))
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

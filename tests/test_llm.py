@@ -141,3 +141,42 @@ def test_knn_label_blas_matches_expression_path(spark, sf_dir):
     }
     assert sql == blas
     assert len(sql) > 0
+
+
+def test_decontaminate_invariants(spark, sf_dir):
+    out = SPECS["pipeline_decontaminate"].builder(spark, sf_dir).toPandas()
+    # eval slice excluded; hits bounded by the doc's own distinct n-grams;
+    # flag is exactly n_hits > 0
+    assert (out.doc_id % 50 != 0).all()
+    assert (out.n_hits <= out.n_ngrams).all()
+    assert ((out.n_hits > 0) == out.contaminated).all()
+
+
+def test_lm_score_matches_pandas_model(spark, sf_dir):
+    """Independent reimplementation: unigram NLL computed in plain
+    pandas/numpy must match the Spark plan to float tolerance."""
+    import numpy as np
+    import pandas as pd
+    from collections import Counter
+
+    out = (
+        SPECS["text_lm_score"]
+        .builder(spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.text.str.lower().str.split(" ")
+    cnt = Counter(t for ts in toks for t in ts)
+    total = sum(cnt.values())
+    exp_nll = toks.map(
+        lambda ts: -round(sum(np.log(cnt[t] / total) for t in ts), 6) / len(ts)
+    )
+    exp = pd.DataFrame({"doc_id": docs.doc_id, "nll": exp_nll}).set_index(
+        "doc_id"
+    ).sort_index()
+    assert len(out) == len(exp)
+    assert np.allclose(out.nll, exp.nll, atol=1e-9)
+    assert (out.ppl >= 1).all()
+    assert np.allclose(out.ppl, np.round(np.exp(out.nll), 6), atol=1e-6)

@@ -326,6 +326,43 @@ def q21_asof_directions(sf_dir):
     return out
 
 
+def q22_decontaminate(sf_dir):
+    d = _read(sf_dir, "documents")
+    toks = d.text.str.lower().str.split(" ")
+    ngs = toks.map(
+        lambda ts: frozenset(
+            " ".join(ts[i : i + 4]) for i in range(max(len(ts) - 3, 0))
+        )
+    )
+    is_eval = (d.doc_id % 50 == 0).to_numpy()
+    eval_ngrams = frozenset().union(*ngs[is_eval]) if is_eval.any() else frozenset()
+    train = d.loc[~is_eval, ["doc_id"]].copy()
+    tng = ngs[~is_eval]
+    train["n_ngrams"] = tng.map(len)
+    train["n_hits"] = tng.map(lambda s: len(s & eval_ngrams))
+    train["contaminated"] = train.n_hits > 0
+    return train
+
+
+def q23_lm_score(sf_dir):
+    from collections import Counter
+
+    d = _read(sf_dir, "documents")
+    toks = d.text.str.lower().str.split(" ")
+    cnt = Counter(t for ts in toks for t in ts)
+    total = sum(cnt.values())
+    logp = {t: np.log(c / total) for t, c in cnt.items()}
+    nll = toks.map(lambda ts: -round(sum(logp[t] for t in ts), 6) / len(ts))
+    return pd.DataFrame(
+        {
+            "doc_id": d.doc_id,
+            "n_tokens": toks.map(len),
+            "nll": nll,
+            "ppl": np.round(np.exp(nll), 6),
+        }
+    )
+
+
 PANDAS_QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "q2_join_inner": q2_join_inner,
@@ -347,4 +384,6 @@ PANDAS_QUERIES = {
     "q19_upsert_cdc": q19_upsert_cdc,
     "q20_partition_prune": q20_partition_prune,
     "q21_asof_directions": q21_asof_directions,
+    "q22_decontaminate": q22_decontaminate,
+    "q23_lm_score": q23_lm_score,
 }

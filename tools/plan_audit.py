@@ -140,6 +140,10 @@ EXPECTATIONS = {
     "ts_outlier_mad": (4, True),
     "dedup_embedding_blas": (1, False),
     "knn_label_blas": (1, False),
+    # decontaminate: eval-ngram distinct agg + hits agg; both corpus
+    # probes are broadcast-hash. lm_score: vocab agg + per-doc agg.
+    "pipeline_decontaminate": (2, True),
+    "text_lm_score": (2, True),
 }
 
 
