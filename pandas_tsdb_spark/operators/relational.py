@@ -538,3 +538,57 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, count(*) AS cnt FROM documents GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT lang, cnt,
+             CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY lang) AS p
+      FROM c
+    )
+    SELECT lang, count(*) AS n_sources,
+           -round(sum(p * ln(p)), 6) AS entropy,
+           CASE WHEN count(*) > 1
+                THEN round(-round(sum(p * ln(p)), 6) / ln(count(*)), 6)
+           END AS norm_entropy
+    FROM p
+    GROUP BY lang
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the source mixture per language — the
+    corpus-composition diagnostic a training pipeline tracks to detect
+    mixture drift (norm_entropy 1.0 = perfectly balanced sources).
+
+    One exchange on lang serves both the per-(lang, source) count and
+    the window total; p = cnt/total is a long/long division (identical
+    doubles cross-engine), and the entropy sum is rounded at 6 digits
+    before the normalizing division (registry float doctrine)."""
+    from pyspark.sql import Window as W
+
+    d = Tables(spark, sf_dir).documents
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("cnt"))
+    p = c.select(
+        "lang",
+        (F.col("cnt") / F.sum("cnt").over(W.partitionBy("lang"))).alias("p"),
+    )
+    ent = -F.round(F.sum(F.col("p") * F.log("p")), 6)
+    return (
+        p.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sources"),
+            ent.alias("entropy"),
+        )
+        .withColumn(
+            "norm_entropy",
+            F.when(
+                F.col("n_sources") > 1,
+                F.round(F.col("entropy") / F.log(F.col("n_sources").cast("double")), 6),
+            ),
+        )
+    )

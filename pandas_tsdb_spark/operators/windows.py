@@ -458,3 +458,75 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(F.size(frame) == 7, F.element_at(frame, 4)).alias("med7"),
     )
+
+
+@query(
+    "win_rolling_skew",
+    # Exact-integer-cents trick (same family as win_twa): value is
+    # 2-decimal data, so cents are integers and the three window power
+    # sums are EXACT integer arithmetic in both engines (max cube sum
+    # 7 * 56021^3 = 1.2e15 < 2^53 < int64). Every downstream op is
+    # IEEE-deterministic (+,-,*,/ and the correctly-rounded sqrt) and
+    # the expression trees mirror association order, so the result is
+    # bit-identical RAW — no final rounding. Skewness is scale-
+    # invariant, so cents give the same value as the original units.
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             count(*) OVER w AS n,
+             CAST(sum(cv) OVER w AS DOUBLE) AS s1,
+             CAST(sum(cv * cv) OVER w AS DOUBLE) AS s2,
+             CAST(sum(cv * cv * cv) OVER w AS DOUBLE) AS s3
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN n >= 7 AND (s2 / 7 - (s1 / 7) * (s1 / 7)) > 0 THEN
+             (sqrt(42.0) / 5.0)
+             * (s3 / 7 - 3 * (s1 / 7) * (s2 / 7)
+                + 2 * (s1 / 7) * (s1 / 7) * (s1 / 7))
+             / ((s2 / 7 - (s1 / 7) * (s1 / 7))
+                * sqrt(s2 / 7 - (s1 / 7) * (s1 / 7)))
+           END AS roll_skew
+    FROM s
+    """,
+)
+def win_rolling_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling(7).skew() — adjusted Fisher-Pearson sample skewness
+    (pandas semantics: sqrt(n(n-1))/(n-2) * m3/m2^1.5, NULL until the
+    frame holds 7 rows and when the frame is constant), from three
+    integer-cents power sums sharing ONE window. The three sums ride
+    the same sort + exchange; no applyInPandas kernel needed for a
+    moment-expressible rolling statistic."""
+    cv = F.round(F.col("value") * 100).cast("long")
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
+    d = _ev(spark, sf_dir).select("user_id", "event_id", cv.alias("cv"))
+    d = d.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n"),
+        F.sum("cv").over(w).cast("double").alias("s1"),
+        F.sum(F.col("cv") * F.col("cv")).over(w).cast("double").alias("s2"),
+        F.sum(F.col("cv") * F.col("cv") * F.col("cv"))
+        .over(w)
+        .cast("double")
+        .alias("s3"),
+    )
+    mean = F.col("s1") / F.lit(7)
+    m2 = F.col("s2") / F.lit(7) - mean * mean
+    m3 = (
+        F.col("s3") / F.lit(7)
+        - F.lit(3) * mean * (F.col("s2") / F.lit(7))
+        + F.lit(2) * mean * mean * mean
+    )
+    skew = (F.sqrt(F.lit(42.0)) / F.lit(5.0)) * m3 / (m2 * F.sqrt(m2))
+    return d.select(
+        "user_id",
+        "event_id",
+        F.when((F.col("n") >= 7) & (m2 > 0), skew).alias("roll_skew"),
+    )

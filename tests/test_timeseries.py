@@ -80,3 +80,44 @@ def test_ffill_partitions_time_axis(spark):
     for _, g in pdf.groupby("user_id"):
         seen = g["close_ffill"].notna().to_numpy()
         assert not (seen[:-1] & ~seen[1:]).any()
+
+
+def test_rolling_skew_matches_pandas(spark, sf_dir):
+    """win_rolling_skew vs pandas rolling(7).skew(): same null mask,
+    values to float tolerance (engine computes on exact integer cents,
+    pandas on the raw doubles — identical data, different order)."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_tsdb_spark.registry import load_all
+
+    specs = load_all()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "event_id"]
+    )
+    exp = (
+        ev.groupby("user_id")["value"]
+        .rolling(7, min_periods=7)
+        .skew()
+        .reset_index(level=0, drop=True)
+    )
+    expdf = pd.DataFrame({"event_id": ev.event_id.values, "exp": exp.values})
+    out = specs["win_rolling_skew"].builder(spark, sf_dir).toPandas()
+    mg = out.merge(expdf, on="event_id")
+    assert len(mg) == len(ev)
+    assert (mg.roll_skew.isna() == mg.exp.isna()).all()
+    both = mg.roll_skew.notna()
+    assert float((mg.loc[both, "roll_skew"] - mg.loc[both, "exp"]).abs().max()) < 1e-9
+
+
+def test_entropy_invariants(spark, sf_dir):
+    """0 <= H <= ln(n_sources); normalized entropy in [0, 1]."""
+    import numpy as np
+
+    from pandas_tsdb_spark.registry import load_all
+
+    out = load_all()["agg_entropy"].builder(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.entropy >= 0).all()
+    assert (out.entropy <= np.log(out.n_sources) + 1e-9).all()
+    assert out.norm_entropy.between(0, 1 + 1e-9).all()

@@ -144,6 +144,10 @@ EXPECTATIONS = {
     # probes are broadcast-hash. lm_score: vocab agg + per-doc agg.
     "pipeline_decontaminate": (2, True),
     "text_lm_score": (2, True),
+    # skew: three power sums share ONE window (one exchange+sort);
+    # entropy: (lang,source) agg + lang window/agg (tiny post-agg rows).
+    "win_rolling_skew": (1, False),
+    "agg_entropy": (2, False),
 }
 
 
