@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 __all__ = ["TsStore"]
 
 _PART = "_date"
+_INGEST = "_ingest_ts"
 
 
 class TsStore:
@@ -71,17 +72,32 @@ class TsStore:
             raise ValueError(f"frame lacks time column {self.ts_col!r}")
         return df.withColumn(_PART, F.to_date(F.col(self.ts_col)))
 
-    def append(self, name: str, df: DataFrame) -> None:
-        """Blind parallel append — each task commits its files atomically
-        into the day partitions it touches; no global lock, no read."""
-        self._with_part(df).write.mode("append").partitionBy(_PART).parquet(
-            self.path(name)
+    def _with_ingest(self, df: DataFrame, ingest_ts) -> DataFrame:
+        if _INGEST in df.columns:  # replayed batch already stamped
+            return df
+        stamp = (
+            F.current_timestamp()
+            if ingest_ts is None
+            else F.lit(ingest_ts).cast("timestamp")
         )
+        return df.withColumn(_INGEST, stamp)
 
-    def overwrite(self, name: str, df: DataFrame) -> None:
-        self._with_part(df).write.mode("overwrite").partitionBy(_PART).parquet(
-            self.path(name)
-        )
+    def append(self, name: str, df: DataFrame, ingest_ts=None) -> None:
+        """Blind parallel append — each task commits its files atomically
+        into the day partitions it touches; no global lock, no read.
+
+        Every row is stamped with an ingest watermark (``_ingest_ts``,
+        wall clock unless ``ingest_ts`` pins it) — the hook
+        ``fetch(as_of=...)`` snapshots hang off. Stamping is a map-side
+        literal: zero cost at any scale."""
+        self._with_part(self._with_ingest(df, ingest_ts)).write.mode(
+            "append"
+        ).partitionBy(_PART).parquet(self.path(name))
+
+    def overwrite(self, name: str, df: DataFrame, ingest_ts=None) -> None:
+        self._with_part(self._with_ingest(df, ingest_ts)).write.mode(
+            "overwrite"
+        ).partitionBy(_PART).parquet(self.path(name))
 
     # -- read -------------------------------------------------------------
 
@@ -94,6 +110,7 @@ class TsStore:
         columns: Sequence[str] | None = None,
         latest_by: Sequence[str] | None = None,
         order_col: str | None = None,
+        as_of=None,
     ) -> DataFrame:
         """Fetch a time slice of a named series.
 
@@ -103,8 +120,25 @@ class TsStore:
         min/max pruning within the boundary days). ``keys`` adds
         equality/IN predicates (pushed to the scan), ``columns``
         projects early (parquet column pruning), ``latest_by`` resolves
-        duplicate/late appends keep-latest-per-key at read time."""
-        df = self.spark.read.parquet(self.path(name))
+        duplicate/late appends keep-latest-per-key at read time.
+
+        ``as_of`` reads the store as it existed at an INGEST timestamp:
+        rows appended after ``as_of`` are invisible, so a training run
+        pinned to an as_of sees the identical corpus on every rerun,
+        however many late appends landed since. Rows from stores
+        predating ingest stamping count as always-visible. The snapshot
+        filter is a row-level predicate pushed to the scan; event-time
+        partition pruning applies unchanged."""
+        reader = self.spark.read
+        if as_of is not None:
+            # schema union across files: old appends may lack _ingest_ts
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(self.path(name))
+        if as_of is not None and _INGEST in df.columns:
+            df = df.filter(
+                F.col(_INGEST).isNull()
+                | (F.col(_INGEST) <= F.lit(as_of).cast("timestamp"))
+            )
         ts = F.col(self.ts_col)
         if start is not None:
             df = df.filter(
@@ -134,7 +168,7 @@ class TsStore:
             if self.ts_col not in cols:
                 cols = [self.ts_col] + cols
             df = df.select(*cols)
-        return df.drop(_PART)
+        return df.drop(_PART, _INGEST)
 
     # -- maintenance ------------------------------------------------------
 

@@ -113,3 +113,40 @@ def test_drop_before_retention(spark, store, events):
     assert after.filter(F.col("ts") < "2024-01-15").count() == 0
     # dropping again is a no-op
     assert store.drop_before("events", "2024-01-15") == 0
+
+
+def test_as_of_snapshot_reads(spark, store, events):
+    """fetch(as_of=...) pins the store to an ingest time: late appends
+    after the pin are invisible; a rerun sees the identical corpus."""
+    first = events.limit(400)
+    late = events.subtract(first)
+    store.append("ev", first, ingest_ts="2025-01-01 00:00:00")
+    store.append("ev", late, ingest_ts="2025-02-01 00:00:00")
+
+    n_first, n_all = first.count(), events.count()
+    snap = store.fetch("ev", as_of="2025-01-15 00:00:00")
+    assert snap.count() == n_first
+    assert store.fetch("ev").count() == n_all
+    assert store.fetch("ev", as_of="2025-03-01 00:00:00").count() == n_all
+    # snapshot output carries no internal columns
+    assert set(snap.columns) == set(events.columns)
+    # rerun-stability: the pinned snapshot returns the same exact rows
+    a = sorted(snap.select("event_id").toPandas().event_id)
+    b = sorted(store.fetch("ev", as_of="2025-01-15 00:00:00")
+               .select("event_id").toPandas().event_id)
+    assert a == b
+
+
+def test_as_of_composes_with_latest_by(spark, store, events):
+    """A corrected point appended after the pin is invisible to the
+    snapshot but wins the latest_by resolution afterwards."""
+    base = events.limit(50)
+    store.append("ev2", base, ingest_ts="2025-01-01 00:00:00")
+    fix = base.limit(1).withColumn("value", F.lit(9999.0))
+    store.append("ev2", fix, ingest_ts="2025-02-01 00:00:00")
+
+    snap = store.fetch("ev2", as_of="2025-01-15 00:00:00",
+                       latest_by=["event_id"], order_col="ts")
+    assert snap.filter(F.col("value") == 9999.0).count() == 0
+    cur = store.fetch("ev2", latest_by=["event_id"], order_col="ts")
+    assert cur.count() == 50
