@@ -405,6 +405,31 @@ class Rolling:
     def std(self, col: str, out: str | None = None) -> TsFrame:
         return self._apply(col, F.stddev_samp, out or f"{col}_std")
 
+    def skew(self, col: str, out: str | None = None) -> TsFrame:
+        """Adjusted Fisher-Pearson sample skewness (pandas semantics:
+        NaN below 3 observations or for a constant window). Three power
+        sums share the one frame window — same plan shape as mean/std,
+        no Python kernel; pandas' own rolling kernel uses the same
+        power-sum formulation."""
+        w = self._frame()
+        x = F.col(col).cast("double")
+        n = F.count(col).over(w).cast("double")
+        s1, s2, s3 = (
+            F.sum(x).over(w),
+            F.sum(x * x).over(w),
+            F.sum(x * x * x).over(w),
+        )
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
+        g = F.sqrt(n * (n - F.lit(1.0))) / (n - F.lit(2.0)) * m3 / (m2 * F.sqrt(m2))
+        guarded = F.when(
+            (F.count(col).over(w) >= F.greatest(F.lit(self.min_periods), F.lit(3)))
+            & (m2 > 0),
+            g,
+        )
+        return self.tf._wrap(self.tf.df.withColumn(out or f"{col}_skew", guarded))
+
     def median(self, col: str, out: str | None = None) -> TsFrame:
         w = self._frame()
         arr = F.array_sort(F.collect_list(col).over(w))

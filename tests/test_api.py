@@ -358,3 +358,15 @@ def test_apply_per_series_custom_kernel(ev, pev):
     )
     want = _sorted(out)
     assert _eq(got.value_i, want.want, tol=1e-9)
+
+
+def test_rolling_skew_api(ev, pev):
+    got = _sorted(tsf(ev).rolling(7).skew("value").to_pandas())
+    want = _pandas_per_user(pev, lambda g: g["value"].rolling(7).skew())
+    assert _eq(got.value_skew, want.want, tol=1e-7)
+    # min_periods below 3 still needs 3 obs (pandas semantics)
+    got = _sorted(tsf(ev).rolling(5, min_periods=2).skew("value").to_pandas())
+    want = _pandas_per_user(
+        pev, lambda g: g["value"].rolling(5, min_periods=2).skew()
+    )
+    assert _eq(got.value_skew, want.want, tol=1e-7)
