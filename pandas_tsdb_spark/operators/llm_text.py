@@ -44,6 +44,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Tables(spark, sf_dir).documents
 
 
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Fan an UNDER-SPLIT source out to the cluster before a CPU-heavy
+    per-row stage (shingling, n-gram scoring): one narrow exchange of
+    the raw rows, keyed so downstream per-key aggregation needs no
+    second shuffle. No-op when the scan already has >= defaultParallelism
+    splits — which a many-file 100 TB table always does; this exists for
+    few-big-files sources where scan parallelism caps at the file count
+    (measured on the one-file 64x fixture: the signature stage of
+    dedup_minhash ran on 9 of 32 cores, 26 s -> 2.9 s from this)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key)
+
+
 def _tokens_col() -> F.Column:
     return F.split(F.lower(F.col("text")), " ")
 
@@ -190,12 +206,28 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification intersects 64-bit shingle hashes, not strings — the
     exchange carries 8-byte keys."""
     d = _docs(spark, sf_dir)
-    th = d.select(
+    # ONE shingle pass for the whole query: the per-doc distinct
+    # shingle-hash ARRAY is the shared subtree under the signature
+    # branch AND both verification probes, sitting on a _spread
+    # exchange — identical subtrees reuse the exchange, so the corpus
+    # is shingled once however many consumers hang off it. (The
+    # previous shape re-shingled the full corpus per verification
+    # side: 16.7M-row ta/tb streams, ~28 s of the 46 s total at 64x.)
+    arrays = _spread(d).select(
+        "doc_id", F.array_distinct(_shingle_hashes_col(3)).alias("shs")
+    )
+    # th_sig explodes the EXPRESSION, not arrays.shs: exploding the
+    # materialized column makes InferFiltersFromGenerate re-evaluate
+    # the whole shingle pipeline inside a Filter (the 65x trap,
+    # flagged by plan_audit). The shingle pass therefore runs twice
+    # (sigs branch + the shared verification array table) — each is
+    # the cheap _spread-parallel form (~3 s at 64x docs).
+    th_sig = _spread(d).select(
         "doc_id",
         F.explode(F.array_distinct(_shingle_hashes_col(3))).alias("h"),
     )
     bucket = F.pmod("h", F.lit(_MINHASH_K))
-    sigs = th.groupBy("doc_id").agg(
+    sigs = th_sig.groupBy("doc_id").agg(
         F.count("*").alias("set_size"),
         *[
             F.min(F.when(bucket == i, F.col("h"))).alias(f"h{i}")
@@ -264,15 +296,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("size_b") <= 2 * F.col("size_a"))
         )
     )
-    # exact verification: |A ∩ B| over 64-bit shingle hashes, work only
-    # on candidate docs (broadcast candidate list prunes the big side)
-    ta = th.select(F.col("doc_id").alias("doc_a"), "h")
-    tb = th.select(F.col("doc_id").alias("doc_b"), "h")
+    # exact verification: |A ∩ B| via array_intersect over the SAME
+    # per-doc array table (candidate pairs are few — thousands — so the
+    # two probes are broadcast-hash joins of cands against arrays; the
+    # arrays subtree itself is reused, never recomputed per side)
+    a_sets = arrays.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"))
+    b_sets = arrays.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"))
     inter = (
-        cands.join(ta, "doc_a")
-        .join(tb, ["doc_b", "h"], "left_semi")  # keeps matching hashes only
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
-        .agg(F.count("*").alias("n_inter"))
+        cands.join(a_sets, "doc_a")
+        .join(b_sets, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")))
     )
     jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
     return (
@@ -346,7 +379,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size joins as a broadcast 1-row literal. tf table never
     re-shuffles after its own aggregation."""
     d = _docs(spark, sf_dir)
-    tok = d.select("doc_id", F.explode(_tokens_col()).alias("tok"))
+    tok = _spread(d).select("doc_id", F.explode(_tokens_col()).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()  # scalar; folded into the expression as a literal
@@ -547,7 +580,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row with split(text) inlined. Measured: 65 s vs 1 s at sf0.1.
     The scoring branch no longer has a Generate at all.
     """
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     # split to a char array ONCE: substring(text, i, 3) per position is
     # O(len) UTF-8 re-traversal each call => O(len^2) per doc;
     # element_at on the array is O(1).
@@ -670,7 +703,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is then bit-identical; ppl re-rounds after exp() for the same
     reason."""
     d = _docs(spark, sf_dir)
-    tok = d.select("doc_id", F.explode(_tokens_col()).alias("tok"))
+    tok = _spread(d).select("doc_id", F.explode(_tokens_col()).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = d.select(F.sum(F.size(_tokens_col()))).collect()[0][0]
     sum_lp = F.round(

@@ -318,9 +318,9 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1). The oracle works over the actual n-gram strings; results
     are identical unless two distinct n-grams collide in 64 bits
     (p ~ 2^-64 per pair; verified bit-identical at every fixture SF)."""
-    from pandas_tsdb_spark.operators.llm_text import _shingle_hashes_col
+    from pandas_tsdb_spark.operators.llm_text import _shingle_hashes_col, _spread
 
-    d = Tables(spark, sf_dir).documents
+    d = _spread(Tables(spark, sf_dir).documents)
     is_eval = F.col("doc_id") % 50 == 0
     # explode the EXPRESSION inside the Generate (never a materialized
     # array column): the InferFiltersFromGenerate trap re-evaluates the

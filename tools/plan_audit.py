@@ -40,7 +40,6 @@ EXPECTATIONS = {
     "win_resample_ffill": (4, True),
     "win_resample_interp": (4, True),
     "win_rolling_corr": (1, False),
-    "lang_id": (3, True),
     "sim_topk_blas": (2, False),
     "dedup_embedding": (3, False),
     # event-analytics family: sessionize/zscore ride ONE user_id
@@ -140,14 +139,15 @@ EXPECTATIONS = {
     "ts_outlier_mad": (4, True),
     "dedup_embedding_blas": (1, False),
     "knn_label_blas": (1, False),
-    # decontaminate: eval-ngram distinct agg + hits agg; both corpus
-    # probes are broadcast-hash. lm_score: vocab agg + per-doc agg.
-    "pipeline_decontaminate": (2, True),
-    "text_lm_score": (2, True),
     # skew: three power sums share ONE window (one exchange+sort);
     # entropy: (lang,source) agg + lang window/agg (tiny post-agg rows).
     "win_rolling_skew": (1, False),
     "agg_entropy": (2, False),
+    # +1 exchange each: the _spread fan-out of an under-split source
+    # before the CPU-heavy per-doc stage (no-op on many-file tables).
+    "lang_id": (4, True),
+    "pipeline_decontaminate": (3, True),
+    "text_lm_score": (3, True),
 }
 
 
