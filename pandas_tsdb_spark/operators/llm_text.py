@@ -144,7 +144,7 @@ def _sig_col() -> F.Column:
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup by token-SET signature (n-gram Jaccard = 1.0 groups:
     same words, any order/multiplicity). One hash-agg over md5 sigs."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     return (
         d.select("doc_id", _sig_col().alias("sig"))
         .groupBy("sig")
@@ -163,7 +163,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All near-duplicate pairs (token-set equality), a < b ordered."""
-    d = _docs(spark, sf_dir).select("doc_id", _sig_col().alias("sig"))
+    d = _spread(_docs(spark, sf_dir)).select("doc_id", _sig_col().alias("sig"))
     a, b = d.alias("a"), d.alias("b")
     return a.join(
         b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -320,7 +320,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over the distinct-token set: per bit, sign of the
     sum of ±1 contributions; one aggregation pass, fingerprint assembled
     with shifts. Equal fingerprints => near-dup cluster."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     toks = d.select("doc_id", F.explode(F.array_distinct(_tokens_col())).alias("tok"))
     h = F.xxhash64("tok")
     bit_sums = toks.groupBy("doc_id").agg(
@@ -351,7 +351,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize + stopword filter + corpus term/document frequencies."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     return (
         d.select("doc_id", F.explode(_tokens_col()).alias("tok"))
         .filter(~F.col("tok").isin(*STOPWORDS))
@@ -408,7 +408,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc length/word-count/type-token-ratio/avg-word-length.
     n_chars_calc cross-checks the stored n_chars column (FIXTURES.md).
     Integer/integer divisions are bit-identical across engines — raw."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     toks = _tokens_col()
     n_tokens = F.size(toks).cast("bigint")
     n_unique = F.size(F.array_distinct(toks)).cast("bigint")
@@ -449,7 +449,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * (n_uniq / n_tok)
         + 0.3 * (1.0 - n_stop / n_tok)
     )
-    return _docs(spark, sf_dir).select(
+    return _spread(_docs(spark, sf_dir)).select(
         "doc_id", "lang", F.round(score, 6).alias("quality")
     )
 
@@ -470,7 +470,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-text md5 + min 3-token-shingle md5
     (a 1-permutation MinHash, cross-engine-stable because md5 is)."""
-    d = _docs(spark, sf_dir).withColumn("toks", _tokens_col())
+    d = _spread(_docs(spark, sf_dir)).withColumn("toks", _tokens_col())
     shingle = lambda i: F.md5(
         F.concat_ws(
             " ",
@@ -506,7 +506,7 @@ def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     (letter runs | digit runs | single punctuation) — the standard cheap
     proxy for LLM token budgeting. POSIX-simple pattern so the Spark
     (Java regex) and DuckDB (RE2) dialects agree; all JVM-side."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
     return d.select(
         "doc_id",
