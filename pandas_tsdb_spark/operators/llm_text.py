@@ -718,3 +718,52 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_tokens", nll.alias("nll"), F.round(F.exp(nll), 6).alias("ppl")
     )
+
+
+# ------------------------------------------------- corpus n-gram statistics
+
+
+@query(
+    "text_ngram_freq",
+    # DuckDB mirror: lambda over range(1, len) indexes the 1-based token
+    # list; both engines see identical token streams (fixture text is
+    # single-spaced ASCII, verified at all SFs). Tie-break on the bigram
+    # string makes the LIMIT cut deterministic.
+    oracle="""
+    WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t
+    )
+    SELECT bigram, count(*) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+    tags=("llm-text",),
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table (top-50) — the n-gram statistic
+    behind LM smoothing tables, contamination probes, and boilerplate
+    detection. Bigrams come from zip_with over two shifted slices of
+    the token array (the _shingles_col pattern — never an index lambda
+    that re-traverses the string, NOTES.md O(len^2) trap), exploded as
+    an EXPRESSION (InferFiltersFromGenerate trap). One exchange: the
+    per-(bigram) hash agg partial-combines map-side, so the shuffle
+    carries at most |vocab|^2 rows per task regardless of corpus size;
+    the top-50 is a single-partition take of the tiny agg output."""
+    d = _spread(_docs(spark, sf_dir))
+    toks = _tokens_col()
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )

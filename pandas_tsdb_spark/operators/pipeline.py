@@ -355,3 +355,76 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") > 0).alias("contaminated"),
         )
     )
+
+
+# ------------------------------------------------------- epoch upsampling
+
+# source -> (whole epochs, extra-epoch md5 threshold). Fractional epochs
+# are the standard mixture knob (e.g. "wiki 3.25 epochs, crawl 0.5"):
+# every doc repeats `whole` times and the md5-selected fraction repeats
+# once more. '//' sorts below '00', i.e. "never". src3 gets 0 whole
+# epochs + a 0.5 fraction — the downsample case — so one operator covers
+# both directions of dataset weighting.
+UPSAMPLE = {
+    "src0": (3, "3f"),  # 3.25 epochs
+    "src1": (2, "7f"),  # 2.5
+    "src2": (2, "//"),  # 2.0
+    "src3": (0, "7f"),  # 0.5 (downsample)
+    "src4": (1, "//"),  # 1.0 (explicit)
+}
+UPSAMPLE_DEFAULT = (1, "//")  # unlisted sources: exactly one epoch
+
+
+@query(
+    "pipeline_upsample",
+    oracle=f"""
+    WITH wt(source, whole, thr) AS (
+      VALUES {", ".join(f"('{s}', {w}, '{t}')" for s, (w, t) in UPSAMPLE.items())}
+    ),
+    r AS (
+      SELECT d.doc_id, d.source, d.lang,
+             coalesce(wt.whole, {UPSAMPLE_DEFAULT[0]})
+             + CASE WHEN substr(md5('ep:' || d.source || ':'
+                                     || CAST(d.doc_id AS VARCHAR)), 1, 2)
+                         <= coalesce(wt.thr, '{UPSAMPLE_DEFAULT[1]}')
+                    THEN 1 ELSE 0 END AS reps
+      FROM documents d LEFT JOIN wt ON d.source = wt.source
+    )
+    SELECT r.doc_id, r.source, r.lang, CAST(e.epoch AS INT) AS epoch
+    FROM r JOIN (SELECT unnest(generate_series(0, 7)) AS epoch) e
+      ON e.epoch < r.reps
+    """,
+    tags=("llm-pipeline",),
+)
+def pipeline_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted epoch repetition — pipeline_mixture's other half
+    (that docstring promises it): each source's docs repeat
+    floor(epochs) times plus one md5-selected extra pass for the
+    fractional part, emitted with an `epoch` ordinal so a downstream
+    shuffle can interleave passes. The weights table broadcasts; the
+    repeat is a map-side sequence-explode (rows multiply AFTER the
+    scan, so a 100 TB corpus is read once, never `epochs` times), and
+    nothing shuffles. Epoch choice is md5-deterministic per doc:
+    reruns and backfills regenerate byte-identical output."""
+    d = Tables(spark, sf_dir).documents
+    wt = spark.createDataFrame(
+        [(s, w, t) for s, (w, t) in UPSAMPLE.items()],
+        "source string, whole int, thr string",
+    )
+    key = F.md5(
+        F.concat(F.lit("ep:"), F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    reps = F.coalesce("whole", F.lit(UPSAMPLE_DEFAULT[0])) + F.when(
+        F.substring(key, 1, 2) <= F.coalesce("thr", F.lit(UPSAMPLE_DEFAULT[1])), 1
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(wt), "source", "left")
+        .withColumn("reps", reps)
+        .filter(F.col("reps") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.col("reps") - 1)).alias("epoch"),
+        )
+    )

@@ -530,3 +530,89 @@ def win_rolling_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when((F.col("n") >= 7) & (m2 > 0), skew).alias("roll_skew"),
     )
+
+
+@query(
+    "win_rolling_kurt",
+    # Completes the exact-moments family (win_rolling_skew): rolling(7)
+    # excess kurtosis from FOUR window power sums sharing one frame.
+    # cents^4 reaches 9.85e18 — past 2^63 when summed and past 2^53 as
+    # a double — so the 4th-power sum runs in DECIMAL(38,0) on the
+    # Spark side and HUGEINT in DuckDB (both exact integer arithmetic),
+    # with ONE deterministic cast-to-double after the window sum. All
+    # later ops are IEEE +,-,*,/ with mirrored association order, so
+    # the result is bit-identical RAW — no rounding anywhere. Kurtosis
+    # is scale-invariant, so integer cents give the original answer.
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cv,
+             CAST(round(value * 100) AS BIGINT)
+               * CAST(round(value * 100) AS BIGINT) AS cv2
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             count(*) OVER w AS n,
+             CAST(sum(cv) OVER w AS DOUBLE) AS s1,
+             CAST(sum(cv2) OVER w AS DOUBLE) AS s2,
+             CAST(sum(cv * cv2) OVER w AS DOUBLE) AS s3,
+             CAST(sum(CAST(cv2 AS HUGEINT) * cv2) OVER w AS DOUBLE) AS s4
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+      SELECT user_id, event_id, n,
+             s2 / 7 - (s1 / 7) * (s1 / 7) AS m2,
+             s4 / 7 - 4 * (s1 / 7) * (s3 / 7)
+                    + 6 * (s1 / 7) * (s1 / 7) * (s2 / 7)
+                    - 3 * (s1 / 7) * (s1 / 7) * (s1 / 7) * (s1 / 7) AS m4
+      FROM s
+    )
+    SELECT user_id, event_id,
+           CASE WHEN n >= 7 AND m2 > 0
+                THEN 2.4 * m4 / (m2 * m2) - 5.4 END AS roll_kurt
+    FROM m
+    """,
+)
+def win_rolling_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling(7).kurt() — unbiased sample excess kurtosis (pandas
+    semantics: G2 = (n-1)/((n-2)(n-3)) * ((n+1)*g2 + 6), which for n=7
+    collapses to 2.4*m4/m2^2 - 5.4; NULL until the frame holds 7 rows
+    and for constant frames). Four integer power sums ride ONE window
+    (one exchange, one sort); the 4th power exceeds int64/double
+    precision so it accumulates in decimal(38,0) — exact — and casts
+    to double once, identically in both engines."""
+    cv = F.round(F.col("value") * 100).cast("long")
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
+    d = _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        cv.alias("cv"),
+        (cv * cv).alias("cv2"),
+    )
+    cv2d = F.col("cv2").cast("decimal(19,0)")
+    d = d.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n"),
+        F.sum("cv").over(w).cast("double").alias("s1"),
+        F.sum("cv2").over(w).cast("double").alias("s2"),
+        F.sum(F.col("cv") * F.col("cv2")).over(w).cast("double").alias("s3"),
+        F.sum(cv2d * cv2d).over(w).cast("double").alias("s4"),
+    )
+    mean = F.col("s1") / F.lit(7)
+    m2 = F.col("s2") / F.lit(7) - mean * mean
+    m4 = (
+        F.col("s4") / F.lit(7)
+        - F.lit(4) * mean * (F.col("s3") / F.lit(7))
+        + F.lit(6) * mean * mean * (F.col("s2") / F.lit(7))
+        - F.lit(3) * mean * mean * mean * mean
+    )
+    kurt = F.lit(2.4) * m4 / (m2 * m2) - F.lit(5.4)
+    return d.select(
+        "user_id",
+        "event_id",
+        F.when((F.col("n") >= 7) & (m2 > 0), kurt).alias("roll_kurt"),
+    )

