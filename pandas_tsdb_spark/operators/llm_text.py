@@ -375,13 +375,19 @@ def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf per (doc, term), smoothed idf = ln((N+1)/(df+1)) + 1.
 
-    The document-frequency side is tiny (vocabulary) -> broadcast; the
-    corpus size joins as a broadcast 1-row literal. tf table never
-    re-shuffles after its own aggregation."""
+    ONE pass over the raw token stream: df derives from tf — tf's rows
+    ARE the distinct (doc, term) pairs, so df(tok) = count(*) over tf,
+    replacing the old second explode + countDistinct branch (which
+    re-evaluated the whole scan+split subtree). The two consumers of tf
+    share an identical exchange -> Spark reuses it (ReusedExchange in
+    the plan); the df aggregation partial-combines to |vocabulary| rows
+    per task before its exchange. The document-frequency side is tiny
+    (vocabulary) -> broadcast; the corpus size joins as a broadcast
+    1-row literal."""
     d = _docs(spark, sf_dir)
     tok = _spread(d).select("doc_id", F.explode(_tokens_col()).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = d.count()  # scalar; folded into the expression as a literal
     tfidf = F.col("tf") * (
         F.log((n_docs + 1.0) / (F.col("df") + F.lit(1.0))) + 1.0
