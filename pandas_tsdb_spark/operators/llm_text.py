@@ -206,22 +206,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification intersects 64-bit shingle hashes, not strings — the
     exchange carries 8-byte keys."""
     d = _docs(spark, sf_dir)
-    # ONE shingle pass for the whole query: the per-doc distinct
-    # shingle-hash ARRAY is the shared subtree under the signature
-    # branch AND both verification probes, sitting on a _spread
-    # exchange — identical subtrees reuse the exchange, so the corpus
-    # is shingled once however many consumers hang off it. (The
-    # previous shape re-shingled the full corpus per verification
-    # side: 16.7M-row ta/tb streams, ~28 s of the 46 s total at 64x.)
-    arrays = _spread(d).select(
-        "doc_id", F.array_distinct(_shingle_hashes_col(3)).alias("shs")
-    )
-    # th_sig explodes the EXPRESSION, not arrays.shs: exploding the
-    # materialized column makes InferFiltersFromGenerate re-evaluate
-    # the whole shingle pipeline inside a Filter (the 65x trap,
-    # flagged by plan_audit). The shingle pass therefore runs twice
-    # (sigs branch + the shared verification array table) — each is
-    # the cheap _spread-parallel form (~3 s at 64x docs).
+    # th_sig explodes the EXPRESSION, not a materialized array column:
+    # exploding the materialized column makes InferFiltersFromGenerate
+    # re-evaluate the whole shingle pipeline inside a Filter (the 65x
+    # trap, flagged by plan_audit). This is the ONLY full-corpus
+    # shingle pass in the query — verification below shingles just the
+    # candidate docs.
     th_sig = _spread(d).select(
         "doc_id",
         F.explode(F.array_distinct(_shingle_hashes_col(3))).alias("h"),
@@ -296,12 +286,41 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("size_b") <= 2 * F.col("size_a"))
         )
     )
-    # exact verification: |A ∩ B| via array_intersect over the SAME
-    # per-doc array table (candidate pairs are few — thousands — so the
-    # two probes are broadcast-hash joins of cands against arrays; the
-    # arrays subtree itself is reused, never recomputed per side)
-    a_sets = arrays.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"))
-    b_sets = arrays.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"))
+    # exact verification: |A ∩ B| via array_intersect — over ONLY the
+    # candidate docs. The raw corpus is semi-joined against the (tiny)
+    # candidate-id set BEFORE any shingling, so verification shingles
+    # thousands of docs, not the corpus. (The previous shape kept a
+    # full spread+shingled corpus table per probe side: the _spread
+    # exchange was reused, but the post-exchange shingle computation
+    # re-ran per consumer — two extra full-corpus shingle passes,
+    # ~5-6 s of the 12.5 s total at 64x docs.)
+    #
+    # cands is MATERIALIZED (eager localCheckpoint): five consumers
+    # hang off it (pair rows + 2 union sides + the two probe semis),
+    # and although AQE's exchange reuse usually deduplicates the five
+    # identical signature subtrees, it does so nondeterministically
+    # across runs (measured 5.9-19.7 s swings). The table is small by
+    # construction — band-collision pairs ∝ true near-dups, never
+    # corpus² (shingle LSH property above) — so materializing it costs
+    # one tiny job and pins the corpus-side work to exactly ONE
+    # signature pass. RDD storage is GC-cleaned; no persist leak.
+    cands = cands.localCheckpoint(eager=True)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_arrays = (
+        d.select("doc_id", "text")
+        .join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", F.array_distinct(_shingle_hashes_col(3)).alias("shs"))
+    )
+    a_sets = cand_arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa")
+    )
+    b_sets = cand_arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb")
+    )
     inter = (
         cands.join(a_sets, "doc_a")
         .join(b_sets, "doc_b")
