@@ -430,6 +430,41 @@ class Rolling:
         )
         return self.tf._wrap(self.tf.df.withColumn(out or f"{col}_skew", guarded))
 
+    def kurt(self, col: str, out: str | None = None) -> TsFrame:
+        """Unbiased sample excess kurtosis (pandas semantics: NaN below
+        4 observations or for a constant window). Four power sums share
+        the one frame window — G2 = (n-1)/((n-2)(n-3)) * ((n+1)*g2+6)
+        with g2 = m4/m2^2 - 3."""
+        w = self._frame()
+        x = F.col(col).cast("double")
+        n = F.count(col).over(w).cast("double")
+        s1, s2, s3, s4 = (
+            F.sum(x).over(w),
+            F.sum(x * x).over(w),
+            F.sum(x * x * x).over(w),
+            F.sum(x * x * x * x).over(w),
+        )
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        m4 = (
+            s4 / n
+            - F.lit(4.0) * mean * (s3 / n)
+            + F.lit(6.0) * mean * mean * (s2 / n)
+            - F.lit(3.0) * mean * mean * mean * mean
+        )
+        g2 = m4 / (m2 * m2) - F.lit(3.0)
+        g = (
+            (n - F.lit(1.0))
+            / ((n - F.lit(2.0)) * (n - F.lit(3.0)))
+            * ((n + F.lit(1.0)) * g2 + F.lit(6.0))
+        )
+        guarded = F.when(
+            (F.count(col).over(w) >= F.greatest(F.lit(self.min_periods), F.lit(4)))
+            & (m2 > 0),
+            g,
+        )
+        return self.tf._wrap(self.tf.df.withColumn(out or f"{col}_kurt", guarded))
+
     def median(self, col: str, out: str | None = None) -> TsFrame:
         w = self._frame()
         arr = F.array_sort(F.collect_list(col).over(w))

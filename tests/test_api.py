@@ -370,3 +370,15 @@ def test_rolling_skew_api(ev, pev):
         pev, lambda g: g["value"].rolling(5, min_periods=2).skew()
     )
     assert _eq(got.value_skew, want.want, tol=1e-7)
+
+
+def test_rolling_kurt_api(ev, pev):
+    got = _sorted(tsf(ev).rolling(7).kurt("value").to_pandas())
+    want = _pandas_per_user(pev, lambda g: g["value"].rolling(7).kurt())
+    assert _eq(got.value_kurt, want.want, tol=1e-6)
+    # min_periods below 4 still needs 4 obs (pandas semantics)
+    got = _sorted(tsf(ev).rolling(6, min_periods=2).kurt("value").to_pandas())
+    want = _pandas_per_user(
+        pev, lambda g: g["value"].rolling(6, min_periods=2).kurt()
+    )
+    assert _eq(got.value_kurt, want.want, tol=1e-6)
