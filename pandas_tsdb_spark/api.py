@@ -465,6 +465,28 @@ class Rolling:
         )
         return self.tf._wrap(self.tf.df.withColumn(out or f"{col}_kurt", guarded))
 
+    def quantile(self, col: str, q: float, out: str | None = None) -> TsFrame:
+        """pandas rolling(...).quantile(q, interpolation='linear'):
+        sort the frame, lerp between the two straddling order
+        statistics at pos = (n-1)*q. Variable frame sizes (time-based
+        windows, expanding, min_periods < window) are handled by
+        computing pos from the actual frame count."""
+        if not 0 <= q <= 1:
+            raise ValueError(f"q must be in [0, 1], got {q}")
+        w = self._frame()
+        arr = F.array_sort(F.collect_list(col).over(w))
+        n = F.size(arr)
+        pos = (n.cast("double") - F.lit(1.0)) * F.lit(float(q))
+        lo = F.floor(pos).cast("int")
+        frac = pos - lo
+        base = F.element_at(arr, lo + 1)
+        hi = F.element_at(arr, F.least(lo + 2, n))
+        val = base + (hi - base) * frac
+        guarded = F.when(F.count(col).over(w) >= self.min_periods, val)
+        return self.tf._wrap(
+            self.tf.df.withColumn(out or f"{col}_q{int(q * 100)}", guarded)
+        )
+
     def median(self, col: str, out: str | None = None) -> TsFrame:
         w = self._frame()
         arr = F.array_sort(F.collect_list(col).over(w))

@@ -461,6 +461,62 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_rolling_quantile",
+    # Both engines evaluate the SAME explicit lerp over the sorted
+    # frame: arr[lo+1] + (arr[lo+2] - arr[lo+1]) * frac. DuckDB's own
+    # quantile_cont is NOT used — its internal interpolation shape
+    # (lo*(1-f)+hi*f vs lo+(hi-lo)*f) is unspecified and the two forms
+    # differ in the last ulp. Raw parquet doubles + mirrored
+    # arithmetic -> bit-identical, no rounding.
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id, value,
+               list_sort(list(value) OVER w) AS arr,
+               count(*) OVER w AS cnt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value,
+           CASE WHEN cnt = 7
+                THEN arr[2] + (arr[3] - arr[2]) * 0.5 END AS roll_q25,
+           CASE WHEN cnt = 7
+                THEN arr[5] + (arr[6] - arr[5]) * 0.5 END AS roll_q75
+    FROM s
+    """,
+)
+def win_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling(7).quantile(q, interpolation='linear') for q=0.25 and
+    q=0.75 in ONE pass — both order statistics read the same sorted
+    collect_list frame, so the second quantile is two extra array
+    lookups, not a second window. pos = (n-1)*q lands between sorted
+    elements lo and lo+1; the emitted value is the numpy/pandas lerp
+    arr[lo] + (arr[lo+1] - arr[lo])*frac. min_periods=7 (pandas
+    default) via NULLing short frames; frame width is a constant 7, so
+    lo/frac fold to literals at plan time. One exchange, one sort."""
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("value").over(w))
+
+    def lerp(a, q: float):
+        pos = (7 - 1) * q
+        lo = int(pos)
+        frac = pos - lo
+        base = F.element_at(a, lo + 1)
+        if frac == 0:
+            return base
+        return base + (F.element_at(a, lo + 2) - base) * F.lit(frac)
+
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(F.size(arr) == 7, lerp(arr, 0.25)).alias("roll_q25"),
+        F.when(F.size(arr) == 7, lerp(arr, 0.75)).alias("roll_q75"),
+    )
+
+
+@query(
     "win_rolling_skew",
     # Exact-integer-cents trick (same family as win_twa): value is
     # 2-decimal data, so cents are integers and the three window power

@@ -382,3 +382,15 @@ def test_rolling_kurt_api(ev, pev):
         pev, lambda g: g["value"].rolling(6, min_periods=2).kurt()
     )
     assert _eq(got.value_kurt, want.want, tol=1e-6)
+
+
+def test_rolling_quantile_api(ev, pev):
+    got = _sorted(tsf(ev).rolling(7).quantile("value", 0.25).to_pandas())
+    want = _pandas_per_user(pev, lambda g: g["value"].rolling(7).quantile(0.25))
+    assert _eq(got.value_q25, want.want, tol=1e-12)
+    # variable frame size: min_periods below window + an extreme q
+    got = _sorted(tsf(ev).rolling(5, min_periods=2).quantile("value", 0.9).to_pandas())
+    want = _pandas_per_user(
+        pev, lambda g: g["value"].rolling(5, min_periods=2).quantile(0.9)
+    )
+    assert _eq(got.value_q90, want.want, tol=1e-12)

@@ -168,3 +168,31 @@ def test_entropy_invariants(spark, sf_dir):
     assert (out.entropy >= 0).all()
     assert (out.entropy <= np.log(out.n_sources) + 1e-9).all()
     assert out.norm_entropy.between(0, 1 + 1e-9).all()
+
+
+def test_rolling_quantile_matches_pandas(spark, sf_dir):
+    """win_rolling_quantile vs pandas rolling(7).quantile(q, 'linear')
+    for q=0.25/0.75: same null mask, same lerp values."""
+    import pandas as pd
+
+    from pandas_tsdb_spark.registry import load_all
+
+    specs = load_all()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "event_id"]
+    )
+    out = specs["win_rolling_quantile"].builder(spark, sf_dir).toPandas()
+    for q, col in [(0.25, "roll_q25"), (0.75, "roll_q75")]:
+        exp = (
+            ev.groupby("user_id")["value"]
+            .rolling(7, min_periods=7)
+            .quantile(q, interpolation="linear")
+            .reset_index(level=0, drop=True)
+        )
+        mg = out.merge(
+            pd.DataFrame({"event_id": ev.event_id.values, "exp": exp.values}),
+            on="event_id",
+        )
+        assert (mg[col].isna() == mg.exp.isna()).all()
+        both = mg[col].notna()
+        assert float((mg.loc[both, col] - mg.loc[both, "exp"]).abs().max()) < 1e-12
