@@ -48,14 +48,26 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Fan an UNDER-SPLIT source out to the cluster before a CPU-heavy
     per-row stage (shingling, n-gram scoring): one narrow exchange of
     the raw rows, keyed so downstream per-key aggregation needs no
-    second shuffle. No-op when the scan already has >= defaultParallelism
-    splits — which a many-file 100 TB table always does; this exists for
+    second shuffle. No-op when the scan is already genuinely parallel —
+    which a many-file 100 TB table always is; this exists for
     few-big-files sources where scan parallelism caps at the file count
     (measured on the one-file 64x fixture: the signature stage of
-    dedup_minhash ran on 9 of 32 cores, 26 s -> 2.9 s from this)."""
+    dedup_minhash ran on 9 of 32 cores, 26 s -> 2.9 s from this).
+
+    The no-op test requires many FILES, not just many partitions:
+    Spark splits a single file into defaultParallelism byte ranges, but
+    a parquet split only yields rows if a row-group STARTS inside it —
+    a big single-file scan can report 32 partitions of which only
+    #row-groups are non-empty (measured at 256x docs: 2 of 32 splits
+    held rows, all per-doc CPU ran on 2 cores, lang_id 21x slower than
+    linear). Partition count alone is a lie; file count is not."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source: trust partition count
+        n_files = target
+    if n_files >= target and df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, key)
 
