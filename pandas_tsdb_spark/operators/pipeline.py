@@ -202,30 +202,36 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain equi-join both engines plan identically. At 100 TB each stage
     is one linear shuffle; no step holds more than a key+id pair per
     group in state."""
+    from pandas_tsdb_spark.operators.llm_text import _spread
+
     t = Tables(spark, sf_dir)
-    d = t.documents
+    d = _spread(t.documents)  # quality gate + splits are per-doc CPU
     qual = d.filter(
         (F.col("n_chars") >= 50) & (F.size(F.split("text", " ")) >= 10)
     )
     keep = qual.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     )
+    # n_tokens is computed BEFORE the winner re-join, so the join (and
+    # any exchange under it) carries four narrow columns — never the
+    # text payload. Both `keep` and `narrow` hang off the same spread
+    # subtree (exchange reused): the corpus text moves at most once.
+    narrow = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
     return (
         keep.select("doc_id")
-        .join(d, "doc_id")
+        .join(narrow, "doc_id")
         .join(
             t.embeddings.select(
                 F.col("vec_id").alias("doc_id"), "label"
             ),
             "doc_id",
         )
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.size(F.split("text", " ")).alias("n_tokens"),
-            "label",
-        )
+        .select("doc_id", "lang", "source", "n_tokens", "label")
     )
 
 
