@@ -67,7 +67,10 @@ EXPECTATIONS = {
     "pipeline_mixture": (0, True),
     "pipeline_split": (0, False),
     "pipeline_pack": (1, False),
-    "pipeline_curate": (1, True),
+    # curate since continuation-5: scan fan-out (+1, no-op on many-file
+    # sources) + md5 dedup agg + the narrow winner re-join's exchange;
+    # joins broadcast at runtime via AQE, text never crosses a join.
+    "pipeline_curate": (3, True),
     # bucketed co-located join: ZERO exchanges is the whole point;
     # normalize is a narrow map; mode is agg + same-key argmax window.
     "join_bucketed": (0, False),
