@@ -442,21 +442,28 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rolling(7).median() — an order statistic per frame, which no
     running-sum trick can provide and which Spark's `median`/`percentile`
     aggregates refuse to compute over a window frame
-    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC). Frame-expressible
-    formulation: collect_list over the rows frame (frames ARE supported
-    for collect_list), array_sort, take the middle element — O(w log w)
-    per row at w=7, exact. min_periods=7 (the pandas default) is
-    emulated by NULLing short frames; the emitted frame is always 7
-    rows (odd), so the median is an exact element — raw parquet
-    doubles, bit-identical across engines, no rounding. One exchange."""
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC). Formulation: the frame
+    is assembled as array(lag(6)..lag(0)) — all seven lag expressions
+    ride ONE window sort — then array_sort + middle element, O(w log w)
+    per row, exact. This beats the collect_list-over-frame shape 3x at
+    256x (10.7 -> 3.8 s for the quantile twin): lag is a fixed offset
+    read from the sorted partition, while a running collect_list frame
+    re-materializes a per-row buffer. lag(6) IS NOT NULL == "frame has
+    7 rows" (value is never null), giving pandas min_periods=7
+    semantics; the 7-row frame is odd, so the median is an exact
+    element — raw parquet doubles, bit-identical, no rounding. One
+    exchange."""
     ev = _ev(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
-    frame = F.array_sort(F.collect_list("value").over(w))
+    w = W.partitionBy("user_id").orderBy("event_id")
+    frame = F.array_sort(
+        F.array(*[F.lag("value", i).over(w) for i in range(6, 0, -1)], F.col("value"))
+    )
+    full = F.lag("value", 6).over(w).isNotNull()
     return ev.select(
         "event_id",
         "user_id",
         "value",
-        F.when(F.size(frame) == 7, F.element_at(frame, 4)).alias("med7"),
+        F.when(full, F.element_at(frame, 4)).alias("med7"),
     )
 
 
@@ -488,15 +495,30 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rolling(7).quantile(q, interpolation='linear') for q=0.25 and
     q=0.75 in ONE pass — both order statistics read the same sorted
-    collect_list frame, so the second quantile is two extra array
-    lookups, not a second window. pos = (n-1)*q lands between sorted
-    elements lo and lo+1; the emitted value is the numpy/pandas lerp
-    arr[lo] + (arr[lo+1] - arr[lo])*frac. min_periods=7 (pandas
-    default) via NULLing short frames; frame width is a constant 7, so
-    lo/frac fold to literals at plan time. One exchange, one sort."""
+    frame, so the second quantile is two extra array lookups, not a
+    second window. The frame is array(lag(6)..lag(0)) — seven lag
+    expressions sharing ONE window sort — which beats a per-row
+    collect_list frame 3x at 256x (10.7 -> 3.8 s measured): lag is a
+    fixed-offset read from the sorted partition. pos = (n-1)*q lands
+    between sorted elements lo and lo+1; the emitted value is the
+    numpy/pandas lerp arr[lo] + (arr[lo+1] - arr[lo])*frac.
+    min_periods=7 (pandas default) via lag(6) IS NOT NULL (value has
+    no nulls); frame width is a constant 7, so lo/frac fold to
+    literals at plan time. One exchange, one sort."""
     ev = _ev(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
-    arr = F.array_sort(F.collect_list("value").over(w))
+    w = W.partitionBy("user_id").orderBy("event_id")
+    arr = F.array_sort(
+        F.array(*[F.lag("value", i).over(w) for i in range(6, 0, -1)], F.col("value"))
+    )
+    full = F.lag("value", 6).over(w).isNotNull()
+    # The sorted array is materialized in its OWN projection: the four
+    # element_at consumers below would otherwise each re-evaluate the
+    # sort (common-subexpression elimination does not cross `when`
+    # branches — measured 3x slower inlined). CollapseProject keeps the
+    # split because collapsing would duplicate a non-cheap expression.
+    d = ev.select(
+        "event_id", "user_id", "value", F.when(full, arr).alias("arr")
+    )
 
     def lerp(a, q: float):
         pos = (7 - 1) * q
@@ -507,12 +529,13 @@ def win_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             return base
         return base + (F.element_at(a, lo + 2) - base) * F.lit(frac)
 
-    return ev.select(
+    a = F.col("arr")
+    return d.select(
         "event_id",
         "user_id",
         "value",
-        F.when(F.size(arr) == 7, lerp(arr, 0.25)).alias("roll_q25"),
-        F.when(F.size(arr) == 7, lerp(arr, 0.75)).alias("roll_q75"),
+        F.when(a.isNotNull(), lerp(a, 0.25)).alias("roll_q25"),
+        F.when(a.isNotNull(), lerp(a, 0.75)).alias("roll_q75"),
     )
 
 
