@@ -871,3 +871,262 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ------------------------------------------------- derived partsupp
+# The fixtures have no partsupp table; q2/q11/q20 stand it in with the
+# distinct (l_partkey, l_suppkey) pairs of lineitem:
+#   ps_availqty      := sum(l_quantity)            (integral -> exact long)
+#   ps_supplycost_c  := min(price) in INTEGER CENTS (2-decimal -> exact)
+# Both columns are exact integers, so every downstream comparison
+# (min-cost equality in q2, share thresholds in q11, excess-stock in
+# q20) is integer arithmetic — no float rounding doctrine needed.
+
+_PS_SQL = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_supplycost_c
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _partsupp(t: Tables) -> DataFrame:
+    return t.lineitem.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("ps_availqty"),
+        F.min(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "ps_supplycost_c"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- q2
+
+
+@query(
+    "tpch_q2",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    best AS (
+      SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, s.s_acctbal,
+             ps.ps_supplycost_c,
+             min(ps.ps_supplycost_c) OVER (PARTITION BY p.p_partkey)
+               AS min_cost_c
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_size IN (1, 3, 5, 7) AND p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal, ps_supplycost_c
+    FROM best
+    WHERE ps_supplycost_c = min_cost_c
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("analytics", "tpch"),
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted to a derived partsupp
+    (see _PS_SQL: lineitem's part-supplier pairs; supplycost = min price
+    in integer cents, so the min-cost equality is exact). The spec's
+    correlated min-subquery becomes a window min over p_partkey. All
+    four dimensions broadcast; the only exchange is the partsupp
+    aggregation on (partkey, suppkey), and the window min re-shuffles
+    just the EUROPE/ECONOMY/size-5 slice — at 100 TB the fact table is
+    touched exactly once."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    ps = _partsupp(t)
+    dims = (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(F.broadcast(t.region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = t.part.filter(F.col("p_size").isin(1, 3, 5, 7) & (F.col("p_type") == "ECONOMY")).select(
+        "p_partkey", "p_name"
+    )
+    best = (
+        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(F.broadcast(dims), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .withColumn(
+            "min_cost_c",
+            F.min("ps_supplycost_c").over(Window.partitionBy("p_partkey")),
+        )
+    )
+    return (
+        best.filter(F.col("ps_supplycost_c") == F.col("min_cost_c"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal",
+                "ps_supplycost_c")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q11
+
+
+@query(
+    "tpch_q11",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    byp AS (
+      SELECT ps.ps_partkey,
+             CAST(sum(ps.ps_supplycost_c * ps.ps_availqty) AS BIGINT) AS value_c
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY ps.ps_partkey
+    ),
+    tot AS (
+      SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM byp
+    )
+    SELECT b.ps_partkey, b.value_c,
+           round(b.value_c * 1.0 / t.total_c, 9) AS share
+    FROM byp b CROSS JOIN tot t
+    WHERE b.value_c * t.n_parts > t.total_c
+    ORDER BY b.value_c DESC, b.ps_partkey
+    LIMIT 100
+    """,
+    tags=("analytics", "tpch"),
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: derived
+    partsupp (_PS_SQL), region slice instead of a single nation (the
+    fixture has 4 suppliers/nation), and the spec's fixed share
+    threshold (0.0001/SF, not scale-free) replaced by "above-average
+    share" — value_c * n_parts > total_c is EXACT integer arithmetic,
+    so the threshold never wobbles across engines. The scalar subquery
+    is a 1-row aggregate broadcast cross-joined back (same pattern as
+    q15); top-100 by value with a partkey tie-break keeps the LIMIT
+    deterministic."""
+    t = Tables(spark, sf_dir)
+    dims = (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(F.broadcast(t.region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey")
+    )
+    byp = (
+        _partsupp(t)
+        .join(F.broadcast(dims), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_c") * F.col("ps_availqty"))
+            .cast("bigint")
+            .alias("value_c")
+        )
+    )
+    tot = byp.agg(
+        F.sum("value_c").cast("bigint").alias("total_c"),
+        F.count("*").cast("bigint").alias("n_parts"),
+    )
+    return (
+        byp.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_c") * F.col("n_parts") > F.col("total_c"))
+        .select(
+            "ps_partkey",
+            "value_c",
+            F.round(F.col("value_c") * 1.0 / F.col("total_c"), 9).alias("share"),
+        )
+        .orderBy(F.col("value_c").desc(), "ps_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q20
+
+
+@query(
+    "tpch_q20",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS availqty,
+             CAST(coalesce(sum(CASE
+               WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+               THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS qty96
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+      SELECT ps.l_suppkey
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND ps.qty96 > 0
+        AND ps.availqty > 2 * ps.qty96
+      GROUP BY ps.l_suppkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN excess e ON e.l_suppkey = s.s_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+    ORDER BY s_name
+    """,
+    tags=("analytics", "tpch"),
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: derived partsupp,
+    region slice, and "excess stock" = all-time quantity more than
+    twice the 1996 shipments for that (part, supplier) — all exact
+    integer compares. The spec's two nested subqueries (half-of-
+    shipped threshold; red-part filter) FUSE into one lineitem pass:
+    availqty and qty96 come from the same conditional aggregate, so
+    the fact table is scanned once and shuffled once on
+    (partkey, suppkey); the part filter broadcasts; the final
+    supplier restriction is a semi-join shape expressed as a
+    grouped key set."""
+    t = Tables(spark, sf_dir)
+    yr = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    ps = t.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("availqty"),
+        F.coalesce(
+            F.sum(F.when(yr, F.col("l_quantity").cast("bigint"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("qty96"),
+    )
+    red = t.part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    excess = (
+        ps.join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .filter((F.col("qty96") > 0) & (F.col("availqty") > 2 * F.col("qty96")))
+        .groupBy("l_suppkey")
+        .agg(F.lit(1).alias("_one"))
+        .select("l_suppkey")
+    )
+    dims = (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(F.broadcast(t.region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        dims.join(excess, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
