@@ -804,3 +804,74 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(50)
     )
+
+
+# ------------------------------------------------- intra-doc repetition
+
+
+@query(
+    "text_repetition",
+    # DuckDB mirror of the same two-level aggregate. All counts are
+    # exact BIGINTs; the two fractions are single IEEE divisions of
+    # exact integers, identical across engines through round(6).
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(1.0 - count(*) * 1.0 / sum(n), 6) AS dup_frac,
+           round(max(n) * 1.0 / sum(n), 6) AS top_frac
+    FROM c GROUP BY doc_id
+    """,
+    tags=("llm-text",),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals — the MassiveText/Gopher-style
+    quality rule that text_quality's inter-doc features don't cover:
+    dup_frac = fraction of bigram occurrences that are repeats of an
+    earlier bigram in the SAME document, top_frac = share of the single
+    most repeated bigram. Boilerplate, keyword-stuffed, and
+    template-generated pages score high on both.
+
+    Plan: _spread's fan-out is keyed on doc_id, so BOTH aggregation
+    levels — per-(doc, bigram) counts and the per-doc rollup — are
+    satisfied by that one narrow exchange of raw docs; no per-bigram
+    pair ever crosses the wire (hash partitioning on doc_id clusters
+    every subset-keyed groupBy above it). Bigrams are zip_with over
+    shifted token-array slices exploded as an expression (the two
+    NOTES.md O(len^2) / InferFiltersFromGenerate traps)."""
+    d = _spread(_docs(spark, sf_dir))
+    toks = _tokens_col()
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per_bigram = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.sum("n")
+    uniq = F.count("*")
+    return per_bigram.groupBy("doc_id").agg(
+        tot.cast("bigint").alias("n_bigrams"),
+        uniq.cast("bigint").alias("n_distinct"),
+        F.round(F.lit(1.0) - uniq.cast("double") / tot.cast("double"), 6).alias(
+            "dup_frac"
+        ),
+        F.round(F.max("n").cast("double") / tot.cast("double"), 6).alias("top_frac"),
+    )

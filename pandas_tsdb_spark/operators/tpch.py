@@ -1126,7 +1126,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
     )
     return (
-        dims.join(excess, F.col("l_suppkey") == F.col("s_suppkey"))
+        dims.join(F.broadcast(excess), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "n_name")
         .orderBy("s_name")
     )

@@ -151,6 +151,14 @@ EXPECTATIONS = {
     "lang_id": (4, True),
     "pipeline_decontaminate": (3, True),
     "text_lm_score": (3, True),
+    # derived-partsupp TPC-H trio: one lineitem aggregation each, dims
+    # broadcast; q11's 5 counts the statically-duplicated byp subtree
+    # (scalar-subquery total), reused at runtime under AQE.
+    "tpch_q2": (2, True),
+    "tpch_q11": (5, True),
+    "tpch_q20": (4, True),
+    # one narrow doc_id-keyed fan-out serves both aggregation levels.
+    "text_repetition": (1, False),
 }
 
 
