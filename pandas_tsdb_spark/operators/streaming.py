@@ -615,3 +615,40 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "stream_enrich",
+    oracle="""
+    SELECT date_trunc('day', e.ts) AS day, c.c_mktsegment,
+           count(*) AS n, round(sum(e.value), 2) AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the canonical production
+    shape: an unbounded event stream joined to a slowly-changing
+    dimension (customer segment) BEFORE the windowed rollup. The
+    static side is a bounded DataFrame, so the join is stateless per
+    micro-batch and Catalyst broadcasts it (dimension ≪ executor
+    memory at any scale — the stream side never shuffles for the
+    join); only the tumbling-window aggregate keeps state, keyed on
+    (day, segment) — a bounded key space. Completed-stream result
+    equals the batch join+GROUP BY, hence the full oracle."""
+    ev = events_stream(spark, sf_dir)
+    seg = Tables(spark, sf_dir).customer.select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = ev.join(F.broadcast(seg), ev.user_id == seg.c_custkey)
+    agg = joined.groupBy(
+        F.window("ts", "1 day").alias("w"), "c_mktsegment"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    out = agg.select(
+        F.col("w.start").alias("day"), "c_mktsegment", "n", "sum_value"
+    )
+    return run_to_memory(out, "complete", "enrich")

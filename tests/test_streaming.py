@@ -225,3 +225,34 @@ def test_chunked_session_window(spark, chunk_dir):
     )
     cols = ["user_id", "s", "n"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_chunked_stream_static_enrich(spark, chunk_dir):
+    """stream_enrich's stream-static join replayed as 4 micro-batches:
+    each batch re-joins the static dimension, and the complete-mode
+    (day, segment) aggregate — including the cross-batch
+    countDistinct(user_id) — must equal the batch join+GROUP BY."""
+    seg = spark.read.parquet(f"{SMALL}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    tf = lambda ev: (
+        ev.join(F.broadcast(seg), ev.user_id == seg.c_custkey)
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .select(F.col("w.start").alias("day"), "c_mktsegment", "n", "s")
+    )
+    got = _run_chunks(spark, chunk_dir, tf, "complete")
+    want = (
+        S.batch_events(spark, SMALL)
+        .join(seg, F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+    )
+    cols = ["day", "c_mktsegment", "n", "s"]
+    assert _rows(got, cols) == _rows(want, cols)
