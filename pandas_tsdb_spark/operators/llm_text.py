@@ -845,33 +845,54 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     most repeated bigram. Boilerplate, keyword-stuffed, and
     template-generated pages score high on both.
 
-    Plan: _spread's fan-out is keyed on doc_id, so BOTH aggregation
-    levels — per-(doc, bigram) counts and the per-doc rollup — are
-    satisfied by that one narrow exchange of raw docs; no per-bigram
-    pair ever crosses the wire (hash partitioning on doc_id clusters
-    every subset-keyed groupBy above it). Bigrams are zip_with over
-    shifted token-array slices exploded as an expression (the two
-    NOTES.md O(len^2) / InferFiltersFromGenerate traps)."""
+    Plan: MAP-ONLY after _spread's narrow fan-out. Bigrams are NUMERIC
+    2-shingles (_shingle_hashes_col: hash each token once, fold shifted
+    LONG slices — no bigram string ever materializes), then each doc's
+    shingle array is array_sort'ed and folded ONCE (F.aggregate) into
+    (distinct count, max run length): a per-row O(n log n) kernel with
+    bounded memory. The rejected alternative — explode + groupBy(doc,
+    bigram) + per-doc rollup — builds a hash table over every distinct
+    (doc, bigram) pair in the corpus (~100M groups at 64x docs), which
+    spills unpredictably (measured 4-58 s bimodal at 64x vs a steady
+    ~3 s for this plan) and gets strictly worse with corpus size; the
+    sorted-array fold's footprint is one document, forever. An
+    intra-doc 64-bit hash collision (the only kind that could shift a
+    count) has probability ~1e-12 even for a million-distinct-bigram
+    document."""
     d = _spread(_docs(spark, sf_dir))
-    toks = _tokens_col()
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+    sh = F.array_sort(_shingle_hashes_col(2))
+    acc0 = F.struct(
+        F.lit(None).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("mx"),
+        F.lit(0).cast("long").alias("d"),
     )
-    per_bigram = (
-        d.select("doc_id", F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("n"))
-    )
-    tot = F.sum("n")
-    uniq = F.count("*")
-    return per_bigram.groupBy("doc_id").agg(
-        tot.cast("bigint").alias("n_bigrams"),
-        uniq.cast("bigint").alias("n_distinct"),
-        F.round(F.lit(1.0) - uniq.cast("double") / tot.cast("double"), 6).alias(
-            "dup_frac"
-        ),
-        F.round(F.max("n").cast("double") / tot.cast("double"), 6).alias("top_frac"),
+
+    def step(acc, x):
+        same = acc.prev.isNotNull() & (x == acc.prev)
+        run = F.when(same, acc.run + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.mx, run).alias("mx"),
+            (acc.d + F.when(same, 0).otherwise(1)).alias("d"),
+        )
+
+    st = F.aggregate(sh, acc0, step)
+    n = F.size(sh).cast("long")
+    return (
+        d.select("doc_id", st.alias("st"), n.alias("n_bigrams"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("st.d").alias("n_distinct"),
+            F.round(
+                F.lit(1.0)
+                - F.col("st.d").cast("double") / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("dup_frac"),
+            F.round(
+                F.col("st.mx").cast("double") / F.col("n_bigrams").cast("double"), 6
+            ).alias("top_frac"),
+        )
     )

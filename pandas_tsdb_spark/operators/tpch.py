@@ -891,8 +891,20 @@ _PS_SQL = """
 """
 
 
-def _partsupp(t: Tables) -> DataFrame:
-    return t.lineitem.groupBy(
+def _partsupp(t: Tables, li: DataFrame | None = None) -> DataFrame:
+    """Derived partsupp over ``li`` (default: full lineitem).
+
+    Callers that only need a dimension-restricted slice MUST pass a
+    pre-filtered lineitem: the grouping keys ARE the filter columns
+    (partkey/suppkey), so semi-joining the fact table against the
+    filtered dimension keys BEFORE this aggregate is semantically
+    identical to filtering after it, and shrinks the aggregate's input
+    by the dimensions' selectivity — Catalyst will not push a join
+    through an aggregation on its own (measured 4.6 s for the full
+    38.4M-row aggregate at 64x vs ~0.5 s for a filtered slice)."""
+    if li is None:
+        li = t.lineitem
+    return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(
@@ -935,14 +947,15 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see _PS_SQL: lineitem's part-supplier pairs; supplycost = min price
     in integer cents, so the min-cost equality is exact). The spec's
     correlated min-subquery becomes a window min over p_partkey. All
-    four dimensions broadcast; the only exchange is the partsupp
-    aggregation on (partkey, suppkey), and the window min re-shuffles
-    just the EUROPE/ECONOMY/size-5 slice — at 100 TB the fact table is
-    touched exactly once."""
+    four dimensions broadcast, and BOTH dimension filters are pushed
+    below the partsupp aggregation as broadcast semi-joins on the fact
+    table (filters on grouping keys commute with the groupBy — see
+    _partsupp), so the aggregate only ever sees the EUROPE x ECONOMY
+    slice; at 100 TB the fact table is touched exactly once and
+    aggregated at ~2% selectivity (9.7 -> 0.9 s at 64x)."""
     from pyspark.sql import Window
 
     t = Tables(spark, sf_dir)
-    ps = _partsupp(t)
     dims = (
         t.supplier.join(
             F.broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey")
@@ -954,6 +967,16 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t.part.filter(F.col("p_size").isin(1, 3, 5, 7) & (F.col("p_type") == "ECONOMY")).select(
         "p_partkey", "p_name"
     )
+    li = t.lineitem.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(dims.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    ps = _partsupp(t, li)
     best = (
         ps.join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
         .join(F.broadcast(dims), F.col("s_suppkey") == F.col("ps_suppkey"))
@@ -1010,9 +1033,15 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture has 4 suppliers/nation), and the spec's fixed share
     threshold (0.0001/SF, not scale-free) replaced by "above-average
     share" — value_c * n_parts > total_c is EXACT integer arithmetic,
-    so the threshold never wobbles across engines. The scalar subquery
-    is a 1-row aggregate broadcast cross-joined back (same pattern as
-    q15); top-100 by value with a partkey tie-break keeps the LIMIT
+    so the threshold never wobbles across engines. The supplier-region
+    filter pushes below the partsupp aggregation as a broadcast
+    semi-join (grouping-key filter — see _partsupp). The scalar
+    subquery is a 1-row aggregate cross-joined back (same pattern as
+    q15) with NO explicit broadcast hint: hinting the computed branch
+    re-executes its whole subtree per-broadcast, where AQE's runtime
+    broadcast reuses byp's exchange for both legs (NOTES.md
+    continuation-3 trap; 32 -> 1.5 s at 64x with the semi-join).
+    Top-100 by value with a partkey tie-break keeps the LIMIT
     deterministic."""
     t = Tables(spark, sf_dir)
     dims = (
@@ -1023,9 +1052,11 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
         .select("s_suppkey")
     )
+    li = t.lineitem.join(
+        F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
     byp = (
-        _partsupp(t)
-        .join(F.broadcast(dims), F.col("s_suppkey") == F.col("ps_suppkey"))
+        _partsupp(t, li)
         .groupBy("ps_partkey")
         .agg(
             F.sum(F.col("ps_supplycost_c") * F.col("ps_availqty"))
@@ -1038,7 +1069,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_parts"),
     )
     return (
-        byp.crossJoin(F.broadcast(tot))
+        byp.crossJoin(tot)
         .filter(F.col("value_c") * F.col("n_parts") > F.col("total_c"))
         .select(
             "ps_partkey",
@@ -1093,7 +1124,9 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped threshold; red-part filter) FUSE into one lineitem pass:
     availqty and qty96 come from the same conditional aggregate, so
     the fact table is scanned once and shuffled once on
-    (partkey, suppkey); the part filter broadcasts; the final
+    (partkey, suppkey); the red-part filter pushes below that
+    aggregate as a broadcast semi-join (grouping-key filter — see
+    _partsupp), so only the red slice is ever aggregated; the final
     supplier restriction is a semi-join shape expressed as a
     grouped key set."""
     t = Tables(spark, sf_dir)
@@ -1101,7 +1134,11 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
-    ps = t.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+    red = t.part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    li = t.lineitem.join(
+        F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("availqty"),
         F.coalesce(
             F.sum(F.when(yr, F.col("l_quantity").cast("bigint"))), F.lit(0)
@@ -1109,10 +1146,8 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("qty96"),
     )
-    red = t.part.filter(F.col("p_name").like("red%")).select("p_partkey")
     excess = (
-        ps.join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
-        .filter((F.col("qty96") > 0) & (F.col("availqty") > 2 * F.col("qty96")))
+        ps.filter((F.col("qty96") > 0) & (F.col("availqty") > 2 * F.col("qty96")))
         .groupBy("l_suppkey")
         .agg(F.lit(1).alias("_one"))
         .select("l_suppkey")
