@@ -695,3 +695,73 @@ def win_rolling_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when((F.col("n") >= 7) & (m2 > 0), kurt).alias("roll_kurt"),
     )
+
+
+@query(
+    "win_rolling_slope",
+    # Rolling OLS in the exact-moments discipline (win_rolling_skew/
+    # kurt): x = µs since 2024-01-01 (long), y = integer cents. The
+    # four frame sums accumulate exactly (x·x past int64 -> decimal /
+    # HUGEINT), cast to double ONCE, and every later op is IEEE with
+    # mirrored association order — bit-identical RAW emission.
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) - 1704067200000000 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             count(*) OVER w AS n,
+             CAST(sum(x) OVER w AS DOUBLE) AS sx,
+             CAST(sum(y) OVER w AS DOUBLE) AS sy,
+             CAST(sum(x * y) OVER w AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) OVER w AS DOUBLE) AS sxx
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN n = 20
+                 AND 20.0 * sxx - sx * sx <> 0.0 THEN
+             (20.0 * sxy - sx * sy) / (20.0 * sxx - sx * sx)
+               * 864000000.0
+           END AS slope_per_day
+    FROM s
+    """,
+)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling(20) OLS slope of value on time per series — the rolling
+    twin of win_trend (drift detection over a moving window, the tsdb
+    momentum primitive). Four integer sums ride ONE frame (one
+    exchange, one sort, the same shape as the other exact-moment
+    rollers); slope is scaled to value-units/day (cents/µs x 8.64e8).
+    NULL until the frame holds 20 rows and for frames with zero time
+    variance. All sums are exact integers cast to double once, so the
+    raw double output hash-matches DuckDB with no rounding."""
+    x = (F.unix_micros("ts") - F.lit(1_704_067_200_000_000)).alias("x")
+    y = F.round(F.col("value") * 100).cast("long").alias("y")
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-19, 0)
+    b = _ev(spark, sf_dir).select("user_id", "event_id", "ts", "value").select(
+        "user_id", "event_id", x, y
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    s = b.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).cast("double").alias("sx"),
+        F.sum("y").over(w).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("double").alias("sxy"),
+        F.sum(xd * xd).over(w).cast("double").alias("sxx"),
+    )
+    den = 20.0 * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = 20.0 * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "user_id",
+        "event_id",
+        F.when((F.col("n") == 20) & (den != 0.0), num / den * 864000000.0).alias(
+            "slope_per_day"
+        ),
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -196,3 +197,36 @@ def test_rolling_quantile_matches_pandas(spark, sf_dir):
         assert (mg[col].isna() == mg.exp.isna()).all()
         both = mg[col].notna()
         assert float((mg.loc[both, col] - mg.loc[both, "exp"]).abs().max()) < 1e-12
+
+
+def test_rolling_slope_matches_numpy(spark, sf_dir):
+    """win_rolling_slope vs numpy polyfit per 20-row frame: same null
+    mask, slopes to relative tolerance (engine uses exact integer-cents
+    sums; polyfit solves the same least squares in doubles)."""
+    specs = load_all()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "event_id"]
+    )
+    out = specs["win_rolling_slope"].builder(spark, sf_dir).toPandas()
+    mg = out.merge(
+        ev[["event_id", "user_id", "ts", "value"]], on=["event_id", "user_id"]
+    ).sort_values(["user_id", "event_id"])
+    assert len(mg) == len(ev)
+
+    checked = 0
+    for _, g in mg.groupby("user_id"):
+        if len(g) < 20:
+            assert g.slope_per_day.isna().all()
+            continue
+        x_days = (
+            g.ts.astype("datetime64[ns]").astype("int64") // 1000
+            - 1_704_067_200_000_000
+        ).to_numpy() / 86_400_000_000.0
+        y = g.value.to_numpy()
+        got = g.slope_per_day.to_numpy()
+        assert np.isnan(got[:19]).all()
+        for i in range(19, min(len(g), 19 + 40)):  # spot-check 40 frames
+            sl = np.polyfit(x_days[i - 19 : i + 1], y[i - 19 : i + 1], 1)[0]
+            assert got[i] == pytest.approx(sl, rel=1e-6, abs=1e-9)
+            checked += 1
+    assert checked > 100

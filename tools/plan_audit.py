@@ -159,6 +159,8 @@ EXPECTATIONS = {
     "tpch_q20": (4, True),
     # one narrow doc_id-keyed fan-out serves both aggregation levels.
     "text_repetition": (1, False),
+    # four exact sums share one frame: one exchange, one sort.
+    "win_rolling_slope": (1, False),
 }
 
 
