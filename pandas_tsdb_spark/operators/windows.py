@@ -765,3 +765,71 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_per_day"
         ),
     )
+
+
+@query(
+    "win_cusum",
+    # One-sided CUSUM against the per-series mean, exact integers end
+    # to end: d_i = n*cents_i - sum(cents) (scaling by n clears the
+    # mean's division), prefix-sum P and running-min over ONE sorted
+    # partition, single double division at emission.
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cv,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id) AS BIGINT) AS sy
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, event_id, n,
+             CAST(sum(n * cv - sy) OVER (PARTITION BY user_id
+                  ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS pre
+      FROM b
+    )
+    SELECT user_id, event_id,
+           CAST(pre - least(0, min(pre) OVER (PARTITION BY user_id
+                ORDER BY event_id ROWS UNBOUNDED PRECEDING)) AS DOUBLE)
+             / (100.0 * n) AS cusum
+    FROM p
+    """,
+)
+def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM control chart per series (upward drift vs the
+    series mean) — the classic change-detection primitive. The textbook
+    recursion S_i = max(0, S_{i-1} + d_i) looks applyInPandas-only, but
+    the reflection identity S_i = P_i - min(0, min_{j<=i} P_j) (P =
+    prefix sum of deviations) turns it into a prefix sum plus a running
+    min: two frames on ONE sorted partition, no Python, no recursion —
+    the same trick that makes sessionize and gaps_islands window-able.
+    Deviations are scaled by the series length n (d_i = n*cents_i - sum
+    cents) so the per-series mean never becomes a float mid-pipeline;
+    everything is exact int64 until the single emission division.
+    S_i is emitted in value units (cusum = S / (100 n))."""
+    cv = F.round(F.col("value") * 100).cast("long")
+    wp = W.partitionBy("user_id")
+    wo = wp.orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+    b = _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        cv.alias("cv"),
+        F.count("*").over(wp).alias("n"),
+        F.sum(cv).over(wp).cast("long").alias("sy"),
+    )
+    p = b.select(
+        "user_id",
+        "event_id",
+        "n",
+        F.sum(F.col("n") * F.col("cv") - F.col("sy")).over(wo).cast("long").alias("pre"),
+    )
+    return p.select(
+        "user_id",
+        "event_id",
+        (
+            (F.col("pre") - F.least(F.lit(0).cast("long"), F.min("pre").over(wo)))
+            .cast("double")
+            / (100.0 * F.col("n"))
+        ).alias("cusum"),
+    )

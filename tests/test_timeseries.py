@@ -230,3 +230,27 @@ def test_rolling_slope_matches_numpy(spark, sf_dir):
             assert got[i] == pytest.approx(sl, rel=1e-6, abs=1e-9)
             checked += 1
     assert checked > 100
+
+
+def test_cusum_matches_literal_recursion(spark, sf_dir):
+    """win_cusum's reflection-identity windows vs the textbook
+    recursion S_i = max(0, S_{i-1} + (x_i - mean)) run literally in
+    pandas — proves the identity, not just the oracle mirror."""
+    specs = load_all()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "event_id"]
+    )
+    out = specs["win_cusum"].builder(spark, sf_dir).toPandas()
+    mg = out.merge(ev[["event_id", "user_id", "value"]], on=["event_id", "user_id"])
+    mg = mg.sort_values(["user_id", "event_id"])
+    assert len(mg) == len(ev)
+    for _, g in mg.groupby("user_id"):
+        cents = (g.value * 100).round().astype("int64").to_numpy()
+        n = len(cents)
+        d = n * cents - cents.sum()  # n*(x - mean), exact ints
+        s, exp = 0, []
+        for di in d:
+            s = max(0, s + int(di))
+            exp.append(s / (100.0 * n))
+        got = g.cusum.to_numpy()
+        assert np.allclose(got, exp, rtol=1e-12, atol=1e-12)

@@ -161,6 +161,8 @@ EXPECTATIONS = {
     "text_repetition": (1, False),
     # four exact sums share one frame: one exchange, one sort.
     "win_rolling_slope": (1, False),
+    # reflection identity: prefix sum + running min on one partition.
+    "win_cusum": (1, False),
 }
 
 
