@@ -232,6 +232,42 @@ class TsStore:
             q = writer.start()
         return q
 
+
+    def delete_keys(self, name: str, key_col: str, keys: Sequence) -> int:
+        """Targeted deletion (GDPR/opt-out): remove every row whose
+        ``key_col`` is in ``keys``, rewriting ONLY the day partitions
+        that actually contain those keys. Discovery is one pruned scan
+        (predicate pushes to parquet row-group stats); untouched days
+        are never read or rewritten, so takedown cost scales with the
+        subject's footprint, not the store size. Swap is per-partition
+        directory rename — same atomicity story as compact. Returns
+        the number of rows deleted."""
+        import shutil as _shutil
+
+        path = self.path(name)
+        df = self.spark.read.parquet(path)
+        hit = F.col(key_col).isin(list(keys))
+        days = [
+            r[0]
+            for r in df.filter(hit).select(_PART).distinct().collect()
+        ]
+        if not days:
+            return 0
+        sub = df.filter(F.col(_PART).isin(days))
+        deleted = sub.filter(hit).count()
+        kept = sub.filter(~hit).repartition(F.col(_PART))
+        tmp = path + ".delete.tmp"
+        kept.write.mode("overwrite").partitionBy(_PART).parquet(tmp)
+        for day in days:
+            part = f"{_PART}={day}"
+            old = os.path.join(path, part)
+            new = os.path.join(tmp, part)
+            _shutil.rmtree(old)
+            if os.path.exists(new):  # day may become empty
+                os.rename(new, old)
+        _shutil.rmtree(tmp, ignore_errors=True)
+        return deleted
+
     # -- lifecycle --------------------------------------------------------
 
     def drop_before(self, name: str, cutoff) -> int:

@@ -150,3 +150,37 @@ def test_as_of_composes_with_latest_by(spark, store, events):
     assert snap.filter(F.col("value") == 9999.0).count() == 0
     cur = store.fetch("ev2", latest_by=["event_id"], order_col="ts")
     assert cur.count() == 50
+
+
+def test_delete_keys_rewrites_only_touched_days(spark, store, events):
+    """delete_keys removes exactly the subject's rows and rewrites only
+    day partitions that contained them; other days' files are
+    untouched (mtime-stable)."""
+    import os
+
+    store.append("events", events)
+    path = store.path("events")
+    victims = [r[0] for r in events.select("user_id").distinct().limit(2).collect()]
+    victim_days = {
+        r[0]
+        for r in events.filter(F.col("user_id").isin(victims))
+        .select(F.date_format("ts", "yyyy-MM-dd"))
+        .distinct()
+        .collect()
+    }
+    before = {
+        d: os.stat(os.path.join(path, d)).st_mtime
+        for d in os.listdir(path)
+        if d.startswith("_date=")
+    }
+    want_deleted = events.filter(F.col("user_id").isin(victims)).count()
+    got_deleted = store.delete_keys("events", "user_id", victims)
+    assert got_deleted == want_deleted
+
+    after = store.fetch("events")
+    assert after.filter(F.col("user_id").isin(victims)).count() == 0
+    assert after.count() == events.count() - want_deleted
+    for d, mtime in before.items():
+        day = d.split("=", 1)[1]
+        if day not in victim_days:
+            assert os.stat(os.path.join(path, d)).st_mtime == mtime, d
