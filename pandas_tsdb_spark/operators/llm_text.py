@@ -896,3 +896,94 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_frac"),
         )
     )
+
+
+@query(
+    "text_lm_bigram",
+    # Interpolated bigram LM: P(w2|w1) = 0.75*B(w1 w2)/U(w1)
+    # + 0.25*U(w2)/N. Same float discipline as text_lm_score: all
+    # counts are exact ints, p is the same IEEE expression both
+    # engines, ln() may differ by 1 ulp -> round the per-doc SUM of
+    # logs at 6 digits before the integer division.
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents),
+    uni AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY 1),
+    total AS (SELECT sum(c1) AS n FROM uni),
+    db AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents)
+    ),
+    big AS (SELECT bigram, count(*) AS c2 FROM db GROUP BY 1),
+    bprob AS (
+      SELECT b.bigram,
+             0.75 * (CAST(b.c2 AS DOUBLE) / u1.c1)
+             + 0.25 * (CAST(u2.c1 AS DOUBLE) / total.n) AS p
+      FROM big b
+      JOIN uni u1 ON u1.tok = string_split(b.bigram, ' ')[1]
+      JOIN uni u2 ON u2.tok = string_split(b.bigram, ' ')[2]
+      CROSS JOIN total
+    )
+    SELECT d.doc_id, count(*) AS n_bigrams,
+           -(round(sum(ln(p.p)), 6) / count(*)) AS nll2
+    FROM db d JOIN bprob p USING (bigram)
+    GROUP BY d.doc_id
+    """,
+    tags=("llm-pipeline",),
+)
+def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score with unigram interpolation
+    backoff — one LM rung above text_lm_score's unigram filter (the
+    CCNet/KenLM-style scorer shape: condition each token on its
+    predecessor, back off for rare continuations).
+
+    Scale design: every model table is bounded by VOCABULARY, not
+    corpus — unigram counts |V|, bigram counts <= |V|^2 — so the whole
+    probability table broadcasts; the corpus streams map-side through
+    explode -> broadcast probe exactly like text_lm_score, and the
+    per-doc aggregation partial-combines before its one exchange. The
+    probability is assembled once per DISTINCT bigram (tiny table),
+    never per corpus position."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens_col()
+    n = F.size(toks)
+    bigram_col = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    spread = _spread(d)
+    tok = spread.select("doc_id", F.explode(toks).alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count("*").alias("c1"))
+    total = d.select(F.sum(F.size(toks))).collect()[0][0]
+    db = spread.select("doc_id", F.explode(bigram_col).alias("bigram"))
+    big = db.groupBy("bigram").agg(F.count("*").alias("c2"))
+    w = F.split(F.col("bigram"), " ")
+    bprob = (
+        big.join(
+            F.broadcast(uni.withColumnRenamed("c1", "c1_w1").withColumnRenamed("tok", "w1")),
+            w.getItem(0) == F.col("w1"),
+        )
+        .join(
+            F.broadcast(uni.withColumnRenamed("c1", "c1_w2").withColumnRenamed("tok", "w2")),
+            w.getItem(1) == F.col("w2"),
+        )
+        .select(
+            "bigram",
+            (
+                0.75 * (F.col("c2").cast("double") / F.col("c1_w1"))
+                + 0.25 * (F.col("c1_w2").cast("double") / F.lit(float(total)))
+            ).alias("p"),
+        )
+    )
+    return (
+        db.join(F.broadcast(bprob), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (-(F.round(F.sum(F.log("p")), 6) / F.count("*"))).alias("nll2"),
+        )
+    )

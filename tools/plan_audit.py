@@ -163,6 +163,9 @@ EXPECTATIONS = {
     "win_rolling_slope": (1, False),
     # reflection identity: prefix sum + running min on one partition.
     "win_cusum": (1, False),
+    # vocab-bounded model tables (uni/bigram aggs + prob assembly)
+    # broadcast into one map-side probe; per-doc agg is the last one.
+    "text_lm_bigram": (7, True),
 }
 
 
