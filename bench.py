@@ -62,6 +62,10 @@ HEADLINE = {
     # (broadcast n-gram probe) and unigram-LM quality scoring.
     "q22_decontaminate": "pipeline_decontaminate",
     "q23_lm_score": "text_lm_score",
+    # continuation-6: rolling OLS drift via prefix-difference frames,
+    # bigram-LM scoring over a broadcast vocab-bounded model.
+    "q24_rolling_slope": "win_rolling_slope",
+    "q25_lm_bigram": "text_lm_bigram",
 }
 
 WARMUP, RUNS = 1, 3
