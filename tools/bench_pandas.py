@@ -363,6 +363,46 @@ def q23_lm_score(sf_dir):
     )
 
 
+def q24_rolling_slope(sf_dir):
+    e = _read(sf_dir, "events").sort_values(["user_id", "event_id"])
+    x = (
+        e.ts.astype("datetime64[ns]").astype("int64") // 1000
+        - 1_704_067_200_000_000
+    ).astype("float64")
+    g = pd.DataFrame({"user_id": e.user_id, "x": x, "y": e.value}).groupby(
+        "user_id"
+    )
+    cov = g.apply(
+        lambda d: d.x.rolling(20).cov(d.y) / d.x.rolling(20).var(),
+        include_groups=False,
+    ).reset_index(level=0, drop=True)
+    return pd.DataFrame(
+        {
+            "user_id": e.user_id,
+            "event_id": e.event_id,
+            "slope_per_day": cov * 86_400_000_000.0,
+        }
+    )
+
+
+def q25_lm_bigram(sf_dir):
+    from collections import Counter
+
+    d = _read(sf_dir, "documents")
+    toks = d.text.str.lower().str.split(" ")
+    uni = Counter(t for ts in toks for t in ts)
+    total = sum(uni.values())
+    bigs = toks.map(lambda ts: [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)])
+    big = Counter(b for bs in bigs for b in bs)
+    logp = {
+        b: np.log(0.75 * c / uni[b[0]] + 0.25 * uni[b[1]] / total)
+        for b, c in big.items()
+    }
+    n = bigs.map(len)
+    nll2 = bigs.map(lambda bs: -round(sum(logp[b] for b in bs), 6)) / n
+    return pd.DataFrame({"doc_id": d.doc_id, "n_bigrams": n, "nll2": nll2})
+
+
 PANDAS_QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "q2_join_inner": q2_join_inner,
@@ -386,4 +426,6 @@ PANDAS_QUERIES = {
     "q21_asof_directions": q21_asof_directions,
     "q22_decontaminate": q22_decontaminate,
     "q23_lm_score": q23_lm_score,
+    "q24_rolling_slope": q24_rolling_slope,
+    "q25_lm_bigram": q25_lm_bigram,
 }
