@@ -833,17 +833,30 @@ def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deviations are scaled by the series length n (d_i = n*cents_i - sum
     cents) so the per-series mean never becomes a float mid-pipeline;
     everything is exact int64 until the single emission division.
-    S_i is emitted in value units (cusum = S / (100 n))."""
+    S_i is emitted in value units (cusum = S / (100 n)).
+
+    Plan: the per-series (n, sum) stats come from a grouped aggregate
+    over ONE explicit user_id repartition, co-located-joined back to
+    the same repartition output (ReusedExchange) — NOT from
+    partitionBy-only windows: an unordered full-frame window is its
+    own Window node, and stacking it under the ordered windows made
+    102M rows pass through window machinery three times and sort
+    twice (measured ~3x at 1024x events). This shape is one exchange
+    (reused), one join of pre-clustered sides, and ONE Window node for
+    the chained prefix sum + running min."""
     cv = F.round(F.col("value") * 100).cast("long")
-    wp = W.partitionBy("user_id")
-    wo = wp.orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
-    b = _ev(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        cv.alias("cv"),
-        F.count("*").over(wp).alias("n"),
-        F.sum(cv).over(wp).cast("long").alias("sy"),
+    wo = W.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        W.unboundedPreceding, 0
     )
+    ev = (
+        _ev(spark, sf_dir)
+        .select("user_id", "event_id", cv.alias("cv"))
+        .repartition("user_id")
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("cv").cast("long").alias("sy")
+    )
+    b = ev.join(stats, "user_id")
     p = b.select(
         "user_id",
         "event_id",

@@ -161,8 +161,10 @@ EXPECTATIONS = {
     "text_repetition": (1, False),
     # four exact sums share one frame: one exchange, one sort.
     "win_rolling_slope": (1, False),
-    # reflection identity: prefix sum + running min on one partition.
-    "win_cusum": (1, False),
+    # reflection identity: prefix sum + running min on one partition;
+    # 2 static exchanges = the user_id repartition compiled once per
+    # consumer (stats agg + co-located join), reused at runtime.
+    "win_cusum": (2, False),
     # vocab-bounded model tables (uni/bigram aggs + prob assembly)
     # broadcast into one map-side probe; per-doc agg is the last one.
     "text_lm_bigram": (7, True),
