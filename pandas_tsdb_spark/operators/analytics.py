@@ -521,3 +521,73 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_pq"),
         F.count("*").alias("n"),
     )
+
+
+_ETYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _corr_matrix_oracle() -> str:
+    cells = ",\n      ".join(
+        f"round(sum(value) FILTER (WHERE event_type = '{t}'), 2) AS v_{t}"
+        for t in _ETYPES
+    )
+    pairs = "\n    UNION ALL\n    ".join(
+        f"SELECT '{a}' AS type_a, '{b}' AS type_b,"
+        f" round(corr(v_{a}, v_{b}), 6) AS corr_r FROM daily"
+        for i, a in enumerate(_ETYPES)
+        for b in _ETYPES[i + 1 :]
+    )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      {cells}
+      FROM events GROUP BY day
+    )
+    {pairs}
+    """
+
+
+@query("corr_matrix", oracle=_corr_matrix_oracle(), tags=("analytics", "agg"))
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.pivot(...).corr(): pairwise Pearson correlation between the
+    event types' daily value sums — the cross-series co-movement matrix
+    (pandas DataFrame.corr() on a resampled wide frame).
+
+    Plan: one groupBy(day) with 5 conditional sums (pivot with a STATIC
+    type list — partial-aggregated map-side, exchange carries |days|
+    rows x 5 cells), then ONE global aggregate computing all 10 upper-
+    triangle corr moments in a single pass, unpivoted driver-side-free
+    via stack(). At 100 TB the daily table is calendar-bounded (~10^4
+    rows), so the second aggregate is negligible; everything heavy is
+    the first scan, which is a plain map-side partial sum. Daily sums
+    round to 2 decimals on both engines BEFORE the corr so the moment
+    inputs are bit-identical; corr itself rounds to 6 (engines
+    accumulate moments in different orders, noise ~1e-12)."""
+    ev = _ev(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            *[
+                F.round(
+                    F.sum(F.when(F.col("event_type") == t, F.col("value"))), 2
+                ).alias(f"v_{t}")
+                for t in _ETYPES
+            ]
+        )
+    )
+    corrs = daily.agg(
+        *[
+            F.round(F.corr(f"v_{a}", f"v_{b}"), 6).alias(f"{a}__{b}")
+            for i, a in enumerate(_ETYPES)
+            for b in _ETYPES[i + 1 :]
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `{a}__{b}`"
+        for i, a in enumerate(_ETYPES)
+        for b in _ETYPES[i + 1 :]
+    )
+    n_pairs = len(_ETYPES) * (len(_ETYPES) - 1) // 2
+    return corrs.select(
+        F.expr(f"stack({n_pairs}, {stack_args}) AS (type_a, type_b, corr_r)")
+    )

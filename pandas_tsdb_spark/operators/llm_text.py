@@ -987,3 +987,71 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-(F.round(F.sum(F.log("p")), 6) / F.count("*"))).alias("nll2"),
         )
     )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, lang,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || CAST(n_chars AS VARCHAR) AS body
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(regexp_extract_all(body, '[a-z0-9]+@[a-z]+\\.[a-z]+'))
+             AS n_emails,
+           len(regexp_extract_all(body, '555-[0-9]+')) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(body, '[a-z0-9]+@[a-z]+\\.[a-z]+',
+                                '<EMAIL>', 'g'),
+                 '555-[0-9]+', '<PHONE>', 'g')) AS scrub_md5,
+           length(regexp_replace(
+                 regexp_replace(body, '[a-z0-9]+@[a-z]+\\.[a-z]+',
+                                '<EMAIL>', 'g'),
+                 '555-[0-9]+', '<PHONE>', 'g')) AS scrub_len
+    FROM raw
+    """,
+    tags=("llm", "text", "pipeline"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training-data pipeline
+    runs before anything else: mask emails and phone-shaped tokens,
+    count what was redacted. The fixture corpus is synthetic word soup
+    with no PII, so the op first APPENDS a deterministic contact string
+    derived from fixture columns (doc_id, n_chars) — the scrubber then
+    has real work whose result is still oracle-checkable; the synthesis
+    is identical in the SQL so both engines scrub the same bytes.
+
+    Pure map-side (zero shuffles, scan -> project): regexp_extract_all
+    counts matches, two chained regexp_replace passes mask them; the
+    checked columns are exact (counts, lengths, md5 of the scrubbed
+    text). Patterns stay POSIX-simple — no lookarounds, no shorthand
+    classes — so Java and RE2-ish dialects agree. At 100 TB this is
+    the canonical embarrassingly-parallel scan: no exchange, and the
+    regex cost is the whole story (pre-filtering with cheap contains()
+    guards before the regex engine is the production trick; here the
+    guard would always pass, so it is omitted)."""
+    email_pat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    phone_pat = "555-[0-9]+"
+    d = Tables(spark, sf_dir).documents
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.col("n_chars").cast("string"),
+    )
+    staged = d.select("doc_id", "lang", body.alias("body"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("body", email_pat, "<EMAIL>"), phone_pat, "<PHONE>"
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all("body", F.lit(email_pat), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("body", F.lit(phone_pat), 0)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_md5"),
+        F.length(scrubbed).alias("scrub_len"),
+    )

@@ -771,3 +771,81 @@ def knn_label_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
         )
     )
+
+
+@query(
+    "vec_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x)))
+                  AS DOUBLE) / 127.0 AS scale
+      FROM embeddings
+      WHERE list_max(list_transform(embedding, x -> abs(x))) > 0
+    ),
+    q AS (
+      SELECT vec_id, label, scale,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id, label, scale,
+           len(qv) AS dim,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS sum_q,
+           CAST(list_aggregate(list_transform(qv, v -> v * v), 'sum')
+                AS BIGINT) AS sum_q2,
+           CAST(list_aggregate(list_transform(qv, v ->
+             CASE WHEN abs(v) > 127 THEN 1 ELSE 0 END), 'sum')
+                AS BIGINT) AS n_clipped
+    FROM q
+    """,
+    tags=("vectors", "llm"),
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step a 100 TB vector pipeline runs before ANN indexing
+    (4x smaller, SIMD-friendly int dot products). Per vector:
+    scale = max|x|/127, q_i = floor(x_i/scale + 0.5).
+
+    Pure map-side: zero shuffles, whole-stage codegen end to end —
+    array_max/transform/aggregate are JVM higher-order functions, no
+    Python. Determinism: floor(x+0.5) instead of round() because Spark
+    rounds half-up and DuckDB half-even — floor is tie-free on both;
+    the float->double casts and the fold order (sequential
+    left-to-right in both engines) make every output column
+    bit-identical, so the checked columns are exact integers (sums of
+    quantized codes) plus the raw double scale. n_clipped asserts the
+    scale choice makes clipping impossible (always 0 — kept in the
+    output as the self-check a real pipeline would log)."""
+    emb = Tables(spark, sf_dir).embeddings
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = absmax.cast("double") / F.lit(127.0)
+    zero = F.lit(0).cast("long")
+    # scale materializes in its OWN projection: a transform() lambda
+    # that captured the absmax expression would re-evaluate it per
+    # element — the O(d^2) capture trap (NOTES round 1).
+    staged = emb.filter(absmax > 0).select(
+        "vec_id", "label", "embedding", scale.alias("scale")
+    )
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return (
+        staged.select("vec_id", "label", "scale", qv.alias("qv"))
+        .select(
+            "vec_id",
+            "label",
+            "scale",
+            F.size("qv").alias("dim"),
+            F.aggregate("qv", zero, lambda s, v: s + v).alias("sum_q"),
+            F.aggregate("qv", zero, lambda s, v: s + v * v).alias("sum_q2"),
+            F.aggregate(
+                "qv",
+                zero,
+                lambda s, v: s + F.when(F.abs(v) > 127, 1).otherwise(0),
+            ).alias("n_clipped"),
+        )
+    )

@@ -434,3 +434,70 @@ def pipeline_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.col("reps") - 1)).alias("epoch"),
         )
     )
+
+
+_CHUNK, _STRIDE = 32, 24
+
+
+@query(
+    "pipeline_chunk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, tokens, n_tok,
+             unnest(generate_series(0,
+               CAST(ceil(greatest(n_tok - {_CHUNK}, 0)
+                         / CAST({_STRIDE} AS DOUBLE)) AS BIGINT))) AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, chunk_id,
+           len(list_slice(tokens, chunk_id * {_STRIDE} + 1,
+                          chunk_id * {_STRIDE} + {_CHUNK})) AS chunk_tokens,
+           md5(array_to_string(
+                 list_slice(tokens, chunk_id * {_STRIDE} + 1,
+                            chunk_id * {_STRIDE} + {_CHUNK}), ' ')) AS chunk_md5
+    FROM idx
+    """,
+    tags=("llm", "pipeline", "text"),
+)
+def pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the step that turns a corpus
+    into fixed-length training sequences: 32-token chunks every
+    24 tokens (8-token overlap), last partial chunk kept.
+
+    Map-side only: split once into a materialized token array (own
+    projection — the lambda-capture trap), then ONE generator
+    (posexplode of a chunk-index sequence) and per-chunk slice().
+    No shuffle at any scale: chunking is row-local, output rows =
+    ceil((n-C)/S)+1 per doc. The md5 of each chunk (not the chunk
+    text) is the checked column, keeping compare payload small the
+    same way a real pipeline would checksum shards. slice() is
+    1-based; both engines clamp the final partial window to the array
+    end (DuckDB list_slice clamps stop at len)."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id",
+        F.split("text", " ").alias("tokens"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    n_chunks_m1 = F.ceil(
+        F.greatest(F.col("n_tok") - _CHUNK, F.lit(0)) / F.lit(float(_STRIDE))
+    ).cast("long")
+    idx = toks.select(
+        "doc_id",
+        "tokens",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks_m1)).alias("chunk_id"),
+    )
+    sl = F.slice(
+        "tokens", (F.col("chunk_id") * _STRIDE + 1).cast("int"), _CHUNK
+    )
+    return idx.select(
+        "doc_id",
+        "chunk_id",
+        F.size(sl).alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_md5"),
+    )

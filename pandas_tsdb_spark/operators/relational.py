@@ -592,3 +592,42 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "agg_crosstab",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p,
+           count(*) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("relational", "agg"),
+)
+def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.crosstab(c_mktsegment, o_orderstatus): contingency table of
+    order status by customer segment. Spark's pivot with an EXPLICIT
+    value list ('F','O','P' — the order-status domain) so no extra
+    distinct-collect job runs and the output schema is static (a
+    pivot without values triggers a blocking distinct scan — never do
+    that on a 100 TB fact table). The join broadcasts the customer dim
+    under AQE; the pivot compiles to conditional counts that partial-
+    aggregate map-side, so the exchange carries |segments|x|statuses|
+    cells, not rows."""
+    t = Tables(spark, sf_dir)
+    j = t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+    piv = (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce("F", F.lit(0)).alias("cnt_f"),
+        F.coalesce("O", F.lit(0)).alias("cnt_o"),
+        F.coalesce("P", F.lit(0)).alias("cnt_p"),
+        (F.coalesce("F", F.lit(0)) + F.coalesce("O", F.lit(0)) + F.coalesce("P", F.lit(0))).alias("total"),
+    )

@@ -725,3 +725,105 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "win_seasonal_dow",
+    oracle="""
+    SELECT event_id, user_id, dow, value,
+           round(sum(value) OVER w, 2) / (count(*) OVER w) AS dow_mean,
+           value - round(sum(value) OVER w, 2) / (count(*) OVER w)
+             AS deseasonalized
+    FROM (SELECT event_id, user_id, value,
+                 dayofweek(ts) + 1 AS dow FROM events)
+    WINDOW w AS (PARTITION BY user_id, dow)
+    """,
+    tags=("timeseries", "windows"),
+)
+def win_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal adjustment per series: each point minus its
+    series' same-weekday mean (the seasonal-naive decomposition a tsdb
+    runs before anomaly scoring — pandas idiom
+    ``x - x.groupby([uid, dow]).transform('mean')``).
+
+    One UNORDERED window over (user_id, dow): a single hash exchange +
+    sort, no join back — at 100 TB this beats the groupBy+rejoin
+    formulation because the mean table is |users|x7 (too big to
+    broadcast, so the rejoin would shuffle twice). Spark dayofweek is
+    1=Sunday; DuckDB dayofweek is 0=Sunday — oracle adds 1. The mean is
+    the oracle_avg form (round(sum,2)/count: bit-identical across
+    engines on 2-decimal data), so the deseasonalized difference is
+    emitted RAW, no rounding."""
+    ev = Tables(spark, sf_dir).events.select(
+        "event_id", "user_id", "value", F.dayofweek("ts").alias("dow")
+    )
+    w = W.partitionBy("user_id", "dow")
+    mean = F.round(F.sum("value").over(w), 2) / F.count("*").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "dow",
+        "value",
+        mean.alias("dow_mean"),
+        (F.col("value") - mean).alias("deseasonalized"),
+    )
+
+
+@query("win_holt", oracle=None)  # recursive double smoothing: rows-only
+def win_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per series — level
+    l_t = a*x_t + (1-a)(l+b), trend b_t = g*(l_t-l) + (1-g)*b, seeded
+    l_0=x_0, b_0=x_1-x_0 (the statsmodels Holt convention). Like
+    win_ewm this is a true recurrence, not frame-expressible, and not
+    ANSI-SQL-expressible either -> rows-only; the cross-batch state
+    carry and distributed ordering are differential-tested against a
+    single-partition reference loop in tests/test_timeseries.py.
+
+    Same scale shape as win_ewm: ONE shuffle to co-locate each series
+    (repartition on user_id) + sortWithinPartitions + mapInPandas, so
+    each Arrow batch holds many whole-or-partial series and the exact
+    (level, trend, n_seen, first_x) state carries across batch
+    boundaries per user. The kernel's per-row Python loop is the
+    deliberate escape hatch (a linear recurrence resists
+    vectorization); it touches each row once, so the op stays
+    scan-bound and embarrassingly parallel across series."""
+    alpha, gamma = 0.5, 0.3
+    ev = Tables(spark, sf_dir).events.select("user_id", "event_id", "value")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = ev.repartition(n_part, "user_id").sortWithinPartitions(
+        "user_id", "event_id"
+    )
+
+    def kernel(batches):
+        # user -> (level, trend, n_seen, first_x)
+        carry: dict[int, tuple[float, float, int, float]] = {}
+        for pdf in batches:
+            users = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy()
+            out = np.empty(len(vals), dtype=np.float64)
+            for i in range(len(vals)):
+                u, x = int(users[i]), float(vals[i])
+                lev, tr, n, x0 = carry.get(u, (0.0, 0.0, 0, 0.0))
+                if n == 0:
+                    carry[u] = (x, 0.0, 1, x)
+                    out[i] = x
+                elif n == 1:
+                    # trend seeds from the first two observations
+                    tr = x - x0
+                    lev = alpha * x + (1.0 - alpha) * (x0 + tr)
+                    tr = gamma * (lev - x0) + (1.0 - gamma) * tr
+                    carry[u] = (lev, tr, 2, x0)
+                    out[i] = lev
+                else:
+                    prev = lev
+                    lev = alpha * x + (1.0 - alpha) * (lev + tr)
+                    tr = gamma * (lev - prev) + (1.0 - gamma) * tr
+                    carry[u] = (lev, tr, n + 1, x0)
+                    out[i] = lev
+            res = pdf[["user_id", "event_id", "value"]].copy()
+            res["holt_level"] = out
+            yield res
+
+    return part.mapInPandas(
+        kernel, "user_id long, event_id long, value double, holt_level double"
+    )

@@ -254,3 +254,45 @@ def test_cusum_matches_literal_recursion(spark, sf_dir):
             exp.append(s / (100.0 * n))
         got = g.cusum.to_numpy()
         assert np.allclose(got, exp, rtol=1e-12, atol=1e-12)
+
+
+def test_holt_matches_reference_loop(spark, sf_dir):
+    """Distributed win_holt (mapInPandas + cross-batch carry) vs a
+    single-process reference recurrence over the whole fixture — checks
+    ordering, batch-boundary state carry, and the seed convention.
+    sf0.01 matters: more users than shuffle partitions, so partitions
+    hold many series and Arrow batches split some of them."""
+    got = _sorted_pdf(
+        SPECS["win_holt"].builder(spark, sf_dir), ["user_id", "event_id"]
+    )
+    ev = (
+        pd.read_parquet(f"{sf_dir}/events.parquet")[
+            ["user_id", "event_id", "value"]
+        ]
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    alpha, gamma = 0.5, 0.3
+    ref = np.empty(len(ev))
+    state: dict[int, tuple[float, float, int, float]] = {}
+    for i, (u, x) in enumerate(zip(ev["user_id"].to_numpy(), ev["value"].to_numpy())):
+        u, x = int(u), float(x)
+        lev, tr, n, x0 = state.get(u, (0.0, 0.0, 0, 0.0))
+        if n == 0:
+            state[u] = (x, 0.0, 1, x)
+            ref[i] = x
+        elif n == 1:
+            tr = x - x0
+            lev = alpha * x + (1.0 - alpha) * (x0 + tr)
+            tr = gamma * (lev - x0) + (1.0 - gamma) * tr
+            state[u] = (lev, tr, 2, x0)
+            ref[i] = lev
+        else:
+            prev = lev
+            lev = alpha * x + (1.0 - alpha) * (lev + tr)
+            tr = gamma * (lev - prev) + (1.0 - gamma) * tr
+            state[u] = (lev, tr, n + 1, x0)
+            ref[i] = lev
+    assert np.allclose(got["holt_level"].to_numpy(), ref, rtol=1e-12, atol=1e-12)
+    # level tracks the series: correlation with the input is strong
+    assert np.corrcoef(got["holt_level"], got["value"])[0, 1] > 0.5
