@@ -778,10 +778,11 @@ def knn_label_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT vec_id, label, embedding,
-             CAST(list_max(list_transform(embedding, x -> abs(x)))
-                  AS DOUBLE) / 127.0 AS scale
+             CASE WHEN list_max(list_transform(embedding, x -> abs(x))) > 0
+                  THEN CAST(list_max(list_transform(embedding, x -> abs(x)))
+                            AS DOUBLE) / 127.0
+                  ELSE 1.0 END AS scale
       FROM embeddings
-      WHERE list_max(list_transform(embedding, x -> abs(x))) > 0
     ),
     q AS (
       SELECT vec_id, label, scale,
@@ -819,14 +820,17 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     output as the self-check a real pipeline would log)."""
     emb = Tables(spark, sf_dir).embeddings
     absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
-    scale = absmax.cast("double") / F.lit(127.0)
+    # total function: zero vectors quantize with scale 1 (all-zero codes)
+    # instead of filtering, keeping the plan a pure Project with no
+    # higher-order expression inside a Filter node.
+    scale = F.when(absmax > 0, absmax.cast("double") / F.lit(127.0)).otherwise(
+        F.lit(1.0)
+    )
     zero = F.lit(0).cast("long")
     # scale materializes in its OWN projection: a transform() lambda
     # that captured the absmax expression would re-evaluate it per
     # element — the O(d^2) capture trap (NOTES round 1).
-    staged = emb.filter(absmax > 0).select(
-        "vec_id", "label", "embedding", scale.alias("scale")
-    )
+    staged = emb.select("vec_id", "label", "embedding", scale.alias("scale"))
     qv = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast(

@@ -41,6 +41,20 @@ EXPECTATIONS = {
     "win_resample_interp": (4, True),
     "win_rolling_corr": (1, False),
     "sim_topk_blas": (2, False),
+    # continuation-7 additions: quantize/pii/chunk are map-only (zero
+    # exchanges, whole-stage codegen scan->project); fuzzy join is
+    # distinct-agg + broadcast block join; crosstab joins broadcast then
+    # partial-aggregates to |segments|x|statuses| cells; corr_matrix is
+    # daily agg + one global moment pass; seasonal is ONE unordered
+    # window; holt is the win_ewm shape (one repartition, Python kernel).
+    "join_fuzzy_blocked": (2, True),
+    "agg_crosstab": (2, True),
+    "corr_matrix": (2, False),
+    "win_seasonal_dow": (1, False),
+    "vec_quantize_int8": (0, False),
+    "text_pii_scrub": (0, False),
+    "pipeline_chunk": (0, False),
+    "win_holt": (1, False),
     "dedup_embedding": (3, False),
     # event-analytics family: sessionize/zscore ride ONE user_id
     # exchange; sample_det is map-only (deterministic hash filter);
