@@ -1024,7 +1024,8 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     has real work whose result is still oracle-checkable; the synthesis
     is identical in the SQL so both engines scrub the same bytes.
 
-    Pure map-side (zero shuffles, scan -> project): regexp_extract_all
+    Map-side compute (scan -> _spread fan-out -> project; the fan-out
+    is a no-op on a many-file table): regexp_extract_all
     counts matches, two chained regexp_replace passes mask them; the
     checked columns are exact (counts, lengths, md5 of the scrubbed
     text). Patterns stay POSIX-simple — no lookarounds, no shorthand
@@ -1035,7 +1036,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard would always pass, so it is omitted)."""
     email_pat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
     phone_pat = "555-[0-9]+"
-    d = Tables(spark, sf_dir).documents
+    d = _spread(Tables(spark, sf_dir).documents)
     body = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -1044,6 +1045,9 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("string"),
     )
     staged = d.select("doc_id", "lang", body.alias("body"))
+    # scrubbed materializes in its OWN projection: md5 and length both
+    # consume it, and projection-level CSE does not always share a
+    # chained-regex subexpression — one column, two cheap readers.
     scrubbed = F.regexp_replace(
         F.regexp_replace("body", email_pat, "<EMAIL>"), phone_pat, "<PHONE>"
     )
@@ -1052,6 +1056,12 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(F.regexp_extract_all("body", F.lit(email_pat), 0)).alias("n_emails"),
         F.size(F.regexp_extract_all("body", F.lit(phone_pat), 0)).alias("n_phones"),
-        F.md5(scrubbed).alias("scrub_md5"),
-        F.length(scrubbed).alias("scrub_len"),
+        scrubbed.alias("scrubbed"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_emails",
+        "n_phones",
+        F.md5("scrubbed").alias("scrub_md5"),
+        F.length("scrubbed").alias("scrub_len"),
     )

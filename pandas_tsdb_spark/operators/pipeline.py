@@ -469,16 +469,19 @@ def pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     into fixed-length training sequences: 32-token chunks every
     24 tokens (8-token overlap), last partial chunk kept.
 
-    Map-side only: split once into a materialized token array (own
+    Map-side compute: split once into a materialized token array (own
     projection — the lambda-capture trap), then ONE generator
     (posexplode of a chunk-index sequence) and per-chunk slice().
-    No shuffle at any scale: chunking is row-local, output rows =
-    ceil((n-C)/S)+1 per doc. The md5 of each chunk (not the chunk
+    Chunking is row-local — the only exchange is _spread's fan-out of
+    an under-split single-file scan (a no-op on a real many-file
+    table); output rows = ceil((n-C)/S)+1 per doc. The md5 of each chunk (not the chunk
     text) is the checked column, keeping compare payload small the
     same way a real pipeline would checksum shards. slice() is
     1-based; both engines clamp the final partial window to the array
     end (DuckDB list_slice clamps stop at len)."""
-    d = Tables(spark, sf_dir).documents
+    from pandas_tsdb_spark.operators.llm_text import _spread
+
+    d = _spread(Tables(spark, sf_dir).documents)  # per-chunk md5 is the CPU
     toks = d.select(
         "doc_id",
         F.split("text", " ").alias("tokens"),

@@ -52,8 +52,11 @@ EXPECTATIONS = {
     "corr_matrix": (2, False),
     "win_seasonal_dow": (1, False),
     "vec_quantize_int8": (0, False),
-    "text_pii_scrub": (0, False),
-    "pipeline_chunk": (0, False),
+    # pii/chunk are map-only AFTER the _spread fan-out (one narrow
+    # exchange of raw docs when the scan is a single under-split file —
+    # a no-op on any real many-file table)
+    "text_pii_scrub": (1, False),
+    "pipeline_chunk": (1, False),
     "win_holt": (1, False),
     "dedup_embedding": (3, False),
     # event-analytics family: sessionize/zscore ride ONE user_id
