@@ -32,6 +32,7 @@ from __future__ import annotations
 import re
 from collections.abc import Sequence
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window as W
@@ -751,3 +752,103 @@ def _tsframe_apply_per_series(self, fn, schema: str) -> DataFrame:
 
 
 TsFrame.apply_per_series = _tsframe_apply_per_series
+
+
+def _tsframe_combine_first(self, other, keys: "Sequence[str] | None" = None) -> "TsFrame":
+    """pandas ``df.combine_first(other)``: align on the key columns,
+    prefer self's non-null values, union the column sets and the key
+    space. Keys default to (by + order_col) — the TsFrame's identity —
+    falling back to (by + ts_col).
+
+    Spark shape: ONE full-outer equi-join on the keys with coalesce
+    per shared column — Catalyst picks broadcast/SMJ by size, and at
+    100 TB this is the standard two-table reconcile (shuffle both
+    sides on the key, or zero-shuffle when both are bucketed on it).
+    """
+    odf = other.df if isinstance(other, TsFrame) else other
+    if keys is None:
+        keys = list(self.by) + (
+            [self.order_col] if self.order_col else [self.ts_col]
+        )
+    keys = list(keys)
+    shared = [
+        c for c in self.df.columns if c in set(odf.columns) and c not in keys
+    ]
+    self_only = [c for c in self.df.columns if c not in set(odf.columns)]
+    other_only = [c for c in odf.columns if c not in set(self.df.columns)]
+    a = self.df.select(
+        *keys, *[F.col(c).alias(f"__a_{c}") for c in shared], *self_only
+    )
+    b = odf.select(
+        *keys, *[F.col(c).alias(f"__b_{c}") for c in shared], *other_only
+    )
+    joined = a.join(b, on=keys, how="full")
+    return self._wrap(
+        joined.select(
+            *keys,
+            *[
+                F.coalesce(f"__a_{c}", f"__b_{c}").alias(c)
+                for c in shared
+            ],
+            *self_only,
+            *other_only,
+        )
+    )
+
+
+def _tsframe_seasonal_adjust(
+    self, col: str, out: str | None = None
+) -> "TsFrame":
+    """Day-of-week seasonal adjustment: x minus the same-weekday mean
+    of its own series (pandas ``x - x.groupby([*by, dow]).transform(
+    'mean')``). One unordered window over (by, dow) — a single hash
+    exchange, no join back (see win_seasonal_dow in the registry for
+    the oracle-checked twin and the scale rationale)."""
+    w = W.partitionBy(*self.by, F.dayofweek(self.ts_col))
+    adj = F.col(col) - F.avg(col).over(w)
+    return self._wrap(self.df.withColumn(out or f"{col}_deseason", adj))
+
+
+def _tsframe_holt(
+    self,
+    col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    out: str | None = None,
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per series — the
+    trend-aware counterpart of ewm().mean(). Seeds l0=x0, b0=x1-x0.
+    Per-key Arrow kernel (apply_per_series); the registry's win_holt
+    shows the high-key-count mapInPandas variant of the same
+    recurrence, cross-checked against a reference loop in tests."""
+    out = out or f"{col}_holt"
+    ts_col, order_col, by = self.ts_col, self.order_col, list(self.by)
+    keep = by + [ts_col] + ([order_col] if order_col else []) + [col]
+    schema_cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in self.df.select(*keep).schema.fields
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[col].to_numpy(dtype=float)
+        res = np.empty(len(x))
+        if len(x):
+            lev, tr = x[0], 0.0
+            res[0] = x[0]
+            for i in range(1, len(x)):
+                if i == 1:
+                    tr = x[1] - x[0]
+                prev = lev
+                lev = alpha * x[i] + (1.0 - alpha) * (lev + tr)
+                tr = beta * (lev - prev) + (1.0 - beta) * tr
+                res[i] = lev
+        r = pdf[keep].copy()
+        r[out] = res
+        return r
+
+    return self.apply_per_series(fn, f"{schema_cols}, `{out}` double")
+
+
+TsFrame.combine_first = _tsframe_combine_first
+TsFrame.seasonal_adjust = _tsframe_seasonal_adjust
+TsFrame.holt = _tsframe_holt

@@ -394,3 +394,58 @@ def test_rolling_quantile_api(ev, pev):
         pev, lambda g: g["value"].rolling(5, min_periods=2).quantile(0.9)
     )
     assert _eq(got.value_q90, want.want, tol=1e-12)
+
+
+def test_combine_first_vs_pandas(ev, pev):
+    """Mask even event_ids in the primary frame; combine_first must
+    recover them from the secondary and keep odd rows from primary."""
+    masked = ev.withColumn(
+        "value", F.when(F.col("event_id") % 2 == 0, None).otherwise(F.col("value"))
+    )
+    primary = TsFrame(masked, ts_col="ts", by="user_id", order_col="event_id")
+    got = _sorted(primary.combine_first(ev, keys=["event_id"]).to_pandas())
+    pm = pev.set_index("event_id")
+    pmasked = pm.copy()
+    pmasked.loc[pmasked.index % 2 == 0, "value"] = np.nan
+    want = pmasked.combine_first(pm).reset_index().pipe(_sorted)
+    assert _eq(got["value"], want["value"])
+    assert len(got) == len(want)
+
+
+def test_combine_first_unions_rows_and_columns(ev):
+    a = ev.filter(F.col("event_id") % 3 == 0).withColumn("a_extra", F.lit(1))
+    b = ev.filter(F.col("event_id") % 3 != 0).withColumn("b_extra", F.lit(2))
+    tf = TsFrame(a, ts_col="ts", by="user_id", order_col="event_id")
+    out = tf.combine_first(b, keys=["event_id"]).to_pandas()
+    assert len(out) == ev.count()
+    assert {"a_extra", "b_extra"} <= set(out.columns)
+
+
+def test_seasonal_adjust_vs_pandas(ev, pev):
+    got = _sorted(tsf(ev).seasonal_adjust("value").to_pandas())
+    p = pev.copy()
+    # pandas dayofweek: Monday=0; Spark dayofweek: Sunday=1 — any
+    # consistent labeling gives the same group means
+    p["dow"] = p["ts"].dt.dayofweek
+    p["want"] = p["value"] - p.groupby(["user_id", "dow"])["value"].transform("mean")
+    assert _eq(got["value_deseason"], _sorted(p)["want"])
+
+
+def test_holt_api_matches_registry_kernel(spark, ev, pev):
+    """TsFrame.holt (per-key applyInPandas) must equal the registry's
+    win_holt (mapInPandas + carry) — two independent implementations
+    of the same recurrence, alpha/beta matching."""
+    from pandas_tsdb_spark.registry import load_all
+
+    got = _sorted(
+        tsf(ev.select("user_id", "ts", "event_id", "value"))
+        .holt("value", alpha=0.5, beta=0.3)
+        .toPandas()
+    )
+    reg = (
+        load_all()["win_holt"]
+        .builder(spark, SMALL)
+        .toPandas()
+        .pipe(_sorted)
+    )
+    assert _eq(got["value_holt"], reg["holt_level"], tol=1e-12)
