@@ -66,6 +66,10 @@ HEADLINE = {
     # bigram-LM scoring over a broadcast vocab-bounded model.
     "q24_rolling_slope": "win_rolling_slope",
     "q25_lm_bigram": "text_lm_bigram",
+    # continuation-7: the compliance scrub (pure regex scan, fan-out
+    # spread) and int8 embedding quantization (zero-exchange map-only).
+    "q26_pii_scrub": "text_pii_scrub",
+    "q27_quantize": "vec_quantize_int8",
 }
 
 WARMUP, RUNS = 1, 3

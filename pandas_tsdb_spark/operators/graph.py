@@ -132,3 +132,113 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_canonical"
         ),
     )
+
+
+_PR_ITERS = 10
+_PR_DAMP = 0.85
+
+_PAGERANK_ORACLE = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN supplier ON l_suppkey  = s_suppkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS tw FROM edges GROUP BY src),
+norm AS (
+  SELECT e.src, e.dst, e.w / o.tw AS p
+  FROM edges e JOIN outw o ON e.src = o.src
+  UNION ALL
+  SELECT CAST(n_nationkey AS INTEGER), CAST(n_nationkey AS INTEGER), 0.0
+  FROM nation
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
+pr(iter, id, r) AS (
+  SELECT 0, CAST(n_nationkey AS INTEGER), 1.0 / (SELECT n FROM nn)
+  FROM nation
+  UNION ALL
+  SELECT p.iter + 1, e.dst,
+         {1.0 - _PR_DAMP} / (SELECT n FROM nn)
+           + {_PR_DAMP} * sum(p.r * e.p)
+  FROM pr p JOIN norm e ON p.id = e.src
+  WHERE p.iter < {_PR_ITERS}
+  GROUP BY p.iter, e.dst
+)
+SELECT pr.id AS nationkey, n_name, round(r, 6) AS pagerank
+FROM pr JOIN nation ON pr.id = CAST(n_nationkey AS INTEGER)
+WHERE iter = {_PR_ITERS}
+"""
+
+
+@query("graph_pagerank", oracle=_PAGERANK_ORACLE, tags=("graph", "analytics"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation-level trade graph (customer
+    nation -> supplier nation, edge weight = lineitem count): fixed
+    10-round power iteration, damping 0.85 — the iterative-algorithm
+    representative with a FULL value-level oracle (DuckDB recursive CTE
+    running the identical recurrence).
+
+    The 100 TB shape: the expensive part is building the graph — a
+    fact-scale join chain (lineitem⋈orders shuffles on orderkey;
+    customer/supplier dims broadcast) aggregated down to a
+    nation x nation edge list (bounded: |N|^2 rows). The iteration then
+    runs on the AGGREGATED graph, so its cost is independent of data
+    scale; each round is a join + agg over <= |N|^2 rows, lineage cut
+    with localCheckpoint like dedup_cluster. Self-loops with weight 0
+    keep every node present as both src and dst, so dangling nodes
+    survive inner joins without a special case (their rank simply leaks
+    — the simplified-PageRank convention, mirrored in the oracle).
+    Determinism: edge weights are exact counts; probabilities and ranks
+    are doubles whose accumulation order differs across engines at
+    ~1e-14/iteration, far below the final round(6)."""
+    t = Tables(spark, sf_dir)
+    edges = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(t.orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("c_nationkey").alias("src"),
+                 F.col("s_nationkey").alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    nations = t.nation.select(
+        F.col("n_nationkey").cast("int").alias("id"), "n_name"
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    norm = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("tw")).alias("p"))
+        .unionByName(
+            nations.select(
+                F.col("id").alias("src"),
+                F.col("id").alias("dst"),
+                F.lit(0.0).alias("p"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nations.count()
+    base = (1.0 - _PR_DAMP) / n_nodes
+    ranks = nations.select("id", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(_PR_ITERS):
+        ranks = (
+            norm.join(ranks, norm["src"] == ranks["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                (F.lit(base) + F.lit(_PR_DAMP) * F.sum(F.col("r") * F.col("p")))
+                .alias("r")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.join(F.broadcast(nations), "id")
+        .select(F.col("id").alias("nationkey"), "n_name",
+                F.round("r", 6).alias("pagerank"))
+    )

@@ -403,6 +403,56 @@ def q25_lm_bigram(sf_dir):
     return pd.DataFrame({"doc_id": d.doc_id, "n_bigrams": n, "nll2": nll2})
 
 
+def q26_pii_scrub(sf_dir):
+    import hashlib
+    import re as _re
+
+    d = _read(sf_dir, "documents")
+    body = (
+        d.text
+        + " contact user"
+        + d.doc_id.astype(str)
+        + "@example.com or 555-"
+        + d.n_chars.astype(str)
+    )
+    email = _re.compile(r"[a-z0-9]+@[a-z]+\.[a-z]+")
+    phone = _re.compile(r"555-[0-9]+")
+    scrub = body.map(
+        lambda s: phone.sub("<PHONE>", email.sub("<EMAIL>", s))
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": d.doc_id,
+            "lang": d.lang,
+            "n_emails": body.map(lambda s: len(email.findall(s))),
+            "n_phones": body.map(lambda s: len(phone.findall(s))),
+            "scrub_md5": scrub.map(
+                lambda s: hashlib.md5(s.encode()).hexdigest()
+            ),
+            "scrub_len": scrub.str.len(),
+        }
+    )
+
+
+def q27_quantize(sf_dir):
+    e = _read(sf_dir, "embeddings")
+    mat = np.stack(e.embedding.to_numpy()).astype(np.float64)
+    absmax = np.abs(mat).max(axis=1)
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0)
+    q = np.floor(mat / scale[:, None] + 0.5).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "vec_id": e.vec_id,
+            "label": e.label,
+            "scale": scale,
+            "dim": mat.shape[1],
+            "sum_q": q.sum(axis=1),
+            "sum_q2": (q * q).sum(axis=1),
+            "n_clipped": (np.abs(q) > 127).sum(axis=1),
+        }
+    )
+
+
 PANDAS_QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "q2_join_inner": q2_join_inner,
@@ -428,4 +478,6 @@ PANDAS_QUERIES = {
     "q23_lm_score": q23_lm_score,
     "q24_rolling_slope": q24_rolling_slope,
     "q25_lm_bigram": q25_lm_bigram,
+    "q26_pii_scrub": q26_pii_scrub,
+    "q27_quantize": q27_quantize,
 }
