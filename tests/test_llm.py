@@ -180,3 +180,20 @@ def test_lm_score_matches_pandas_model(spark, sf_dir):
     assert np.allclose(out.nll, exp.nll, atol=1e-9)
     assert (out.ppl >= 1).all()
     assert np.allclose(out.ppl, np.round(np.exp(out.nll), 6), atol=1e-6)
+
+
+def test_quantize_blas_identical_to_builtin(spark, sf_dir):
+    """The numpy twin must be BIT-identical to the built-in HOF op —
+    same casts, same evaluation order, shared oracle."""
+    from pandas_tsdb_spark.registry import load_all
+
+    S = load_all()
+    a = (
+        S["vec_quantize_int8"].builder(spark, sf_dir).toPandas()
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        S["vec_quantize_blas"].builder(spark, sf_dir).toPandas()
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    assert a.astype(str).equals(b[a.columns].astype(str))
