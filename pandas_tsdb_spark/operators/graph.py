@@ -183,30 +183,44 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     running the identical recurrence).
 
     The 100 TB shape: the expensive part is building the graph — a
-    fact-scale join chain (lineitem⋈orders shuffles on orderkey;
-    customer/supplier dims broadcast) aggregated down to a
-    nation x nation edge list (bounded: |N|^2 rows). The iteration then
-    runs on the AGGREGATED graph, so its cost is independent of data
-    scale; each round is a join + agg over <= |N|^2 rows, lineage cut
-    with localCheckpoint like dedup_cluster. Self-loops with weight 0
-    keep every node present as both src and dst, so dangling nodes
-    survive inner joins without a special case (their rank simply leaks
-    — the simplified-PageRank convention, mirrored in the oracle).
-    Determinism: edge weights are exact counts; probabilities and ranks
-    are doubles whose accumulation order differs across engines at
-    ~1e-14/iteration, far below the final round(6)."""
+    fact-scale join chain aggregated down to a nation x nation edge
+    list (bounded: |N|^2 rows). Lineitem pre-aggregates per
+    (orderkey, suppkey) riding an explicit orderkey repartition, so ONE
+    exchange serves both the aggregate (hash on a subset of grouping
+    keys clusters the superset — the tpch_q21 trick) and the orders
+    join, and the join carries ~5x fewer rows; customer/supplier joins
+    are left to Catalyst/AQE (broadcast when they fit, shuffle when
+    they don't). The iteration then runs on the AGGREGATED graph, so
+    its cost is independent of data scale — and because the iteration
+    count is FIXED (no data-dependent convergence check), all 10
+    rounds chain LAZILY into a single job over the one checkpointed
+    edge table: no per-round action, no per-round lineage cut
+    (dedup_cluster needs eager rounds only because its loop tests
+    convergence). Self-loops with weight 0 keep every node present as
+    both src and dst, so dangling nodes survive inner joins without a
+    special case (their rank simply leaks — the simplified-PageRank
+    convention, mirrored in the oracle). Determinism: edge weights are
+    exact counts; probabilities and ranks are doubles whose
+    accumulation order differs across engines at ~1e-14/iteration, far
+    below the final round(6)."""
     t = Tables(spark, sf_dir)
-    edges = (
+    per_order = (
         t.lineitem.select("l_orderkey", "l_suppkey")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    edges = (
+        per_order
         .join(t.orders.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        .join(t.customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        .join(t.supplier.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("c_nationkey").alias("src"),
                  F.col("s_nationkey").alias("dst"))
-        .agg(F.count("*").cast("double").alias("w"))
+        .agg(F.sum("cnt").cast("double").alias("w"))
     )
     nations = t.nation.select(
         F.col("n_nationkey").cast("int").alias("id"), "n_name"
@@ -235,7 +249,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(base) + F.lit(_PR_DAMP) * F.sum(F.col("r") * F.col("p")))
                 .alias("r")
             )
-            .localCheckpoint(eager=True)
         )
     return (
         ranks.join(F.broadcast(nations), "id")
