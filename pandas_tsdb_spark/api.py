@@ -542,6 +542,37 @@ class Ewm:
             )
         return tf._wrap(res)
 
+    def _moment(self, col: str, out: str, fn_name: str) -> TsFrame:
+        """Shared kernel for var/std: pandas ewm(adjust=True, bias=False)
+        per series, same applyInPandas shape as mean()."""
+        tf, alpha = self.tf, self.alpha
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in tf.df.schema.fields
+        ) + f", {out} double"
+        ts_col, order_col, by = tf.ts_col, tf.order_col, tf.by
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            sort_keys = [ts_col] + ([order_col] if order_col else [])
+            pdf = pdf.sort_values(sort_keys)
+            pdf[out] = getattr(pdf[col].ewm(alpha=alpha, adjust=True), fn_name)()
+            return pdf
+
+        if by:
+            res = tf.df.groupBy(*by).applyInPandas(kernel, ddl)
+        else:
+            res = tf.df.groupBy(F.lit(1)).applyInPandas(
+                lambda pdf: kernel(pdf), ddl
+            )
+        return tf._wrap(res)
+
+    def var(self, col: str, out: str | None = None) -> TsFrame:
+        """ewm(alpha).var() — bias-corrected, the pandas default."""
+        return self._moment(col, out or f"{col}_ewmvar", "var")
+
+    def std(self, col: str, out: str | None = None) -> TsFrame:
+        """ewm(alpha).std() — sqrt of the bias-corrected variance."""
+        return self._moment(col, out or f"{col}_ewmstd", "std")
+
 
 class Resampler:
     """resample(freq): time-bucket aggregation."""

@@ -591,3 +591,62 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corrs.select(
         F.expr(f"stack({n_pairs}, {stack_args}) AS (type_a, type_b, corr_r)")
     )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice, o_orderkey) AS i
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           round(
+             2.0 * sum(i * o_totalprice)
+               / (count(*) * round(sum(o_totalprice), 2))
+             - (count(*) + 1.0) / count(*),
+             6) AS gini
+    FROM r GROUP BY c_mktsegment
+    """,
+    tags=("analytics", "agg"),
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value inequality per customer segment
+    — the rank-weighted formulation G = 2*Σ(i*x_i)/(n*Σx) - (n+1)/n
+    over ascending-sorted values (a one-sort exact alternative to the
+    O(n²) mean-absolute-difference definition).
+
+    Plan: customer dim broadcasts into the fact join, ONE window
+    assigns per-segment ascending ranks, and the same segment
+    partitioning serves the final aggregate — a single exchange end to
+    end. Tie-break on o_orderkey makes ranks deterministic, but the
+    Gini value itself is tie-invariant (equal x's contribute the same
+    Σ i*x under any permutation of their ranks). Σx rounds to 2 (exact
+    decimal total) before dividing; the rank-weighted sum's
+    accumulation order differs across engines at ~1e-12 relative, so
+    the final ratio rounds at 6."""
+    t = Tables(spark, sf_dir)
+    j = t.orders.join(
+        F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    r = j.select(
+        "c_mktsegment",
+        "o_totalprice",
+        F.row_number().over(w).alias("i"),
+    )
+    n = F.count("*")
+    total = F.round(F.sum("o_totalprice"), 2)
+    gini = F.round(
+        F.lit(2.0) * F.sum(F.col("i") * F.col("o_totalprice")) / (n * total)
+        - (n + F.lit(1.0)) / n,
+        6,
+    )
+    return r.groupBy("c_mktsegment").agg(
+        n.alias("n"), total.alias("total"), gini.alias("gini")
+    )

@@ -208,6 +208,57 @@ class TsStore:
 
         shutil.rmtree(old)
 
+    def optimize(
+        self,
+        name: str,
+        target_file_mb: int = 128,
+        min_files: int = 2,
+    ) -> int:
+        """Small-file compaction WITHOUT semantic rewrite: per day
+        partition, if the partition holds >= ``min_files`` parquet
+        files, rewrite it into ceil(bytes / target_file_mb) files.
+        Rows are byte-identical before and after (no dedup — that is
+        ``compact``); this is the pure layout maintenance a 100 TB
+        store runs continuously, because blind parallel appends (and
+        streaming micro-batches especially) accrete files whose
+        per-file open/footer cost eventually dominates scans. Only
+        partitions over the threshold rewrite — cost is proportional
+        to the debt, not the store. Returns the number of partitions
+        rewritten.
+
+        At cluster scale the same loop runs as one job per batch of
+        debt partitions; here each partition is one read+write with an
+        atomic directory swap (same swap discipline as compact)."""
+        import math
+        import shutil
+
+        path = self.path(name)
+        rewritten = 0
+        for entry in sorted(os.listdir(path)):
+            part_dir = os.path.join(path, entry)
+            if not entry.startswith(f"{_PART}=") or not os.path.isdir(part_dir):
+                continue
+            files = [
+                f
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+            if len(files) < min_files:
+                continue
+            n_bytes = sum(
+                os.path.getsize(os.path.join(part_dir, f)) for f in files
+            )
+            n_out = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
+            df = self.spark.read.parquet(part_dir)
+            tmp = part_dir + ".opt.tmp"
+            df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+            old = part_dir + ".opt.old"
+            os.rename(part_dir, old)
+            os.rename(tmp, part_dir)
+            shutil.rmtree(old)
+            rewritten += 1
+        return rewritten
+
     # -- streaming --------------------------------------------------------
 
     def stream_ingest(self, name: str, stream_df: DataFrame, available_now: bool = True):

@@ -449,3 +449,18 @@ def test_holt_api_matches_registry_kernel(spark, ev, pev):
         .pipe(_sorted)
     )
     assert _eq(got["value_holt"], reg["holt_level"], tol=1e-12)
+
+
+def test_ewm_var_std_vs_pandas(ev, pev):
+    got = _sorted(
+        tsf(ev).ewm(0.3).var("value").to_df().toPandas()
+    )
+    want = _pandas_per_user(
+        pev, lambda g: g["value"].ewm(alpha=0.3, adjust=True).var()
+    )
+    assert _eq(got["value_ewmvar"], want["want"])
+    got2 = _sorted(tsf(ev).ewm(0.3).std("value").to_df().toPandas())
+    want2 = _pandas_per_user(
+        pev, lambda g: g["value"].ewm(alpha=0.3, adjust=True).std()
+    )
+    assert _eq(got2["value_ewmstd"], want2["want"])

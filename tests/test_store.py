@@ -184,3 +184,46 @@ def test_delete_keys_rewrites_only_touched_days(spark, store, events):
         day = d.split("=", 1)[1]
         if day not in victim_days:
             assert os.stat(os.path.join(path, d)).st_mtime == mtime, d
+
+
+def test_optimize_merges_small_files_content_identical(spark, store, events):
+    """Five blind appends -> >= 5 files per day; optimize must collapse
+    each day's debt to one file (tiny data, 128MB target) and leave
+    row content byte-identical (it is layout-only — no dedup)."""
+    import os
+
+    for _ in range(5):
+        store.append("events", events)
+    before = (
+        store.fetch("events")
+        .groupBy("event_id")
+        .count()
+        .orderBy("event_id")
+        .collect()
+    )
+    path = store.path("events")
+
+    def files_per_part():
+        return {
+            e: len([f for f in os.listdir(os.path.join(path, e))
+                    if f.endswith(".parquet")])
+            for e in os.listdir(path)
+            if e.startswith("_date=")
+        }
+
+    fb = files_per_part()
+    assert max(fb.values()) >= 5
+    n = store.optimize("events")
+    assert n == len(fb)  # every partition carried debt
+    fa = files_per_part()
+    assert max(fa.values()) == 1
+    after = (
+        store.fetch("events")
+        .groupBy("event_id")
+        .count()
+        .orderBy("event_id")
+        .collect()
+    )
+    assert before == after
+    # idempotent: nothing left over the threshold
+    assert store.optimize("events") == 0
