@@ -197,3 +197,21 @@ def test_quantize_blas_identical_to_builtin(spark, sf_dir):
         .sort_values("vec_id").reset_index(drop=True)
     )
     assert a.astype(str).equals(b[a.columns].astype(str))
+
+
+def test_ann_pq_recall_vs_bruteforce(spark):
+    """PQ (8 sub-codes, ADC candidate scan, exact re-rank) must recover
+    at least half of the true nearest neighbors at rank 1 — same gate
+    as the LSH and IVF families."""
+    small = "/root/testdata/sf0.001"
+    from pandas_tsdb_spark.registry import load_all
+
+    S = load_all()
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S["sim_topk"].builder(spark, small).filter(F.col("rk") == 1).collect()
+    }
+    pq = S["ann_pq"].builder(spark, small).filter(F.col("rk") == 1)
+    got = {(r.query_id, r.neighbor_id) for r in pq.collect()}
+    hits = len(truth & got)
+    assert hits / len(truth) >= 0.5, f"PQ recall {hits}/{len(truth)}"

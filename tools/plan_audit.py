@@ -58,6 +58,11 @@ EXPECTATIONS = {
     "text_pii_scrub": (1, False),
     "pipeline_chunk": (1, False),
     "win_holt": (1, False),
+    # gini: one exchange serves the segment window AND the aggregate;
+    # the customer dim broadcasts. quantize_blas is the zero-exchange
+    # Arrow-kernel twin of vec_quantize_int8.
+    "agg_gini": (1, True),
+    "vec_quantize_blas": (0, False),
     "dedup_embedding": (3, False),
     # event-analytics family: sessionize/zscore ride ONE user_id
     # exchange; sample_det is map-only (deterministic hash filter);
