@@ -417,3 +417,42 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
         )
     )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT c_custkey, c_name, o.o_orderkey AS last_orderkey,
+           o.o_totalprice AS last_totalprice
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o
+    WHERE c_acctbal > 9000
+    """,
+    tags=("joins", "sql"),
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the SQL-surface way to write
+    'each customer's most recent order' (pandas: groupby().idxmax()
+    then .loc). Declared as literal SQL through spark.sql() — the
+    third entry path beside DataFrame and TsFrame — and Catalyst's
+    subquery decorrelation rewrites the per-row LIMIT 1 into the SAME
+    physical plan topk_per_group hand-builds: one Window (row_number
+    over the correlation key) + a broadcast hash join. Nothing
+    executes per-row; the lateral is a declaration, not a loop — the
+    optimizer-does-it case for preferring declarative SQL at 100 TB.
+    Deterministic: the LIMIT 1 carries a total order (orderdate DESC,
+    orderkey DESC)."""
+    t = Tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("v_lat_customer")
+    t.orders.createOrReplaceTempView("v_lat_orders")
+    return spark.sql("""
+        SELECT c_custkey, c_name, o.o_orderkey AS last_orderkey,
+               o.o_totalprice AS last_totalprice
+        FROM v_lat_customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM v_lat_orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o
+        WHERE c_acctbal > 9000
+    """)
