@@ -270,3 +270,65 @@ def test_tsframe_rolling_time_matches_pandas(spark, rows):
     lhs = got["value_sum"].astype(float).to_numpy()
     rhs = want["want"].astype(float).to_numpy()
     assert np.allclose(lhs, rhs, rtol=1e-9, atol=1e-9, equal_nan=True)
+
+
+def test_quantize_error_bound_and_clipping(spark, sf_dir):
+    """Quantization invariants: reconstruction error per element is at
+    most scale/2 (floor(x+0.5) rounds to nearest), nothing clips, and
+    codes stay in [-127, 127]."""
+    from pandas_tsdb_spark.catalog import Tables
+
+    S = load_all()
+    out = S["vec_quantize_int8"].builder(spark, sf_dir).toPandas()
+    assert (out["n_clipped"] == 0).all()
+    emb = Tables(spark, sf_dir).embeddings.toPandas().set_index("vec_id")
+    merged = out.set_index("vec_id").join(emb[["embedding"]])
+    for _, row in merged.sample(50, random_state=7).iterrows():
+        x = np.asarray(row["embedding"], dtype=np.float64)
+        scale = row["scale"]
+        q = np.floor(x / scale + 0.5)
+        assert np.abs(q).max() <= 127
+        assert np.abs(x - q * scale).max() <= scale / 2 + 1e-12
+        assert int(q.sum()) == row["sum_q"]
+
+
+def test_gini_range_and_equality_case(spark, sf_dir):
+    """Gini lies in [0, 1); a degenerate all-equal distribution scores
+    exactly 0 under the rank-weighted formula."""
+    S = load_all()
+    out = S["agg_gini"].builder(spark, sf_dir).toPandas()
+    assert ((out["gini"] >= 0) & (out["gini"] < 1)).all()
+    # direct degenerate check with the same formula
+    n = 100
+    i = np.arange(1, n + 1)
+    x = np.full(n, 7.5)
+    g = 2 * (i * x).sum() / (n * x.sum()) - (n + 1) / n
+    assert abs(g) < 1e-12
+
+
+def test_combine_first_laws(spark, sf_dir):
+    """x.combine_first(x) == x (idempotence) and combine_first with a
+    disjoint frame is a pure union."""
+    from pandas_tsdb_spark.api import TsFrame
+    from pandas_tsdb_spark.catalog import Tables
+
+    ev = Tables(spark, sf_dir).events.select("event_id", "ts", "user_id", "value")
+    tf = TsFrame(ev, ts_col="ts", by="user_id", order_col="event_id")
+    same = tf.combine_first(ev, keys=["event_id"]).to_df()
+    assert same.count() == ev.count()
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    u = TsFrame(a, ts_col="ts", by="user_id", order_col="event_id").combine_first(
+        b, keys=["event_id"]
+    )
+    assert u.to_df().count() == ev.count()
+
+
+def test_pagerank_mass_and_positivity(spark, sf_dir):
+    """Ranks are strictly positive (teleport term) and total mass stays
+    <= 1 + epsilon (equality when no dangling leak; the fixture's trade
+    graph is strongly out-connected so mass ~ 1)."""
+    S = load_all()
+    out = S["graph_pagerank"].builder(spark, sf_dir).toPandas()
+    assert (out["pagerank"] > 0).all()
+    assert 0.5 < out["pagerank"].sum() <= 1.000001
