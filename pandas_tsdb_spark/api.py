@@ -406,6 +406,31 @@ class Rolling:
     def std(self, col: str, out: str | None = None) -> TsFrame:
         return self._apply(col, F.stddev_samp, out or f"{col}_std")
 
+    def cov(self, col_a: str, col_b: str, out: str | None = None) -> TsFrame:
+        """rolling().cov(other) — sample covariance over the frame
+        (pandas default ddof=1). One frame window, covar_samp built-in;
+        NULL below min_periods like every Rolling stat."""
+        w = self._frame()
+        guarded = F.when(
+            F.count(col_a).over(w) >= self.min_periods,
+            F.covar_samp(col_a, col_b).over(w),
+        )
+        return self.tf._wrap(
+            self.tf.df.withColumn(out or f"{col_a}_{col_b}_cov", guarded)
+        )
+
+    def corr(self, col_a: str, col_b: str, out: str | None = None) -> TsFrame:
+        """rolling().corr(other) — Pearson correlation over the frame
+        (the win_rolling_corr registry op is the oracle-checked twin)."""
+        w = self._frame()
+        guarded = F.when(
+            F.count(col_a).over(w) >= self.min_periods,
+            F.corr(col_a, col_b).over(w),
+        )
+        return self.tf._wrap(
+            self.tf.df.withColumn(out or f"{col_a}_{col_b}_corr", guarded)
+        )
+
     def skew(self, col: str, out: str | None = None) -> TsFrame:
         """Adjusted Fisher-Pearson sample skewness (pandas semantics:
         NaN below 3 observations or for a constant window). Three power

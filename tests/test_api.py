@@ -464,3 +464,40 @@ def test_ewm_var_std_vs_pandas(ev, pev):
         pev, lambda g: g["value"].ewm(alpha=0.3, adjust=True).std()
     )
     assert _eq(got2["value_ewmstd"], want2["want"])
+
+
+def test_rolling_corr_cov_vs_pandas(ev, pev):
+    """rolling(10).corr/cov of value against its own lag-1 — pandas
+    twins computed per series with the same min_periods."""
+    shifted = tsf(ev).shift("value", 1, out="prev")
+    got = _sorted(
+        shifted.rolling(10).cov("value", "prev").to_df().toPandas()
+    )
+    got2 = _sorted(
+        shifted.rolling(10).corr("value", "prev").to_df().toPandas()
+    )
+    p = pev.sort_values(["user_id", "ts", "event_id"]).copy()
+    g = p.groupby("user_id")
+    p["prev"] = g["value"].shift(1)
+
+    def roll(fn):
+        out = []
+        for _, grp in p.groupby("user_id"):
+            r = getattr(grp["value"].rolling(10), fn)(grp["prev"])
+            out.append(r)
+        return pd.concat(out)
+
+    p["want_cov"] = roll("cov")
+    p["want_corr"] = roll("corr")
+    p = _sorted(p)
+    # pandas rolling cov/corr pairs-with-NaN handling: pandas requires
+    # min_periods PAIRS; Spark count(col_a) counts col_a rows. Compare
+    # only where both produced a value.
+    m = got["value_prev_cov"].notna().to_numpy() & p["want_cov"].notna().to_numpy()
+    assert m.sum() > len(p) * 0.8
+    assert _eq(got["value_prev_cov"][m], p["want_cov"][m])
+    m2 = (
+        got2["value_prev_corr"].notna().to_numpy()
+        & p["want_corr"].notna().to_numpy()
+    )
+    assert _eq(got2["value_prev_corr"][m2], p["want_corr"][m2])
