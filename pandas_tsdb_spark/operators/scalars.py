@@ -476,3 +476,41 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.bitwiseXOR(F.lit(170)).alias("xored"),
         F.bit_count(c).alias("popcount"),
     )
+
+
+@query(
+    "fn_try",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS pri_int,
+           TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INTEGER) AS key_roundtrip,
+           CASE WHEN o_custkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / (o_custkey % 3) END AS safe_div,
+           string_split(o_orderpriority, '-')[9] AS oob_elem
+    FROM orders
+    """,
+    tags=("scalars",),
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe expression surface: try_cast (malformed -> NULL, not a
+    runtime error), try_divide (NULL on zero divisor), try_element_at
+    (NULL out of bounds). At 100 TB this is operational survival: one
+    malformed row must not kill a million-task job, and the NULL path
+    lets bad rows be quarantined with a filter afterward. DuckDB
+    mirrors with TRY_CAST, a CASE-guarded divide (its double division
+    would produce inf), and native NULL-on-out-of-bounds list
+    indexing. All map-side, codegen'd."""
+    o = Tables(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("pri_int"),
+        F.col("o_orderkey").cast("string").try_cast("int").alias(
+            "key_roundtrip"
+        ),
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3).alias(
+            "safe_div"
+        ),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(9)).alias(
+            "oob_elem"
+        ),
+    )

@@ -368,3 +368,59 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 2).alias("total"),
     )
+
+
+_EVOLVE_ORACLE = """
+    SELECT user_id, 1 AS batch, count(*) AS n_events,
+           CAST(NULL AS DOUBLE) AS sum_value
+    FROM events WHERE ts < TIMESTAMP '2024-07-01'
+    GROUP BY user_id
+    UNION ALL
+    SELECT user_id, 2 AS batch, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events WHERE ts >= TIMESTAMP '2024-07-01'
+    GROUP BY user_id
+"""
+
+
+@query("scan_schema_evolution", oracle=_EVOLVE_ORACLE)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read — the 100 TB reality that a table's
+    files were written over months by different pipeline versions: an
+    old batch lacks a column the new batch carries. Writes two parquet
+    batches with DIFFERENT schemas (the second adds sum_value), reads
+    them back in one scan with mergeSchema=true, and the oracle
+    recomputes the merged result with the old batch NULL-filled —
+    proving missing-column semantics end to end.
+
+    Discipline notes: mergeSchema is a read-TIME footer union (no data
+    rewrite — evolution is free if columns only get ADDED and types
+    stay fixed); it costs a footer read per file, so production tables
+    pin the merged schema in a catalog instead of re-deriving it per
+    scan. Type-CHANGING evolution is not free and needs a rewrite —
+    keep types stable."""
+    ev = Tables(spark, sf_dir).events
+    cutoff = "2024-07-01"
+    b1 = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("batch", F.lit(1))
+    )
+    b2 = (
+        ev.filter(F.col("ts") >= cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("batch", F.lit(2))
+    )
+    root = tempfile.mkdtemp(prefix="pts_evolve_")
+    b1.write.mode("overwrite").parquet(f"{root}/v1")
+    b2.write.mode("overwrite").parquet(f"{root}/v2")
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(f"{root}/v1", f"{root}/v2")
+        .select("user_id", "batch", "n_events", "sum_value")
+    )

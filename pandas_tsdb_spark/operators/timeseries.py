@@ -827,3 +827,156 @@ def win_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.mapInPandas(
         kernel, "user_id long, event_id long, value double, holt_level double"
     )
+
+
+_M4_BUCKETS = 100
+
+
+@query(
+    "win_downsample_m4",
+    oracle=f"""
+    WITH ext AS (
+      SELECT user_id,
+             min(epoch_us(ts)) AS t0,
+             max(epoch_us(ts)) AS t1
+      FROM events GROUP BY user_id
+    ),
+    b AS (
+      SELECT e.user_id, e.value, e.event_id, epoch_us(e.ts) AS ts_us,
+             least({_M4_BUCKETS} - 1,
+                  (epoch_us(e.ts) - x.t0) * {_M4_BUCKETS} // (x.t1 - x.t0 + 1))
+                  AS bucket
+      FROM events e JOIN ext x ON e.user_id = x.user_id
+    ),
+    w AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts_us, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts_us DESC, event_id DESC) AS rn_z
+      FROM b
+    )
+    SELECT user_id, bucket,
+           count(*) AS n,
+           min(value) AS vmin, max(value) AS vmax,
+           min(CASE WHEN rn_a = 1 THEN value END) AS vfirst,
+           min(CASE WHEN rn_z = 1 THEN value END) AS vlast,
+           min(ts_us) AS t_start_us, max(ts_us) AS t_end_us
+    FROM w GROUP BY user_id, bucket
+    """,
+    tags=("timeseries", "windows"),
+)
+def win_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling — the standard tsdb visualization
+    reduction (min/max/first/last per time bucket preserves the exact
+    rendered line shape at pixel resolution; VLDB'14 'M4: A
+    Visualization-Oriented Time Series Data Aggregation').
+
+    Each series' extent splits into 100 equal-width buckets; per
+    bucket the four anchor values + count + extent come out of ONE
+    grouped aggregate. Plan: per-series extent via a grouped agg,
+    co-located join back (both sides hash on user_id — exchange
+    reused), two row_number windows (ascending/descending, sharing
+    the (user_id, bucket) sort) feed conditional first/last picks into
+    the final aggregate on the same partitioning. At 100 TB the output
+    is |series| x buckets regardless of input rows — the whole point
+    of the operator. Values emitted raw (selection, not arithmetic:
+    min/max/first/last are exact row values on both engines)."""
+    ev = Tables(spark, sf_dir).events.select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    ext = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1")
+    )
+    # bucket index via pure INTEGER division on both engines: a
+    # double-quotient cast differs cross-engine (Spark truncates,
+    # DuckDB rounds) — `div`/`//` sidestep the tie entirely
+    b = ev.join(ext, "user_id").withColumn(
+        "bucket",
+        F.least(
+            F.lit(_M4_BUCKETS - 1).cast("long"),
+            F.expr(
+                f"(ts_us - t0) * {_M4_BUCKETS} div (t1 - t0 + 1)"
+            ),
+        ),
+    )
+    wa = W.partitionBy("user_id", "bucket").orderBy("ts_us", "event_id")
+    wz = W.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    w = b.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_z", F.row_number().over(wz)
+    )
+    return w.groupBy("user_id", "bucket").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("vfirst"),
+        F.min(F.when(F.col("rn_z") == 1, F.col("value"))).alias("vlast"),
+        F.min("ts_us").alias("t_start_us"),
+        F.max("ts_us").alias("t_end_us"),
+    )
+
+
+@query("win_downsample_lttb", oracle=None)  # sequential selection: rows-only
+def win_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per series to ~100
+    points — the Grafana/Timescale decimation algorithm. TRUE LTTB is
+    sequential (each bucket's pick maximizes triangle area against the
+    PREVIOUS pick and the next bucket's centroid), so like ewm/holt it
+    is a per-series Arrow kernel, not a window expression — rows-only,
+    with shape invariants (endpoints kept, one point per bucket,
+    output ⊆ input) asserted in tests. Same partition-batched
+    mapInPandas shape as win_ewm: one shuffle to co-locate series,
+    kernel state never crosses series because each series is processed
+    whole within its sorted partition span (numpy per series, python
+    loop only over the ~100 buckets)."""
+    n_out = 100
+    ev = Tables(spark, sf_dir).events.select("user_id", "event_id", "value")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = ev.repartition(n_part, "user_id").sortWithinPartitions(
+        "user_id", "event_id"
+    )
+
+    def kernel(batches):
+        import numpy as _np
+
+        buf: dict[int, list[pd.DataFrame]] = {}
+
+        def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+            x = pdf["event_id"].to_numpy(dtype=float)
+            y = pdf["value"].to_numpy(dtype=float)
+            n = len(x)
+            if n <= n_out:
+                return pdf
+            # bucket boundaries over the interior points
+            edges = _np.linspace(1, n - 1, n_out - 1).astype(int)
+            sel = [0]
+            for bi in range(n_out - 2):
+                lo, hi = edges[bi], edges[bi + 1]
+                nxt_lo, nxt_hi = edges[bi + 1], (
+                    edges[bi + 2] if bi + 2 < len(edges) else n
+                )
+                ax, ay = x[sel[-1]], y[sel[-1]]
+                cx, cy = x[nxt_lo:nxt_hi].mean(), y[nxt_lo:nxt_hi].mean()
+                area = _np.abs(
+                    (ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay)
+                )
+                sel.append(lo + int(_np.argmax(area)))
+            sel.append(n - 1)
+            return pdf.iloc[sel]
+
+        last_user = None
+        for pdf in batches:
+            for uid, grp in pdf.groupby("user_id", sort=False):
+                buf.setdefault(int(uid), []).append(grp)
+            # a series can span batches within the partition; flush only
+            # users that cannot continue (everything except the last seen)
+            last_user = int(pdf["user_id"].iloc[-1])
+            done = [u for u in buf if u != last_user]
+            for u in done:
+                yield lttb(pd.concat(buf.pop(u)))
+        for u in list(buf):
+            yield lttb(pd.concat(buf.pop(u)))
+
+    return part.mapInPandas(kernel, "user_id long, event_id long, value double")

@@ -296,3 +296,26 @@ def test_holt_matches_reference_loop(spark, sf_dir):
     assert np.allclose(got["holt_level"].to_numpy(), ref, rtol=1e-12, atol=1e-12)
     # level tracks the series: correlation with the input is strong
     assert np.corrcoef(got["holt_level"], got["value"])[0, 1] > 0.5
+
+
+def test_lttb_shape_invariants(spark, sf_dir):
+    """LTTB per series: endpoints kept, at most 100 points, exactly the
+    input rows (a SELECTION, never synthesized values), one point per
+    interior bucket when the series is long enough."""
+    got = SPECS["win_downsample_lttb"].builder(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "event_id", "value"]
+    ]
+    merged = got.merge(ev, on=["user_id", "event_id"], suffixes=("", "_src"))
+    assert len(merged) == len(got)  # selection only
+    assert np.allclose(merged["value"], merged["value_src"])
+    per = got.groupby("user_id")["event_id"].agg(["count", "min", "max"])
+    src = ev.groupby("user_id")["event_id"].agg(["count", "min", "max"])
+    joined = per.join(src, lsuffix="_out", rsuffix="_src")
+    assert (joined["count_out"] <= 100).all()
+    # endpoints preserved
+    assert (joined["min_out"] == joined["min_src"]).all()
+    assert (joined["max_out"] == joined["max_src"]).all()
+    # long series downsample to exactly 100
+    long_series = joined[joined["count_src"] > 100]
+    assert (long_series["count_out"] == 100).all()
