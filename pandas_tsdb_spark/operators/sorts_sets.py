@@ -147,6 +147,28 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) difference — EXCEPT ALL: each occurrence on the
+    right cancels ONE occurrence on the left, surviving duplicates
+    kept. The semantics pandas users hand-roll with cumcount joins;
+    Spark's exceptAll plans it as a counted anti-semantics join
+    (generate replicated rows from count deltas), one shuffle on the
+    key — contrast set_except's distinct semantics (the other §2.7
+    row)."""
+    o = Tables(spark, sf_dir).orders
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b)
+
+
+@query(
     "reshape_melt",
     oracle="""
     SELECT o_orderkey, metric, val FROM (
