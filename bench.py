@@ -70,6 +70,9 @@ HEADLINE = {
     # spread) and int8 embedding quantization (zero-exchange map-only).
     "q26_pii_scrub": "text_pii_scrub",
     "q27_quantize": "vec_quantize_int8",
+    # the flagship tsdb visualization reduction: output bounded at
+    # |series| x buckets regardless of input rows.
+    "q28_m4_downsample": "win_downsample_m4",
 }
 
 WARMUP, RUNS = 1, 3

@@ -453,6 +453,30 @@ def q27_quantize(sf_dir):
     )
 
 
+def q28_m4_downsample(sf_dir):
+    ev = _read(sf_dir, "events")[["user_id", "event_id", "value", "ts"]]
+    ev = ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    ts_us = ev.ts.astype("datetime64[us]").astype("int64")
+    g = ev.assign(ts_us=ts_us).groupby("user_id")
+    t0 = g.ts_us.transform("min")
+    t1 = g.ts_us.transform("max")
+    bucket = ((ev.assign(ts_us=ts_us).ts_us - t0) * 100 // (t1 - t0 + 1)).clip(
+        upper=99
+    )
+    d = ev.assign(ts_us=ts_us, bucket=bucket)
+    gb = d.groupby(["user_id", "bucket"])
+    out = gb.agg(
+        n=("value", "size"),
+        vmin=("value", "min"),
+        vmax=("value", "max"),
+        vfirst=("value", "first"),
+        vlast=("value", "last"),
+        t_start_us=("ts_us", "min"),
+        t_end_us=("ts_us", "max"),
+    ).reset_index()
+    return out
+
+
 PANDAS_QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "q2_join_inner": q2_join_inner,
@@ -480,4 +504,5 @@ PANDAS_QUERIES = {
     "q25_lm_bigram": q25_lm_bigram,
     "q26_pii_scrub": q26_pii_scrub,
     "q27_quantize": q27_quantize,
+    "q28_m4_downsample": q28_m4_downsample,
 }
