@@ -319,3 +319,20 @@ def test_lttb_shape_invariants(spark, sf_dir):
     # long series downsample to exactly 100
     long_series = joined[joined["count_src"] > 100]
     assert (long_series["count_out"] == 100).all()
+
+
+def test_m4_invariants(spark, sf_dir):
+    """M4 bucket stats are internally consistent: vmin <= vfirst,
+    vlast <= vmax, extent ordered, at most 100 buckets per series, and
+    total n equals the series row count (a partition of the series)."""
+    out = SPECS["win_downsample_m4"].builder(spark, sf_dir).toPandas()
+    assert (out["vmin"] <= out["vfirst"]).all()
+    assert (out["vmin"] <= out["vlast"]).all()
+    assert (out["vfirst"] <= out["vmax"]).all()
+    assert (out["vlast"] <= out["vmax"]).all()
+    assert (out["t_start_us"] <= out["t_end_us"]).all()
+    per = out.groupby("user_id").agg(nb=("bucket", "count"), n=("n", "sum"))
+    assert (per["nb"] <= 100).all()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    src = ev.groupby("user_id").size()
+    assert per["n"].sort_index().equals(src.sort_index())
