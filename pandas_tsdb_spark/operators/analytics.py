@@ -498,9 +498,9 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr",
     oracle="""
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qp,
            round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
-           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq,
+           round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope_pq,
            count(*) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -516,9 +516,9 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-12 relative, far below the rounding decimals."""
     li = Tables(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias("corr_qp"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
-        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_pq"),
+        (F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4) + F.lit(0.0)).alias("slope_pq"),
         F.count("*").alias("n"),
     )
 
@@ -533,7 +533,7 @@ def _corr_matrix_oracle() -> str:
     )
     pairs = "\n    UNION ALL\n    ".join(
         f"SELECT '{a}' AS type_a, '{b}' AS type_b,"
-        f" round(corr(v_{a}, v_{b}), 6) AS corr_r FROM daily"
+        f" round(corr(v_{a}, v_{b}), 6) + 0.0 AS corr_r FROM daily"
         for i, a in enumerate(_ETYPES)
         for b in _ETYPES[i + 1 :]
     )
@@ -577,7 +577,7 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corrs = daily.agg(
         *[
-            F.round(F.corr(f"v_{a}", f"v_{b}"), 6).alias(f"{a}__{b}")
+            (F.round(F.corr(f"v_{a}", f"v_{b}"), 6) + F.lit(0.0)).alias(f"{a}__{b}")
             for i, a in enumerate(_ETYPES)
             for b in _ETYPES[i + 1 :]
         ]

@@ -294,18 +294,26 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT s.flag AS l_returnflag,
-           round(sum(pow(l_quantity - s.mu, 3)) / s.n / pow(s.sd, 3), 4) AS skew_qty,
-           round(sum(pow(l_quantity - s.mu, 4)) / s.n / pow(s.sd, 4) - 3, 4) AS kurt_qty
+           round(sum(pow(l_quantity - s.mu, 3)) / s.n / pow(s.sd, 3), 4) + 0.0
+             AS skew_qty,
+           round(sum(pow(l_quantity - s.mu, 4)) / s.n / pow(s.sd, 4) - 3, 4) + 0.0
+             AS kurt_qty
     FROM lineitem JOIN s ON lineitem.l_returnflag = s.flag
     GROUP BY s.flag, s.n, s.sd
     """,
 )
 def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pandas .skew()/.kurt() analogue (population definition)."""
+    """pandas .skew()/.kurt() analogue (population definition).
+
+    `+ 0.0` after the round on BOTH sides: a tiny negative moment
+    rounds to IEEE -0.0, which one engine prints as "-0.0" and the
+    other as "0.0" — numerically equal, hash-different (hit at
+    sf0.001 where a group's skewness is ~-1e-5). Adding +0.0
+    canonicalizes the zero sign."""
     li = Tables(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
-        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
-        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+        (F.round(F.skewness("l_quantity"), 4) + F.lit(0.0)).alias("skew_qty"),
+        (F.round(F.kurtosis("l_quantity"), 4) + F.lit(0.0)).alias("kurt_qty"),
     )
 
 

@@ -550,8 +550,8 @@ def join_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
     )
     SELECT user_id,
-           round(corr(value, v1), 6) AS acf1,
-           round(corr(value, v7), 6) AS acf7,
+           round(corr(value, v1), 6) + 0.0 AS acf1,
+           round(corr(value, v7), 6) + 0.0 AS acf7,
            count(v7) AS n7
     FROM s GROUP BY user_id
     """,
@@ -573,8 +573,8 @@ def win_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value", 7).over(w).alias("v7"),
     )
     return s.groupBy("user_id").agg(
-        F.round(F.corr("value", "v1"), 6).alias("acf1"),
-        F.round(F.corr("value", "v7"), 6).alias("acf7"),
+        (F.round(F.corr("value", "v1"), 6) + F.lit(0.0)).alias("acf1"),
+        (F.round(F.corr("value", "v7"), 6) + F.lit(0.0)).alias("acf7"),
         F.count("v7").alias("n7"),
     )
 
