@@ -160,9 +160,14 @@ class TsFrame:
         return self._wrap(self.df.withColumn(out or f"{col}_diff", d))
 
     def pct_change(self, col: str, n: int = 1, out: str | None = None) -> "TsFrame":
+        # NULLIF: a zero previous value must not throw under ANSI mode
+        # (pandas yields inf there; NULL is the deterministic Spark twin)
         prev = F.lag(col, n).over(self._win())
         return self._wrap(
-            self.df.withColumn(out or f"{col}_pct", (F.col(col) - prev) / prev)
+            self.df.withColumn(
+                out or f"{col}_pct",
+                (F.col(col) - prev) / F.nullif(prev, F.lit(0)),
+            )
         )
 
     def cumsum(self, col: str, out: str | None = None) -> "TsFrame":

@@ -518,11 +518,14 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q9",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(sum(amount_e4) AS DOUBLE) / 10000.0 AS sum_profit
     FROM (
       SELECT sn.n_name AS nation, year(o.o_orderdate) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount)
-               - 0.6 * p.p_retailprice * l.l_quantity AS amount
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               - 60 * CAST(round(p.p_retailprice * 100) AS BIGINT)
+                    * CAST(l.l_quantity AS BIGINT) AS amount_e4
       FROM lineitem l
       JOIN orders o   ON l.l_orderkey = o.o_orderkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -546,14 +549,23 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash build of 2.4M rows costs more than sorting; SMJ is the right
     fact-fact plan here and at 100 TB.) The only large shuffles are the
     pruned fact-fact join and the final (nation, year) aggregation of
-    map-side partials."""
+    map-side partials.
+
+    Profit is accumulated in EXACT integer e4 units (2dp x 2dp
+    factors -> 4-decimal amounts): round(sum(float_amount), 2) hit a
+    genuine decimal tie at sf0.1 (a group total landing on x.xx5, the
+    engines' accumulation noise resolving it differently) — the sum of
+    exact integers is bit-identical, and one final division by 1e4 is
+    deterministic on both engines."""
     t = Tables(spark, sf_dir)
     sn = t.nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
     )
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    retail_c = F.round(F.col("p_retailprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    amount_e4 = ext_c * (F.lit(100) - disc_c) - F.lit(60) * retail_c * qty
     return (
         t.lineitem.join(
             F.broadcast(t.part.filter(F.col("p_type") == "STANDARD")),
@@ -568,7 +580,11 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            (F.sum(amount_e4).cast("double") / F.lit(10000.0)).alias(
+                "sum_profit"
+            )
+        )
     )
 
 

@@ -121,16 +121,24 @@ def win_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_pct_change",
     oracle=f"""
     SELECT user_id, event_id,
-           (value - lag(value) OVER ({_WSER})) / lag(value) OVER ({_WSER}) AS pct
+           (value - lag(value) OVER ({_WSER}))
+             / nullif(lag(value) OVER ({_WSER}), 0) AS pct
     FROM events
     """,
 )
 def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pct_change() per series."""
+    """pct_change() per series. The previous value can be exactly 0
+    (one exists at sf0.1): under ANSI mode a raw division THROWS, and
+    the engines disagree on the non-ANSI escape (Spark NULL, DuckDB
+    inf, pandas inf) — NULLIF on both sides pins the zero-divisor case
+    to NULL deterministically (the try_divide semantics, spelled
+    portably)."""
     w = W.partitionBy("user_id").orderBy("event_id")
     prev = F.lag("value").over(w)
     return _ev(spark, sf_dir).select(
-        "user_id", "event_id", ((F.col("value") - prev) / prev).alias("pct")
+        "user_id",
+        "event_id",
+        ((F.col("value") - prev) / F.nullif(prev, F.lit(0))).alias("pct"),
     )
 
 
