@@ -652,3 +652,60 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.start").alias("day"), "c_mktsegment", "n", "sum_value"
     )
     return run_to_memory(out, "complete", "enrich")
+
+
+@query(
+    "stream_m4",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, value,
+             date_trunc('day', ts) AS day
+      FROM events
+    ),
+    w AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, day
+                                ORDER BY us, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, day
+                                ORDER BY us DESC, event_id DESC) AS rn_z
+      FROM e
+    )
+    SELECT day, user_id, count(*) AS n,
+           min(value) AS vmin, max(value) AS vmax,
+           min(CASE WHEN rn_a = 1 THEN value END) AS vfirst,
+           min(CASE WHEN rn_z = 1 THEN value END) AS vlast
+    FROM w GROUP BY day, user_id
+    """,
+)
+def stream_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live M4/OHLC bars as a STREAMING aggregation: per (day, series)
+    min/max/first/last maintained incrementally — the tsdb dashboard
+    path where win_downsample_m4 is the batch backfill.
+
+    first/last under streaming cannot use rank windows (no windows over
+    unbounded streams); instead they ride lexicographic STRUCT min/max
+    — min(struct(ts, event_id, value)).value is the earliest row's
+    value, an ALGEBRAIC aggregate with partial merge, legal in a
+    streaming agg and mergeable across micro-batches (the same trick
+    DuckDB spells arg_min; the oracle uses rank windows since the
+    batch side has no such restriction). Complete-mode memory sink,
+    equality with the batch GROUP BY checked by the oracle."""
+    ev = events_stream(spark, sf_dir)
+    us = F.unix_micros("ts")
+    first_key = F.struct(
+        us.alias("us"), F.col("event_id").alias("eid"), F.col("value").alias("v")
+    )
+    agg = ev.groupBy(
+        F.window("ts", "1 day").alias("w"), "user_id"
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min(first_key).getField("v").alias("vfirst"),
+        F.max(first_key).getField("v").alias("vlast"),
+    )
+    out = agg.select(
+        F.col("w.start").alias("day"), "user_id", "n", "vmin", "vmax",
+        "vfirst", "vlast",
+    )
+    return run_to_memory(out, "complete", "m4bars")

@@ -256,3 +256,34 @@ def test_chunked_stream_static_enrich(spark, chunk_dir):
     )
     cols = ["day", "c_mktsegment", "n", "s"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_chunked_m4_bars_merge_across_batches(spark, chunk_dir):
+    """stream_m4's struct-min/max first/last must MERGE correctly when
+    a (day, user) bar spans micro-batches: replay in 4 chunks and
+    compare to the one-shot batch computation."""
+    us = F.unix_micros("ts")
+    key = F.struct(
+        us.alias("us"), F.col("event_id").alias("eid"), F.col("value").alias("v")
+    )
+
+    def agg(df):
+        return (
+            df.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("value").alias("vmin"),
+                F.max("value").alias("vmax"),
+                F.min(key).getField("v").alias("vfirst"),
+                F.max(key).getField("v").alias("vlast"),
+            )
+            .select(
+                F.col("w.start").alias("day"), "user_id", "n",
+                "vmin", "vmax", "vfirst", "vlast",
+            )
+        )
+
+    got = _run_chunks(spark, chunk_dir, agg, "complete")
+    want = agg(S.batch_events(spark, SMALL))
+    cols = ["day", "user_id", "n", "vmin", "vmax", "vfirst", "vlast"]
+    assert _rows(got, cols) == _rows(want, cols)
