@@ -63,6 +63,15 @@ EXPECTATIONS = {
     # Arrow-kernel twin of vec_quantize_int8.
     "agg_gini": (1, True),
     "vec_quantize_blas": (0, False),
+    # late continuation-7: lateral decorrelates to window+broadcast;
+    # except-all is one counted-join shuffle; fn_try is map-only; m4 is
+    # extent-agg + broadcast-back + shared-sort windows; lttb is the
+    # one-repartition kernel shape.
+    "join_lateral": (2, True),
+    "set_except_all": (1, False),
+    "fn_try": (0, False),
+    "win_downsample_m4": (2, True),
+    "win_downsample_lttb": (1, False),
     "dedup_embedding": (3, False),
     # event-analytics family: sessionize/zscore ride ONE user_id
     # exchange; sample_det is map-only (deterministic hash filter);
