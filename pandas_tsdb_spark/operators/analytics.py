@@ -375,7 +375,7 @@ _Q3_CUT = "1998-03-15 00:00:00"
     "tpch_q3",
     oracle=f"""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
            o.o_orderdate AS o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -406,8 +406,17 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > cut)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact integer e4 accumulation (see tpch.py helpers):
+            # round(sum(4dp floats), 2) can land on a genuine x.xx50 tie
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (
+                        F.lit(100)
+                        - F.round(F.col("l_discount") * 100).cast("long")
+                    )
+                ).cast("double")
+                / F.lit(10000.0)
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -420,7 +429,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -458,8 +467,17 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact integer e4 accumulation (see tpch.py helpers):
+            # round(sum(4dp floats), 2) can land on a genuine x.xx50 tie
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (
+                        F.lit(100)
+                        - F.round(F.col("l_discount") * 100).cast("long")
+                    )
+                ).cast("double")
+                / F.lit(10000.0)
             ).alias("revenue")
         )
     )

@@ -128,7 +128,9 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast",
     oracle="""
     SELECT n_name, r_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -147,8 +149,16 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name", "r_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact integer e4 revenue (see tpch.py helpers rationale)
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (
+                        F.lit(100)
+                        - F.round(F.col("l_discount") * 100).cast("long")
+                    )
+                ).cast("double")
+                / F.lit(10000.0)
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )

@@ -184,8 +184,13 @@ Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+            AS DOUBLE) / 1000000.0 AS sum_charge,
        {oracle_avg('l_quantity')} AS avg_qty,
        {oracle_avg('l_extendedprice')} AS avg_price,
        {oracle_avg('l_discount')} AS avg_disc,
@@ -205,15 +210,24 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     state — the canonical scalable aggregation shape.
     """
     li = Tables(spark, sf_dir).lineitem
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # disc_price/charge accumulate in exact integer e4/e6 units (2dp
+    # factor products; see tpch.py helpers rationale — round(sum, 2)
+    # over multi-decimal addends can land on genuine half ties)
+    ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_f = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    tax_f = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            (F.sum(ext_c * disc_f).cast("double") / F.lit(10000.0)).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum(ext_c * disc_f * tax_f).cast("double") / F.lit(1000000.0)
+            ).alias("sum_charge"),
             (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
             (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
             (F.round(F.sum("l_discount"), 2) / F.count("*")).alias("avg_disc"),

@@ -34,10 +34,49 @@ from pandas_tsdb_spark.registry import query
 # ---------------------------------------------------------------- q6
 
 
+# Exact integer revenue units: 2dp x 2dp factors make revenue a
+# 4-decimal quantity, and round(sum(<4dp floats>), 2) can land on a
+# GENUINE x.xx50 tie that engine accumulation noise resolves either
+# way (hit at sf0.1 on q9; odds ~1/100 per output group). Revenue
+# sums therefore accumulate in integer e4 units (cents x percent) —
+# bit-identical across engines — and divide by 1e4 ONCE at the end
+# (emitted raw: the quotient of identical doubles is identical).
+_E4_NET_SQL = (
+    "CAST(round({p}l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round({p}l_discount * 100) AS BIGINT))"
+)
+_E4_DISCREV_SQL = (
+    "CAST(round({p}l_extendedprice * 100) AS BIGINT)"
+    " * CAST(round({p}l_discount * 100) AS BIGINT)"
+)
+
+
+def _ext_c() -> F.Column:
+    return F.round(F.col("l_extendedprice") * 100).cast("long")
+
+
+def _disc_c() -> F.Column:
+    return F.round(F.col("l_discount") * 100).cast("long")
+
+
+def _net_e4() -> F.Column:
+    return _ext_c() * (F.lit(100) - _disc_c())
+
+
+def _discrev_e4() -> F.Column:
+    return _ext_c() * _disc_c()
+
+
+def _e4_out(c: F.Column) -> F.Column:
+    return c.cast("double") / F.lit(10000.0)
+
+
 @query(
     "tpch_q6",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS revenue,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -61,9 +100,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            _e4_out(F.sum(_discrev_e4())).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -117,7 +154,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -149,11 +186,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_returnflag") == "R")
         .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_e4_out(F.sum(_net_e4())).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -166,10 +199,13 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q14",
     oracle="""
-    SELECT 100.0 * round(sum(CASE WHEN p.p_type = 'PROMO'
-                     THEN l.l_extendedprice * (1 - l.l_discount)
-                     ELSE 0 END), 2)
-               / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+    SELECT 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                     ELSE 0 END) AS DOUBLE)
+               / CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                      AS DOUBLE)
                AS promo_revenue_pct,
            count(*) AS n_rows
     FROM lineitem l
@@ -184,11 +220,11 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact⋈dim join. `part` broadcasts (dimension stays executor-memory
     size at any SF) so lineitem never shuffles; the month predicate
     prunes the scan. Float discipline: numerator and denominator are
-    each round(sum, 2) — bit-identical across engines per registry.py —
-    and the ratio/scale ops are then single IEEE ops, also
+    exact integer e4 sums (module helpers) — bit-identical across
+    engines — and the ratio/scale ops are then single IEEE ops, also
     bit-identical."""
     t = Tables(spark, sf_dir)
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    net_e4 = _net_e4()
     return (
         t.lineitem.filter(
             (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
@@ -198,10 +234,12 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.round(
-                    F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(0.0)), 2
-                )
-                / F.round(F.sum(net), 2)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", net_e4).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).cast("double")
+                / F.sum(net_e4).cast("double")
             ).alias("promo_revenue_pct"),
             F.count("*").alias("n_rows"),
         )
@@ -265,7 +303,9 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q19",
     oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
            count(*) AS n_rows
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -311,9 +351,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _e4_out(F.sum(_net_e4())).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -326,10 +364,13 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q8",
     oracle="""
     SELECT year(o.o_orderdate) AS o_year,
-           100.0 * round(sum(CASE WHEN sn.n_name = 'NATION_3'
-                       THEN l.l_extendedprice * (1 - l.l_discount)
-                       ELSE 0 END), 2)
-                 / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+           100.0 * CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                       THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS DOUBLE)
                AS mkt_share_pct,
            count(*) AS n_rows
     FROM lineitem l
@@ -353,10 +394,10 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier side for the share bucket) — both broadcast, disambiguated
     by renamed projections rather than alias resolution. The only
     shuffle moving data is the final year group-by of partial sums;
-    both ratio legs are round(sum, 2) so the division is bit-identical
-    cross-engine (registry.py float discipline)."""
+    both ratio legs are exact integer e4 sums (module helpers) so the
+    division is bit-identical cross-engine."""
     t = Tables(spark, sf_dir)
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    net_e4 = _net_e4()
     cn = t.nation.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
     )
@@ -379,11 +420,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.round(
-                    F.sum(F.when(F.col("sn_name") == "NATION_3", net).otherwise(0.0)),
-                    2,
-                )
-                / F.round(F.sum(net), 2)
+                * F.sum(
+                    F.when(F.col("sn_name") == "NATION_3", net_e4).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).cast("double")
+                / F.sum(net_e4).cast("double")
             ).alias("mkt_share_pct"),
             F.count("*").alias("n_rows"),
         )
@@ -456,11 +498,12 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q7",
     oracle="""
     SELECT cust_nation, supp_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           CAST(sum(volume_e4) AS DOUBLE) / 10000.0 AS revenue
     FROM (
       SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
              year(l.l_shipdate) AS l_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume_e4
       FROM lineitem l
       JOIN orders o   ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -504,11 +547,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(pair)
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_e4_out(F.sum(_net_e4())).alias("revenue"))
     )
 
 
@@ -678,17 +717,20 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q15",
     oracle="""
     WITH rev AS (
-      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
-               AS total_revenue
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS rev_e4
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.rev_e4 AS DOUBLE) / 10000.0 AS total_revenue
     FROM supplier s
     JOIN rev r ON s.s_suppkey = r.l_suppkey
-    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    WHERE r.rev_e4 = (SELECT max(rev_e4) FROM rev)
     """,
     tags=("analytics", "tpch"),
 )
@@ -696,9 +738,10 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): quarter revenue per supplier, keep the
     max. The scalar-subquery max becomes a 1-row aggregate broadcast
     cross-joined into the filter — rev is computed once and reused for
-    both legs (Spark reuses the exchange under AQE). Equality on a
-    float is safe ONLY because both sides are round(sum, 2) —
-    bit-identical per registry.py discipline."""
+    both legs (Spark reuses the exchange under AQE). The max-equality
+    compares exact INTEGER e4 revenues (module helpers), so the float
+    tie problem cannot arise at any scale; the double quotient is
+    emitted only as output."""
     t = Tables(spark, sf_dir)
     rev = (
         t.lineitem.filter(
@@ -706,18 +749,14 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
-        )
+        .agg(F.sum(_net_e4()).alias("rev_e4"))
     )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    mx = rev.agg(F.max("rev_e4").alias("mx"))
     return (
         rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("mx"))
+        .filter(F.col("rev_e4") == F.col("mx"))
         .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", _e4_out(F.col("rev_e4")).alias("total_revenue"))
     )
 
 
