@@ -615,17 +615,18 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_gini",
     oracle="""
     WITH r AS (
-      SELECT c_mktsegment, o_totalprice,
+      SELECT c_mktsegment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
              row_number() OVER (PARTITION BY c_mktsegment
                                 ORDER BY o_totalprice, o_orderkey) AS i
       FROM orders JOIN customer ON o_custkey = c_custkey
     )
     SELECT c_mktsegment,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total,
+           CAST(sum(price_c) AS DOUBLE) / 100.0 AS total,
            round(
-             2.0 * sum(i * o_totalprice)
-               / (count(*) * round(sum(o_totalprice), 2))
+             2.0 * CAST(sum(i * price_c) AS DOUBLE)
+               / (count(*) * CAST(sum(price_c) AS DOUBLE))
              - (count(*) + 1.0) / count(*),
              6) AS gini
     FROM r GROUP BY c_mktsegment
@@ -643,10 +644,14 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning serves the final aggregate — a single exchange end to
     end. Tie-break on o_orderkey makes ranks deterministic, but the
     Gini value itself is tie-invariant (equal x's contribute the same
-    Σ i*x under any permutation of their ranks). Σx rounds to 2 (exact
-    decimal total) before dividing; the rank-weighted sum's
-    accumulation order differs across engines at ~1e-12 relative, so
-    the final ratio rounds at 6."""
+    Σ i*x under any permutation of their ranks). Both Σx and the
+    rank-weighted Σ(i·x) accumulate EXACTLY in integer cents — but the
+    weighted sum overflows int64 near ~5M rows/segment (i·price_c is
+    ~2e14 per row; measured at the 64x fixture), so it accumulates as
+    DECIMAL(38,0) on the Spark side, mirroring DuckDB's automatic
+    BIGINT-sum -> HUGEINT promotion. Both exact 128-bit totals cast to
+    double identically; the ratio rounds at 6 only because (n+1)/n is
+    a float division."""
     t = Tables(spark, sf_dir)
     j = t.orders.join(
         F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
@@ -655,16 +660,20 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
     r = j.select(
         "c_mktsegment",
-        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        F.col("o_totalprice"),
         F.row_number().over(w).alias("i"),
     )
     n = F.count("*")
-    total = F.round(F.sum("o_totalprice"), 2)
+    total_c = F.sum("price_c").cast("double")
+    iwx = F.sum((F.col("i") * F.col("price_c")).cast("decimal(38,0)"))
     gini = F.round(
-        F.lit(2.0) * F.sum(F.col("i") * F.col("o_totalprice")) / (n * total)
+        F.lit(2.0) * iwx.cast("double") / (n * total_c)
         - (n + F.lit(1.0)) / n,
         6,
     )
     return r.groupBy("c_mktsegment").agg(
-        n.alias("n"), total.alias("total"), gini.alias("gini")
+        n.alias("n"),
+        (total_c / F.lit(100.0)).alias("total"),
+        gini.alias("gini"),
     )

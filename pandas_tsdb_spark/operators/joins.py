@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_tsdb_spark.catalog import Tables
-from pandas_tsdb_spark.registry import query
+from pandas_tsdb_spark.registry import oracle_sum2, query, sum2_col
 
 
 @query(
@@ -169,7 +169,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_range",
     oracle="""
     SELECT o_orderkey, count(*) AS n_quick,
-           round(sum(l_extendedprice), 2) AS quick_rev
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS quick_rev
     FROM orders JOIN lineitem
       ON l_orderkey = o_orderkey
      AND l_shipdate >= o_orderdate
@@ -193,7 +193,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count("*").alias("n_quick"),
-            F.round(F.sum("l_extendedprice"), 2).alias("quick_rev"),
+            sum2_col("l_extendedprice").alias("quick_rev"),
         )
     )
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_tsdb_spark.catalog import Tables
-from pandas_tsdb_spark.registry import oracle_avg, query
+from pandas_tsdb_spark.registry import oracle_avg, oracle_avg2, oracle_sum2, query, sum2_col
 
 # ---------------------------------------------------------------- projection
 
@@ -157,9 +157,9 @@ def distinct_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_global",
     oracle=f"""
-    SELECT round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_price,
-           {oracle_avg('l_extendedprice')} AS avg_price,
+    SELECT {oracle_sum2('l_quantity')} AS sum_qty,
+           {oracle_sum2('l_extendedprice')} AS sum_price,
+           {oracle_avg2('l_extendedprice')} AS avg_price,
            min(l_extendedprice) AS min_price,
            max(l_extendedprice) AS max_price,
            count(*) AS n_rows
@@ -171,9 +171,9 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries one state per partition regardless of table size."""
     li = Tables(spark, sf_dir).lineitem
     return li.agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
+        sum2_col("l_quantity").alias("sum_qty"),
+        sum2_col("l_extendedprice").alias("sum_price"),
+        (sum2_col("l_extendedprice") / F.count("*")).alias("avg_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
         F.count("*").alias("n_rows"),
@@ -182,8 +182,8 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
+       {oracle_sum2('l_quantity')} AS sum_qty,
+       {oracle_sum2('l_extendedprice')} AS sum_base_price,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
             AS DOUBLE) / 10000.0 AS sum_disc_price,
@@ -191,9 +191,9 @@ SELECT l_returnflag, l_linestatus,
                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
                 * (100 + CAST(round(l_tax * 100) AS BIGINT)))
             AS DOUBLE) / 1000000.0 AS sum_charge,
-       {oracle_avg('l_quantity')} AS avg_qty,
-       {oracle_avg('l_extendedprice')} AS avg_price,
-       {oracle_avg('l_discount')} AS avg_disc,
+       {oracle_avg2('l_quantity')} AS avg_qty,
+       {oracle_avg2('l_extendedprice')} AS avg_price,
+       {oracle_avg2('l_discount')} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -220,17 +220,17 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            sum2_col("l_quantity").alias("sum_qty"),
+            sum2_col("l_extendedprice").alias("sum_base_price"),
             (F.sum(ext_c * disc_f).cast("double") / F.lit(10000.0)).alias(
                 "sum_disc_price"
             ),
             (
                 F.sum(ext_c * disc_f * tax_f).cast("double") / F.lit(1000000.0)
             ).alias("sum_charge"),
-            (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
-            (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
-            (F.round(F.sum("l_discount"), 2) / F.count("*")).alias("avg_disc"),
+            (sum2_col("l_quantity") / F.count("*")).alias("avg_qty"),
+            (sum2_col("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (sum2_col("l_discount") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -380,7 +380,9 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_conditional",
     oracle=f"""
     SELECT l_returnflag,
-           round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2)
+           CAST(sum(CASE WHEN l_discount > 0.05
+                         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) / 100.0
                AS high_disc_rev,
            count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_big,
            {oracle_avg("CASE WHEN l_linestatus = 'O' THEN l_quantity END", "count(CASE WHEN l_linestatus = 'O' THEN 1 END)")} AS avg_open_qty
@@ -391,9 +393,14 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Masked aggregation (pandas sum-where) via when/otherwise."""
     li = Tables(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
-        F.round(
-            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0.0)),
-            2,
+        (
+            F.sum(
+                F.when(
+                    F.col("l_discount") > 0.05,
+                    F.round(F.col("l_extendedprice") * 100).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).cast("double")
+            / F.lit(100.0)
         ).alias("high_disc_rev"),
         F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
         (

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pandas_tsdb_spark.catalog import SCHEMAS, TABLE_NAMES, Tables
-from pandas_tsdb_spark.registry import query
+from pandas_tsdb_spark.registry import query, sum2_col
 
 
 @query(
@@ -114,7 +114,8 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CSV_AGG_ORACLE = """
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_price
     FROM orders GROUP BY o_orderstatus, o_orderpriority
 """
 
@@ -131,7 +132,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Tables(spark, sf_dir).orders
     agg = o.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        sum2_col("o_totalprice").alias("total_price"),
     )
     path = tempfile.mkdtemp(prefix="pts_csv_") + "/agg"
     agg.write.mode("overwrite").option("header", True).csv(path)
@@ -172,7 +173,8 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORC_AGG_ORACLE = """
     SELECT l_returnflag, l_linestatus,
            count(*) AS n_rows,
-           round(sum(l_extendedprice), 2) AS total_price
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_price
     FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
@@ -187,7 +189,7 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Tables(spark, sf_dir).lineitem
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        sum2_col("l_extendedprice").alias("total_price"),
     )
     path = tempfile.mkdtemp(prefix="pts_orc_") + "/agg"
     agg.write.mode("overwrite").orc(path)

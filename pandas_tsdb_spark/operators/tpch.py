@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_tsdb_spark.catalog import Tables
-from pandas_tsdb_spark.registry import query
+from pandas_tsdb_spark.registry import query, sum2_col
 
 # ---------------------------------------------------------------- q6
 
@@ -439,10 +439,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22",
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n_cust,
-           round(sum(c.c_acctbal), 2) AS total_bal
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_bal
     FROM customer c
     WHERE c.c_acctbal > (
-        SELECT round(sum(c_acctbal), 2) / count(*)
+        SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / count(*)
         FROM customer WHERE c_acctbal > 0
       )
       AND NOT EXISTS (
@@ -461,16 +463,14 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec's never-ordered predicate is vacuous here). The scalar
     subquery becomes a 1-row aggregate broadcast-cross-joined into the
     filter (no recompute per row); the NOT EXISTS is a left-anti join
-    against the date-pruned orders slice. The threshold is
-    round(sum, 2)/count — bit-identical in both engines — so the strict
-    > comparison against exact 2-decimal balances can't straddle
-    engine noise."""
+    against the date-pruned orders slice. The threshold is an exact
+    integer-cents sum / count — bit-identical in both engines at any
+    customer count — so the strict > comparison against exact
+    2-decimal balances can't straddle engine noise."""
     t = Tables(spark, sf_dir)
     thr = (
         t.customer.filter(F.col("c_acctbal") > 0)
-        .agg(
-            (F.round(F.sum("c_acctbal"), 2) / F.count("*")).alias("thr")
-        )
+        .agg((sum2_col("c_acctbal") / F.count("*")).alias("thr"))
     )
     return (
         t.customer.crossJoin(F.broadcast(thr))
@@ -486,7 +486,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_cust"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            sum2_col("c_acctbal").alias("total_bal"),
         )
     )
 

@@ -28,6 +28,33 @@ from pyspark.sql import DataFrame, SparkSession
 Builder = Callable[[SparkSession, str], DataFrame]
 
 
+def oracle_sum2(expr: str) -> str:
+    """Exact 2-decimal sum for the oracle side, valid at ANY row count:
+    accumulate integer cents (bigint — engines fold identically), emit
+    the double quotient once. round(sum(<2dp doubles>), 2) is only
+    valid while the float accumulation noise stays under 0.005 — at
+    ~38M rows x 5-digit values (the 64x fixture) noise reaches ~0.4 and
+    the engines' last-cent disagrees. Spark mirrors with sum2_col."""
+    return (
+        f"(CAST(sum(CAST(round(({expr}) * 100) AS BIGINT)) AS DOUBLE) / 100.0)"
+    )
+
+
+def oracle_avg2(expr: str, cnt: str = "count(*)") -> str:
+    """Exact average built on oracle_sum2 — the any-scale replacement
+    for oracle_avg (same bit-identical-quotient argument, but the
+    numerator is an exact integer sum instead of a rounded float)."""
+    return f"({oracle_sum2(expr)} / ({cnt}))"
+
+
+def sum2_col(col) -> "Column":
+    """Spark twin of oracle_sum2: exact integer-cents accumulation."""
+    from pyspark.sql import Column, functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * 100).cast("long")).cast("double") / F.lit(100.0)
+
+
 def oracle_avg(expr: str, cnt: str = "count(*)") -> str:
     """Cross-engine-stable AVG for the oracle SQL side.
 
@@ -39,6 +66,11 @@ def oracle_avg(expr: str, cnt: str = "count(*)") -> str:
     sum of 2-decimal data is never a tie at digit 3), both engines land
     on the bit-identical double, and the division by an integer count is
     then bit-identical too — the quotient is emitted RAW, no rounding.
+
+    VALIDITY REGIME: only while accumulation noise < 0.005 — i.e.
+    sqrt(n)*ulp(total) small (per-series/per-day groups). For sums over
+    whole big tables (global lineitem/orders aggregates) use
+    oracle_sum2/oracle_avg2 + sum2_col: exact at any n.
     Spark side mirrors with (F.round(F.sum(x), 2) / F.count(...)).
     """
     return f"(round(sum({expr}), 2) / {cnt})"
