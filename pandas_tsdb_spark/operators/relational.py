@@ -271,25 +271,52 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_stats",
     oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             l_extendedprice
+      FROM lineitem
+    )
     SELECT l_returnflag,
-           round(stddev_samp(l_extendedprice), 4) AS sd_price,
-           round(var_samp(l_extendedprice), 4) AS var_price,
+           round(sqrt((CAST(sum(pc * pc) AS DOUBLE)
+                       - CAST(sum(pc) AS DOUBLE) * CAST(sum(pc) AS DOUBLE)
+                         / count(*))
+                      / (count(*) - 1)) / 100.0, 4) AS sd_price,
+           round((CAST(sum(pc * pc) AS DOUBLE)
+                  - CAST(sum(pc) AS DOUBLE) * CAST(sum(pc) AS DOUBLE)
+                    / count(*))
+                 / (count(*) - 1) / 10000.0, 4) AS var_price,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
            round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
            count(*) AS n
-    FROM lineitem GROUP BY l_returnflag
+    FROM c GROUP BY l_returnflag
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """describe()-style moments + exact interpolated percentiles.
 
     Spark `percentile` (exact, interpolated) == DuckDB quantile_cont.
-    Skew/kurtosis live in agg_skew_kurt (definition mismatch handled
-    there)."""
+    Variance/stddev derive from EXACT integer moments in cents
+    (Σx and Σx² as 128-bit integers — Spark DECIMAL(38,0) mirroring
+    DuckDB's automatic HUGEINT sum): the streaming-moment var_samp of
+    both engines diverges past round(4) at 64x rows (noise ∝
+    sqrt(n)·ulp), while identical exact sums make every downstream
+    IEEE op bit-identical at any scale. The two-pass cancellation
+    (Σx² − (Σx)²/n) costs ~1 digit here (var is a sizable fraction of
+    the second moment), far inside the rounding. Skew/kurtosis live in
+    agg_skew_kurt."""
     li = Tables(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    c = li.select("l_returnflag", "l_extendedprice", pc.alias("pc"))
+    n = F.count("*")
+    sum_pc = F.sum(F.col("pc").cast("decimal(38,0)")).cast("double")
+    sum_pc2 = F.sum((F.col("pc") * F.col("pc")).cast("decimal(38,0)")).cast(
+        "double"
+    )
+    var_c2 = (sum_pc2 - sum_pc * sum_pc / n) / (n - F.lit(1))
+    return c.groupBy("l_returnflag").agg(
+        F.round(F.sqrt(var_c2) / F.lit(100.0), 4).alias("sd_price"),
+        F.round(var_c2 / F.lit(10000.0), 4).alias("var_price"),
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
         F.count("*").alias("n"),
