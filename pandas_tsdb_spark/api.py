@@ -913,3 +913,25 @@ def _tsframe_holt(
 TsFrame.combine_first = _tsframe_combine_first
 TsFrame.seasonal_adjust = _tsframe_seasonal_adjust
 TsFrame.holt = _tsframe_holt
+
+
+def _tsframe_describe(self, col: str) -> DataFrame:
+    """pandas ``groupby(by)[col].describe()``: count/mean/std/min/25%/
+    50%/75%/max per series — one hash aggregate (exact interpolated
+    percentiles share the single pass; Spark's percentile == pandas'
+    linear interpolation)."""
+    qs = F.percentile(col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    grouped = self.df.groupBy(*self.by) if self.by else self.df.groupBy(F.lit(1))
+    return grouped.agg(
+        F.count(col).alias("count"),
+        F.avg(col).alias("mean"),
+        F.stddev_samp(col).alias("std"),
+        F.min(col).alias("min"),
+        qs.getItem(0).alias("p25"),
+        qs.getItem(1).alias("p50"),
+        qs.getItem(2).alias("p75"),
+        F.max(col).alias("max"),
+    )
+
+
+TsFrame.describe = _tsframe_describe

@@ -501,3 +501,21 @@ def test_rolling_corr_cov_vs_pandas(ev, pev):
         & p["want_corr"].notna().to_numpy()
     )
     assert _eq(got2["value_prev_corr"][m2], p["want_corr"][m2])
+
+
+def test_describe_vs_pandas(ev, pev):
+    got = (
+        tsf(ev).describe("value").toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want = (
+        pev.groupby("user_id")["value"]
+        .describe()
+        .reset_index()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert (got["count"].to_numpy() == want["count"].to_numpy()).all()
+    for spark_c, pd_c in [("mean", "mean"), ("std", "std"), ("min", "min"),
+                          ("p25", "25%"), ("p50", "50%"), ("p75", "75%"),
+                          ("max", "max")]:
+        assert _eq(got[spark_c], want[pd_c]), spark_c
