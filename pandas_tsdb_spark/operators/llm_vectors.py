@@ -44,6 +44,29 @@ def _dot(a, b):  # bit-stable double dot product
     )
 
 
+def _seq_sqnorm(X: np.ndarray) -> np.ndarray:
+    """Per-row sum of squares accumulated dimension-by-dimension — the
+    exact IEEE order of the `_dot(x, x)` sequential fold (acc starts at
+    0.0, adds x_d*x_d left to right), vectorized across rows. Bit-
+    identical to the Spark HOF fold and DuckDB list_dot_product."""
+    acc = np.zeros(X.shape[0])
+    for d in range(X.shape[1]):
+        acc += X[:, d] * X[:, d]
+    return acc
+
+
+def _seq_dots(E: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """(n,dim) x (m,dim) -> (n,m) dot products in the sequential fold
+    order: each acc[i,j] accumulates E[i,d]*Q[j,d] for d = 0..dim-1,
+    one float64 multiply + one add per step — the same single-rounding
+    sequence as `_dot`, so results are bit-identical to the expression
+    path (unlike BLAS matmul, which reassociates the sum)."""
+    acc = np.zeros((E.shape[0], Q.shape[0]))
+    for d in range(E.shape[1]):
+        acc += E[:, d, None] * Q[None, :, d]
+    return acc
+
+
 def _with_norm(df: DataFrame, out: str = "norm") -> DataFrame:
     return df.withColumn(out, F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
 
@@ -70,27 +93,72 @@ _DUCK_COS = (
 )
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k per query vector (the exactness baseline;
-    ann_lsh is the scale path). Broadcast queries x partitioned
-    collection -> window top-k."""
-    e = _with_norm(Tables(spark, sf_dir).embeddings)
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("norm").alias("qnorm"),
-    )
-    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    # norms precomputed ONCE per row on each side (not per pair) — the
-    # only per-pair fold is the cross dot product; values are identical
-    # to the per-pair formulation, so the oracle is unchanged.
-    cos = F.round(
-        _dot(F.col("qv"), F.col("embedding")) / (F.col("qnorm") * F.col("norm")),
-        6,
+    ann_lsh is the scale path).
+
+    Round-2 rewrite: the dot products run as a sequential-order numpy
+    kernel per Arrow batch (`_seq_dots`/`_seq_sqnorm`) instead of the
+    interpreted per-element HOF fold — every raw cosine is BIT-identical
+    to the expression path (same casts, same left-to-right IEEE
+    accumulation, same qnorm*norm denominator), so the full DuckDB
+    oracle is unchanged while throughput matches the BLAS twin's shape
+    (the r1-measured 37x gap; sim_topk_blas keeps the reassociated
+    matmul variant). Rounding stays ON THE SPARK SIDE (F.round of the
+    raw double) — the same operator r1 hash-matched against DuckDB.
+
+    Scale design: the query block rides in the closure (bounded by
+    contract), the collection streams through executors batch by batch,
+    each batch emits only |queries| x (k+slack) candidate rows, and the
+    global window merges that tiny candidate stream. Nothing quadratic
+    shuffles at any collection size. The local cut keeps k+32 rows per
+    (query, batch) by raw cosine: a true top-k row can only be lost if
+    >32 candidates in one batch share its exact 6-dp rounded cosine
+    with a higher raw value — beyond-astronomical for continuous data,
+    and the oracle would catch it."""
+    e = Tables(spark, sf_dir).embeddings
+    q_rows = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded: the query block is small by contract
+    q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qn = np.sqrt(_seq_sqnorm(Q))
+    local_m = _TOP_K + 32
+
+    def local_topm(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            norms = np.sqrt(_seq_sqnorm(E))
+            # qnorm * norm first, then one division — operand-for-operand
+            # the expression path's `dot / (qnorm * norm)`.
+            cos = _seq_dots(E, Q) / (norms[:, None] * qn[None, :])
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = cos[:, j].copy()
+                col[ids == qid] = -np.inf  # exclude self
+                take = min(local_m, len(col))
+                top = np.argpartition(-col, take - 1)[:take]
+                keep = top[col[top] > -np.inf]
+                out_q.extend([qid] * len(keep))
+                out_n.extend(ids[keep])
+                out_c.extend(col[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype="int64"),
+                    "neighbor_id": np.array(out_n, dtype="int64"),
+                    "cos_raw": np.array(out_c, dtype="float64"),
+                }
+            )
+
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        local_topm, "query_id long, neighbor_id long, cos_raw double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
-        pairs.select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
-        )
+        cand.select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _TOP_K)
     )
@@ -217,31 +285,71 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN majority-label: 5 nearest (cosine) among the non-query set,
-    majority vote with deterministic tie-break. Norms are precomputed
-    per row on each side (same rewrite as sim_topk: ONE fold per pair,
-    not three; identical values, same oracle) — measured 14.2 -> 9.3 s
-    on the 16x-scaled embeddings (the remaining cost is the one
-    irreducible fold per pair; sim_topk_blas is the 0.9 s scale path)."""
-    e = _with_norm(Tables(spark, sf_dir).embeddings)
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("true_label"),
-        F.col("embedding").alias("qv"),
-        F.col("norm").alias("qnorm"),
+    majority vote with deterministic tie-break.
+
+    Same round-2 rewrite as sim_topk: the per-pair cosine runs in a
+    sequential-order numpy kernel (bit-identical to the HOF fold, so the
+    full DuckDB oracle is unchanged); each Arrow batch emits only
+    |queries| x (k+slack) ranked candidates, Spark rounds + windows the
+    tiny candidate stream and tallies the vote. r1's expression path
+    cost 9.3 s at 16x on the irreducible per-pair fold; this kernel
+    matches knn_label_blas's two-phase shape while keeping the oracle."""
+    e = Tables(spark, sf_dir).embeddings
+    q_rows = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "label", "embedding")
+        .collect()
     )
-    cand = e.filter(F.col("vec_id") >= _N_QUERIES)
-    cos = F.round(
-        _dot(F.col("qv"), F.col("embedding")) / (F.col("qnorm") * F.col("norm")),
-        6,
+    q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
+    q_labels = np.array([r.label for r in q_rows], dtype="int32")
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qn = np.sqrt(_seq_sqnorm(Q))
+    local_m = _TOP_K + 32
+
+    def local_topm(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            norms = np.sqrt(_seq_sqnorm(E))
+            cos = _seq_dots(E, Q) / (norms[:, None] * qn[None, :])
+            out = {k: [] for k in ("query_id", "true_label", "cand_id", "cand_label", "cos_raw")}
+            take = min(local_m, E.shape[0])
+            for j, qid in enumerate(q_ids):
+                col = cos[:, j]
+                top = np.argpartition(-col, take - 1)[:take]
+                out["query_id"].extend([qid] * take)
+                out["true_label"].extend([q_labels[j]] * take)
+                out["cand_id"].extend(ids[top])
+                out["cand_label"].extend(labels[top])
+                out["cos_raw"].extend(col[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out["query_id"], dtype="int64"),
+                    "true_label": np.array(out["true_label"], dtype="int32"),
+                    "cand_id": np.array(out["cand_id"], dtype="int64"),
+                    "cand_label": np.array(out["cand_label"], dtype="int32"),
+                    "cos_raw": np.array(out["cos_raw"], dtype="float64"),
+                }
+            )
+
+    cand = (
+        e.filter(F.col("vec_id") >= _N_QUERIES)
+        .select("vec_id", "label", "embedding")
+        .mapInPandas(
+            local_topm,
+            "query_id long, true_label int, cand_id long, cand_label int, cos_raw double",
+        )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
     ranked = (
-        cand.join(F.broadcast(q), F.lit(True))
-        .withColumn("cos", cos)
+        cand.withColumn("cos", F.round("cos_raw", 6))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _TOP_K)
     )
-    votes = ranked.groupBy("query_id", "true_label", F.col("label").alias("cand_label")).agg(
+    votes = ranked.groupBy("query_id", "true_label", "cand_label").agg(
         F.count("*").alias("n_votes")
     )
     w2 = W.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "cand_label")
@@ -807,16 +915,59 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4x smaller, SIMD-friendly int dot products). Per vector:
     scale = max|x|/127, q_i = floor(x_i/scale + 0.5).
 
-    Pure map-side: zero shuffles, whole-stage codegen end to end —
-    array_max/transform/aggregate are JVM higher-order functions, no
-    Python. Determinism: floor(x+0.5) instead of round() because Spark
-    rounds half-up and DuckDB half-even — floor is tie-free on both;
-    the float->double casts and the fold order (sequential
-    left-to-right in both engines) make every output column
-    bit-identical, so the checked columns are exact integers (sums of
-    quantized codes) plus the raw double scale. n_clipped asserts the
-    scale choice makes clipping impossible (always 0 — kept in the
-    output as the self-check a real pipeline would log)."""
+    Round 2: the numpy-kernel formulation (r1's `vec_quantize_blas`) is
+    now THE builder — Spark's array higher-order functions are
+    interpreted per element (no codegen inside the lambda), measured 3x
+    slower at 128k x 64 (2.3 s vs 0.8 s). The float64 division / floor
+    / row-wise integer sums here are single-assignment IEEE ops in the
+    same order as the HOF spec, so every output is bit-identical and
+    the full oracle carries over; `vec_quantize_hof` below keeps the
+    codegen-spec formulation as an unregistered test differential
+    (bit-equality asserted in tests/test_llm.py). Map-only — batches
+    stream through executors, nothing shuffles at any scale. n_clipped
+    asserts the scale choice makes clipping impossible (always 0 — the
+    self-check a real pipeline would log)."""
+    emb = Tables(spark, sf_dir).embeddings
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            absmax = np.abs(mat).max(axis=1)
+            scale = np.where(absmax > 0, absmax / 127.0, 1.0)
+            q = np.floor(mat / scale[:, None] + 0.5).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "scale": scale,
+                    "dim": mat.shape[1],
+                    "sum_q": q.sum(axis=1),
+                    "sum_q2": (q * q).sum(axis=1),
+                    "n_clipped": (np.abs(q) > 127).sum(axis=1),
+                }
+            )
+
+    return emb.mapInPandas(
+        kernel,
+        "vec_id long, label int, scale double, dim int, "
+        "sum_q long, sum_q2 long, n_clipped long",
+    )
+
+
+def vec_quantize_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM higher-order-function formulation of vec_quantize_int8 —
+    UNREGISTERED since round 2 (it is the same op as the primary kernel
+    builder, bit for bit, just ~3x slower because transform/aggregate
+    lambdas are interpreted per element). Kept as the codegen-side spec
+    the tests differentially assert the kernel against.
+
+    Determinism notes (why the two formulations are bit-identical):
+    floor(x+0.5) instead of round() because Spark rounds half-up and
+    DuckDB half-even — floor is tie-free on both; the float->double
+    casts and sequential left-to-right fold order match numpy's
+    single-assignment ops, so every output column is exact."""
     emb = Tables(spark, sf_dir).embeddings
     absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
     # total function: zero vectors quantize with scale 1 (all-zero codes)
@@ -851,48 +1002,6 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s, v: s + F.when(F.abs(v) > 127, 1).otherwise(0),
             ).alias("n_clipped"),
         )
-    )
-
-
-@query("vec_quantize_blas", oracle=_QUANTIZE_ORACLE, tags=("vectors", "llm"))
-def vec_quantize_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vec_quantize_int8's high-throughput twin: the same symmetric
-    int8 quantization as one numpy pass per Arrow batch (mapInPandas).
-
-    Spark's array higher-order functions (transform/aggregate) are
-    INTERPRETED per element — no whole-stage codegen inside the lambda
-    — so the built-in formulation pays ~3x over vectorized numpy on
-    wide embeddings (measured 2.3 s vs 0.8 s at 128k x 64 float32).
-    This twin carries the SAME full oracle, not a rows-only check:
-    float64 division/floor/row-wise sums here are single-assignment
-    IEEE ops evaluated in the same order as the sequential spec, so
-    every output is bit-identical to vec_quantize_int8 (asserted
-    directly in tests/test_llm.py as well). Map-only — batches stream
-    through executors, nothing shuffles at any scale."""
-    emb = Tables(spark, sf_dir).embeddings
-
-    def kernel(batches):
-        for pdf in batches:
-            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            absmax = np.abs(mat).max(axis=1)
-            scale = np.where(absmax > 0, absmax / 127.0, 1.0)
-            q = np.floor(mat / scale[:, None] + 0.5).astype(np.int64)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "label": pdf["label"],
-                    "scale": scale,
-                    "dim": mat.shape[1],
-                    "sum_q": q.sum(axis=1),
-                    "sum_q2": (q * q).sum(axis=1),
-                    "n_clipped": (np.abs(q) > 127).sum(axis=1),
-                }
-            )
-
-    return emb.mapInPandas(
-        kernel,
-        "vec_id long, label int, scale double, dim int, "
-        "sum_q long, sum_q2 long, n_clipped long",
     )
 
 

@@ -182,9 +182,12 @@ def test_lm_score_matches_pandas_model(spark, sf_dir):
     assert np.allclose(out.ppl, np.round(np.exp(out.nll), 6), atol=1e-6)
 
 
-def test_quantize_blas_identical_to_builtin(spark, sf_dir):
-    """The numpy twin must be BIT-identical to the built-in HOF op —
-    same casts, same evaluation order, shared oracle."""
+def test_quantize_kernel_identical_to_hof_spec(spark, sf_dir):
+    """The primary numpy-kernel builder must be BIT-identical to the
+    unregistered JVM-HOF spec formulation — same casts, same
+    evaluation order, shared oracle (round 2 swapped which one is
+    registered; the differential direction is unchanged)."""
+    from pandas_tsdb_spark.operators.llm_vectors import vec_quantize_hof
     from pandas_tsdb_spark.registry import load_all
 
     S = load_all()
@@ -193,7 +196,7 @@ def test_quantize_blas_identical_to_builtin(spark, sf_dir):
         .sort_values("vec_id").reset_index(drop=True)
     )
     b = (
-        S["vec_quantize_blas"].builder(spark, sf_dir).toPandas()
+        vec_quantize_hof(spark, sf_dir).toPandas()
         .sort_values("vec_id").reset_index(drop=True)
     )
     assert a.astype(str).equals(b[a.columns].astype(str))

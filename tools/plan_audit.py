@@ -33,7 +33,10 @@ EXPECTATIONS = {
     "win_resample": (1, False),
     "topk_per_group": (1, False),
     "dedup_exact": (1, False),
-    "sim_topk": (2, True),
+    # sim_topk (round 2): scan -> Arrow kernel (map-only, local top-M)
+    # -> ONE query_id exchange for the global merge window; the old
+    # broadcast-join-per-pair plan is gone.
+    "sim_topk": (1, False),
     "text_tfidf": (3, True),
     "join_range": (3, False),
     "join_skew_salted": (4, False),
@@ -59,10 +62,8 @@ EXPECTATIONS = {
     "pipeline_chunk": (1, False),
     "win_holt": (1, False),
     # gini: one exchange serves the segment window AND the aggregate;
-    # the customer dim broadcasts. quantize_blas is the zero-exchange
-    # Arrow-kernel twin of vec_quantize_int8.
+    # the customer dim broadcasts.
     "agg_gini": (1, True),
-    "vec_quantize_blas": (0, False),
     # late continuation-7: lateral decorrelates to window+broadcast;
     # except-all is one counted-join shuffle; fn_try is map-only; m4 is
     # extent-agg + broadcast-back + shared-sort windows; lttb is the
