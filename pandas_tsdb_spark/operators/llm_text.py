@@ -741,10 +741,20 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason."""
     d = _docs(spark, sf_dir)
     tok = _spread(d).select("doc_id", F.explode(_tokens_col()).alias("tok"))
-    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = d.select(F.sum(F.size(_tokens_col()))).collect()[0][0]
+    # Corpus token total = sum(cnt) attached to the ALREADY-BUILT vocab
+    # agg via an unpartitioned window (round 2: replaces the eager
+    # .collect() scalar, which cost a second full-corpus scan + a
+    # driver sync). The window's single-partition exchange moves only
+    # the |vocab|-bounded agg output, never corpus rows.
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "n_total", F.sum("cnt").over(W.partitionBy()).cast("double")
+        )
+    )
     sum_lp = F.round(
-        F.sum(F.log(F.col("cnt").cast("double") / F.lit(float(total)))), 6
+        F.sum(F.log(F.col("cnt").cast("double") / F.col("n_total"))), 6
     )
     scored = (
         tok.join(F.broadcast(vocab), "tok")
@@ -957,14 +967,24 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spread = _spread(d)
     tok = spread.select("doc_id", F.explode(toks).alias("tok"))
-    uni = tok.groupBy("tok").agg(F.count("*").alias("c1"))
-    total = d.select(F.sum(F.size(toks))).collect()[0][0]
+    # Corpus total = sum(c1) attached to the unigram agg via an
+    # unpartitioned window over the |V|-bounded agg output (round 2:
+    # replaces the eager scalar .collect() and its extra corpus scan).
+    uni = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+        .withColumn("n_total", F.sum("c1").over(W.partitionBy()).cast("double"))
+    )
     db = spread.select("doc_id", F.explode(bigram_col).alias("bigram"))
     big = db.groupBy("bigram").agg(F.count("*").alias("c2"))
     w = F.split(F.col("bigram"), " ")
     bprob = (
         big.join(
-            F.broadcast(uni.withColumnRenamed("c1", "c1_w1").withColumnRenamed("tok", "w1")),
+            F.broadcast(
+                uni.drop("n_total")
+                .withColumnRenamed("c1", "c1_w1")
+                .withColumnRenamed("tok", "w1")
+            ),
             w.getItem(0) == F.col("w1"),
         )
         .join(
@@ -975,7 +995,7 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigram",
             (
                 0.75 * (F.col("c2").cast("double") / F.col("c1_w1"))
-                + 0.25 * (F.col("c1_w2").cast("double") / F.lit(float(total)))
+                + 0.25 * (F.col("c1_w2").cast("double") / F.col("n_total"))
             ).alias("p"),
         )
     )

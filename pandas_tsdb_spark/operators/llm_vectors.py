@@ -868,13 +868,17 @@ def knn_label_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_votes")
     )
     w2 = W.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "cand_label")
-    tl = F.udf(lambda q: q_labels[int(q)], "int")
+    # query_id -> true_label as a map LITERAL (bounded by the query
+    # block): stays in codegen, no Python round trip per row.
+    tl = F.create_map(
+        *[F.lit(v) for qid in sorted(q_labels) for v in (qid, q_labels[qid])]
+    )[F.col("query_id")].cast("int")
     return (
         votes.withColumn("vrk", F.row_number().over(w2))
         .filter(F.col("vrk") == 1)
         .select(
             "query_id",
-            tl("query_id").alias("true_label"),
+            tl.alias("true_label"),
             F.col("cand_label").alias("pred_label"),
             "n_votes",
         )

@@ -182,7 +182,10 @@ EXPECTATIONS = {
     # before the CPU-heavy per-doc stage (no-op on many-file tables).
     "lang_id": (4, True),
     "pipeline_decontaminate": (3, True),
-    "text_lm_score": (3, True),
+    # lm_score r2: +1 single-partition window exchange over the
+    # |V|-bounded vocab agg (replaced the eager corpus-total collect;
+    # one fewer corpus scan).
+    "text_lm_score": (4, True),
     # derived-partsupp TPC-H trio: one lineitem aggregation each, dims
     # broadcast; q11's 5 counts the statically-duplicated byp subtree
     # (scalar-subquery total), reused at runtime under AQE.
@@ -199,7 +202,9 @@ EXPECTATIONS = {
     "win_cusum": (2, False),
     # vocab-bounded model tables (uni/bigram aggs + prob assembly)
     # broadcast into one map-side probe; per-doc agg is the last one.
-    "text_lm_bigram": (7, True),
+    # r2: +1 vocab-window exchange (same corpus-total rewrite as
+    # text_lm_score).
+    "text_lm_bigram": (8, True),
 }
 
 
