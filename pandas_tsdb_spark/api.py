@@ -411,13 +411,21 @@ class Rolling:
     def std(self, col: str, out: str | None = None) -> TsFrame:
         return self._apply(col, F.stddev_samp, out or f"{col}_std")
 
+    def _pair_count(self, col_a: str, col_b: str, w) -> Column:
+        # pandas min_periods for binary stats counts complete PAIRS:
+        # a window where col_b is null (e.g. after shift) must be NaN
+        # even when col_a alone has min_periods observations
+        return F.count(
+            F.when(F.col(col_a).isNotNull() & F.col(col_b).isNotNull(), 1)
+        ).over(w)
+
     def cov(self, col_a: str, col_b: str, out: str | None = None) -> TsFrame:
         """rolling().cov(other) — sample covariance over the frame
         (pandas default ddof=1). One frame window, covar_samp built-in;
-        NULL below min_periods like every Rolling stat."""
+        NULL below min_periods complete pairs like pandas."""
         w = self._frame()
         guarded = F.when(
-            F.count(col_a).over(w) >= self.min_periods,
+            self._pair_count(col_a, col_b, w) >= self.min_periods,
             F.covar_samp(col_a, col_b).over(w),
         )
         return self.tf._wrap(
@@ -426,10 +434,11 @@ class Rolling:
 
     def corr(self, col_a: str, col_b: str, out: str | None = None) -> TsFrame:
         """rolling().corr(other) — Pearson correlation over the frame
-        (the win_rolling_corr registry op is the oracle-checked twin)."""
+        (the win_rolling_corr registry op is the oracle-checked twin);
+        NULL below min_periods complete pairs like pandas."""
         w = self._frame()
         guarded = F.when(
-            F.count(col_a).over(w) >= self.min_periods,
+            self._pair_count(col_a, col_b, w) >= self.min_periods,
             F.corr(col_a, col_b).over(w),
         )
         return self.tf._wrap(
@@ -921,7 +930,9 @@ def _tsframe_describe(self, col: str) -> DataFrame:
     percentiles share the single pass; Spark's percentile == pandas'
     linear interpolation)."""
     qs = F.percentile(col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    grouped = self.df.groupBy(*self.by) if self.by else self.df.groupBy(F.lit(1))
+    # by=None: a global .agg — groupBy(F.lit(1)) would leak a literal
+    # grouping column named '1' into the output schema
+    grouped = self.df.groupBy(*self.by) if self.by else self.df
     return grouped.agg(
         F.count(col).alias("count"),
         F.avg(col).alias("mean"),

@@ -222,11 +222,18 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             sum2_col("l_quantity").alias("sum_qty"),
             sum2_col("l_extendedprice").alias("sum_base_price"),
-            (F.sum(ext_c * disc_f).cast("double") / F.lit(10000.0)).alias(
-                "sum_disc_price"
-            ),
             (
-                F.sum(ext_c * disc_f * tax_f).cast("double") / F.lit(1000000.0)
+                F.sum((ext_c * disc_f).cast("decimal(38,0)")).cast("double")
+                / F.lit(10000.0)
+            ).alias("sum_disc_price"),
+            (
+                # e6-unit products are ~3.6e10/row: BIGINT overflows at
+                # ~2.5e8 rows/group (ANSI throw), DuckDB silently promotes
+                # to HUGEINT — accumulate in decimal(38,0) like agg_stats
+                F.sum((ext_c * disc_f * tax_f).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / F.lit(1000000.0)
             ).alias("sum_charge"),
             (sum2_col("l_quantity") / F.count("*")).alias("avg_qty"),
             (sum2_col("l_extendedprice") / F.count("*")).alias("avg_price"),

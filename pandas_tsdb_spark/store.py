@@ -234,6 +234,27 @@ class TsStore:
 
         path = self.path(name)
         rewritten = 0
+        # swap dirs are DOT-prefixed ('.{part}.opt.tmp'/'.opt.old') so a
+        # crash mid-swap can never leave a directory that partition
+        # discovery would parse as a bogus partition value. Sweep stale
+        # leftovers from a crashed prior optimize() first:
+        #  - '.X.opt.old' with 'X' present  -> swap completed, cleanup lost:
+        #    finish deleting the old copy
+        #  - '.X.opt.old' with 'X' MISSING  -> crashed between the two
+        #    renames: the old dir holds the only copy — restore it
+        #  - '.X.opt.tmp'                   -> unfinished rewrite: discard
+        for entry in os.listdir(path):
+            leftover = os.path.join(path, entry)
+            if not entry.startswith(".") or not os.path.isdir(leftover):
+                continue
+            if entry.endswith(".opt.old"):
+                orig = os.path.join(path, entry[1 : -len(".opt.old")])
+                if os.path.isdir(orig):
+                    shutil.rmtree(leftover)
+                else:
+                    os.rename(leftover, orig)
+            elif entry.endswith(".opt.tmp"):
+                shutil.rmtree(leftover)
         for entry in sorted(os.listdir(path)):
             part_dir = os.path.join(path, entry)
             if not entry.startswith(f"{_PART}=") or not os.path.isdir(part_dir):
@@ -250,9 +271,9 @@ class TsStore:
             )
             n_out = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
             df = self.spark.read.parquet(part_dir)
-            tmp = part_dir + ".opt.tmp"
+            tmp = os.path.join(path, f".{entry}.opt.tmp")
             df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-            old = part_dir + ".opt.old"
+            old = os.path.join(path, f".{entry}.opt.old")
             os.rename(part_dir, old)
             os.rename(tmp, part_dir)
             shutil.rmtree(old)

@@ -490,17 +490,11 @@ def test_rolling_corr_cov_vs_pandas(ev, pev):
     p["want_cov"] = roll("cov")
     p["want_corr"] = roll("corr")
     p = _sorted(p)
-    # pandas rolling cov/corr pairs-with-NaN handling: pandas requires
-    # min_periods PAIRS; Spark count(col_a) counts col_a rows. Compare
-    # only where both produced a value.
-    m = got["value_prev_cov"].notna().to_numpy() & p["want_cov"].notna().to_numpy()
-    assert m.sum() > len(p) * 0.8
-    assert _eq(got["value_prev_cov"][m], p["want_cov"][m])
-    m2 = (
-        got2["value_prev_corr"].notna().to_numpy()
-        & p["want_corr"].notna().to_numpy()
-    )
-    assert _eq(got2["value_prev_corr"][m2], p["want_corr"][m2])
+    # full equality including the NaN pattern: the guard counts complete
+    # PAIRS like pandas, so windows where prev has nulls (first rows
+    # after shift) are NaN on both sides
+    assert _eq(got["value_prev_cov"], p["want_cov"])
+    assert _eq(got2["value_prev_corr"], p["want_corr"])
 
 
 def test_describe_vs_pandas(ev, pev):
@@ -519,3 +513,19 @@ def test_describe_vs_pandas(ev, pev):
                           ("p25", "25%"), ("p50", "50%"), ("p75", "75%"),
                           ("max", "max")]:
         assert _eq(got[spark_c], want[pd_c]), spark_c
+
+
+def test_describe_no_by(ev, pev):
+    """by=None describes the whole frame as ONE series; no literal
+    grouping column may leak into the output schema."""
+    got = TsFrame(ev, ts_col="ts", order_col="event_id").describe("value")
+    assert got.columns == [
+        "count", "mean", "std", "min", "p25", "p50", "p75", "max"
+    ]
+    row = got.toPandas().iloc[0]
+    want = pev["value"].describe()
+    assert row["count"] == want["count"]
+    for spark_c, pd_c in [("mean", "mean"), ("std", "std"), ("min", "min"),
+                          ("p25", "25%"), ("p50", "50%"), ("p75", "75%"),
+                          ("max", "max")]:
+        assert abs(row[spark_c] - want[pd_c]) < 1e-9, spark_c

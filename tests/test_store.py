@@ -227,3 +227,35 @@ def test_optimize_merges_small_files_content_identical(spark, store, events):
     assert before == after
     # idempotent: nothing left over the threshold
     assert store.optimize("events") == 0
+
+
+def test_optimize_crash_recovery(spark, store, events):
+    """Simulated crash states from a prior optimize() must be swept
+    without data loss or double counting:
+    - a stray '.opt.tmp' (unfinished rewrite) is discarded
+    - a '.X.opt.old' whose partition dir is MISSING (crash between the
+      two renames) is restored — it holds the only copy
+    - dot-prefixed swap dirs are invisible to fetch() either way."""
+    import os
+    import shutil
+
+    store.append("events", events)
+    store.append("events", events)
+    n_rows = store.fetch("events").count()
+    path = store.path("events")
+    parts = sorted(e for e in os.listdir(path) if e.startswith("_date="))
+    assert len(parts) >= 2
+    # crash state 1: leftover tmp for one partition
+    shutil.copytree(
+        os.path.join(path, parts[0]), os.path.join(path, f".{parts[0]}.opt.tmp")
+    )
+    # crash state 2: partition renamed to .old, new dir never landed
+    os.rename(
+        os.path.join(path, parts[1]), os.path.join(path, f".{parts[1]}.opt.old")
+    )
+    # fetch ignores dot-dirs: sees all partitions except the in-flight one
+    assert store.fetch("events").count() < n_rows
+    store.optimize("events")
+    assert not any(e.startswith(".") and ".opt." in e for e in os.listdir(path))
+    assert os.path.isdir(os.path.join(path, parts[1]))  # restored
+    assert store.fetch("events").count() == n_rows
