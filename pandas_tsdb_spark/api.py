@@ -52,6 +52,8 @@ _UNIT_US = {
     "day": 86_400_000_000,
 }
 
+# fixed-width units only — W/M/Q/Y route through _calendar_bucket with
+# pandas end-anchored label semantics instead of a start-of-period trunc
 _TRUNC_UNIT = {
     "s": "second",
     "sec": "second",
@@ -62,13 +64,6 @@ _TRUNC_UNIT = {
     "hour": "hour",
     "d": "day",
     "day": "day",
-    "w": "week",
-    "week": "week",
-    "m": "month",
-    "mon": "month",
-    "month": "month",
-    "y": "year",
-    "year": "year",
 }
 
 
@@ -80,6 +75,64 @@ def _parse_freq(freq: str) -> tuple[int, str]:
     n = int(m.group(1) or 1)
     unit = m.group(2).lower()
     return n, unit
+
+
+_ANCHOR_DAYS = {
+    "mon": "Mon", "tue": "Tue", "wed": "Wed", "thu": "Thu",
+    "fri": "Fri", "sat": "Sat", "sun": "Sun",
+}
+
+
+def _calendar_bucket(freq: str, ts_col: str) -> Column | None:
+    """pandas calendar/anchored resample labels, or None for fixed-width
+    frequencies.
+
+    Supported: 'W' (= 'W-SUN'), 'W-MON'..'W-SUN', 'M'/'ME', 'Q'/'QE',
+    'Y'/'A'/'YE', 'B'. Label semantics mirror pandas resample defaults:
+    M/Q/Y/W are right-closed-right-labeled period bins — every row of
+    the period labels at the period END date (pandas adjusts calendar
+    bin edges to end-of-day, so intraday times on the label day stay in
+    that period); 'B' is left-labeled — weekend rows label at the
+    preceding Friday. Calendar periods are not fixed-width µs spans, so
+    these never go through the epoch-floor path; each is a date
+    expression Catalyst folds into the groupBy key (plain hash agg,
+    same scale shape as date_trunc)."""
+    m = re.fullmatch(r"(\d*)\s*([A-Za-z]+)(?:-([A-Za-z]+))?", freq.strip())
+    if not m:
+        return None
+    n = int(m.group(1) or 1)
+    unit = m.group(2).lower()
+    anchor = (m.group(3) or "").lower()
+    d = F.to_date(F.col(ts_col))
+    if unit == "w" or unit == "week":
+        day = _ANCHOR_DAYS.get(anchor or "sun")
+        if day is None:
+            raise ValueError(f"unknown week anchor in {freq!r}")
+        # week ending on `day`: same-day-or-next anchor day of ts.date()
+        lab = F.next_day(F.date_sub(d, 1), day)
+    elif anchor:
+        raise ValueError(f"anchor only supported on weekly frequencies: {freq!r}")
+    elif unit in ("m", "mon", "month", "me"):
+        lab = F.last_day(d)
+    elif unit in ("q", "qe", "quarter"):
+        lab = F.last_day(F.add_months(F.trunc(d, "quarter"), 2))
+    elif unit in ("y", "a", "ye", "year"):
+        lab = F.last_day(F.add_months(F.trunc(d, "year"), 11))
+    elif unit == "b":
+        dow = F.dayofweek(d)  # Sun=1 .. Sat=7
+        lab = (
+            F.when(dow == 1, F.date_sub(d, 2))
+            .when(dow == 7, F.date_sub(d, 1))
+            .otherwise(d)
+        )
+    else:
+        return None
+    if n != 1:
+        raise ValueError(
+            f"calendar frequencies support n=1 only (got {freq!r}); "
+            "multiples would need data-anchored bins like pandas '3ME'"
+        )
+    return lab.cast("timestamp")
 
 
 def _freq_us(freq: str) -> int:
@@ -216,24 +269,47 @@ class TsFrame:
         direction: str = "backward",
         tolerance: str | None = None,
         suffix: str = "_r",
+        allow_exact_matches: bool = True,
+        left_by: str | Sequence[str] | None = None,
+        right_by: str | Sequence[str] | None = None,
     ) -> "TsFrame":
         """pd.merge_asof(self, right, on=ts_col, by=self.by).
 
         ``right_cols``: value columns to bring over from ``right`` (each
         lands as ``{col}{suffix}``). Union-and-window: ONE shuffle on
         ``by``, one sort, no candidate-pair materialization — survives
-        any right-side density. Equal timestamps match inclusively in
-        the chosen direction (pandas semantics, allow_exact_matches)."""
+        any right-side density.
+
+        ``allow_exact_matches`` (pandas parity): True matches equal
+        timestamps inclusively in the chosen direction; False requires a
+        strictly earlier/later right row. Implemented as an ORDER flip,
+        not a filter: right rows at an equal timestamp sort after (for
+        backward) / before (for forward) the left row, falling outside
+        its one-sided window frame — same single shuffle either way.
+
+        ``left_by``/``right_by`` (pandas parity): asymmetric key names —
+        ``right_by`` columns are renamed to ``left_by`` before the
+        union; ``left_by`` defaults to the frame's ``by``."""
         if direction not in ("backward", "forward", "nearest"):
             raise ValueError(direction)
         tol_us = _freq_us(tolerance) if tolerance else None
-        ts, by = self.ts_col, self.by
+        lby = [left_by] if isinstance(left_by, str) else list(left_by or self.by)
+        rby = [right_by] if isinstance(right_by, str) else list(right_by or lby)
+        if len(lby) != len(rby):
+            raise ValueError(
+                f"left_by/right_by length mismatch: {lby} vs {rby}"
+            )
+        if rby != lby:
+            right = right.withColumnsRenamed(dict(zip(rby, lby)))
+        ts, by = self.ts_col, lby
         val_cols = [c for c in self.df.columns]
         tus = F.unix_micros(F.col(ts))
 
         sides = []
         need_b = direction in ("backward", "nearest")
         need_f = direction in ("forward", "nearest")
+        b_side = 0 if allow_exact_matches else 2
+        f_side = 2 if allow_exact_matches else 0
         null_of = {c: F.lit(None).cast(self.df.schema[c].dataType) for c in val_cols}
 
         def rnulls(prefix):
@@ -262,7 +338,7 @@ class TsFrame:
             sides.append(
                 right.select(
                     *rsel_common,
-                    F.lit(0).alias("_side"),
+                    F.lit(b_side).alias("_side"),
                     *[F.col(c).alias(f"_b_{c}") for c in right_cols],
                     F.unix_micros(F.col(ts)).alias("_b_tus"),
                     *rnulls("f"),
@@ -272,7 +348,7 @@ class TsFrame:
             sides.append(
                 right.select(
                     *rsel_common,
-                    F.lit(2).alias("_side"),
+                    F.lit(f_side).alias("_side"),
                     *rnulls("b"),
                     *[F.col(c).alias(f"_f_{c}") for c in right_cols],
                     F.unix_micros(F.col(ts)).alias("_f_tus"),
@@ -618,8 +694,13 @@ class Resampler:
 
     def __init__(self, tf: TsFrame, freq: str):
         self.tf = tf
-        n, unit = _parse_freq(freq)
         self.freq = freq
+        cal = _calendar_bucket(freq, tf.ts_col)
+        if cal is not None:
+            # W/W-MON/M/Q/Y/B: pandas-labeled calendar periods
+            self.bucket = cal
+            return
+        n, unit = _parse_freq(freq)
         if unit in _TRUNC_UNIT and n == 1:
             self.bucket = F.date_trunc(_TRUNC_UNIT[unit], F.col(tf.ts_col))
         else:

@@ -331,6 +331,63 @@ def win_resample_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_resample_month",
+    oracle="""
+    SELECT CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS bucket,
+           o_orderstatus,
+           count(*) AS n,
+           (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def win_resample_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample('M') — calendar month buckets, pandas right-labeled at
+    month END (the most common pandas time-series idiom after daily).
+    Uses the TsFrame surface's own _calendar_bucket expression so the
+    driver oracle validates the user API, not a twin. Months are not
+    fixed-width µs spans — the label is a date expression folded into
+    the groupBy key, same plain-hash-agg scale shape as date_trunc."""
+    from pandas_tsdb_spark.api import _calendar_bucket
+
+    od = Tables(spark, sf_dir).orders
+    return od.groupBy(
+        _calendar_bucket("M", "o_orderdate").alias("bucket"), "o_orderstatus"
+    ).agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / F.lit(100.0)
+        ).alias("total"),
+    )
+
+
+@query(
+    "win_resample_wmon",
+    oracle="""
+    SELECT CAST(CAST(o_orderdate AS DATE)
+                + ((8 - isodow(CAST(o_orderdate AS DATE))) % 7)
+                  * INTERVAL 1 DAY AS TIMESTAMP) AS bucket,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def win_resample_wmon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample('W-MON') — anchored weekly buckets labeled at the week's
+    ending Monday (pandas right-labeled). Same _calendar_bucket
+    expression the TsFrame surface compiles; oracle derives the label
+    arithmetically from isodow."""
+    from pandas_tsdb_spark.api import _calendar_bucket
+
+    od = Tables(spark, sf_dir).orders
+    return od.groupBy(
+        _calendar_bucket("W-MON", "o_orderdate").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
     "win_rolling_corr",
     oracle=f"""
     SELECT user_id, event_id,

@@ -204,6 +204,85 @@ def test_resample_ffill(ev, pev):
     assert ((lhs[mask] == rhs[mask])).all()
 
 
+@pytest.mark.parametrize(
+    "spark_freq,pd_freq",
+    [("W", "W"), ("W-MON", "W-MON"), ("W-THU", "W-THU"),
+     ("M", "ME"), ("Q", "QE"), ("Y", "YE"), ("B", "B")],
+)
+def test_resample_calendar_vs_pandas(spark, ev, pev, spark_freq, pd_freq):
+    """Calendar/anchored frequencies: label parity with pandas resample
+    defaults (right-labeled period ends for W/M/Q/Y, left-labeled
+    business day for B). pandas emits empty bins; groupBy only emits
+    populated ones — compare on the populated set."""
+    got = (
+        TsFrame(ev, by=None)
+        .resample(spark_freq)
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("tot"))
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    want = (
+        pev.set_index("ts")["value"]
+        .resample(pd_freq)
+        .agg(["count", "sum"])
+        .query("count > 0")
+        .reset_index()
+    )
+    assert (got["bucket"].to_numpy() == want["ts"].to_numpy()).all(), spark_freq
+    assert (got["n"].to_numpy() == want["count"].to_numpy()).all()
+    assert _eq(got["tot"], want["sum"].round(6), tol=1e-6)
+
+
+def test_resample_calendar_edges(spark):
+    """The sharp edges: intraday times ON the label day stay in the
+    period (pandas adjusts calendar bin edges to end-of-day), weekends
+    roll back to Friday for 'B', and month/quarter boundaries label at
+    the period END."""
+    stamps = [
+        "2024-01-31 12:00:00",  # intraday on month end -> Jan bucket
+        "2024-02-01 00:00:00",
+        "2024-03-31 23:59:00",  # intraday on quarter end Sunday
+        "2024-01-01 00:00:00",  # Monday midnight -> its own W-MON label
+        "2024-01-06 13:00:00",  # Saturday
+        "2024-01-07 09:00:00",  # Sunday intraday -> that week's W label
+        "2024-01-08 00:00:00",
+    ]
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(stamps, format="mixed"), "value": range(7)}
+    )
+    sdf = spark.createDataFrame(pdf)
+    for spark_freq, pd_freq in [
+        ("M", "ME"), ("W", "W"), ("W-MON", "W-MON"), ("Q", "QE"), ("B", "B")
+    ]:
+        got = (
+            TsFrame(sdf, by=None)
+            .resample(spark_freq)
+            .count()
+            .toPandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        want = (
+            pdf.set_index("ts")["value"]
+            .resample(pd_freq)
+            .count()
+            .loc[lambda s: s > 0]
+            .reset_index()
+        )
+        assert (
+            got["bucket"].to_numpy() == want["ts"].to_numpy()
+        ).all(), spark_freq
+        assert (got["n"].to_numpy() == want["value"].to_numpy()).all(), spark_freq
+
+
+def test_resample_calendar_rejects_multiples():
+    with pytest.raises(ValueError):
+        from pandas_tsdb_spark.api import _calendar_bucket
+
+        _calendar_bucket("3M", "ts")
+
+
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 def test_merge_asof_directions_vs_pandas(spark, ev, pev, direction):
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -253,6 +332,78 @@ def test_merge_asof_tolerance(spark, ev, pev):
             by="user_id",
             direction="backward",
             tolerance=pd.Timedelta("2D"),
+        )
+    )
+    assert _eq(got["pval_r"], want["pval_want"])
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tol", [None, "2d"])
+def test_merge_asof_exclusive_vs_pandas(spark, ev, pev, direction, tol):
+    """allow_exact_matches=False across the direction x tolerance
+    matrix. Every purchase row has an exact-ts match in the right side
+    (it IS the right side), so exclusive matching changes the answer on
+    every such row — a sharp differential."""
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "ts", "user_id", F.col("value").alias("pval")
+    )
+    got = _sorted(
+        tsf(ev)
+        .merge_asof(
+            purchases,
+            ["pval"],
+            direction=direction,
+            tolerance=tol,
+            allow_exact_matches=False,
+        )
+        .to_pandas()
+    )
+    pp = (
+        pev[pev.event_type == "purchase"][["ts", "user_id", "value"]]
+        .rename(columns={"value": "pval_want"})
+        .sort_values("ts")
+    )
+    want = _sorted(
+        pd.merge_asof(
+            pev.sort_values("ts"),
+            pp,
+            on="ts",
+            by="user_id",
+            direction=direction,
+            tolerance=pd.Timedelta("2D") if tol else None,
+            allow_exact_matches=False,
+        )
+    )
+    assert _eq(got["pval_r"], want["pval_want"])
+
+
+def test_merge_asof_left_by_right_by(spark, ev, pev):
+    """Asymmetric key names: right carries the key as 'uid'."""
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "ts",
+        F.col("user_id").alias("uid"),
+        F.col("value").alias("pval"),
+    )
+    got = _sorted(
+        tsf(ev)
+        .merge_asof(
+            purchases, ["pval"], left_by="user_id", right_by="uid"
+        )
+        .to_pandas()
+    )
+    pp = (
+        pev[pev.event_type == "purchase"][["ts", "user_id", "value"]]
+        .rename(columns={"value": "pval_want", "user_id": "uid"})
+        .sort_values("ts")
+    )
+    want = _sorted(
+        pd.merge_asof(
+            pev.sort_values("ts"),
+            pp,
+            on="ts",
+            left_by="user_id",
+            right_by="uid",
+            direction="backward",
         )
     )
     assert _eq(got["pval_r"], want["pval_want"])
