@@ -415,6 +415,70 @@ class TsFrame:
         drop += [f"_fv_{c}" for c in right_cols] + ["_fv_tus"] if need_f else []
         return self._wrap(out.drop(*drop))
 
+    def interpolate(
+        self,
+        col: str,
+        method: str = "linear",
+        out: str | None = None,
+        limit: int | None = None,
+    ) -> "TsFrame":
+        """pandas ``df.interpolate(method=..., limit=...)`` per series
+        over the RAW (possibly irregular) time axis.
+
+        - ``linear``: positional — equal weight per row, like pandas on
+          any index (its default ignores the index values).
+        - ``time``: weighted by timestamp distance (pandas
+          method='time' on a DatetimeIndex).
+        - ``pad``/``ffill``: carry the previous known value forward.
+        - ``nearest``: closer known neighbor by timestamp; exact
+          midpoint takes the PREVIOUS value (scipy interp1d
+          kind='nearest' rounds half down; pandas delegates to scipy).
+
+        pandas edge semantics throughout (limit_direction='forward'):
+        leading nulls stay null, trailing nulls pad the last known
+        value, ``limit`` caps consecutive fills counted in rows from
+        the previous known value.
+
+        ONE shuffle on the series key: every ingredient (prev/next
+        known value and coordinate, row position) is a frame over the
+        same (by, ts) window partitioning — no join, no kernel."""
+        if method not in ("linear", "time", "pad", "ffill", "nearest"):
+            raise ValueError(f"unknown interpolation method: {method!r}")
+        out = out or f"{col}_interp"
+        v = F.col(col)
+        wp = self._win().rowsBetween(W.unboundedPreceding, W.currentRow)
+        wn = self._win().rowsBetween(W.currentRow, W.unboundedFollowing)
+        pos = F.row_number().over(self._win()).cast("double")
+        prev_pos = F.last(F.when(v.isNotNull(), pos), ignorenulls=True).over(wp)
+        prev_v = F.last(col, ignorenulls=True).over(wp)
+        within_limit = (
+            (pos - prev_pos) <= limit if limit is not None else F.lit(True)
+        )
+        if method in ("pad", "ffill"):
+            expr = F.when(v.isNotNull() | within_limit, prev_v)
+            return self._wrap(self.df.withColumn(out, expr))
+        x = (
+            pos
+            if method == "linear"
+            else F.unix_micros(F.col(self.ts_col)).cast("double")
+        )
+        known_x = F.when(v.isNotNull(), x)
+        prev_x = F.last(known_x, ignorenulls=True).over(wp)
+        next_v = F.first(col, ignorenulls=True).over(wn)
+        next_x = F.first(known_x, ignorenulls=True).over(wn)
+        if method == "nearest":
+            mid = F.when((x - prev_x) <= (next_x - x), prev_v).otherwise(next_v)
+        else:
+            mid = prev_v + (next_v - prev_v) * (x - prev_x) / (next_x - prev_x)
+        expr = (
+            F.when(v.isNotNull(), v)
+            .when(~within_limit, F.lit(None))
+            .when(prev_v.isNull(), F.lit(None))
+            .when(next_v.isNull(), prev_v)
+            .otherwise(mid)
+        )
+        return self._wrap(self.df.withColumn(out, expr))
+
     # -- sessions ---------------------------------------------------------
 
     def sessionize(self, gap: str, out: str = "session_id") -> "TsFrame":

@@ -314,6 +314,58 @@ def win_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERP_TIME_ORACLE = """
+WITH holey AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN event_id % 7 != 0 THEN value END AS v
+    FROM events
+), nb AS (
+    SELECT user_id, event_id, v,
+        epoch_us(ts) AS x,
+        last_value(v IGNORE NULLS) OVER wp AS prev_v,
+        last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+            OVER wp AS prev_x,
+        first_value(v IGNORE NULLS) OVER wn AS next_v,
+        first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+            OVER wn AS next_x
+    FROM holey
+    WINDOW wp AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id,
+    round(CASE
+        WHEN v IS NOT NULL THEN v
+        WHEN prev_v IS NULL THEN NULL
+        WHEN next_v IS NULL THEN prev_v
+        ELSE prev_v + (next_v - prev_v)
+             * (CAST(x - prev_x AS DOUBLE) / (next_x - prev_x))
+    END, 6) AS v_interp
+FROM nb
+"""
+
+
+@query("win_interp_time", oracle=INTERP_TIME_ORACLE)
+def win_interp_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interpolate(method='time') over the RAW irregular series —
+    timestamp-distance-weighted fill of synthetic gaps (every 7th
+    value nulled), pandas method='time' semantics: leading nulls stay,
+    trailing nulls pad. Drives the TsFrame.interpolate user surface so
+    the oracle validates the API, not a twin; ONE shuffle on user_id
+    (all prev/next frames share the window partitioning)."""
+    from pandas_tsdb_spark.api import TsFrame
+
+    ev = Tables(spark, sf_dir).events
+    holey = ev.withColumn(
+        "value", F.when(F.col("event_id") % 7 != 0, F.col("value"))
+    )
+    tf = TsFrame(holey, ts_col="ts", by="user_id", order_col="event_id")
+    return tf.interpolate("value", method="time", out="vi").to_df().select(
+        "user_id", "event_id", F.round("vi", 6).alias("v_interp")
+    )
+
+
 @query("win_ewm", oracle=None)  # recursive: not SQL-expressible, rows-only
 def win_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ewm(alpha=0.3, adjust=True).mean() per series — partition-batched.

@@ -409,6 +409,71 @@ def test_merge_asof_left_by_right_by(spark, ev, pev):
     assert _eq(got["pval_r"], want["pval_want"])
 
 
+@pytest.mark.parametrize("method", ["linear", "time", "pad"])
+@pytest.mark.parametrize("limit", [None, 2])
+def test_interpolate_vs_pandas(spark, ev, pev, method, limit):
+    """interpolate over the RAW irregular series — every ~7th value
+    nulled, then filled per method; pandas twin per user on a
+    DatetimeIndex (method='time' weights by timestamp distance)."""
+    holey = ev.withColumn(
+        "value", F.when(F.col("event_id") % 7 != 0, F.col("value"))
+    )
+    got = _sorted(
+        TsFrame(holey, ts_col="ts", by="user_id", order_col="event_id")
+        .interpolate("value", method=method, limit=limit)
+        .to_pandas()
+    )
+    p = pev.copy()
+    p.loc[p.event_id % 7 == 0, "value"] = np.nan
+
+    def fill(grp):
+        grp = grp.sort_values(["ts", "event_id"]).set_index("ts")
+        if method == "pad":
+            grp["want"] = grp["value"].ffill(limit=limit)
+        else:
+            grp["want"] = grp["value"].interpolate(method=method, limit=limit)
+        return grp.reset_index()
+
+    want = _sorted(
+        p.groupby("user_id", group_keys=False)[p.columns.tolist()].apply(fill)
+    )
+    assert _eq(got["value_interp"], want["want"])
+
+
+def test_interpolate_nearest():
+    """pandas 'nearest' needs scipy (absent here) — check against the
+    scipy interp1d convention by hand: closer neighbor by timestamp,
+    exact midpoint takes the previous, leading null stays, trailing
+    pads."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01", "2024-01-02", "2024-01-03",
+                    "2024-01-06", "2024-01-10", "2024-01-11",
+                ]
+            ),
+            "value": [None, 2.0, None, None, 8.0, None],
+        }
+    )
+    from pandas_tsdb_spark.session import get_spark
+
+    sdf = get_spark().createDataFrame(pdf)
+    got = (
+        TsFrame(sdf, ts_col="ts", by=None)
+        .interpolate("value", method="nearest")
+        .to_pandas()
+        .sort_values("ts")["value_interp"]
+        .tolist()
+    )
+    # Jan03: 1d to Jan02 vs 7d to Jan10 -> 2.0; Jan06: 4d vs 4d exact
+    # midpoint -> previous (2.0); leading None stays; trailing pads 8.0
+    assert got[0] != got[0]  # NaN
+    assert got[1:] == [2.0, 2.0, 2.0, 8.0, 8.0]
+
+
 def test_sessionize_gap(ev, pev):
     got = _sorted(tsf(ev).sessionize("1d").to_pandas())
     out = pev.sort_values(["user_id", "ts", "event_id"]).copy()

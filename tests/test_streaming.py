@@ -287,3 +287,88 @@ def test_chunked_m4_bars_merge_across_batches(spark, chunk_dir):
     want = agg(S.batch_events(spark, SMALL))
     cols = ["day", "user_id", "n", "vmin", "vmax", "vfirst", "vlast"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_transform_with_state_probe(spark, chunk_dir):
+    """transformWithStateInPandas re-probe (VERDICT r1 #8).
+
+    Round-1 finding (NOTES.md): the TWS Python driver worker crashes in
+    this container ("driver worker exited unexpectedly") with both HDFS
+    and RocksDB state-store providers; applyInPandasWithState covers
+    the stateful surface meanwhile. This test is the standing guard:
+    - runtime lacks the API            -> skip (version gate)
+    - the DOCUMENTED env crash repros  -> skip with that reason
+    - any other failure                -> real failure, surface it
+    - works                           -> assert the cross-batch cumsum
+      differential, same bar as applyInPandasWithState.
+    """
+    import pandas as pd
+
+    try:
+        from pyspark.sql.streaming import StatefulProcessor
+    except ImportError:
+        pytest.skip("transformWithStateInPandas API not in this PySpark")
+
+    class CumSum(StatefulProcessor):
+        def init(self, handle):
+            self._acc = handle.getValueState("acc", "acc double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self._acc.get()[0] if self._acc.exists() else 0.0
+            pdf = pd.concat(list(rows)).sort_values("event_id")
+            cums = pdf["value"].cumsum() + total
+            total = float(cums.iloc[-1]) if len(cums) else total
+            self._acc.update((total,))
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "cum_value": cums.round(4),
+                }
+            )
+
+        def close(self):
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        tf = lambda ev: ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=CumSum(),
+            outputStructType="user_id long, event_id long, cum_value double",
+            outputMode="Append",
+            timeMode="None",
+        )
+        try:
+            got = _run_chunks(spark, chunk_dir, tf, "append")
+            w = "PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING"
+            want = S.batch_events(spark, SMALL).selectExpr(
+                "user_id",
+                "event_id",
+                f"round(sum(value) OVER ({w}), 4) AS cum_value",
+            )
+            cols = ["user_id", "event_id", "cum_value"]
+            assert _rows(got, cols) == _rows(want, cols)
+        except Exception as e:  # noqa: BLE001 — classify below
+            msg = str(e)
+            known = (
+                "driver worker exited unexpectedly" in msg
+                or "Python worker exited unexpectedly" in msg
+                or "TransformWithStateInPandasPythonRunner" in msg
+            )
+            if known:
+                pytest.skip(
+                    "transformWithStateInPandas environment-blocked "
+                    f"(documented in NOTES.md, still repros): {msg[:200]}"
+                )
+            raise
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
