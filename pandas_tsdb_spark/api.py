@@ -479,6 +479,29 @@ class TsFrame:
         )
         return self._wrap(self.df.withColumn(out, expr))
 
+    def ffill(self, col: str, out: str | None = None, limit: int | None = None) -> "TsFrame":
+        """pandas ``df.ffill(limit=...)`` per series — carry the
+        previous known value forward (same window pass as
+        interpolate(method='pad'))."""
+        return self.interpolate(
+            col, method="pad", out=out or f"{col}_ffill", limit=limit
+        )
+
+    def bfill(self, col: str, out: str | None = None, limit: int | None = None) -> "TsFrame":
+        """pandas ``df.bfill(limit=...)`` per series — carry the next
+        known value backward; ``limit`` counts rows to the next known
+        value. Mirror frame of ffill, same single series-key shuffle."""
+        out = out or f"{col}_bfill"
+        v = F.col(col)
+        wn = self._win().rowsBetween(W.currentRow, W.unboundedFollowing)
+        next_v = F.first(col, ignorenulls=True).over(wn)
+        if limit is None:
+            return self._wrap(self.df.withColumn(out, next_v))
+        pos = F.row_number().over(self._win()).cast("double")
+        next_pos = F.first(F.when(v.isNotNull(), pos), ignorenulls=True).over(wn)
+        expr = F.when(v.isNotNull() | ((next_pos - pos) <= limit), next_v)
+        return self._wrap(self.df.withColumn(out, expr))
+
     # -- sessions ---------------------------------------------------------
 
     def sessionize(self, gap: str, out: str = "session_id") -> "TsFrame":

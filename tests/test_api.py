@@ -440,6 +440,21 @@ def test_interpolate_vs_pandas(spark, ev, pev, method, limit):
     assert _eq(got["value_interp"], want["want"])
 
 
+@pytest.mark.parametrize("limit", [None, 1])
+def test_ffill_bfill_vs_pandas(spark, ev, pev, limit):
+    holey = ev.withColumn(
+        "value", F.when(F.col("event_id") % 5 != 0, F.col("value"))
+    )
+    tf = TsFrame(holey, ts_col="ts", by="user_id", order_col="event_id")
+    got = _sorted(tf.ffill("value", limit=limit).bfill("value", limit=limit).to_pandas())
+    p = pev.copy()
+    p.loc[p.event_id % 5 == 0, "value"] = np.nan
+    want_f = _pandas_per_user(p, lambda g: g["value"].ffill(limit=limit))
+    assert _eq(got["value_ffill"], want_f["want"])
+    want_b = _pandas_per_user(p, lambda g: g["value"].bfill(limit=limit))
+    assert _eq(got["value_bfill"], want_b["want"])
+
+
 def test_interpolate_nearest():
     """pandas 'nearest' needs scipy (absent here) — check against the
     scipy interp1d convention by hand: closer neighbor by timestamp,

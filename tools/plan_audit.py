@@ -42,6 +42,13 @@ EXPECTATIONS = {
     "join_skew_salted": (4, False),
     "win_resample_ffill": (4, True),
     "win_resample_interp": (4, True),
+    # round 2: calendar buckets are date expressions folded into the
+    # groupBy key — same single-exchange hash-agg shape as date_trunc;
+    # interp_time is one user_id window partitioning shared by all four
+    # prev/next frames
+    "win_resample_month": (1, False),
+    "win_resample_wmon": (1, False),
+    "win_interp_time": (1, False),
     "win_rolling_corr": (1, False),
     "sim_topk_blas": (2, False),
     # continuation-7 additions: quantize/pii/chunk are map-only (zero
