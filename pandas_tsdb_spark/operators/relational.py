@@ -212,34 +212,64 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Tables(spark, sf_dir).lineitem
     # disc_price/charge accumulate in exact integer e4/e6 units (2dp
     # factor products; see tpch.py helpers rationale — round(sum, 2)
-    # over multi-decimal addends can land on genuine half ties)
+    # over multi-decimal addends can land on genuine half ties).
+    # Overflow at 100 TB: the e6 product is ~3.6e10/row, BIGINT sum
+    # overflows at ~2.5e8 rows/group (ANSI throw; DuckDB silently
+    # promotes to HUGEINT). Sum(decimal(38,0)) is exact but its
+    # aggregate path measures 1.8x BIGINT at 64x — so SPLIT-SUM
+    # instead: two plain BIGINT sums of (p div M) and (p mod M),
+    # recombined exactly in decimal on the 6-row aggregate output.
+    # Headroom becomes ~9e12 rows/group (90x past 100 TB TPC-H) at
+    # bigint-sum speed; verified bit-identical to the decimal path.
     ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_f = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     tax_f = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
-    return (
+    disc_price = ext_c * disc_f  # e4 units, >= 0, <= ~1.2e9
+    charge = disc_price * tax_f  # e6 units, >= 0, <= ~1.4e11
+    LO = F.lit((1 << 20) - 1)
+
+    def split_hi_lo(p, tag):
+        # non-negative p == (p >> 20) * 2^20 + (p & (2^20-1)), exactly;
+        # both halves sum in plain BIGINT (hi <= ~1.4e5/row)
+        return [
+            F.sum(F.shiftright(p, 20)).alias(f"_{tag}_hi"),
+            F.sum(p.bitwiseAND(LO)).alias(f"_{tag}_lo"),
+        ]
+
+    agg = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             sum2_col("l_quantity").alias("sum_qty"),
             sum2_col("l_extendedprice").alias("sum_base_price"),
-            (
-                F.sum((ext_c * disc_f).cast("decimal(38,0)")).cast("double")
-                / F.lit(10000.0)
-            ).alias("sum_disc_price"),
-            (
-                # e6-unit products are ~3.6e10/row: BIGINT overflows at
-                # ~2.5e8 rows/group (ANSI throw), DuckDB silently promotes
-                # to HUGEINT — accumulate in decimal(38,0) like agg_stats
-                F.sum((ext_c * disc_f * tax_f).cast("decimal(38,0)")).cast(
-                    "double"
-                )
-                / F.lit(1000000.0)
-            ).alias("sum_charge"),
+            *split_hi_lo(disc_price, "dp"),
+            *split_hi_lo(charge, "ch"),
             (sum2_col("l_quantity") / F.count("*")).alias("avg_qty"),
             (sum2_col("l_extendedprice") / F.count("*")).alias("avg_price"),
             (sum2_col("l_discount") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
+    )
+
+    def recombine(tag, scale):
+        return (
+            F.col(f"_{tag}_hi").cast("decimal(38,0)") * F.lit(1 << 20)
+            + F.col(f"_{tag}_lo")
+        ).cast("double") / F.lit(scale)
+
+    dp = recombine("dp", 10000.0)
+    ch = recombine("ch", 1000000.0)
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        dp.alias("sum_disc_price"),
+        ch.alias("sum_charge"),
+        "avg_qty",
+        "avg_price",
+        "avg_disc",
+        "count_order",
     )
 
 
