@@ -287,6 +287,37 @@ def sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT event_type, event_id, value, rk FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+        FROM events) t
+    WHERE rk <= 50
+    """,
+    tags=("analytics", "llm-pipeline"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-n sample: exactly 50 rows per event_type, chosen
+    by md5-hash rank — the eval/holdout-set construction primitive
+    (deterministic across engines, runs, and partitionings, unlike
+    rand()). ONE shuffle on the stratum key; Spark 4's WindowGroupLimit
+    prunes each map partition to its local top-50 BEFORE the exchange,
+    so at 100 TB the shuffle carries 50 x partitions x |strata| rows,
+    not the corpus."""
+    ev = _ev(spark, sf_dir)
+    key = F.md5(F.col("event_id").cast("string"))
+    w = W.partitionBy("event_type").orderBy(key, "event_id")
+    return (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # grouped exact quantiles
 # ---------------------------------------------------------------------------

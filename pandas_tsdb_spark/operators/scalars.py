@@ -319,6 +319,40 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "fn_onehot",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent,
+           CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS is_high,
+           CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS is_medium,
+           CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0
+               END AS is_not_specified,
+           CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS is_low
+    FROM orders
+    """,
+)
+def fn_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``pd.get_dummies`` over a known category set: one 0/1
+    indicator column per level. The category list is STATIC (like
+    agg_crosstab's pivot values) — pandas infers levels from the data,
+    but at 100 TB an extra full pass to discover categories is the
+    wrong default; production keeps a maintained vocabulary (or runs
+    one distinct() when it truly is unknown). Pure map-side projection:
+    zero shuffles, fully inside whole-stage codegen."""
+    od = Tables(spark, sf_dir).orders
+    cols = [
+        F.when(F.col("o_orderpriority") == v, 1)
+        .otherwise(0)
+        .alias("is_" + v.split("-", 1)[1].lower().replace(" ", "_"))
+        for v in _PRIORITIES
+    ]
+    return od.select("o_orderkey", *cols)
+
+
 @query(
     "fn_bin_cut",
     oracle="""
