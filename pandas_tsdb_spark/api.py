@@ -824,10 +824,10 @@ class Resampler:
             F.max_by(col, ok).alias("close"),
         )
 
-    def ffill(self, col: str) -> DataFrame:
-        """Densify the bucket grid per series and forward-fill the
-        bucket aggregate (resample().last().ffill() semantics), grid
-        spanning the global [min, max] bucket range."""
+    def _dense_grid(self, col: str):
+        """Shared ffill/interpolate plumbing: per-bucket last value,
+        densified to the global [min, max] bucket grid per series
+        (null where a bucket had no rows)."""
         tf = self.tf
         span = _freq_us(self.freq)
         ok = tf.order_col or tf.ts_col
@@ -843,7 +843,14 @@ class Resampler:
                 F.sequence(F.col("lo"), F.col("hi"), F.lit(span))
             ).alias("_us"),
         ).select(*tf.by, F.timestamp_micros(F.col("_us")).alias("bucket"))
-        joined = grid.join(per_bucket, on=[*tf.by, "bucket"], how="left")
+        return grid.join(per_bucket, on=[*tf.by, "bucket"], how="left")
+
+    def ffill(self, col: str) -> DataFrame:
+        """Densify the bucket grid per series and forward-fill the
+        bucket aggregate (resample().last().ffill() semantics), grid
+        spanning the global [min, max] bucket range."""
+        tf = self.tf
+        joined = self._dense_grid(col)
         w = (
             W.partitionBy(*tf.by)
             .orderBy("bucket")
@@ -854,6 +861,22 @@ class Resampler:
             "bucket",
             F.last("_last", ignorenulls=True).over(w).alias(col),
         )
+
+    def interpolate(
+        self, col: str, method: str = "linear", limit: int | None = None
+    ) -> DataFrame:
+        """resample(freq).last().interpolate(method=...) — densify the
+        bucket grid, then fill gaps with TsFrame.interpolate semantics
+        (pandas edge behavior: leading nulls stay, trailing pad). On
+        the equally-spaced grid 'linear' and 'time' coincide, exactly
+        as in pandas. Same single series-key shuffle as ffill — the
+        grid window and the interpolation frames share it."""
+        tf = self.tf
+        joined = self._dense_grid(col)
+        out = TsFrame(joined, ts_col="bucket", by=tf.by).interpolate(
+            "_last", method=method, out=col, limit=limit
+        )
+        return out.df.select(*tf.by, "bucket", col)
 
 
 def _tsframe_rank(self, col: str, method: str = "average", out: str | None = None) -> "TsFrame":

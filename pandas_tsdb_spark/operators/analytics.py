@@ -351,6 +351,23 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(*qs, F.count("*").alias("n"))
 
 
+@query("agg_quantiles_approx", oracle=None)  # sketch-valued: rows-only
+def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path promised in agg_quantiles' docstring:
+    percentile_approx (Greenwald-Khanna sketch, accuracy 10000). The
+    sketch partials are MERGEABLE, so the map side ships one bounded
+    sketch per partition instead of sorting values — the only viable
+    shape when a group holds 1e11 rows. Approximate by design: no SQL
+    oracle; tests/test_properties.py bounds it against the exact
+    agg_quantiles output per group."""
+    li = Tables(spark, sf_dir).lineitem
+    qs = [
+        F.percentile_approx("l_quantity", F.lit(p), F.lit(10000)).alias(a)
+        for p, a in [(0.25, "q25"), (0.50, "q50"), (0.75, "q75"), (0.95, "q95")]
+    ]
+    return li.groupBy("l_returnflag").agg(*qs, F.count("*").alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # rolling z-score anomaly flag (7-day time window per series)
 # ---------------------------------------------------------------------------

@@ -204,6 +204,33 @@ def test_resample_ffill(ev, pev):
     assert ((lhs[mask] == rhs[mask])).all()
 
 
+@pytest.mark.parametrize("method", ["linear", "pad"])
+def test_resampler_interpolate_vs_pandas(spark, ev, pev, method):
+    """resample('1d').interpolate(method) — grid densify + fill; pandas
+    twin per user: resample('1D').last().interpolate()/ffill(). Grid
+    spans the global range, so compare from each user's first bucket."""
+    got = (
+        tsf(ev).resample("1d").interpolate("value", method=method).toPandas()
+    )
+    uid = int(pev.user_id.iloc[0])
+    g = got[got.user_id == uid].sort_values("bucket")
+    ser = (
+        pev[pev.user_id == uid]
+        .sort_values(["ts", "event_id"])
+        .set_index("ts")["value"]
+        .resample("1D")
+        .last()
+    )
+    p = ser.interpolate("linear") if method == "linear" else ser.ffill()
+    p = p.reindex(g.bucket)
+    lhs, rhs = g.value.to_numpy(), p.to_numpy()
+    mask = ~np.isnan(rhs)
+    assert mask.sum() > 0
+    assert np.allclose(lhs[mask], rhs[mask], rtol=1e-9)
+    # leading grid buckets before the user's first day stay null
+    assert np.isnan(lhs[~mask]).all()
+
+
 @pytest.mark.parametrize(
     "spark_freq,pd_freq",
     [("W", "W"), ("W-MON", "W-MON"), ("W-THU", "W-THU"),

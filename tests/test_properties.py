@@ -332,3 +332,16 @@ def test_pagerank_mass_and_positivity(spark, sf_dir):
     out = S["graph_pagerank"].builder(spark, sf_dir).toPandas()
     assert (out["pagerank"] > 0).all()
     assert 0.5 < out["pagerank"].sum() <= 1.000001
+
+
+def test_approx_quantiles_bound_by_exact(spark, sf_dir):
+    """agg_quantiles_approx within 2% relative (or one unit absolute —
+    l_quantity is integral 1..50) of the exact percentile per group."""
+    got = SPECS["agg_quantiles_approx"].builder(spark, sf_dir).toPandas()
+    exact = SPECS["agg_quantiles"].builder(spark, sf_dir).toPandas()
+    m = got.merge(exact, on="l_returnflag", suffixes=("_a", "_e"))
+    assert len(m) == len(exact) > 0
+    for q in ["q25", "q50", "q75", "q95"]:
+        diff = (m[f"{q}_a"] - m[f"{q}_e"]).abs()
+        ok = (diff <= 1.0) | (diff / m[f"{q}_e"].abs() < 0.02)
+        assert ok.all(), m.to_string()
