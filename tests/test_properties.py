@@ -335,13 +335,27 @@ def test_pagerank_mass_and_positivity(spark, sf_dir):
 
 
 def test_approx_quantiles_bound_by_exact(spark, sf_dir):
-    """agg_quantiles_approx within 2% relative (or one unit absolute —
-    l_quantity is integral 1..50) of the exact percentile per group."""
+    """agg_quantiles_approx within 2% relative of the exact percentile
+    per group (GK accuracy 1000 => 0.1% rank error; value error on the
+    near-uniform price distribution stays well inside 2%)."""
+    from pandas_tsdb_spark.catalog import Tables
+
     got = SPECS["agg_quantiles_approx"].builder(spark, sf_dir).toPandas()
-    exact = SPECS["agg_quantiles"].builder(spark, sf_dir).toPandas()
+    li = Tables(spark, sf_dir).lineitem
+    exact = (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.percentile("l_extendedprice", F.lit(p)).alias(a)
+                for p, a in [
+                    (0.25, "q25"), (0.50, "q50"), (0.75, "q75"), (0.95, "q95")
+                ]
+            ]
+        )
+        .toPandas()
+    )
     m = got.merge(exact, on="l_returnflag", suffixes=("_a", "_e"))
     assert len(m) == len(exact) > 0
     for q in ["q25", "q50", "q75", "q95"]:
-        diff = (m[f"{q}_a"] - m[f"{q}_e"]).abs()
-        ok = (diff <= 1.0) | (diff / m[f"{q}_e"].abs() < 0.02)
-        assert ok.all(), m.to_string()
+        rel = (m[f"{q}_a"] - m[f"{q}_e"]).abs() / m[f"{q}_e"].abs()
+        assert (rel < 0.02).all(), m.to_string()
