@@ -426,3 +426,41 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{root}/v1", f"{root}/v2")
         .select("user_id", "batch", "n_events", "sum_value")
     )
+
+
+@query(
+    "rollup_continuous",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (TimescaleDB pattern) end-to-end: ingest
+    events into a TsStore in TWO batches with an incremental
+    refresh_rollup after each — the second refresh recomputes ONLY the
+    days the second batch touched (per-day file fingerprints) — then
+    read the rollup back. The oracle is the plain batch aggregate: the
+    incremental path must converge to exactly what one full pass
+    computes. Refresh cost at 100 TB is proportional to the appended
+    debt (changed day partitions), never the store."""
+    from pandas_tsdb_spark.store import TsStore
+
+    ev = Tables(spark, sf_dir).events
+    store = TsStore(spark, tempfile.mkdtemp(prefix="pts_rollup_"))
+
+    def day_agg(day_df: DataFrame) -> DataFrame:
+        return day_df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+        )
+
+    cut = "2024-01-15"
+    store.append("events", ev.filter(F.col("ts") < cut))
+    store.refresh_rollup("events", "daily", day_agg)
+    store.append("events", ev.filter(F.col("ts") >= cut))
+    store.refresh_rollup("events", "daily", day_agg)
+    roll = spark.read.parquet(store.path("daily"))
+    return roll.select(
+        F.col("_date").cast("timestamp").alias("day"), "event_type", "n", "total"
+    )

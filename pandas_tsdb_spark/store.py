@@ -63,6 +63,7 @@ class TsStore:
         return sorted(
             d for d in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, d))
+            and not d.startswith(".")  # in-flight swap dirs are dotted
         )
 
     # -- write ------------------------------------------------------------
@@ -199,9 +200,13 @@ class TsStore:
             .drop("__rn")
             .repartition(F.col(_PART))
         )
-        tmp = path + ".compact.tmp"
+        # dot-prefixed swap siblings: invisible to series() and to any
+        # scan, whatever instant a crash hits (same discipline as
+        # optimize's per-partition swap)
+        parent, base = os.path.split(path)
+        tmp = os.path.join(parent, f".{base}.compact.tmp")
         compacted.write.mode("overwrite").partitionBy(_PART).parquet(tmp)
-        old = path + ".compact.old"
+        old = os.path.join(parent, f".{base}.compact.old")
         os.rename(path, old)
         os.rename(tmp, path)
         import shutil
@@ -279,6 +284,123 @@ class TsStore:
             shutil.rmtree(old)
             rewritten += 1
         return rewritten
+
+    # -- continuous aggregates --------------------------------------------
+
+    def _day_fingerprints(self, name: str) -> dict[str, str]:
+        """day -> md5 over the sorted (file, size) listing of its
+        partition dir — changes iff the day's data files changed."""
+        import hashlib
+
+        path = self.path(name)
+        out: dict[str, str] = {}
+        for entry in os.listdir(path):
+            part_dir = os.path.join(path, entry)
+            if not entry.startswith(f"{_PART}=") or not os.path.isdir(part_dir):
+                continue
+            files = sorted(
+                (f, os.path.getsize(os.path.join(part_dir, f)))
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            sig = hashlib.md5(repr(files).encode()).hexdigest()
+            out[entry.split("=", 1)[1]] = sig
+        return out
+
+    def refresh_rollup(self, src: str, dst: str, agg, full: bool = False) -> int:
+        """Continuous aggregate (the TimescaleDB/hypertable pattern):
+        maintain ``dst`` = per-day ``agg`` of ``src``, incrementally.
+
+        ``agg(day_df) -> DataFrame`` aggregates ONE day of raw rows
+        (bucket grain must nest within the day). State is a per-day
+        fingerprint of ``src``'s data files kept in ``_rollup_state.json``
+        under ``dst`` (underscore-prefixed: invisible to scans); a day
+        recomputes iff its files changed — new appends, late data,
+        compaction rewrites — and a day deleted from the source
+        (drop_before / delete_keys) is dropped from the rollup. Returns
+        the number of day partitions refreshed or dropped.
+
+        Scale shape: refresh cost is proportional to the DEBT (changed
+        days), never the store; each day is one bounded job whose input
+        is a single pruned partition read, and days are independent —
+        at cluster scale they refresh as parallel batches. The swap is
+        the same dot-prefixed per-partition rename discipline as
+        optimize(), so readers never see a half-written day and a crash
+        at any instant leaves a sweepable state."""
+        import json
+        import shutil
+
+        src_path = self.path(src)
+        dst_path = self.path(dst)
+        os.makedirs(dst_path, exist_ok=True)
+        state_file = os.path.join(dst_path, "_rollup_state.json")
+        # sweep crashed swaps: tmp is an unfinished rewrite (discard);
+        # old with its partition present means cleanup was lost (finish),
+        # old alone means the crash hit between renames (restore)
+        for entry in os.listdir(dst_path):
+            leftover = os.path.join(dst_path, entry)
+            if not entry.startswith(".") or not os.path.isdir(leftover):
+                continue
+            if entry.endswith(".ru.tmp"):
+                shutil.rmtree(leftover)
+            elif entry.endswith(".ru.old"):
+                orig = os.path.join(dst_path, entry[1 : -len(".ru.old")])
+                if os.path.isdir(orig):
+                    shutil.rmtree(leftover)
+                else:
+                    os.rename(leftover, orig)
+        state: dict[str, str] = {}
+        if os.path.exists(state_file) and not full:
+            with open(state_file) as fh:
+                state = json.load(fh)
+        current = self._day_fingerprints(src)
+        stale = [d for d, sig in current.items() if state.get(d) != sig]
+        gone = [d for d in state if d not in current]
+        n = 0
+
+        def save_state() -> None:
+            tmp = state_file + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(state, fh, sort_keys=True)
+            os.replace(tmp, state_file)
+
+        for day in sorted(stale):
+            day_df = self.spark.read.parquet(
+                os.path.join(src_path, f"{_PART}={day}")
+            )
+            out = agg(day_df)
+            entry = f"{_PART}={day}"
+            tmp = os.path.join(dst_path, f".{entry}.ru.tmp")
+            out.write.mode("overwrite").parquet(tmp)
+            dst_day = os.path.join(dst_path, entry)
+            if os.path.isdir(dst_day):
+                old = os.path.join(dst_path, f".{entry}.ru.old")
+                os.rename(dst_day, old)
+                os.rename(tmp, dst_day)
+                shutil.rmtree(old)
+            else:
+                os.rename(tmp, dst_day)
+            state[day] = current[day]
+            save_state()
+            n += 1
+        for day in sorted(gone):
+            dst_day = os.path.join(dst_path, f"{_PART}={day}")
+            if os.path.isdir(dst_day):
+                shutil.rmtree(dst_day)
+            del state[day]
+            save_state()
+            n += 1
+        return n
+
+    def read_rollup(self, name: str, start=None, end=None) -> DataFrame:
+        """Read a rollup series; start/end (inclusive, dates) prune to
+        the touched day directories before any file opens."""
+        df = self.spark.read.parquet(self.path(name))
+        if start is not None:
+            df = df.filter(F.col(_PART) >= F.to_date(F.lit(start)))
+        if end is not None:
+            df = df.filter(F.col(_PART) <= F.to_date(F.lit(end)))
+        return df.drop(_PART)
 
     # -- streaming --------------------------------------------------------
 

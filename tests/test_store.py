@@ -259,3 +259,75 @@ def test_optimize_crash_recovery(spark, store, events):
     assert not any(e.startswith(".") and ".opt." in e for e in os.listdir(path))
     assert os.path.isdir(os.path.join(path, parts[1]))  # restored
     assert store.fetch("events").count() == n_rows
+
+
+def _daily_agg(day_df):
+    return day_df.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+
+
+def test_rollup_incremental_refresh(spark, store, events):
+    """Continuous aggregate: initial refresh folds every day; a new
+    day's append refreshes exactly that day (untouched rollup
+    partitions keep their mtime); late data to an old day recomputes
+    only it; dropping source days drops the rollup days."""
+    import os
+
+    jan = events.filter(F.col("ts") < "2024-01-15")
+    rest = events.filter(F.col("ts") >= "2024-01-15")
+    store.append("events", jan)
+    n0 = store.refresh_rollup("events", "events_daily", _daily_agg)
+    assert n0 == len({r[0] for r in jan.select(F.to_date("ts")).distinct().collect()})
+    # idempotent: nothing changed, nothing recomputes
+    assert store.refresh_rollup("events", "events_daily", _daily_agg) == 0
+
+    # rollup == batch aggregate per (day, type) over the whole slice
+    got = (
+        store.read_rollup("events_daily")
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    want = jan.groupBy("event_type").count().collect()
+    assert {(r.event_type, r.n) for r in got} == {
+        (r.event_type, r["count"]) for r in want
+    }
+
+    path = store.path("events_daily")
+    mtimes = {
+        d: os.stat(os.path.join(path, d)).st_mtime
+        for d in os.listdir(path)
+        if d.startswith("_date=")
+    }
+    # append the rest (new days) -> only those days refresh
+    store.append("events", rest)
+    new_days = {
+        str(r[0]) for r in rest.select(F.to_date("ts")).distinct().collect()
+    }
+    n1 = store.refresh_rollup("events", "events_daily", _daily_agg)
+    assert n1 == len(new_days)
+    for d, m in mtimes.items():
+        if d.split("=", 1)[1] not in new_days:
+            assert os.stat(os.path.join(path, d)).st_mtime == m, d
+
+    # late data into one old day -> exactly one day recomputes
+    late = jan.filter(F.to_date("ts") == "2024-01-03")
+    store.append("events", late)
+    assert store.refresh_rollup("events", "events_daily", _daily_agg) == 1
+    day3 = (
+        store.read_rollup("events_daily", "2024-01-03", "2024-01-03")
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert day3 == 2 * late.count()
+
+    # retention on the source propagates as rollup drops
+    dropped = store.drop_before("events", "2024-01-05")
+    assert dropped > 0
+    n2 = store.refresh_rollup("events", "events_daily", _daily_agg)
+    assert n2 == dropped
+    remaining = {
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("_date=")
+    }
+    assert min(remaining) >= "2024-01-05"
