@@ -372,3 +372,46 @@ def test_transform_with_state_probe(spark, chunk_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_stream_ingest_feeds_continuous_rollup(spark, chunk_dir, tmp_path):
+    """The full tsdb loop: a file stream ingests into a TsStore via
+    foreachBatch (4 micro-batches), then refresh_rollup folds the
+    landed days incrementally; the rollup equals the batch aggregate
+    of the whole fixture, and a second refresh with no new data is a
+    no-op."""
+    from pandas_tsdb_spark.store import TsStore
+
+    store = TsStore(spark, str(tmp_path / "tsdb"))
+    ev = S.events_stream(
+        spark, SMALL, src_dir=chunk_dir, max_files_per_trigger=1
+    )
+    q = store.stream_ingest("events", ev, available_now=True)
+    assert q.lastProgress is not None
+    assert store.fetch("events").count() == S.batch_events(spark, SMALL).count()
+
+    def day_agg(day_df):
+        return day_df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+        )
+
+    n = store.refresh_rollup("events", "daily", day_agg)
+    assert n > 0
+    assert store.refresh_rollup("events", "daily", day_agg) == 0
+    got = _rows(
+        store.read_rollup("daily").groupBy("event_type").agg(
+            F.sum("n").alias("n"), F.round(F.sum("total"), 2).alias("t")
+        ),
+        ["event_type", "n", "t"],
+    )
+    want = _rows(
+        S.batch_events(spark, SMALL).groupBy("event_type").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t")
+        ),
+        ["event_type", "n", "t"],
+    )
+    # n must match exactly; totals to the cent (per-day rounding at 4dp
+    # then summing can drift below 2dp only by fixture-impossible noise)
+    assert [r[:2] for r in got] == [r[:2] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g[2] - w[2]) < 0.01
