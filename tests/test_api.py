@@ -482,6 +482,82 @@ def test_ffill_bfill_vs_pandas(spark, ev, pev, limit):
     assert _eq(got["value_bfill"], want_b["want"])
 
 
+def test_merge_asof_exclusive_subset_invariants(spark, ev):
+    """Laws the pandas differential can't state directly:
+    - an exclusive match is strictly earlier than the left row (backward)
+    - exclusive-matched rows are a subset of inclusive-matched rows
+    - tightening tolerance only removes matches, never adds or changes"""
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "ts", "user_id", F.col("value").alias("pval")
+    )
+
+    def run(**kw):
+        return (
+            tsf(ev)
+            .merge_asof(purchases, ["pval"], **kw)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+
+    inc = run()
+    exc = run(allow_exact_matches=False)
+    m_inc, m_exc = inc.pval_r.notna(), exc.pval_r.notna()
+    assert (m_exc <= m_inc).all()  # subset
+    assert m_exc.sum() < m_inc.sum()  # purchases self-match inclusively
+    tol2 = run(tolerance="2d")
+    tol7 = run(tolerance="7d")
+    m2, m7 = tol2.pval_r.notna(), tol7.pval_r.notna()
+    assert (m2 <= m7).all()
+    # where both match, the matched value is identical
+    both = m2 & m7
+    assert (tol2.pval_r[both] == tol7.pval_r[both]).all()
+
+
+@pytest.mark.parametrize("method", ["linear", "time", "pad", "nearest"])
+def test_interpolate_invariants(spark, ev, method):
+    """Complete data is a fixed point; filled values never leave the
+    [prev, next] envelope of their gap's endpoints."""
+    tf = tsf(ev)
+    got = _sorted(tf.interpolate("value", method=method).to_pandas())
+    base = _sorted(tf.to_pandas())
+    assert np.allclose(got["value_interp"], base["value"])  # fixed point
+
+    holey = ev.withColumn(
+        "value", F.when(F.col("event_id") % 3 != 0, F.col("value"))
+    )
+    out = _sorted(
+        TsFrame(holey, ts_col="ts", by="user_id", order_col="event_id")
+        .interpolate("value", method=method)
+        .to_pandas()
+    )
+    p = out.sort_values(["user_id", "ts", "event_id"]).copy()
+    prev_v = p.groupby("user_id")["value"].ffill()
+    next_v = p.groupby("user_id")["value"].bfill()
+    filled = p["value"].isna() & p["value_interp"].notna()
+    lo = np.minimum(prev_v[filled], next_v[filled].fillna(prev_v[filled]))
+    hi = np.maximum(prev_v[filled], next_v[filled].fillna(prev_v[filled]))
+    v = p["value_interp"][filled]
+    assert ((v >= lo - 1e-9) & (v <= hi + 1e-9)).all()
+
+
+def test_resample_calendar_partition_laws(spark, ev, pev):
+    """Every row lands in exactly one bucket (counts partition the
+    frame) and labels sit on the anchor: month-end for M, Monday for
+    W-MON, a weekday for B."""
+    n = len(pev)
+    for freq in ["M", "W-MON", "B"]:
+        got = TsFrame(ev, by=None).resample(freq).count().toPandas()
+        assert got["n"].sum() == n, freq
+        days = pd.to_datetime(got["bucket"])
+        if freq == "M":
+            assert (days == days + pd.offsets.MonthEnd(0)).all()
+        elif freq == "W-MON":
+            assert (days.dt.dayofweek == 0).all()
+        else:
+            assert (days.dt.dayofweek < 5).all()
+
+
 def test_interpolate_nearest():
     """pandas 'nearest' needs scipy (absent here) — check against the
     scipy interp1d convention by hand: closer neighbor by timestamp,
