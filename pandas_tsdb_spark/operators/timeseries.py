@@ -1032,3 +1032,72 @@ def win_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield lttb(pd.concat(buf.pop(u)))
 
     return part.mapInPandas(kernel, "user_id long, event_id long, value double")
+
+
+COUNTER_RATE_ORACLE = """
+WITH c AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        CAST(sum(CAST(round(abs(value) * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             % 100000 AS BIGINT) AS ctr
+    FROM events
+), d AS (
+    SELECT user_id, event_id, ctr,
+        ctr - lag(ctr) OVER w AS delta,
+        CAST(ts_us - lag(ts_us) OVER w AS DOUBLE) / 1000000.0 AS dt_s
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, event_id, ctr,
+    CASE WHEN delta IS NULL THEN NULL
+         WHEN delta >= 0 THEN delta ELSE ctr END AS increase_c,
+    round(CASE WHEN delta IS NULL OR dt_s <= 0 THEN NULL
+          WHEN delta >= 0 THEN (delta / 100.0) / dt_s
+          ELSE (ctr / 100.0) / dt_s END, 6) AS rate
+FROM d
+"""
+
+
+@query("win_counter_rate", oracle=COUNTER_RATE_ORACLE)
+def win_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter rate()/increase() with reset detection — the monitoring
+    tsdb staple (Prometheus semantics: a negative delta means the
+    counter reset, so the post-reset value counts as the increase from
+    zero). The fixture has no native counter, so one is MODELED
+    deterministically: running sum of |value| in exact integer cents,
+    wrapped modulo 1e5 — a sawtooth with genuine resets, identical on
+    both engines. All three frames (running sum, lag of counter, lag
+    of ts) share ONE series-key window partitioning — a single
+    shuffle; rate arithmetic is the same double ops in both engines,
+    rounded at 6 for hygiene."""
+    ev = Tables(spark, sf_dir).events
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy(us, "event_id")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    cents = F.round(F.abs(F.col("value")) * 100).cast("long")
+    ctr = (F.sum(cents).over(wcum) % F.lit(100000)).cast("long")
+    d = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("_us"),
+        ctr.alias("ctr"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("_us", "event_id")
+    delta = F.col("ctr") - F.lag("ctr").over(w2)
+    dt_s = (F.col("_us") - F.lag("_us").over(w2)).cast("double") / F.lit(
+        1000000.0
+    )
+    increase = F.when(delta.isNull(), F.lit(None)).when(
+        delta >= 0, delta
+    ).otherwise(F.col("ctr"))
+    rate = F.when(delta.isNull() | (dt_s <= 0), F.lit(None)).otherwise(
+        (increase.cast("double") / F.lit(100.0)) / dt_s
+    )
+    return d.select(
+        "user_id",
+        "event_id",
+        "ctr",
+        increase.alias("increase_c"),
+        F.round(rate, 6).alias("rate"),
+    )

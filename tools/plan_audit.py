@@ -49,6 +49,15 @@ EXPECTATIONS = {
     "win_resample_month": (1, False),
     "win_resample_wmon": (1, False),
     "win_interp_time": (1, False),
+    # stratified sampling is one stratum-key window (WindowGroupLimit
+    # prunes pre-exchange — asserted in test below); onehot is a pure
+    # map-side projection; the quantile sketch is one hash agg
+    "sample_stratified": (1, False),
+    "fn_onehot": (0, False),
+    "agg_quantiles_approx": (1, False),
+    # counter rate(): running sum, counter lag, and ts lag all share
+    # the one series-key window partitioning
+    "win_counter_rate": (1, False),
     "win_rolling_corr": (1, False),
     "sim_topk_blas": (2, False),
     # continuation-7 additions: quantize/pii/chunk are map-only (zero
