@@ -223,23 +223,22 @@ class TsFrame:
             )
         )
 
-    def cumsum(self, col: str, out: str | None = None) -> "TsFrame":
+    def _cum(self, col: str, fn, out: str) -> "TsFrame":
+        # pandas cumsum/cummax/cummin skip NaN but PRESERVE it at the
+        # null positions (found by tests/test_api_fuzz.py: a bare
+        # F.sum().over() emits the running value at null rows)
         w = self._win().rowsBetween(W.unboundedPreceding, W.currentRow)
-        return self._wrap(
-            self.df.withColumn(out or f"{col}_cumsum", F.sum(col).over(w))
-        )
+        expr = F.when(F.col(col).isNotNull(), fn(col).over(w))
+        return self._wrap(self.df.withColumn(out, expr))
+
+    def cumsum(self, col: str, out: str | None = None) -> "TsFrame":
+        return self._cum(col, F.sum, out or f"{col}_cumsum")
 
     def cummax(self, col: str, out: str | None = None) -> "TsFrame":
-        w = self._win().rowsBetween(W.unboundedPreceding, W.currentRow)
-        return self._wrap(
-            self.df.withColumn(out or f"{col}_cummax", F.max(col).over(w))
-        )
+        return self._cum(col, F.max, out or f"{col}_cummax")
 
     def cummin(self, col: str, out: str | None = None) -> "TsFrame":
-        w = self._win().rowsBetween(W.unboundedPreceding, W.currentRow)
-        return self._wrap(
-            self.df.withColumn(out or f"{col}_cummin", F.min(col).over(w))
-        )
+        return self._cum(col, F.min, out or f"{col}_cummin")
 
     def zscore(self, col: str, out: str | None = None) -> "TsFrame":
         w = W.partitionBy(*self.by)
@@ -469,7 +468,14 @@ class TsFrame:
         if method == "nearest":
             mid = F.when((x - prev_x) <= (next_x - x), prev_v).otherwise(next_v)
         else:
-            mid = prev_v + (next_v - prev_v) * (x - prev_x) / (next_x - prev_x)
+            # zero-width gap (duplicate timestamps around the nulls):
+            # NULLIF keeps ANSI division from throwing; pandas resolves
+            # the degenerate lerp to the NEXT value (np.interp takes
+            # the later duplicate) — found by tests/test_api_fuzz.py
+            denom = F.nullif(next_x - prev_x, F.lit(0.0))
+            mid = F.coalesce(
+                prev_v + (next_v - prev_v) * (x - prev_x) / denom, next_v
+            )
         expr = (
             F.when(v.isNotNull(), v)
             .when(~within_limit, F.lit(None))

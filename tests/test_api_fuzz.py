@@ -1,0 +1,158 @@
+"""Hypothesis differential fuzzing: TsFrame vs real pandas on
+randomized small frames (SURVEY §5 strategy beyond fixed fixtures).
+
+Each drawn frame has adversarial structure the events fixture lacks by
+construction: singleton series, duplicate timestamps within a series,
+null runs at the head/tail, constant series. One draw builds the
+Spark/pandas twins ONCE and checks the whole method matrix on them,
+amortizing the JVM round-trip.
+
+Known, documented divergences handled here:
+- pct_change where the previous value is exactly 0 — pandas yields
+  ±inf, TsFrame yields NULL (ANSI-safe NULLIF design, api.py); inf is
+  mapped to NaN on both sides before equating (subnormal previous
+  values overflow to inf in BOTH engines).
+- interpolate('time') at sub-millisecond gaps: pandas converts the ns
+  epoch index to FLOAT64 (spacing 256 ns at 2024 epochs), so its lerp
+  fraction for a 1µs/6µs gap is 1024/5888 = 4/23 instead of the true
+  1/6 — a pandas precision artifact; TsFrame's µs-integer arithmetic
+  is exact. Timestamps here are drawn at SECOND granularity, where
+  the float64 error (~2.6e-7 relative) sits below the tolerance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from pandas_tsdb_spark.api import TsFrame
+
+_BASE_US = 1_704_067_200_000_000  # 2024-01-01 UTC in µs
+
+
+@st.composite
+def frames(draw):
+    n = draw(st.integers(min_value=1, max_value=50))
+    users = draw(
+        st.lists(st.integers(0, 3), min_size=n, max_size=n)
+    )
+    # SECOND-granularity offsets over ~30 days; duplicates allowed
+    # (ties + zero-width interpolation gaps exercised). Sub-ms offsets
+    # would hit pandas' float64-ns index artifact (module docstring).
+    offs = draw(
+        st.lists(
+            st.integers(0, 30 * 86_400).map(lambda s: s * 1_000_000),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    vals = draw(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                [(_BASE_US + o) * 1000 for o in offs], utc=False
+            ),
+            "user_id": np.array(users, dtype=np.int64),
+            "value": pd.array(vals, dtype="float64"),
+        }
+    )
+
+
+def _eq(a, b, tol=1e-6):
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    both_nan = np.isnan(a) & np.isnan(b)
+    return bool((both_nan | np.isclose(a, b, rtol=tol, atol=tol)).all())
+
+
+def _sorted_pd(pdf):
+    return pdf.sort_values("rid").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def fuzz_spark(spark):
+    return spark
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pdf=frames())
+def test_tsframe_matches_pandas_on_random_frames(fuzz_spark, pdf):
+    spark = fuzz_spark
+    sdf = spark.createDataFrame(pdf)
+    tf = TsFrame(sdf, ts_col="ts", by="user_id", order_col="rid")
+
+    chained = (
+        tf.shift("value")
+        .diff("value")
+        .pct_change("value")
+        .cumsum("value")
+        .ffill("value", limit=1)
+        .bfill("value", limit=1)
+        .rolling(3).mean("value", out="roll3")
+        .interpolate("value", method="time", out="interp_t")
+    )
+    got = _sorted_pd(chained.to_pandas())
+
+    p = pdf.sort_values(["user_id", "ts", "rid"]).copy()
+    g = p.groupby("user_id")["value"]
+    p["shift"] = g.shift(1)
+    p["diff"] = g.diff(1)
+    pc = g.pct_change(1, fill_method=None)
+    p["pct"] = pc.replace([np.inf, -np.inf], np.nan)
+    p["cum"] = g.cumsum()  # pandas skips NaN in cumsum, like F.sum
+    p["ff"] = g.ffill(limit=1)
+    p["bf"] = g.bfill(limit=1)
+    p["roll3"] = (
+        p.groupby("user_id")["value"]
+        .rolling(3)
+        .mean()
+        .reset_index(level=0, drop=True)
+    )
+
+    def interp(grp):
+        grp = grp.sort_values(["ts", "rid"]).set_index("ts")
+        grp["it"] = grp["value"].interpolate("time")
+        return grp.reset_index()
+
+    p = (
+        p.groupby("user_id", group_keys=False)[p.columns.tolist()]
+        .apply(interp)
+    )
+    want = _sorted_pd(p)
+
+    assert _eq(got["value_shift"], want["shift"])
+    assert _eq(got["value_diff"], want["diff"])
+    # pct_change: exact-zero prev -> NULL here vs inf in pandas
+    # (documented NULLIF design); SUBNORMAL prev overflows to inf in
+    # BOTH engines — map inf to NaN on both sides before equating
+    got_pct = got["value_pct"].replace([np.inf, -np.inf], np.nan)
+    assert _eq(got_pct, want["pct"])
+    assert _eq(got["value_cumsum"], want["cum"])
+    assert _eq(got["value_ffill"], want["ff"])
+    assert _eq(got["value_bfill"], want["bf"])
+    assert _eq(got["roll3"], want["roll3"])
+    assert _eq(got["interp_t"], want["it"])
