@@ -241,8 +241,12 @@ class TsFrame:
         return self._cum(col, F.min, out or f"{col}_cummin")
 
     def zscore(self, col: str, out: str | None = None) -> "TsFrame":
+        # NULLIF: a constant series has std 0 — pandas yields NaN
+        # (0/0), ANSI Spark would throw (tests/test_api_fuzz.py)
         w = W.partitionBy(*self.by)
-        z = (F.col(col) - F.avg(col).over(w)) / F.stddev_samp(col).over(w)
+        z = (F.col(col) - F.avg(col).over(w)) / F.nullif(
+            F.stddev_samp(col).over(w), F.lit(0.0)
+        )
         return self._wrap(self.df.withColumn(out or f"{col}_z", z))
 
     # -- windows ----------------------------------------------------------
@@ -888,9 +892,12 @@ class Resampler:
 def _tsframe_rank(self, col: str, method: str = "average", out: str | None = None) -> "TsFrame":
     """pandas `groupby().rank(method=...)` — 'average' (the pandas
     default, composed from min-rank + tie count), 'min', 'dense', or
-    'first' (row_number over the order_col tie-break)."""
+    'first' (row_number over the order_col tie-break). Nulls follow
+    pandas na_option='keep': they rank as NULL and do not shift other
+    rows' ranks (nulls_last ordering + mask —
+    tests/test_api_fuzz.py)."""
     out = out or f"{col}_rank"
-    w = W.partitionBy(*self.by).orderBy(F.col(col))
+    w = W.partitionBy(*self.by).orderBy(F.col(col).asc_nulls_last())
     if method == "average":
         ties = W.partitionBy(*self.by, col)
         expr = (2.0 * F.rank().over(w) + F.count("*").over(ties) - 1) / 2.0
@@ -899,13 +906,17 @@ def _tsframe_rank(self, col: str, method: str = "average", out: str | None = Non
     elif method == "dense":
         expr = F.dense_rank().over(w).cast("double")
     elif method == "first":
-        order = [F.col(col)] + ([F.col(self.order_col)] if self.order_col else [])
+        order = [F.col(col).asc_nulls_last()] + (
+            [F.col(self.order_col)] if self.order_col else []
+        )
         expr = F.row_number().over(
             W.partitionBy(*self.by).orderBy(*order)
         ).cast("double")
     else:
         raise ValueError(method)
-    return self._wrap(self.df.withColumn(out, expr))
+    return self._wrap(
+        self.df.withColumn(out, F.when(F.col(col).isNotNull(), expr))
+    )
 
 
 def _tsframe_topk(self, col: str, k: int, ascending: bool = False) -> "TsFrame":

@@ -18,6 +18,12 @@ Known, documented divergences handled here:
   1/6 — a pandas precision artifact; TsFrame's µs-integer arithmetic
   is exact. Timestamps here are drawn at SECOND granularity, where
   the float64 error (~2.6e-7 relative) sits below the tolerance.
+- time-based rolling at DUPLICATE timestamps: SQL RANGE frames treat
+  equal-ts rows as window PEERS (all included — the deterministic,
+  order-independent semantics, matching DuckDB), while pandas
+  includes only rows up to the current row position, an artifact of
+  its positional evaluation. The time-rolling comparison masks
+  intra-series duplicate-ts rows.
 """
 
 from __future__ import annotations
@@ -156,3 +162,100 @@ def test_tsframe_matches_pandas_on_random_frames(fuzz_spark, pdf):
     assert _eq(got["value_bfill"], want["bf"])
     assert _eq(got["roll3"], want["roll3"])
     assert _eq(got["interp_t"], want["it"])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pdf=frames())
+def test_tsframe_windows_match_pandas_on_random_frames(fuzz_spark, pdf):
+    """Second matrix: rolling stats (count/time windows), expanding,
+    zscore, rank, sessionize — same amortized one-draw shape."""
+    spark = fuzz_spark
+    sdf = spark.createDataFrame(pdf)
+    tf = TsFrame(sdf, ts_col="ts", by="user_id", order_col="rid")
+
+    chained = (
+        tf.rolling(4, min_periods=2).sum("value", out="rsum")
+        .rolling("1d").mean("value", out="tmean")
+        .expanding().max("value", out="emax")
+        .zscore("value", out="z")
+        .rank("value", method="average", out="rnk")
+        .sessionize("6h", out="sess")
+    )
+    got = _sorted_pd(chained.to_pandas())
+
+    p = pdf.sort_values(["user_id", "ts", "rid"]).copy()
+    g = p.groupby("user_id")["value"]
+    p["rsum"] = (
+        g.rolling(4, min_periods=2).sum().reset_index(level=0, drop=True)
+    )
+    tm = (
+        p.set_index("ts")
+        .groupby("user_id")["value"]
+        .rolling("1d")
+        .mean()
+        .reset_index()
+    )
+    # align time-rolling result back by position within each group
+    # (ts collides, so positional alignment is the only safe join)
+    p["tmean"] = tm["value"].to_numpy()
+    p["emax"] = g.expanding().max().reset_index(level=0, drop=True)
+    grp = p.groupby("user_id")["value"]
+    p["z"] = (p["value"] - grp.transform("mean")) / grp.transform("std")
+    p["rnk"] = grp.rank(method="average")
+    gap = p.groupby("user_id")["ts"].diff() > pd.Timedelta("6h")
+    p["sess"] = gap.astype(int).groupby(p.user_id).cumsum() + 1
+    want = _sorted_pd(p)
+
+    assert _eq(got["rsum"], want["rsum"])
+    # mask duplicate-ts rows: RANGE-peers vs positional divergence
+    # (module docstring)
+    uniq = (~want.duplicated(["user_id", "ts"], keep=False)).to_numpy()
+    assert _eq(got["tmean"][uniq], want["tmean"][uniq])
+    assert _eq(got["emax"], want["emax"])
+    assert _eq(got["z"], want["z"])
+    assert _eq(got["rnk"], want["rnk"])
+    assert (got["sess"].to_numpy() == want["sess"].to_numpy()).all()
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pdf=frames())
+def test_merge_asof_fuzz_vs_pandas(fuzz_spark, pdf):
+    """merge_asof against a derived right side (even rids with non-null
+    values) across direction x exact-match, on adversarial frames."""
+    spark = fuzz_spark
+    right_pd = pdf[(pdf.rid % 2 == 0) & pdf.value.notna()][
+        ["ts", "user_id", "value"]
+    ].rename(columns={"value": "rv"})
+    sdf = spark.createDataFrame(pdf)
+    rdf = (
+        spark.createDataFrame(right_pd)
+        if len(right_pd)
+        else spark.createDataFrame(right_pd, "ts timestamp, user_id long, rv double")
+    )
+    tf = TsFrame(sdf, ts_col="ts", by="user_id", order_col="rid")
+    for direction in ["backward", "forward", "nearest"]:
+        for exact in [True, False]:
+            got = _sorted_pd(
+                tf.merge_asof(
+                    rdf, ["rv"], direction=direction, allow_exact_matches=exact
+                ).to_pandas()
+            )
+            want = _sorted_pd(
+                pd.merge_asof(
+                    pdf.sort_values(["ts", "rid"], kind="stable"),
+                    right_pd.sort_values("ts", kind="stable"),
+                    on="ts",
+                    by="user_id",
+                    direction=direction,
+                    allow_exact_matches=exact,
+                )
+            )
+            assert _eq(got["rv_r"], want["rv"]), (direction, exact)
