@@ -243,22 +243,28 @@ def test_merge_asof_fuzz_vs_pandas(fuzz_spark, pdf):
     tf = TsFrame(sdf, ts_col="ts", by="user_id", order_col="rid")
     for direction in ["backward", "forward", "nearest"]:
         for exact in [True, False]:
-            got = _sorted_pd(
-                tf.merge_asof(
-                    rdf, ["rv"], direction=direction, allow_exact_matches=exact
-                ).to_pandas()
-            )
-            want = _sorted_pd(
-                pd.merge_asof(
-                    pdf.sort_values(["ts", "rid"], kind="stable"),
-                    right_pd.sort_values("ts", kind="stable"),
-                    on="ts",
-                    by="user_id",
-                    direction=direction,
-                    allow_exact_matches=exact,
+            for tol in [None, "1d"]:
+                got = _sorted_pd(
+                    tf.merge_asof(
+                        rdf,
+                        ["rv"],
+                        direction=direction,
+                        allow_exact_matches=exact,
+                        tolerance=tol,
+                    ).to_pandas()
                 )
-            )
-            assert _eq(got["rv_r"], want["rv"]), (direction, exact)
+                want = _sorted_pd(
+                    pd.merge_asof(
+                        pdf.sort_values(["ts", "rid"], kind="stable"),
+                        right_pd.sort_values("ts", kind="stable"),
+                        on="ts",
+                        by="user_id",
+                        direction=direction,
+                        allow_exact_matches=exact,
+                        tolerance=pd.Timedelta("1D") if tol else None,
+                    )
+                )
+                assert _eq(got["rv_r"], want["rv"]), (direction, exact, tol)
 
 
 @settings(
