@@ -348,3 +348,116 @@ def test_tsframe_order_stats_match_pandas_on_random_frames(fuzz_spark, pdf):
                    ("p25", "25%"), ("p50", "50%"), ("p75", "75%"),
                    ("max", "max")]:
         assert _eq(gotd[sc], wantd[pc]), sc
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pdf=frames())
+def test_resample_calendar_fuzz_vs_pandas(fuzz_spark, pdf):
+    """Calendar frequencies over random frames: bucket labels and
+    per-bucket counts/sums equal pandas resample defaults for every
+    supported anchor (populated bins only — groupBy emits no empties)."""
+    spark = fuzz_spark
+    sdf = spark.createDataFrame(pdf)
+    ser = pdf.set_index("ts")["value"].astype(float)
+    for spark_freq, pd_freq in [
+        ("W", "W"), ("W-WED", "W-WED"), ("M", "ME"), ("Q", "QE"), ("B", "B")
+    ]:
+        got = (
+            TsFrame(sdf, by=None)
+            .resample(spark_freq)
+            .agg(
+                F.count("value").alias("n"),
+                F.round(F.sum("value"), 6).alias("tot"),
+            )
+            .toPandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        want = (
+            ser.resample(pd_freq)
+            .agg(["count", "sum"])
+            .reset_index()
+        )
+        # drop bins with zero rows present (groupBy semantics); pandas
+        # 'count' counts non-null, so align on bins having ANY row:
+        # rebuild presence from the raw index
+        present = (
+            pd.Series(1, index=pdf["ts"]).resample(pd_freq).count() > 0
+        ).reset_index(drop=True)
+        want = want[present.to_numpy()].reset_index(drop=True)
+        assert (
+            got["bucket"].to_numpy() == want["ts"].to_numpy()
+        ).all(), spark_freq
+        assert (got["n"].to_numpy() == want["count"].to_numpy()).all(), spark_freq
+        w = want["sum"].astype(float).round(6)
+        assert _eq(got["tot"].fillna(0.0), w.fillna(0.0), tol=1e-5), spark_freq
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pdf=frames(), cut_day=st.integers(1, 29))
+def test_tsstore_fuzz_invariants(fuzz_spark, pdf, cut_day):
+    """TsStore laws on random frames: two-batch append round-trips the
+    multiset; time-slice fetch == filter; as_of pins to the first
+    batch; latest_by and compact agree on keep-latest; refresh_rollup
+    equals the batch aggregate and is idempotent."""
+    import tempfile
+
+    from pandas_tsdb_spark.store import TsStore
+
+    spark = fuzz_spark
+    store = TsStore(spark, tempfile.mkdtemp(prefix="fuzz_store_"))
+    cut = pd.Timestamp("2024-01-01") + pd.Timedelta(days=cut_day)
+    first = pdf[pdf.ts < cut]
+    late = pdf[pdf.ts >= cut]
+    sdf_first = spark.createDataFrame(first, "rid long, ts timestamp, user_id long, value double")
+    sdf_late = spark.createDataFrame(late, "rid long, ts timestamp, user_id long, value double")
+    store.append("s", sdf_first, ingest_ts="2025-01-01 00:00:00")
+    store.append("s", sdf_late, ingest_ts="2025-02-01 00:00:00")
+
+    # round-trip multiset
+    got = store.fetch("s").toPandas()
+    assert sorted(got.rid) == sorted(pdf.rid)
+
+    # slice == filter (inclusive)
+    lo, hi = "2024-01-05", "2024-01-20 23:59:59"
+    sl = store.fetch("s", lo, hi).toPandas()
+    want = pdf[(pdf.ts >= lo) & (pdf.ts <= pd.Timestamp(hi))]
+    assert sorted(sl.rid) == sorted(want.rid)
+
+    # as_of pins to the first batch exactly
+    snap = store.fetch("s", as_of="2025-01-15 00:00:00").toPandas()
+    assert sorted(snap.rid) == sorted(first.rid)
+
+    # duplicate-append then latest_by == compact result
+    bump = sdf_first.withColumn("value", F.coalesce(F.col("value"), F.lit(0.0)) + 1e9)
+    store.append("s", bump, ingest_ts="2025-03-01 00:00:00")
+    latest = store.fetch("s", latest_by=["rid"], order_col="value").toPandas()
+    assert sorted(latest.rid) == sorted(pdf.rid)
+    bumped = latest[latest.rid.isin(first.rid)].set_index("rid")["value"]
+    exp = (first.set_index("rid")["value"].fillna(0.0) + 1e9).reindex(bumped.index)
+    assert np.allclose(bumped.to_numpy(), exp.to_numpy()) or len(bumped) == 0
+    store.compact("s", key_cols=["rid"], order_col="value")
+    compacted = store.fetch("s").toPandas()
+    assert sorted(compacted.rid) == sorted(pdf.rid)
+
+    # rollup == batch aggregate; second refresh is a no-op
+    def day_agg(day_df):
+        return day_df.groupBy().agg(
+            F.count("value").alias("n"),
+            F.round(F.sum("value"), 4).alias("tot"),
+        )
+
+    assert store.refresh_rollup("s", "daily", day_agg) > 0
+    assert store.refresh_rollup("s", "daily", day_agg) == 0
+    roll_n = (
+        store.read_rollup("daily").agg(F.sum("n")).collect()[0][0]
+    )
+    assert roll_n == int(compacted.value.notna().sum())
