@@ -110,17 +110,38 @@ def events_stream(
 def run_to_memory(df: DataFrame, mode: str, name_hint: str = "q") -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
     memory sink; return the sink table. The memory sink is the test
-    harness — production sinks are parquet/Kafka (`stream_sink`)."""
+    harness — production sinks are parquet/Kafka (`stream_sink`).
+
+    State-store sizing: a stateful streaming agg creates one state-store
+    instance PER shuffle partition, and every micro-batch pays a commit
+    per instance — fixed cost independent of data volume (measured at
+    sf0.1: 32 partitions ≈ 1.05 s/run vs 8 ≈ 0.71 s for the same
+    tumbling agg). Unlike batch shuffles, AQE does not coalesce these,
+    and the count is frozen into the checkpoint at first start, so it
+    must be sized explicitly per stream: small for bounded demo streams,
+    large (SPARK_GRAFT_STREAM_SHUFFLE) for real high-volume topics.
+    The session conf is restored after start — the plan pins its value
+    at .start() time, so batch queries on the same session are
+    unaffected."""
+    spark = df.sparkSession
     name = f"ptsdb_{name_hint}_{next(_QID)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    try:
+        spark.conf.set(key, stream_parts)
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
     q.awaitTermination()
-    return df.sparkSession.table(name)
+    return spark.table(name)
 
 
 @query(
