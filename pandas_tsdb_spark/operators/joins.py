@@ -466,3 +466,131 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o
         WHERE c_acctbal > 9000
     """)
+
+
+_HOUR_US = 3_600 * 1_000_000
+_DAY_US = 86_400 * 1_000_000
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  IS NOT DISTINCT FROM NULL THEN 1
+                  WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_seq,
+             us
+      FROM g
+    ),
+    a AS (
+      SELECT user_id, session_seq,
+             min(us) AS s_start, max(us) AS s_end
+      FROM sess GROUP BY user_id, session_seq
+    ),
+    b AS (
+      SELECT event_type, (epoch_us(ts) // {_DAY_US}) * {_DAY_US} AS day_us,
+             min(epoch_us(ts)) AS w_start, max(epoch_us(ts)) AS w_end
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.user_id, a.session_seq, b.event_type, b.day_us,
+           least(a.s_end, b.w_end) - greatest(a.s_start, b.w_start)
+             AS overlap_us
+    FROM a JOIN b
+      ON a.s_start <= b.w_end AND b.w_start <= a.s_end
+    """,
+    tags=("joins", "timeseries"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — the operator Spark has no physical
+    strategy for (a bare `a.start <= b.end AND b.start <= a.end` join
+    degenerates to BroadcastNestedLoop/cartesian + filter, O(|A|x|B|)
+    at scale). Implemented by UNIFORM BUCKET DECOMPOSITION, the
+    standard distributed range-join recipe (Spark lacks it; DuckDB's
+    IEJoin and KDB's `wj` solve the same problem single-node):
+
+      1. explode each interval into the fixed-width time buckets it
+         spans (1 h here; pick ~= median interval length so the fanout
+         is O(1) per row);
+      2. hash-partition BOTH sides on the bucket id — overlapping
+         intervals share at least one bucket, so the candidate join is
+         a plain shuffled EQUI-join, never a nested loop;
+      3. re-check the exact predicate inside the bucket, and
+         de-duplicate pairs that co-occur in several buckets
+         (DISTINCT on the pair key BEFORE computing payloads).
+
+    Cost is O(|A| + |B| + |true pairs|) x fanout — linear in data, not
+    quadratic; the shuffle key (bucket id) is uniform by construction
+    (time advances), so no salting needed. Both interval tables derive
+    from events in one pass each: A = 30-min-gap user sessions (the
+    sessionize window), B = per-(event_type, day) activity spans.
+    All arithmetic in integer µs — exactly engine-stable."""
+    ev = Tables(spark, sf_dir).events
+    from pyspark.sql import Window as W
+
+    sw = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(sw)
+    sess = (
+        ev.select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .withColumn(
+            "session_seq",
+            F.sum(
+                F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+            ).over(sw.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("us").alias("s_start"), F.max("us").alias("s_end"))
+    )
+    spans = ev.select(
+        "event_type",
+        ((F.unix_micros("ts") / _DAY_US).cast("long") * _DAY_US).alias("day_us"),
+        F.unix_micros("ts").alias("us"),
+    ).groupBy("event_type", "day_us").agg(
+        F.min("us").alias("w_start"), F.max("us").alias("w_end")
+    )
+
+    def bucketed(df, lo, hi):
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    (F.col(lo) / _HOUR_US).cast("long"),
+                    (F.col(hi) / _HOUR_US).cast("long"),
+                )
+            ),
+        )
+
+    pairs = (
+        bucketed(sess, "s_start", "s_end")
+        .join(
+            bucketed(spans, "w_start", "w_end"),
+            "bucket",
+        )
+        .filter(
+            (F.col("s_start") <= F.col("w_end"))
+            & (F.col("w_start") <= F.col("s_end"))
+        )
+        .select(
+            "user_id", "session_seq", "event_type", "day_us",
+            "s_start", "s_end", "w_start", "w_end",
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "user_id", "session_seq", "event_type", "day_us",
+        (
+            F.least("s_end", "w_end") - F.greatest("s_start", "w_start")
+        ).alias("overlap_us"),
+    )

@@ -1145,3 +1145,88 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rk")
     )
+
+
+@query("vec_pca", oracle=None)  # eigendecomposition: no SQL twin
+def vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding column — 2-component
+    projection for visualization/whitening in a curation pipeline.
+
+    The classic two-phase distributed linear algebra recipe (the same
+    shape MLlib's RowMatrix.computePrincipalComponents uses):
+
+      phase 1 — one Arrow-batched pass emits per-batch PARTIALS
+        (count, column sum, X'X Gram), each a fixed 1 + d + d^2
+        doubles regardless of batch rows: the driver receives
+        O(partitions) rows, never the data. Partials fold in a
+        canonical order (sorted by each batch's min vec_id) so the
+        accumulated moments — and therefore the eigenbasis — are
+        bit-reproducible run to run.
+      phase 2 — the d x d covariance eigensolve happens driver-side
+        (d = 64: microseconds — NEVER distribute a d x d solve), the
+        top-2 eigenvectors broadcast back in the kernel closure, and a
+        second map-only pass projects every row. No shuffle anywhere;
+        both passes are scan-bounded.
+
+    Sign convention (eigenvectors are sign-ambiguous): each component
+    is flipped so its largest-|loading| coordinate is positive.
+    Rows-only for the driver; tests/test_llm.py asserts the projection
+    against an exact numpy PCA of the same data."""
+    e = Tables(spark, sf_dir).embeddings
+    d = 64
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "first_id": [int(pdf["vec_id"].min())],
+                    "n": [len(X)],
+                    "colsum": [X.sum(axis=0).tolist()],
+                    "gram": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(
+            partials,
+            "first_id long, n long, colsum array<double>, gram array<double>",
+        )
+        .collect()
+    )  # bounded: one fixed-width row per input partition
+    parts.sort(key=lambda r: r.first_id)
+    n = sum(r.n for r in parts)
+    colsum = np.zeros(d)
+    gram = np.zeros((d, d))
+    for r in parts:
+        colsum += np.array(r.colsum)
+        gram += np.array(r.gram).reshape(d, d)
+    mean = colsum / n
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :2].T.copy()  # (2, d), top eigenvalue first
+    for i in range(2):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            P = (X - mean) @ comps.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "pc1": np.round(P[:, 0], 6),
+                    "pc2": np.round(P[:, 1], 6),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        project, "vec_id long, pc1 double, pc2 double"
+    )

@@ -1101,3 +1101,100 @@ def win_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         increase.alias("increase_c"),
         F.round(rate, 6).alias("rate"),
     )
+
+
+@query(
+    "win_xcorr",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day_idx,
+             round(sum(value) FILTER (event_type = 'click'), 2) AS a_v,
+             round(sum(value) FILTER (event_type = 'purchase'), 2) AS b_v
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    l AS (SELECT unnest(range(0, 8)) AS lag_days)
+    SELECT l.lag_days,
+           round(corr(a.a_v, b.b_v), 6) + 0.0 AS xcorr,
+           count(CASE WHEN a.a_v IS NOT NULL AND b.b_v IS NOT NULL
+                      THEN 1 END) AS n_days
+    FROM l
+    JOIN d b ON TRUE
+    JOIN d a ON a.day_idx = b.day_idx + l.lag_days
+    GROUP BY l.lag_days
+    """,
+    tags=("timeseries", "windows"),
+)
+def win_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between two series (does `purchase`
+    volume predict `click` volume k days later?) — the tsdb causal-
+    screening primitive (pandas idiom: ``a.corr(b.shift(k))`` per k).
+
+    Shape: the fact table is scanned ONCE — a conditional daily
+    aggregate puts both series in one row per day (map-side combined;
+    the only exchange that scales with data). The lag alignment then
+    runs entirely on the tiny daily table WITHOUT self-joining it
+    (a self-join would re-execute the corpus aggregate per side —
+    the duplicated-subtree trap): each daily row role-explodes into
+    |lags| a-records keyed at its own day and |lags| b-records keyed
+    at day + lag; grouping on (lag, pair day) reassembles each lagged
+    pair, and a second tiny agg computes corr per lag. corr() is a
+    one-pass streaming moment with partial merge; n_days counts only
+    complete pairs (matches SQL corr's null-pair skipping). Daily sums
+    are round(·,2) first (exact totals on 2-decimal data on both
+    engines) so corr sees bit-identical inputs; the result is
+    round(6) + 0.0 (canonical -0) against ~1e-12 moment-fold noise."""
+    ev = Tables(spark, sf_dir).events
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            (F.unix_micros("ts") / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day_idx")
+        )
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("event_type") == "click", F.col("value"))), 2
+            ).alias("a_v"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+                2,
+            ).alias("b_v"),
+        )
+    )
+    lags = F.sequence(F.lit(0), F.lit(7))
+    roles = daily.select(
+        F.explode(
+            F.flatten(
+                F.array(
+                    F.transform(
+                        lags,
+                        lambda k: F.struct(
+                            k.alias("lag_days"),
+                            F.col("day_idx").alias("pair_day"),
+                            F.col("a_v").alias("av"),
+                            F.lit(None).cast("double").alias("bv"),
+                        ),
+                    ),
+                    F.transform(
+                        lags,
+                        lambda k: F.struct(
+                            k.alias("lag_days"),
+                            (F.col("day_idx") + k).alias("pair_day"),
+                            F.lit(None).cast("double").alias("av"),
+                            F.col("b_v").alias("bv"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("r")
+    ).select("r.*")
+    pairs = roles.groupBy("lag_days", "pair_day").agg(
+        F.max("av").alias("av"), F.max("bv").alias("bv")
+    )
+    return pairs.groupBy("lag_days").agg(
+        (F.round(F.corr("av", "bv"), 6) + F.lit(0.0)).alias("xcorr"),
+        F.count(
+            F.when(F.col("av").isNotNull() & F.col("bv").isNotNull(), 1)
+        ).alias("n_days"),
+    )

@@ -218,3 +218,38 @@ def test_ann_pq_recall_vs_bruteforce(spark):
     got = {(r.query_id, r.neighbor_id) for r in pq.collect()}
     hits = len(truth & got)
     assert hits / len(truth) >= 0.5, f"PQ recall {hits}/{len(truth)}"
+
+
+def test_vec_pca_matches_numpy_exact_pca(spark, sf_dir):
+    """vec_pca's two-phase distributed moments must reproduce an exact
+    single-node numpy PCA: same projections (to rounding), variance
+    ordering pc1 > pc2, and near-zero cross-component correlation."""
+    import numpy as np
+
+    got = (
+        SPECS["vec_pca"].builder(spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ref = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(ref["embedding"].to_numpy()).astype(np.float64)
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / (len(X) - 1)
+    _, evec = np.linalg.eigh(cov)
+    comps = evec[:, ::-1][:, :2].T.copy()
+    for i in range(2):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    P = Xc @ comps.T
+    assert np.allclose(got["pc1"].to_numpy(), P[:, 0], atol=1e-4)
+    assert np.allclose(got["pc2"].to_numpy(), P[:, 1], atol=1e-4)
+    assert got["pc1"].var() > got["pc2"].var()
+    assert abs(np.corrcoef(got["pc1"], got["pc2"])[0, 1]) < 1e-3

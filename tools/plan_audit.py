@@ -58,6 +58,17 @@ EXPECTATIONS = {
     # counter rate(): running sum, counter lag, and ts lag all share
     # the one series-key window partitioning
     "win_counter_rate": (1, False),
+    # round-2 additions: xcorr is ONE fact scan (conditional daily agg)
+    # + two tiny daily-table exchanges — the role-explode alignment,
+    # never a self-join of the aggregate subtree; interval overlap is
+    # bucket-decomposed (session agg exchange + pair distinct; the
+    # day-spans side broadcasts at fixture scale, equi-joins on the
+    # bucket at cluster scale — NEVER a nested loop); pca's returned
+    # plan is a pure map-only projection (moments were a separate
+    # bounded-partial pass).
+    "win_xcorr": (3, False),
+    "join_interval_overlap": (3, True),
+    "vec_pca": (0, False),
     "win_rolling_corr": (1, False),
     "sim_topk_blas": (2, False),
     # continuation-7 additions: quantize/pii/chunk are map-only (zero
