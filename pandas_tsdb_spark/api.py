@@ -240,6 +240,25 @@ class TsFrame:
     def cummin(self, col: str, out: str | None = None) -> "TsFrame":
         return self._cum(col, F.min, out or f"{col}_cummin")
 
+    def clip(
+        self,
+        col: str,
+        lower: float | None = None,
+        upper: float | None = None,
+        out: str | None = None,
+    ) -> "TsFrame":
+        """pandas ``Series.clip(lower, upper)`` — pure map-side
+        projection, no shuffle. Nulls stay null (Spark's least/greatest
+        skip nulls, which would RESURRECT them as the bound — guarded
+        explicitly)."""
+        expr = F.col(col)
+        if upper is not None:
+            expr = F.least(expr, F.lit(upper))
+        if lower is not None:
+            expr = F.greatest(expr, F.lit(lower))
+        expr = F.when(F.col(col).isNotNull(), expr)
+        return self._wrap(self.df.withColumn(out or f"{col}_clip", expr))
+
     def zscore(self, col: str, out: str | None = None) -> "TsFrame":
         # NULLIF: a constant series has std 0 — pandas yields NaN
         # (0/0), ANSI Spark would throw (tests/test_api_fuzz.py)
@@ -583,6 +602,56 @@ class Rolling:
 
     def std(self, col: str, out: str | None = None) -> TsFrame:
         return self._apply(col, F.stddev_samp, out or f"{col}_std")
+
+    def var(self, col: str, out: str | None = None) -> TsFrame:
+        return self._apply(col, F.var_samp, out or f"{col}_var")
+
+    def apply(self, col: str, fn, out: str | None = None) -> TsFrame:
+        """pandas ``rolling(...).apply(fn, raw=True)`` — the generic
+        escape hatch for window statistics no built-in expresses.
+
+        This is deliberately the SLOW path (fn is Python, evaluated once
+        per row over its window): every other Rolling method compiles to
+        a JVM window expression and should be preferred. The kernel runs
+        per SERIES via one Arrow-batched applyInPandas (one shuffle on
+        the series key — the same exchange every Rolling op pays), with
+        pandas computing the rolling apply inside the group, so the cost
+        is per-core-bounded Python, never a driver loop. Row windows use
+        pandas ``rolling(n)``; time windows pass the '7D'/'30min' string
+        through (identical (t-span, t] framing to the JVM rangeBetween
+        path); expanding() maps to ``expanding(min_periods)``."""
+        tf = self.tf
+        out = out or f"{col}_apply"
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in tf.df.schema.fields
+        ) + f", {out} double"
+        ts_col, order_col, by = tf.ts_col, tf.order_col, tf.by
+        window, min_periods = self.window, self.min_periods
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            sort_keys = [ts_col] + ([order_col] if order_col else [])
+            pdf = pdf.sort_values(sort_keys)
+            s = pdf[col]
+            if window is None:
+                r = s.expanding(min_periods=min_periods)
+            elif isinstance(window, int):
+                r = s.rolling(window, min_periods=min_periods)
+            else:
+                r = (
+                    s.set_axis(pd.DatetimeIndex(pdf[ts_col]))
+                    .rolling(pd.Timedelta(window), min_periods=min_periods)
+                )
+            vals = r.apply(fn, raw=True)
+            pdf[out] = vals.to_numpy()  # drop the time index, keep order
+            return pdf
+
+        if by:
+            res = tf.df.groupBy(*by).applyInPandas(kernel, ddl)
+        else:
+            res = tf.df.groupBy(F.lit(1)).applyInPandas(
+                lambda pdf: kernel(pdf), ddl
+            )
+        return tf._wrap(res)
 
     def _pair_count(self, col_a: str, col_b: str, w) -> Column:
         # pandas min_periods for binary stats counts complete PAIRS:

@@ -863,3 +863,74 @@ def test_describe_no_by(ev, pev):
                           ("p25", "25%"), ("p50", "50%"), ("p75", "75%"),
                           ("max", "max")]:
         assert abs(row[spark_c] - want[pd_c]) < 1e-9, spark_c
+
+
+def test_clip_vs_pandas(ev, pev):
+    got = _sorted(tsf(ev).clip("value", lower=-50.0, upper=120.0).to_pandas())
+    want = _sorted(pev.copy())
+    want["want"] = want["value"].clip(lower=-50.0, upper=120.0)
+    assert _eq(got["value_clip"], want["want"])
+    # one-sided + null preservation
+    got1 = _sorted(
+        tsf(ev.withColumn("value", F.when(F.col("event_id") % 7 != 0, F.col("value"))))
+        .clip("value", upper=0.0)
+        .to_pandas()
+    )
+    base = pev.copy()
+    base.loc[base.event_id % 7 == 0, "value"] = np.nan
+    assert _eq(got1["value_clip"], base["value"].clip(upper=0.0))
+
+
+def test_rolling_var_vs_pandas(ev, pev):
+    got = _sorted(tsf(ev).rolling(5, min_periods=3).var("value").to_pandas())
+    want = _pandas_per_user(
+        pev, lambda g: g["value"].rolling(5, min_periods=3).var()
+    )
+    assert _eq(got["value_var"], want["want"], tol=1e-7)
+
+
+def test_rolling_apply_vs_pandas(ev, pev):
+    """Generic rolling .apply: row window, time window, and expanding,
+    each against pandas' own rolling apply of the same callable."""
+    fn = lambda a: np.median(a) - a[0]  # noqa: E731 - no builtin expresses this
+    got = _sorted(tsf(ev).rolling(7, min_periods=2).apply("value", fn).to_pandas())
+    want = _pandas_per_user(
+        pev,
+        lambda g: g["value"].rolling(7, min_periods=2).apply(fn, raw=True),
+    )
+    assert _eq(got["value_apply"], want["want"], tol=1e-9)
+
+    got_t = _sorted(
+        tsf(ev).rolling("3D", min_periods=1).apply("value", fn).to_pandas()
+    )
+
+    def pandas_time(g):
+        return (
+            g.apply(
+                lambda sub: sub.set_index("ts")["value"]
+                .rolling(pd.Timedelta("3D"), min_periods=1)
+                .apply(fn, raw=True)
+                .reset_index(drop=True)
+            )
+            .reset_index(drop=True)
+        )
+
+    src = pev.sort_values(["user_id", "ts", "event_id"]).copy()
+    res = []
+    for _, sub in src.groupby("user_id"):
+        r = (
+            sub.set_index("ts")["value"]
+            .rolling(pd.Timedelta("3D"), min_periods=1)
+            .apply(fn, raw=True)
+        )
+        res.append(pd.Series(r.to_numpy(), index=sub.index))
+    src["want"] = pd.concat(res)
+    assert _eq(got_t["value_apply"], _sorted(src)["want"], tol=1e-9)
+
+    got_e = _sorted(
+        tsf(ev).expanding(min_periods=2).apply("value", fn).to_pandas()
+    )
+    want_e = _pandas_per_user(
+        pev, lambda g: g["value"].expanding(min_periods=2).apply(fn, raw=True)
+    )
+    assert _eq(got_e["value_apply"], want_e["want"], tol=1e-9)
