@@ -730,3 +730,106 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (total_c / F.lit(100.0)).alias("total"),
         gini.alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: exact shuffle formulation + Misra-Gries sketch path
+# ---------------------------------------------------------------------------
+
+# support 1/500 of all events, expressed in integers on both engines so
+# the boundary is exact (never a float-compare tie)
+_HH_DENOM = 500
+
+_HH_ORACLE = f"""
+WITH t AS (SELECT count(*) AS total FROM events)
+SELECT user_id, count(*) AS n_events,
+       round(count(*) * 1.0e6 / any_value(t.total)) AS ppm
+FROM events, t
+GROUP BY user_id
+HAVING count(*) * {_HH_DENOM} >= any_value(t.total)
+"""
+
+
+@query("agg_heavy_hitters", oracle=_HH_ORACLE, tags=("analytics",))
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent items, exact formulation: which keys produce >= 1/500
+    of all events? One hash aggregate over EVERY distinct key + a
+    scalar-total broadcast. Correct at any scale but the exchange
+    carries the full key cardinality — the sketch twin below exists
+    precisely to avoid that at 100 TB."""
+    ev = _ev(spark, sf_dir)
+    total = ev.groupBy().agg(F.count("*").alias("total"))
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * _HH_DENOM >= F.col("total"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") * 1.0e6 / F.col("total")).alias("ppm"),
+        )
+    )
+
+
+@query("agg_heavy_hitters_sketch", oracle=_HH_ORACLE, tags=("analytics",))
+def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same answer via a MISRA-GRIES candidate pass — the
+    bounded-memory plan for when the key cardinality is too high to
+    shuffle every distinct key (the exact twin's weakness):
+
+      pass 1 — each partition streams through a k=600-counter
+        Misra-Gries summary (decrement-all on overflow) inside ONE
+        mapInPandas generator (state spans the partition's Arrow
+        batches, O(k) memory regardless of rows). Pigeonhole: an item
+        with global count >= N/500 has local count >= n_p/500 in at
+        least one partition, and MG with k=600 > 500 counters retains
+        every item with local count > n_p/(k+1) — so the union of
+        summaries is a SUPERSET of the true heavy hitters (<= k rows
+        per partition, never the key space).
+      pass 2 — candidates broadcast back and ONLY their rows are
+        counted exactly (a semi-joined re-aggregation), so the final
+        output is exact and shares the exact twin's DuckDB oracle —
+        a sketch for candidate PRUNING, not for the answer.
+
+    At 100 TB: the only wide exchange carries candidate keys
+    (O(partitions x k)), not distinct-key cardinality."""
+    import pandas as pd
+
+    ev = _ev(spark, sf_dir)
+    k = 600
+
+    def mg(batches):
+        # Merged-summary MG (Agarwal et al., "Mergeable Summaries"):
+        # fold each Arrow batch's EXACT counts in (vectorized — no
+        # per-row Python), and when the summary exceeds k counters,
+        # subtract the (k+1)-th largest count from everything and drop
+        # the non-positive. Identical guarantee to per-row MG: after
+        # processing n_p rows, any item with local count > n_p/(k+1)
+        # still holds a counter.
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for uid, c in pdf["user_id"].value_counts().items():
+                counters[uid] = counters.get(int(uid), 0) + int(c)
+            if len(counters) > k:
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {u: c - sub for u, c in counters.items() if c > sub}
+        yield pd.DataFrame({"user_id": list(counters.keys())})
+
+    cands = (
+        ev.select("user_id")
+        .mapInPandas(mg, "user_id long")
+        .distinct()
+    )
+    total = ev.groupBy().agg(F.count("*").alias("total"))
+    return (
+        ev.join(F.broadcast(cands), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * _HH_DENOM >= F.col("total"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") * 1.0e6 / F.col("total")).alias("ppm"),
+        )
+    )

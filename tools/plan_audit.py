@@ -69,6 +69,11 @@ EXPECTATIONS = {
     "win_xcorr": (3, False),
     "join_interval_overlap": (3, True),
     "vec_pca": (0, False),
+    # heavy hitters: exact = key agg + total broadcast; sketch = MG
+    # candidate distinct + broadcast semi-join + candidate-only agg —
+    # the wide exchange carries candidates, not key cardinality
+    "agg_heavy_hitters": (2, True),
+    "agg_heavy_hitters_sketch": (3, True),
     "win_rolling_corr": (1, False),
     "sim_topk_blas": (2, False),
     # continuation-7 additions: quantize/pii/chunk are map-only (zero
