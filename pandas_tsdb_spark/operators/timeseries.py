@@ -1198,3 +1198,109 @@ def win_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("av").isNotNull() & F.col("bv").isNotNull(), 1)
         ).alias("n_days"),
     )
+
+
+_DAY_US_INT = 86_400_000_000
+_3D_US = 3 * _DAY_US_INT
+
+
+@query(
+    "win_decompose",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, (epoch_us(ts) // {_DAY_US_INT}) * {_DAY_US_INT} AS day_us,
+             sum(CAST(round(value * 100) AS BIGINT)) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT *,
+             CASE WHEN count(*) OVER w7 = 7
+                  THEN sum(c) OVER w7 END AS s7
+      FROM d
+      WINDOW w7 AS (PARTITION BY user_id ORDER BY day_us
+                    RANGE BETWEEN {_3D_US} PRECEDING
+                          AND {_3D_US} FOLLOWING)
+    ),
+    s AS (
+      SELECT *, 7 * c - s7 AS detr_s,
+             (day_us // {_DAY_US_INT} + 4) % 7 AS dow
+      FROM t
+    ),
+    z AS (
+      SELECT *,
+             sum(detr_s) OVER wd AS ssum,
+             count(detr_s) OVER wd AS ng
+      FROM s
+      WINDOW wd AS (PARTITION BY user_id, dow)
+    )
+    SELECT user_id, day_us,
+           CAST(c AS DOUBLE) / 100.0 AS daily_sum,
+           CAST(s7 AS DOUBLE) / 700.0 AS trend,
+           CASE WHEN ng > 0
+                THEN CAST(ssum AS DOUBLE) / (700.0 * ng) END AS seasonal,
+           CASE WHEN detr_s IS NOT NULL AND ng > 0
+                THEN CAST(detr_s * ng - ssum AS DOUBLE) / (700.0 * ng)
+           END AS resid
+    FROM z
+    """,
+    tags=("timeseries", "windows"),
+)
+def win_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition per series (the
+    statsmodels `seasonal_decompose(model='additive')` recipe a pandas
+    user runs before anomaly scoring), on each user's daily-total
+    series: trend = 7-day CENTERED moving average (null unless the
+    +-3-day range holds a full 7 days — the classical edge behavior),
+    seasonal = per-weekday mean of the detrended series, residual =
+    detrended - seasonal.
+
+    One exchange serves everything: the daily aggregate, the centered
+    RANGE window, and the weekday window all partition by user_id, so
+    after one hash exchange every step is a local sort/scan — the
+    decomposition costs one shuffle regardless of series length.
+
+    Determinism: the whole chain runs on EXACT BIGINT CENTS — daily
+    total c (integer cents, the oracle_sum2 pattern), 7-day sum s7,
+    detrended 7c - s7 (x700 scale), weekday sums of that — and every
+    emitted double is ONE exact-integer-to-double division. No float
+    accumulates anywhere, so there is no fold-order noise and no
+    round-half tie to disagree on (the first cut of this op rounded a
+    float windowed mean at digit 6 and hit 12 half-ties at sf0.01).
+    Weekday from integer epoch-day arithmetic ((days+4)%7) — no
+    timezone/locale in the key."""
+    ev = Tables(spark, sf_dir).events
+    d = ev.groupBy(
+        "user_id",
+        ((F.unix_micros("ts") / F.lit(_DAY_US_INT)).cast("long")
+         * F.lit(_DAY_US_INT)).alias("day_us"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    w7 = (
+        W.partitionBy("user_id")
+        .orderBy("day_us")
+        .rangeBetween(-_3D_US, _3D_US)
+    )
+    t = d.withColumn(
+        "s7", F.when(F.count("*").over(w7) == 7, F.sum("c").over(w7))
+    )
+    s = t.withColumn("detr_s", 7 * F.col("c") - F.col("s7")).withColumn(
+        "dow",
+        ((F.col("day_us") / F.lit(_DAY_US_INT)).cast("long") + 4) % 7,
+    )
+    wd = W.partitionBy("user_id", "dow")
+    z = s.withColumn("ssum", F.sum("detr_s").over(wd)).withColumn(
+        "ng", F.count("detr_s").over(wd)
+    )
+    return z.select(
+        "user_id",
+        "day_us",
+        (F.col("c").cast("double") / 100.0).alias("daily_sum"),
+        (F.col("s7").cast("double") / 700.0).alias("trend"),
+        F.when(
+            F.col("ng") > 0, F.col("ssum").cast("double") / (700.0 * F.col("ng"))
+        ).alias("seasonal"),
+        F.when(
+            F.col("detr_s").isNotNull() & (F.col("ng") > 0),
+            (F.col("detr_s") * F.col("ng") - F.col("ssum")).cast("double")
+            / (700.0 * F.col("ng")),
+        ).alias("resid"),
+    )

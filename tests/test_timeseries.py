@@ -336,3 +336,24 @@ def test_m4_invariants(spark, sf_dir):
     ev = pd.read_parquet(f"{sf_dir}/events.parquet")
     src = ev.groupby("user_id").size()
     assert per["n"].sort_index().equals(src.sort_index())
+
+
+def test_decompose_reconstruction_identity(spark, sf_dir):
+    """Additive decomposition law: wherever trend is defined,
+    daily_sum == trend + seasonal + resid to float round-trip, and
+    seasonal means sum to ~0 across each series' weekdays."""
+    import numpy as np
+
+    from pandas_tsdb_spark.registry import load_all
+
+    out = (
+        load_all()["win_decompose"].builder(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "day_us"])
+    )
+    have = out[out.trend.notna()]
+    assert len(have) > 0
+    recon = have.trend + have.seasonal + have.resid
+    assert np.allclose(recon, have.daily_sum, rtol=1e-12, atol=1e-9)
+    # trend-null rows still get their weekday's seasonal
+    assert out[out.trend.isna()].seasonal.notna().any()

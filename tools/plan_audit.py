@@ -74,6 +74,9 @@ EXPECTATIONS = {
     # the wide exchange carries candidates, not key cardinality
     "agg_heavy_hitters": (2, True),
     "agg_heavy_hitters_sketch": (3, True),
+    # decompose: daily agg exchange + the user_id re-exchange shared by
+    # the centered-range and weekday windows
+    "win_decompose": (2, False),
     "win_rolling_corr": (1, False),
     "sim_topk_blas": (2, False),
     # continuation-7 additions: quantize/pii/chunk are map-only (zero
