@@ -461,3 +461,53 @@ def test_tsstore_fuzz_invariants(fuzz_spark, pdf, cut_day):
         store.read_rollup("daily").agg(F.sum("n")).collect()[0][0]
     )
     assert roll_n == int(compacted.value.notna().sum())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pdf=frames())
+def test_clip_var_apply_fuzz_vs_pandas(fuzz_spark, pdf):
+    """Fifth matrix: clip bounds (null preservation), rolling var, and
+    the generic rolling/expanding .apply on random frames with nulls
+    and duplicate timestamps."""
+    spark = fuzz_spark
+    sdf = spark.createDataFrame(
+        pdf, "rid long, ts timestamp, user_id long, value double"
+    )
+    tf = TsFrame(sdf, ts_col="ts", by="user_id", order_col="rid")
+    src = pdf.sort_values(["user_id", "ts", "rid"]).copy()
+    g = src.groupby("user_id")["value"]
+
+    got = _sorted_pd(tf.clip("value", lower=-100.0, upper=250.0).to_pandas())
+    want = pdf.sort_values("rid").reset_index(drop=True)["value"].clip(-100.0, 250.0)
+    assert _eq(got["value_clip"], want)
+
+    got = _sorted_pd(tf.rolling(4, min_periods=2).var("value").to_pandas())
+    src["want"] = g.rolling(4, min_periods=2).var().reset_index(level=0, drop=True)
+    # both engines' streaming-moment var carries cancellation noise up
+    # to ~n*x^2*eps ~ 1e-4 for near-constant windows of +-1e6 values;
+    # compare with an absolute floor above that, relative elsewhere
+    a = got["value_var"].to_numpy(dtype=float)
+    b = _sorted_pd(src)["want"].to_numpy(dtype=float)
+    both_nan = np.isnan(a) & np.isnan(b)
+    assert bool((both_nan | np.isclose(a, b, rtol=1e-6, atol=0.05)).all())
+
+    fn = lambda a: float(np.nansum(a)) - float(np.nanmin(a))  # noqa: E731
+    got = _sorted_pd(
+        tf.rolling(5, min_periods=1).apply("value", fn).to_pandas()
+    )
+    src["want"] = (
+        g.rolling(5, min_periods=1).apply(fn, raw=True)
+        .reset_index(level=0, drop=True)
+    )
+    assert _eq(got["value_apply"], _sorted_pd(src)["want"], tol=1e-6)
+
+    got = _sorted_pd(tf.expanding(min_periods=2).apply("value", fn).to_pandas())
+    src["want"] = (
+        g.expanding(min_periods=2).apply(fn, raw=True)
+        .reset_index(level=0, drop=True)
+    )
+    assert _eq(got["value_apply"], _sorted_pd(src)["want"], tol=1e-6)
