@@ -437,6 +437,41 @@ class TsFrame:
         drop += [f"_fv_{c}" for c in right_cols] + ["_fv_tus"] if need_f else []
         return self._wrap(out.drop(*drop))
 
+    def merge_ordered(
+        self,
+        right: DataFrame,
+        left_cols: Sequence[str],
+        right_cols: Sequence[str],
+        fill_method: str | None = "ffill",
+    ) -> "TsFrame":
+        """pandas ``pd.merge_ordered(left, right, on=ts, left_by=by,
+        fill_method='ffill')`` — full ordered outer merge of two event
+        streams per series: the output carries every timestamp from
+        EITHER side, and each side's value columns are forward-filled
+        across the rows the other side contributed (``fill_method=None``
+        leaves the join nulls).
+
+        Full-outer join on (by, ts) + one ordered window for the fills —
+        both on the same series key, so the whole merge is one exchange
+        per side and one shared sort, never a per-row loop. Rows with
+        equal timestamps on both sides merge into one row (outer-join
+        key equality), matching merge_ordered on a unique-ts index."""
+        ts, by = self.ts_col, self.by
+        lf = self.df.select(*by, ts, *left_cols)
+        rf = right.select(*by, ts, *right_cols)
+        out = lf.join(rf, on=[*by, ts], how="full")
+        if fill_method == "ffill":
+            w = (
+                W.partitionBy(*by)
+                .orderBy(ts)
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            for c in [*left_cols, *right_cols]:
+                out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        elif fill_method is not None:
+            raise ValueError(fill_method)
+        return TsFrame(out, ts_col=ts, by=by)
+
     def interpolate(
         self,
         col: str,
@@ -923,6 +958,34 @@ class Resampler:
             ).alias("_us"),
         ).select(*tf.by, F.timestamp_micros(F.col("_us")).alias("bucket"))
         return grid.join(per_bucket, on=[*tf.by, "bucket"], how="left")
+
+    def asfreq(self, col: str) -> DataFrame:
+        """pandas ``asfreq(freq)`` — reindex each series to the regular
+        bucket grid and take the value present EXACTLY at each grid
+        timestamp (null elsewhere; no filling, no aggregation — the
+        snapshot semantics, distinct from resample().last()). Duplicate
+        rows on a grid point resolve by the frame's order_col (pandas
+        raises there; a total tie-break is the distributed-determinism
+        requirement). Same plan shape as ffill: bounded grid explode +
+        one equi-join."""
+        tf = self.tf
+        span = _freq_us(self.freq)
+        ok = tf.order_col or tf.ts_col
+        us = F.unix_micros(F.col(tf.ts_col))
+        snap = (
+            tf.df.filter(us % span == 0)
+            .groupBy(*tf.by, F.col(tf.ts_col).alias("bucket"))
+            .agg(F.max_by(col, ok).alias(col))
+        )
+        bounds = tf.df.groupBy(*tf.by).agg(
+            (F.floor(F.min(us) / span) * span).cast("long").alias("lo"),
+            (F.floor(F.max(us) / span) * span).cast("long").alias("hi"),
+        )
+        grid = bounds.select(
+            *tf.by,
+            F.explode(F.sequence("lo", "hi", F.lit(span))).alias("_us"),
+        ).select(*tf.by, F.timestamp_micros(F.col("_us")).alias("bucket"))
+        return grid.join(snap, on=[*tf.by, "bucket"], how="left")
 
     def ffill(self, col: str) -> DataFrame:
         """Densify the bucket grid per series and forward-fill the

@@ -937,3 +937,57 @@ def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (100.0 * F.col("n"))
         ).alias("cusum"),
     )
+
+
+_HOUR_US_W = 3_600 * 1_000_000
+
+
+@query(
+    "win_resample_asfreq",
+    oracle=f"""
+    WITH h AS (
+      SELECT user_id, (epoch_us(ts) // {_HOUR_US_W}) * {_HOUR_US_W} AS hus,
+             arg_max(value, event_id) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT user_id, min(hus) AS lo, max(hus) AS hi FROM h GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, {_HOUR_US_W})) AS hus
+      FROM b
+    )
+    SELECT grid.user_id, make_timestamp(grid.hus) AS bucket, h.v AS value
+    FROM grid LEFT JOIN h
+      ON h.user_id = grid.user_id AND h.hus = grid.hus
+    """,
+    tags=("windows", "timeseries"),
+)
+def win_resample_asfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``resample('1h').asfreq()`` semantics (the Resampler.asfreq
+    API surface, driver-checkable): reindex each user's hour-truncated
+    series to the dense hourly grid and SNAPSHOT the value present at
+    each grid point (null where the hour had no rows — no filling, no
+    aggregation beyond the event_id tie-break pandas cannot express).
+    Grid bounds are per-series; the explode fanout is bounded by the
+    series' time extent over the bucket width, never by row count."""
+    ev = _ev(spark, sf_dir)
+    hus = ((F.unix_micros("ts") / _HOUR_US_W).cast("long") * _HOUR_US_W)
+    h = ev.groupBy("user_id", hus.alias("hus")).agg(
+        F.max_by("value", "event_id").alias("v")
+    )
+    grid = (
+        h.groupBy("user_id")
+        .agg(F.min("hus").alias("lo"), F.max("hus").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.lit(_HOUR_US_W))
+            ).alias("hus"),
+        )
+    )
+    return grid.join(h, ["user_id", "hus"], "left").select(
+        "user_id",
+        F.timestamp_micros("hus").alias("bucket"),
+        F.col("v").alias("value"),
+    )

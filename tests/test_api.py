@@ -934,3 +934,95 @@ def test_rolling_apply_vs_pandas(ev, pev):
         pev, lambda g: g["value"].expanding(min_periods=2).apply(fn, raw=True)
     )
     assert _eq(got_e["value_apply"], want_e["want"], tol=1e-9)
+
+
+def test_resampler_asfreq_vs_pandas(spark):
+    """asfreq snapshot semantics vs pandas resample().asfreq(): values
+    only at exact grid timestamps, null elsewhere, no filling."""
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(8),
+            "ts": [
+                base,
+                base + pd.Timedelta("30min"),
+                base + pd.Timedelta("1h"),
+                base + pd.Timedelta("2h"),
+                base + pd.Timedelta("2h30min"),
+                base + pd.Timedelta("5h"),
+                base + pd.Timedelta("6h1min"),
+                base + pd.Timedelta("7h"),
+            ],
+            "user_id": np.zeros(8, dtype=np.int64),
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        TsFrame(sdf, by="user_id", order_col="rid")
+        .resample("1h")
+        .asfreq("value")
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    want = (
+        pdf.set_index("ts")["value"].resample("1h").asfreq().reset_index()
+    )
+    assert (got["bucket"].to_numpy() == want["ts"].to_numpy()).all()
+    assert _eq(got["value"], want["value"])
+
+
+def test_merge_ordered_vs_pandas(spark):
+    """Ordered outer merge + ffill vs pd.merge_ordered(left_by=...)."""
+    rng = np.random.RandomState(7)
+    base = pd.Timestamp("2024-01-01").value // 1000
+
+    def mk(n, seed_off):
+        r = np.random.RandomState(100 + seed_off)
+        ts = np.sort(r.choice(np.arange(0, 5_000_000, 7), size=n, replace=False))
+        return pd.DataFrame(
+            {
+                "user_id": r.randint(0, 3, n).astype(np.int64),
+                "ts": pd.to_datetime((base + ts) * 1000),
+                "v": np.round(r.randn(n), 3),
+            }
+        )
+
+    lp = mk(40, 0).rename(columns={"v": "lv"})
+    rp = mk(35, 1).rename(columns={"v": "rv"})
+    ls = spark.createDataFrame(lp)
+    rs = spark.createDataFrame(rp)
+    got = (
+        TsFrame(ls, by="user_id")
+        .merge_ordered(rs, ["lv"], ["rv"])
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    wants = []
+    for uid in sorted(set(lp.user_id) | set(rp.user_id)):
+        w = pd.merge_ordered(
+            lp[lp.user_id == uid].drop(columns="user_id"),
+            rp[rp.user_id == uid].drop(columns="user_id"),
+            on="ts",
+            fill_method="ffill",
+        )
+        w["user_id"] = uid
+        wants.append(w)
+    want = (
+        pd.concat(wants)
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["ts"].to_numpy() == want["ts"].to_numpy()).all()
+    assert _eq(got["lv"], want["lv"])
+    assert _eq(got["rv"], want["rv"])
+    # fill_method=None keeps the raw outer-join nulls
+    raw = (
+        TsFrame(ls, by="user_id")
+        .merge_ordered(rs, ["lv"], ["rv"], fill_method=None)
+        .to_pandas()
+    )
+    assert raw["lv"].isna().sum() > 0 and raw["rv"].isna().sum() > 0
