@@ -1021,13 +1021,22 @@ class Resampler:
         return out.df.select(*tf.by, "bucket", col)
 
 
-def _tsframe_rank(self, col: str, method: str = "average", out: str | None = None) -> "TsFrame":
+def _tsframe_rank(
+    self,
+    col: str,
+    method: str = "average",
+    out: str | None = None,
+    pct: bool = False,
+) -> "TsFrame":
     """pandas `groupby().rank(method=...)` — 'average' (the pandas
     default, composed from min-rank + tie count), 'min', 'dense', or
     'first' (row_number over the order_col tie-break). Nulls follow
     pandas na_option='keep': they rank as NULL and do not shift other
     rows' ranks (nulls_last ordering + mask —
-    tests/test_api_fuzz.py)."""
+    tests/test_api_fuzz.py). ``pct=True`` divides by the series'
+    non-null count ('dense': by the distinct non-null count), the
+    pandas percentile-rank convention — same windows, no extra
+    exchange."""
     out = out or f"{col}_rank"
     w = W.partitionBy(*self.by).orderBy(F.col(col).asc_nulls_last())
     if method == "average":
@@ -1046,6 +1055,14 @@ def _tsframe_rank(self, col: str, method: str = "average", out: str | None = Non
         ).cast("double")
     else:
         raise ValueError(method)
+    if pct:
+        series = W.partitionBy(*self.by)
+        denom = (
+            F.size(F.collect_set(col).over(series))
+            if method == "dense"
+            else F.count(col).over(series)
+        )
+        expr = expr / denom
     return self._wrap(
         self.df.withColumn(out, F.when(F.col(col).isNotNull(), expr))
     )

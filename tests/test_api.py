@@ -1026,3 +1026,14 @@ def test_merge_ordered_vs_pandas(spark):
         .to_pandas()
     )
     assert raw["lv"].isna().sum() > 0 and raw["rv"].isna().sum() > 0
+
+
+def test_rank_pct_vs_pandas(ev, pev):
+    for method in ["average", "min", "dense", "first"]:
+        got = _sorted(
+            tsf(ev).rank("value", method=method, pct=True).to_pandas()
+        )
+        want = _pandas_per_user(
+            pev, lambda g: g["value"].rank(method=method, pct=True)
+        )
+        assert _eq(got["value_rank"], want["want"]), method
