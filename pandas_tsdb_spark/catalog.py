@@ -177,3 +177,18 @@ class Tables:
         if name in TABLE_NAMES:
             return self.load(name)
         raise AttributeError(name)
+
+    def register_views(self, prefix: str = "") -> list[str]:
+        """Register every fixture table as a session temp view
+        (``{prefix}{table}``) so plain ``spark.sql(...)`` works against
+        the catalog — the third entry path beside the DataFrame builders
+        and the TsFrame surface (join_lateral demonstrates it inside an
+        operator). Views are lazy pointers at the normalized loaders
+        (events keeps its ns->µs ts normalization), so registering costs
+        nothing until a query runs."""
+        names = []
+        for name in TABLE_NAMES:
+            view = f"{prefix}{name}"
+            self.load(name).createOrReplaceTempView(view)
+            names.append(view)
+        return names

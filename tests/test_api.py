@@ -1037,3 +1037,24 @@ def test_rank_pct_vs_pandas(ev, pev):
             pev, lambda g: g["value"].rank(method=method, pct=True)
         )
         assert _eq(got["value_rank"], want["want"]), method
+
+
+def test_register_views_sql_entry(spark):
+    """spark.sql over registered views equals the DataFrame path,
+    including the events ts normalization."""
+    t = Tables(spark, SMALL)
+    views = t.register_views(prefix="v_")
+    assert len(views) == 10
+    got = spark.sql(
+        "SELECT event_type, count(*) AS n, round(sum(value), 2) AS tot "
+        "FROM v_events GROUP BY 1 ORDER BY 1"
+    ).toPandas()
+    want = (
+        t.events.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tot"))
+        .orderBy("event_type")
+        .toPandas()
+    )
+    assert got.equals(want)
+    ts0 = spark.sql("SELECT max(ts) AS m FROM v_events").collect()[0].m
+    assert ts0 == t.events.agg(F.max("ts")).collect()[0][0]
