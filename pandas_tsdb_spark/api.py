@@ -939,24 +939,41 @@ class Resampler:
         )
 
     def _dense_grid(self, col: str):
-        """Shared ffill/interpolate plumbing: per-bucket last value,
-        densified to the global [min, max] bucket grid per series
-        (null where a bucket had no rows)."""
+        """Shared ffill/interpolate plumbing: per-bucket LAST NON-NULL
+        value (pandas resample().last() skips nulls — a bucket whose
+        final row is null still reports its earlier value; found by
+        tests/test_api_fuzz.py), densified to each series' OWN
+        [min, max] bucket range (pandas reindexes per group; the first
+        cut used one global range, which invents leading buckets for
+        late-starting series). Null where a bucket had no rows or only
+        null rows. One groupBy for the buckets, one for the bounds,
+        both on the series key — no global broadcast."""
         tf = self.tf
         span = _freq_us(self.freq)
-        ok = tf.order_col or tf.ts_col
-        per_bucket = self._group().agg(F.max_by(col, ok).alias("_last"))
-        lo_hi = per_bucket.select(
-            F.unix_micros(F.min("bucket")).alias("lo"),
-            F.unix_micros(F.max("bucket")).alias("hi"),
+        # "last in bucket" is TIME order with the order_col only as the
+        # tie-break for equal timestamps (fuzz matrix 6: ordering by
+        # order_col alone lets a later-rid-but-earlier-ts row win where
+        # pandas takes the later-ts one); max_by ignores rows whose
+        # ordering key is null, making this "last non-null per bucket"
+        order = [F.unix_micros(F.col(tf.ts_col))] + (
+            [F.col(tf.order_col)] if tf.order_col else []
         )
-        series = per_bucket.select(*tf.by).distinct()
-        grid = series.crossJoin(F.broadcast(lo_hi)).select(
-            *tf.by,
-            F.explode(
-                F.sequence(F.col("lo"), F.col("hi"), F.lit(span))
-            ).alias("_us"),
-        ).select(*tf.by, F.timestamp_micros(F.col("_us")).alias("bucket"))
+        ok_nn = F.when(F.col(col).isNotNull(), F.struct(*order))
+        per_bucket = self._group().agg(F.max_by(col, ok_nn).alias("_last"))
+        grid = (
+            per_bucket.groupBy(*tf.by)
+            .agg(
+                F.unix_micros(F.min("bucket")).alias("lo"),
+                F.unix_micros(F.max("bucket")).alias("hi"),
+            )
+            .select(
+                *tf.by,
+                F.explode(
+                    F.sequence(F.col("lo"), F.col("hi"), F.lit(span))
+                ).alias("_us"),
+            )
+            .select(*tf.by, F.timestamp_micros(F.col("_us")).alias("bucket"))
+        )
         return grid.join(per_bucket, on=[*tf.by, "bucket"], how="left")
 
     def asfreq(self, col: str) -> DataFrame:
@@ -990,7 +1007,7 @@ class Resampler:
     def ffill(self, col: str) -> DataFrame:
         """Densify the bucket grid per series and forward-fill the
         bucket aggregate (resample().last().ffill() semantics), grid
-        spanning the global [min, max] bucket range."""
+        spanning each series' own [min, max] bucket range."""
         tf = self.tf
         joined = self._dense_grid(col)
         w = (

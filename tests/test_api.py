@@ -184,10 +184,16 @@ def test_resample_ffill(ev, pev):
         .ffill("value")
         .toPandas()
     )
-    # grid is dense per user over the global day range
-    days = got.bucket.nunique()
-    users = got.user_id.nunique()
-    assert len(got) == days * users
+    # grid is dense per user over that user's own day range (pandas
+    # reindexes per group — fuzz matrix 6 caught the old global grid)
+    span = (
+        pev.assign(day=pev.ts.dt.floor("D"))
+        .groupby("user_id")["day"]
+        .agg(lambda d: (d.max() - d.min()).days + 1)
+    )
+    assert len(got) == int(span.sum())
+    per_user = got.groupby("user_id").bucket.nunique()
+    assert (per_user == span.reindex(per_user.index)).all()
     # spot-check one user against pandas resample().last().ffill()
     uid = int(pev.user_id.iloc[0])
     g = got[got.user_id == uid].sort_values("bucket")

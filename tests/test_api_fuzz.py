@@ -511,3 +511,63 @@ def test_clip_var_apply_fuzz_vs_pandas(fuzz_spark, pdf):
         .reset_index(level=0, drop=True)
     )
     assert _eq(got["value_apply"], _sorted_pd(src)["want"], tol=1e-6)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pdf=frames())
+def test_resampler_fill_fuzz_vs_pandas(fuzz_spark, pdf):
+    """Sixth matrix: Resampler ffill / interpolate('linear') / asfreq on
+    random frames vs pandas resample().last().ffill() etc. — exercises
+    empty buckets, all-null buckets, singleton series."""
+    spark = fuzz_spark
+    sdf = spark.createDataFrame(
+        pdf, "rid long, ts timestamp, user_id long, value double"
+    )
+    tf = TsFrame(sdf, by="user_id", order_col="rid")
+
+    for mode in ["ffill", "interp", "asfreq"]:
+        r = tf.resample("1d")
+        if mode == "ffill":
+            got = r.ffill("value")
+        elif mode == "interp":
+            got = r.interpolate("value", method="linear")
+        else:
+            got = r.asfreq("value")
+        got = (
+            got.toPandas()
+            .sort_values(["user_id", "bucket"])
+            .reset_index(drop=True)
+        )
+        wants = []
+        for uid, sub in pdf.sort_values(["ts", "rid"]).groupby("user_id"):
+            if mode == "asfreq":
+                # our asfreq resolves duplicate grid-point rows by the
+                # order_col (pandas raises there) — emulate with a
+                # keep-last dedup before pandas' own asfreq
+                s = (
+                    sub.drop_duplicates(subset="ts", keep="last")
+                    .set_index("ts")["value"]
+                    .resample("1D")
+                    .asfreq()
+                )
+            else:
+                s = sub.set_index("ts")["value"].resample("1D").last()
+                if mode == "ffill":
+                    s = s.ffill()
+                else:
+                    s = s.interpolate("linear")
+            w = s.reset_index().rename(columns={"ts": "bucket"})
+            w["user_id"] = uid
+            wants.append(w)
+        want = (
+            pd.concat(wants)
+            .sort_values(["user_id", "bucket"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), mode
+        assert (got["bucket"].to_numpy() == want["bucket"].to_numpy()).all(), mode
+        assert _eq(got["value"], want["value"]), mode
