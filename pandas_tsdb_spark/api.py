@@ -566,6 +566,18 @@ class TsFrame:
         expr = F.when(v.isNotNull() | ((next_pos - pos) <= limit), next_v)
         return self._wrap(self.df.withColumn(out, expr))
 
+    def fillna(self, value: float, cols: "Sequence[str] | None" = None) -> "TsFrame":
+        """pandas ``df.fillna(value)`` — constant fill, map-only."""
+        return self._wrap(
+            self.df.na.fill(value, subset=list(cols) if cols else None)
+        )
+
+    def dropna(self, cols: "Sequence[str] | None" = None) -> "TsFrame":
+        """pandas ``df.dropna(subset=...)`` — row filter, map-only."""
+        return self._wrap(
+            self.df.na.drop(subset=list(cols) if cols else None)
+        )
+
     # -- sessions ---------------------------------------------------------
 
     def sessionize(self, gap: str, out: str = "session_id") -> "TsFrame":
@@ -926,6 +938,25 @@ class Resampler:
 
     def count(self) -> DataFrame:
         return self._group().agg(F.count("*").alias("n"))
+
+    def _edge(self, col: str, last: bool) -> DataFrame:
+        tf = self.tf
+        order = [F.unix_micros(F.col(tf.ts_col))] + (
+            [F.col(tf.order_col)] if tf.order_col else []
+        )
+        key = F.when(F.col(col).isNotNull(), F.struct(*order))
+        pick = F.max_by(col, key) if last else F.min_by(col, key)
+        return self._group().agg(pick.alias(col))
+
+    def first(self, col: str) -> DataFrame:
+        """pandas ``resample().first()`` — first NON-null value per
+        bucket in time order (order_col breaks timestamp ties)."""
+        return self._edge(col, last=False)
+
+    def last(self, col: str) -> DataFrame:
+        """pandas ``resample().last()`` — last NON-null value per
+        bucket in time order (order_col breaks timestamp ties)."""
+        return self._edge(col, last=True)
 
     def ohlc(self, col: str, order_col: str | None = None) -> DataFrame:
         """Resampler.ohlc — order within the bucket by ``order_col``

@@ -1064,3 +1064,44 @@ def test_register_views_sql_entry(spark):
     assert got.equals(want)
     ts0 = spark.sql("SELECT max(ts) AS m FROM v_events").collect()[0].m
     assert ts0 == t.events.agg(F.max("ts")).collect()[0][0]
+
+
+def test_resampler_first_last_vs_pandas(ev, pev):
+    for which in ["first", "last"]:
+        got = (
+            getattr(tsf(ev).resample("1d"), which)("value")
+            .toPandas()
+            .sort_values(["user_id", "bucket"])
+            .reset_index(drop=True)
+        )
+        wants = []
+        for uid, sub in pev.sort_values(["ts", "event_id"]).groupby("user_id"):
+            s = getattr(
+                sub.set_index("ts")["value"].resample("1D"), which
+            )()
+            w = s.dropna().reset_index().rename(columns={"ts": "bucket"})
+            w["user_id"] = uid
+            wants.append(w)
+        want = (
+            pd.concat(wants)
+            .sort_values(["user_id", "bucket"])
+            .reset_index(drop=True)
+        )
+        # groupBy emits only populated buckets; pandas emits the dense
+        # span — compare on populated buckets
+        got_nn = got[got.value.notna()].reset_index(drop=True)
+        assert len(got_nn) == len(want), which
+        assert _eq(got_nn["value"], want["value"]), which
+
+
+def test_fillna_dropna(ev):
+    nulled = ev.withColumn(
+        "value", F.when(F.col("event_id") % 5 != 0, F.col("value"))
+    )
+    tf = TsFrame(nulled, by="user_id", order_col="event_id")
+    filled = tf.fillna(-1.0, ["value"]).to_pandas()
+    assert (filled.value.isna()).sum() == 0
+    assert (filled.value == -1.0).sum() > 0
+    dropped = tf.dropna(["value"]).to_pandas()
+    assert dropped.value.notna().all()
+    assert len(dropped) < nulled.count()
