@@ -77,6 +77,9 @@ EXPECTATIONS = {
     # decompose: daily agg exchange + the user_id re-exchange shared by
     # the centered-range and weekday windows
     "win_decompose": (2, False),
+    # asfreq: hour-bucket agg + per-user bounds agg; the grid side
+    # broadcasts back onto the bucket table
+    "win_resample_asfreq": (2, True),
     "win_rolling_corr": (1, False),
     "sim_topk_blas": (2, False),
     # continuation-7 additions: quantize/pii/chunk are map-only (zero
