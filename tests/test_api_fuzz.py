@@ -204,7 +204,12 @@ def test_tsframe_windows_match_pandas_on_random_frames(fuzz_spark, pdf):
     p["tmean"] = tm["value"].to_numpy()
     p["emax"] = g.expanding().max().reset_index(level=0, drop=True)
     grp = p.groupby("user_id")["value"]
-    p["z"] = (p["value"] - grp.transform("mean")) / grp.transform("std")
+    # subnormal-range series underflow the squared-deviation sum to 0
+    # in BOTH engines; pandas then divides to +-inf where the NULLIF
+    # design yields NULL — same documented divergence as pct_change
+    p["z"] = (
+        (p["value"] - grp.transform("mean")) / grp.transform("std")
+    ).replace([np.inf, -np.inf], np.nan)
     p["rnk"] = grp.rank(method="average")
     gap = p.groupby("user_id")["ts"].diff() > pd.Timedelta("6h")
     p["sess"] = gap.astype(int).groupby(p.user_id).cumsum() + 1
