@@ -594,3 +594,64 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("s_end", "w_end") - F.greatest("s_start", "w_start")
         ).alias("overlap_us"),
     )
+
+
+@query(
+    "join_merge_ordered",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS click_v
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS purch_v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT coalesce(a.user_id, b.user_id) AS user_id,
+             coalesce(a.ts, b.ts) AS ts, a.click_v AS cv, b.purch_v AS pv
+      FROM a FULL JOIN b ON a.user_id = b.user_id AND a.ts = b.ts
+    )
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           last_value(cv IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS click_v,
+           last_value(pv IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS purch_v
+    FROM m
+    """,
+    tags=("joins", "timeseries"),
+)
+def join_merge_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``pd.merge_ordered(..., fill_method='ffill')`` as a
+    driver-checkable op, built ON the TsFrame.merge_ordered API surface
+    (dogfooding — the oracle pins the API's semantics, not a parallel
+    reimplementation): each user's click stream outer-merged with their
+    purchase stream on the time axis, both value columns forward-filled
+    across the other side's timestamps. Sides are pre-aggregated to
+    unique (user, ts) with an event_id tie-break, so the outer join
+    never fans out and the fill window's ordering is total. One
+    exchange per side for the pre-agg + the co-partitioned full join +
+    one shared fill window — all on the series key."""
+    from pandas_tsdb_spark.api import TsFrame
+
+    ev = Tables(spark, sf_dir).events
+
+    def side(etype: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id", "ts")
+            .agg(F.max_by("value", "event_id").alias(out))
+        )
+
+    left = TsFrame(side("click", "click_v"), ts_col="ts", by="user_id")
+    merged = left.merge_ordered(
+        side("purchase", "purch_v"), ["click_v"], ["purch_v"]
+    )
+    return merged.df.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "click_v",
+        "purch_v",
+    )

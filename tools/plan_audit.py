@@ -80,6 +80,10 @@ EXPECTATIONS = {
     # asfreq: hour-bucket agg + per-user bounds agg; the grid side
     # broadcasts back onto the bucket table
     "win_resample_asfreq": (2, True),
+    # merge_ordered: per-side (user, ts) pre-agg exchanges + the full
+    # outer join's; the fill window rides the join's partitioning.
+    # SMJ is correct here — both sides are comparable size.
+    "join_merge_ordered": (3, False),
     "win_rolling_corr": (1, False),
     "sim_topk_blas": (2, False),
     # continuation-7 additions: quantize/pii/chunk are map-only (zero
