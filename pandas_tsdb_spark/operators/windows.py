@@ -991,3 +991,57 @@ def win_resample_asfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros("hus").alias("bucket"),
         F.col("v").alias("value"),
     )
+
+
+@query(
+    "win_rolling_mad",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id, value,
+               [lag(value, 6) OVER w, lag(value, 5) OVER w,
+                lag(value, 4) OVER w, lag(value, 3) OVER w,
+                lag(value, 2) OVER w, lag(value, 1) OVER w, value] AS fr,
+               lag(value, 6) OVER w IS NOT NULL AS full_frame
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    m AS (
+        SELECT event_id, user_id, value, fr, full_frame,
+               list_sort(fr)[4] AS med
+        FROM s
+    )
+    SELECT event_id, user_id, value,
+           CASE WHEN full_frame THEN med END AS med7,
+           CASE WHEN full_frame THEN
+                list_sort(list_transform(fr, x -> abs(x - med)))[4]
+           END AS mad7
+    FROM m
+    """,
+)
+def win_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling(7) median absolute deviation — the robust volatility
+    estimate (pandas idiom: ``r.apply(lambda a: np.median(np.abs(a -
+    np.median(a))))``, i.e. the per-window form of ts_outlier_mad's
+    global MAD). Same lag-array formulation as win_rolling_median (all
+    seven lags ride ONE window sort; no per-row collect buffer): frame
+    median = middle of the sorted 7-array, MAD = middle of the sorted
+    absolute deviations. Subtract/abs/middle-element are all exact
+    double ops on identical inputs, so the result is bit-identical to
+    the DuckDB oracle with no rounding. One exchange."""
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("event_id")
+    frame = F.array(
+        *[F.lag("value", i).over(w) for i in range(6, 0, -1)], F.col("value")
+    )
+    med = F.element_at(F.array_sort(frame), 4)
+    mad = F.element_at(
+        F.array_sort(F.transform(frame, lambda x: F.abs(x - med))), 4
+    )
+    full = F.lag("value", 6).over(w).isNotNull()
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(full, med).alias("med7"),
+        F.when(full, mad).alias("mad7"),
+    )
