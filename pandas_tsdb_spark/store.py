@@ -32,6 +32,7 @@ Usage:
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Mapping, Sequence
 
@@ -83,6 +84,30 @@ class TsStore:
         )
         return df.withColumn(_INGEST, stamp)
 
+    def _save_schema(self, name: str, stamped: DataFrame) -> None:
+        """Persist the stamped schema beside the data (underscore file —
+        invisible to scans) so an emptied store (retention dropped every
+        partition) still fetches as an empty frame instead of dying on
+        parquet schema inference."""
+        p = os.path.join(self.path(name), "_schema.json")
+        if not os.path.exists(p):
+            with open(p, "w") as f:
+                f.write(stamped.schema.json())
+
+    def _empty_if_no_parts(self, name: str) -> DataFrame | None:
+        d = self.path(name)
+        if os.path.isdir(d) and not any(
+            e.startswith(f"{_PART}=") for e in os.listdir(d)
+        ):
+            p = os.path.join(d, "_schema.json")
+            if os.path.exists(p):
+                from pyspark.sql import types as T
+
+                with open(p) as f:
+                    schema = T.StructType.fromJson(json.load(f))
+                return self.spark.createDataFrame([], schema)
+        return None
+
     def append(self, name: str, df: DataFrame, ingest_ts=None) -> None:
         """Blind parallel append — each task commits its files atomically
         into the day partitions it touches; no global lock, no read.
@@ -91,14 +116,16 @@ class TsStore:
         wall clock unless ``ingest_ts`` pins it) — the hook
         ``fetch(as_of=...)`` snapshots hang off. Stamping is a map-side
         literal: zero cost at any scale."""
-        self._with_part(self._with_ingest(df, ingest_ts)).write.mode(
-            "append"
-        ).partitionBy(_PART).parquet(self.path(name))
+        stamped = self._with_part(self._with_ingest(df, ingest_ts))
+        stamped.write.mode("append").partitionBy(_PART).parquet(self.path(name))
+        self._save_schema(name, stamped)
 
     def overwrite(self, name: str, df: DataFrame, ingest_ts=None) -> None:
-        self._with_part(self._with_ingest(df, ingest_ts)).write.mode(
-            "overwrite"
-        ).partitionBy(_PART).parquet(self.path(name))
+        stamped = self._with_part(self._with_ingest(df, ingest_ts))
+        stamped.write.mode("overwrite").partitionBy(_PART).parquet(
+            self.path(name)
+        )
+        self._save_schema(name, stamped)
 
     # -- read -------------------------------------------------------------
 
@@ -134,7 +161,9 @@ class TsStore:
         if as_of is not None:
             # schema union across files: old appends may lack _ingest_ts
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(self.path(name))
+        df = self._empty_if_no_parts(name)
+        if df is None:
+            df = reader.parquet(self.path(name))
         if as_of is not None and _INGEST in df.columns:
             df = df.filter(
                 F.col(_INGEST).isNull()

@@ -576,3 +576,49 @@ def test_resampler_fill_fuzz_vs_pandas(fuzz_spark, pdf):
         assert len(got) == len(want), mode
         assert (got["bucket"].to_numpy() == want["bucket"].to_numpy()).all(), mode
         assert _eq(got["value"], want["value"]), mode
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pdf=frames(), cut_day=st.integers(2, 28), victims=st.sets(st.integers(0, 49), max_size=6))
+def test_tsstore_maintenance_fuzz(fuzz_spark, pdf, cut_day, victims):
+    """Store maintenance laws on random frames: optimize is layout-only
+    (multiset preserved, file count shrinks or holds), delete_keys
+    removes exactly the victim rows, drop_before removes exactly the
+    strictly-older day partitions."""
+    import glob
+    import tempfile
+
+    from pandas_tsdb_spark.store import TsStore
+
+    spark = fuzz_spark
+    store = TsStore(spark, tempfile.mkdtemp(prefix="fuzz_maint_"))
+    sdf = spark.createDataFrame(
+        pdf, "rid long, ts timestamp, user_id long, value double"
+    )
+    # two appends -> duplicate files per touched day, so optimize has
+    # something to merge
+    store.append("s", sdf, ingest_ts="2025-01-01 00:00:00")
+    store.append("s", sdf, ingest_ts="2025-01-02 00:00:00")
+
+    before = sorted(store.fetch("s").toPandas().rid)
+    files_before = len(glob.glob(store.path("s") + "/*/*.parquet"))
+    store.optimize("s", target_file_mb=128, min_files=2)
+    after = sorted(store.fetch("s").toPandas().rid)
+    files_after = len(glob.glob(store.path("s") + "/*/*.parquet"))
+    assert after == before
+    assert files_after <= files_before
+
+    got = store.delete_keys("s", "rid", sorted(victims))
+    remaining = store.fetch("s").toPandas()
+    assert got == 2 * len(set(pdf.rid) & victims)
+    assert set(remaining.rid) == set(pdf.rid) - victims
+
+    cutoff = pd.Timestamp("2024-01-01") + pd.Timedelta(days=cut_day)
+    store.drop_before("s", cutoff.strftime("%Y-%m-%d"))
+    kept = store.fetch("s").toPandas()
+    want = remaining[remaining.ts.dt.floor("D") >= cutoff.floor("D")]
+    assert sorted(kept.rid) == sorted(want.rid)
