@@ -415,3 +415,56 @@ def test_stream_ingest_feeds_continuous_rollup(spark, chunk_dir, tmp_path):
     assert [r[:2] for r in got] == [r[:2] for r in want]
     for g, w in zip(got, want):
         assert abs(g[2] - w[2]) < 0.01
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cuts=st.lists(st.integers(1, 999), min_size=0, max_size=5, unique=True),
+)
+def test_random_microbatch_boundaries_equal_single_batch(
+    spark, tmp_path_factory, cuts
+):
+    """Streaming fuzz: the tumbling aggregate and the cross-batch
+    stateful cumsum must be INVARIANT to where the micro-batch
+    boundaries fall — any random partition of the (ts-ordered) fixture
+    into 1..6 chunks yields the single-batch answer."""
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("events_fuzz_chunks"))
+    pdf = (
+        spark.read.parquet(f"{SMALL}/events.parquet")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    bounds = [0] + sorted(cuts) + [len(pdf)]
+    k = 0
+    for i in range(len(bounds) - 1):
+        chunk = pdf.iloc[bounds[i]:bounds[i + 1]]
+        if not len(chunk):
+            continue
+        path = os.path.join(d, f"part-{k:05d}.parquet")
+        chunk.to_parquet(path, index=False)
+        os.utime(path, (1_700_000_000 + k, 1_700_000_000 + k))
+        k += 1
+
+    tumb = lambda ev: (  # noqa: E731
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .select(F.col("w.start").alias("day"), "event_type", "n", "s")
+    )
+    got = _run_chunks(spark, d, tumb, "complete")
+    want = SPECS["stream_tumbling"].builder(spark, SMALL)
+    assert _rows(got, ["day", "event_type", "n"]) == _rows(
+        want.withColumnRenamed("sum_value", "s"), ["day", "event_type", "n"]
+    )
+    gs = sorted(round(r.s, 2) for r in got.select("s").collect())
+    ws = sorted(round(r.sum_value, 2) for r in want.select("sum_value").collect())
+    assert gs == ws
