@@ -431,6 +431,29 @@ class TsStore:
             df = df.filter(F.col(_PART) <= F.to_date(F.lit(end)))
         return df.drop(_PART)
 
+    def changes(self, name: str, since, until=None) -> DataFrame:
+        """Change feed: every row INGESTED strictly after ``since`` (and,
+        with ``until``, at-or-before it) — the incremental-consumer read
+        (a downstream job remembers the ingest watermark it last
+        processed and asks only for what landed after). Append-only
+        store => the feed is exactly the new rows; the filter is a
+        row-level parquet predicate (row groups written by earlier
+        appends prune on _ingest_ts min/max stats), and event-time
+        partition pruning still applies on top via fetch-style slicing
+        if the consumer adds it. Rows from stores predating ingest
+        stamping never appear (they predate any watermark).
+        Half-open (since, until] so consecutive feeds with
+        until=watermark compose without overlap."""
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            self.path(name)
+        )
+        if _INGEST not in df.columns:
+            return df.filter(F.lit(False)).drop(_PART)
+        out = df.filter(F.col(_INGEST) > F.lit(since).cast("timestamp"))
+        if until is not None:
+            out = out.filter(F.col(_INGEST) <= F.lit(until).cast("timestamp"))
+        return out.drop(_PART, _INGEST)
+
     # -- streaming --------------------------------------------------------
 
     def stream_ingest(self, name: str, stream_df: DataFrame, available_now: bool = True):

@@ -331,3 +331,31 @@ def test_rollup_incremental_refresh(spark, store, events):
         d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("_date=")
     }
     assert min(remaining) >= "2024-01-05"
+
+
+def test_changes_feed_composes(spark, tmp_path):
+    """changes(since, until] returns exactly the rows ingested in the
+    window; consecutive feeds over adjacent windows partition the
+    appended rows with no overlap and no loss."""
+    from pandas_tsdb_spark.catalog import Tables
+
+    store = TsStore(spark, str(tmp_path / "cdc"))
+    ev = Tables(spark, SMALL).events.select("event_id", "ts", "value")
+    a = ev.filter(F.col("event_id") % 3 == 0)
+    b = ev.filter(F.col("event_id") % 3 == 1)
+    c = ev.filter(F.col("event_id") % 3 == 2)
+    store.append("s", a, ingest_ts="2025-01-01 00:00:00")
+    store.append("s", b, ingest_ts="2025-02-01 00:00:00")
+    store.append("s", c, ingest_ts="2025-03-01 00:00:00")
+
+    feed1 = store.changes("s", "2024-12-31", "2025-01-15")
+    feed2 = store.changes("s", "2025-01-15", "2025-02-15")
+    feed3 = store.changes("s", "2025-02-15")
+    ids = lambda df: sorted(r.event_id for r in df.select("event_id").collect())
+    assert ids(feed1) == ids(a)
+    assert ids(feed2) == ids(b)
+    assert ids(feed3) == ids(c)
+    # boundary is half-open: since exactly at an ingest stamp excludes it
+    assert ids(store.changes("s", "2025-02-01 00:00:00")) == ids(c)
+    # full feed == full store content
+    assert ids(store.changes("s", "2000-01-01")) == ids(store.fetch("s"))
