@@ -357,3 +357,25 @@ def test_decompose_reconstruction_identity(spark, sf_dir):
     assert np.allclose(recon, have.daily_sum, rtol=1e-12, atol=1e-9)
     # trend-null rows still get their weekday's seasonal
     assert out[out.trend.isna()].seasonal.notna().any()
+
+
+def test_holt_blas_matches_sequential_kernel(spark, sf_dir):
+    """win_holt_blas's block-Toeplitz formulation must reproduce the
+    sequential Holt kernel to float tolerance (different fold order,
+    same recurrence; impulse response decays ~0.707^k so error stays
+    at rounding level)."""
+    import numpy as np
+
+    from pandas_tsdb_spark.registry import load_all
+
+    specs = load_all()
+    a = (
+        specs["win_holt"].builder(spark, sf_dir)
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    b = (
+        specs["win_holt_blas"].builder(spark, sf_dir)
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    assert np.allclose(a.holt_level, b.holt_level, rtol=1e-9, atol=1e-9)

@@ -105,6 +105,7 @@ EXPECTATIONS = {
     "text_pii_scrub": (1, False),
     "pipeline_chunk": (1, False),
     "win_holt": (1, False),
+    "win_holt_blas": (1, False),
     # gini: one exchange serves the segment window AND the aggregate;
     # the customer dim broadcasts.
     "agg_gini": (1, True),
