@@ -20,7 +20,15 @@ Layout:
 """
 
 from pandas_tsdb_spark.api import TsFrame  # noqa: F401
-from pandas_tsdb_spark.registry import REGISTRY, query  # noqa: F401
+from pandas_tsdb_spark.registry import (  # noqa: F401
+    REGISTRY,
+    _register_kernels_by_value,
+    query,
+)
 from pandas_tsdb_spark.store import TsStore  # noqa: F401
+
+# Kernels must survive executors that cannot import this package (driver
+# cwd outside the repo) — see registry._register_kernels_by_value.
+_register_kernels_by_value()
 
 __version__ = "0.1.0"

@@ -102,8 +102,37 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+def _register_kernels_by_value() -> None:
+    """Make every pandas_tsdb_spark module cloudpickle BY VALUE.
+
+    Python kernels shipped to executors (mapInPandas / applyInPandas
+    closures) may call module-level helpers (e.g. llm_vectors._seq_dots);
+    cloudpickle serializes such references by MODULE NAME, and executors
+    launched by a driver whose cwd is not the repo cannot import
+    ``pandas_tsdb_spark`` (the repo is not on worker sys.path) —
+    ModuleNotFoundError at task time. Registering the package's modules
+    for by-value pickling embeds the helper code in the serialized task
+    instead, so the contract works from ANY driver cwd. Idempotent;
+    covers modules imported later because load_all() re-runs it after
+    the operator imports.
+    """
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+    except ImportError:  # pragma: no cover - pyspark always bundles it
+        import cloudpickle  # type: ignore[no-redef]
+    for mod_name, mod in list(sys.modules.items()):
+        if mod is not None and mod_name.split(".")[0] == "pandas_tsdb_spark":
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (registration side effects) once."""
     import pandas_tsdb_spark.operators  # noqa: F401
 
+    _register_kernels_by_value()
     return REGISTRY
