@@ -366,27 +366,52 @@ def win_interp_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("win_ewm", oracle=None)  # recursive: not SQL-expressible, rows-only
+@query(
+    "win_ewm",
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+    ), r AS (
+        -- literals cast to DOUBLE: DuckDB types bare 1.0/0.7 as DECIMAL
+        -- and would run the den recurrence in scale-1 decimal arithmetic
+        SELECT user_id, event_id, value, rn,
+               value + 0.0::DOUBLE AS num, 1.0::DOUBLE AS den
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.value, s.rn,
+               s.value + 0.7::DOUBLE * r.num AS num,
+               1.0::DOUBLE + 0.7::DOUBLE * r.den AS den
+        FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value, num / den AS ewm_value FROM r
+    """,
+)
 def win_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ewm(alpha=0.3, adjust=True).mean() per series — partition-batched.
 
     NOT groupBy().applyInPandas: that pays one Arrow kernel call per
     key (24k calls at 16x scale, 9.2s measured). Instead: one shuffle to
     co-locate each series (repartition by user) + sortWithinPartitions,
-    then mapInPandas — each kernel call processes a whole Arrow batch of
-    MANY series via pandas' Cython groupby().ewm() (3.5x faster, and the
-    per-key overhead no longer grows with key count).
+    then mapInPandas. The kernel runs the exact recurrence
+        num_n = v_n + q·num_{n-1},  den_n = 1 + q·den_{n-1}   (q = 1-α)
+    vectorized ACROSS series: a Python loop over within-series POSITION
+    (bounded by the longest series per batch, ~100 in the fixtures),
+    each step one numpy mult+add over every still-active series. Per
+    element the IEEE sequence is mult(q, prev) then add(v, ·) — the same
+    two roundings, in the same order, as the DuckDB recursive CTE's
+    `value + 0.7 * r.num`, so num/den is BIT-identical and the full
+    oracle hashes raw doubles with no rounding at all (round-3 upgrade;
+    previously rows-only with a closed-form differential).
 
     A series may span Arrow batches within a partition, so the kernel
-    carries exact per-user state across batches: ewm(adjust=True) is
-    num_n/den_n with num_n = Σ v_i·q^(n-i), den_n = Σ q^(n-i) (q=1-α);
-    for a batch-local segment starting at position k, the full-series
-    value is (num_seg + q^(j+1)·num_carry)/(den_seg + q^(j+1)·den_carry)
-    with j the row's 0-based offset in the segment — den_seg is closed
-    form, num_seg = mean_seg·den_seg from pandas. Same state-per-key
-    shape as the streaming kernel; verified against the closed-form
-    window formulation in tests.
-    """
+    carries exact per-user (num, den) across batches; a fresh series
+    starts from (0.0, 0.0) and v + q·0.0 ≡ v + 0.0 keeps the base case
+    identical to the CTE anchor. Scale: one shuffle on user_id, O(rows)
+    work, per-batch Python iterations bounded by max series length —
+    for very long single series this degrades toward the win_holt
+    Python-recurrence class (documented escape hatch)."""
     alpha = 0.3
     ev = Tables(spark, sf_dir).events.select("user_id", "event_id", "value")
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -398,27 +423,49 @@ def win_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = 1.0 - alpha
         carry: dict[int, tuple[float, float]] = {}  # user -> (num, den)
         for pdf in batches:
-            g = pdf.groupby("user_id", sort=False)
-            mean_seg = (
-                g["value"].ewm(alpha=alpha, adjust=True).mean().reset_index(
-                    level=0, drop=True
-                )
-            ).sort_index()
-            j = g.cumcount().to_numpy()
-            w = np.power(q, j + 1.0)
-            den_seg = (1.0 - w) / alpha
-            num_seg = mean_seg.to_numpy() * den_seg
-            num0 = pdf["user_id"].map(lambda u: carry.get(u, (0.0, 0.0))[0]).to_numpy()
-            den0 = pdf["user_id"].map(lambda u: carry.get(u, (0.0, 0.0))[1]).to_numpy()
-            num = num_seg + w * num0
-            den = den_seg + w * den0
-            out = pdf[["user_id", "event_id", "value"]].copy()
-            out["ewm_value"] = num / den
-            last = np.flatnonzero(
-                np.r_[pdf["user_id"].to_numpy()[1:] != pdf["user_id"].to_numpy()[:-1], True]
+            n = len(pdf)
+            if not n:
+                continue
+            uid = pdf["user_id"].to_numpy()
+            v = pdf["value"].to_numpy(dtype="float64")
+            new = np.r_[True, uid[1:] != uid[:-1]]
+            starts = np.flatnonzero(new)
+            lens = np.diff(np.r_[starts, n])
+            pn = np.array(
+                [carry.get(int(uid[s]), (0.0, 0.0))[0] for s in starts]
             )
-            for i in last:
-                carry[int(pdf["user_id"].iloc[i])] = (float(num[i]), float(den[i]))
+            pd_ = np.array(
+                [carry.get(int(uid[s]), (0.0, 0.0))[1] for s in starts]
+            )
+            num = np.empty(n)
+            den = np.empty(n)
+            pos = starts.copy()
+            active = np.arange(len(starts))
+            miss_any = np.isnan(v).any()
+            step = 0
+            while len(active):
+                sel = pos[active]
+                qn = q * pn[active]  # one rounding (mult)
+                qd = q * pd_[active]
+                if miss_any:  # NaN advances decay, contributes nothing
+                    m = np.isnan(v[sel])
+                    nn = np.where(m, qn, v[sel] + qn)
+                    nd = np.where(m, qd, 1.0 + qd)
+                else:
+                    nn = v[sel] + qn  # one rounding (add) — CTE order
+                    nd = 1.0 + qd
+                num[sel] = nn
+                den[sel] = nd
+                pn[active] = nn
+                pd_[active] = nd
+                pos[active] += 1
+                step += 1
+                active = active[lens[active] > step]
+            for k, s in enumerate(starts):
+                carry[int(uid[s])] = (float(pn[k]), float(pd_[k]))
+            out = pdf[["user_id", "event_id", "value"]].copy()
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out["ewm_value"] = num / den
             yield out
 
     return part.mapInPandas(
@@ -821,15 +868,45 @@ def win_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("win_holt", oracle=None)  # recursive double smoothing: rows-only
+@query(
+    "win_holt",
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+    ), r AS (
+        SELECT user_id, event_id, value, rn,
+               value AS lev, 0.0::DOUBLE AS tr
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT user_id, event_id, value, rn, lev_new, tr_new FROM (
+            -- tr_in: seeded trend x1-x0 at rn=2, else the carried trend;
+            -- every constant spelled as the kernel computes it
+            -- ((1.0 - 0.3) != literal 0.7 in the last bit)
+            SELECT s.user_id, s.event_id, s.value, s.rn,
+                   CASE WHEN r.rn = 1 THEN s.value - r.lev ELSE r.tr END AS tr_in,
+                   0.5::DOUBLE * s.value
+                     + (1.0::DOUBLE - 0.5::DOUBLE) * (r.lev + tr_in) AS lev_new,
+                   0.3::DOUBLE * (lev_new - r.lev)
+                     + (1.0::DOUBLE - 0.3::DOUBLE) * tr_in AS tr_new
+            FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+    )
+    SELECT user_id, event_id, value, lev AS holt_level FROM r
+    """,
+)
 def win_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's linear (double exponential) smoothing per series — level
     l_t = a*x_t + (1-a)(l+b), trend b_t = g*(l_t-l) + (1-g)*b, seeded
     l_0=x_0, b_0=x_1-x_0 (the statsmodels Holt convention). Like
-    win_ewm this is a true recurrence, not frame-expressible, and not
-    ANSI-SQL-expressible either -> rows-only; the cross-batch state
-    carry and distributed ordering are differential-tested against a
-    single-partition reference loop in tests/test_timeseries.py.
+    win_ewm this is a true recurrence, not frame-expressible — but it IS
+    expressible as a DuckDB recursive CTE over row_number-ordered series
+    (round-3 upgrade from rows-only): the CTE mirrors the kernel's IEEE
+    operation order step for step, so holt_level hashes RAW with no
+    rounding. The cross-batch state carry and distributed ordering are
+    additionally differential-tested against a single-partition
+    reference loop in tests/test_timeseries.py.
 
     Same scale shape as win_ewm: ONE shuffle to co-locate each series
     (repartition on user_id) + sortWithinPartitions + mapInPandas, so
