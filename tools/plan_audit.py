@@ -72,7 +72,10 @@ EXPECTATIONS = {
     # heavy hitters: exact = key agg + total broadcast; sketch = MG
     # candidate distinct + broadcast semi-join + candidate-only agg —
     # the wide exchange carries candidates, not key cardinality
-    "agg_heavy_hitters": (2, True),
+    # round 3: top-decile rank cut — groupBy(user_id) exchange + the
+    # single-partition window over the small counts table; the
+    # broadcast-total crossJoin is folded into that window
+    "agg_heavy_hitters": (2, False),
     "agg_heavy_hitters_sketch": (3, True),
     # decompose: daily agg exchange + the user_id re-exchange shared by
     # the centered-range and weekday windows
