@@ -88,11 +88,15 @@ class TsStore:
         """Persist the stamped schema beside the data (underscore file —
         invisible to scans) so an emptied store (retention dropped every
         partition) still fetches as an empty frame instead of dying on
-        parquet schema inference."""
+        parquet schema inference. Rewritten on EVERY append/overwrite
+        (write-to-tmp + atomic replace): with schema evolution across
+        appends, a write-once file would pin the first append's schema
+        and an emptied store would fetch without later-added columns."""
         p = os.path.join(self.path(name), "_schema.json")
-        if not os.path.exists(p):
-            with open(p, "w") as f:
-                f.write(stamped.schema.json())
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(stamped.schema.json())
+        os.replace(tmp, p)
 
     def _empty_if_no_parts(self, name: str) -> DataFrame | None:
         d = self.path(name)
@@ -109,15 +113,48 @@ class TsStore:
         return None
 
     def append(self, name: str, df: DataFrame, ingest_ts=None) -> None:
-        """Blind parallel append — each task commits its files atomically
-        into the day partitions it touches; no global lock, no read.
+        """Blind parallel append — safe under CONCURRENT appenders.
+
+        Writing straight into the table path is NOT concurrent-safe:
+        Hadoop's FileOutputCommitter stages every job under the shared
+        ``{table}/_temporary/0/`` and each job's commit/abort deletes
+        that directory, clobbering the other writer's in-flight task
+        files (reproduced in tests/test_store.py's threading law —
+        FileNotFoundException on commit). Instead each append writes to
+        its OWN dot-prefixed staging dir (invisible to series()/scans)
+        and then MOVES the part-files into the day partitions — one
+        same-filesystem rename per file, so readers only ever see whole
+        files, and part names carry a per-write uuid so writers never
+        collide. A crash mid-move leaves a partial append plus a dotted
+        stage dir: exactly the at-least-once visibility a blind
+        non-transactional append already has (resolved by latest_by /
+        compact), never a torn file.
 
         Every row is stamped with an ingest watermark (``_ingest_ts``,
         wall clock unless ``ingest_ts`` pins it) — the hook
         ``fetch(as_of=...)`` snapshots hang off. Stamping is a map-side
         literal: zero cost at any scale."""
+        import shutil
+        import uuid
+
         stamped = self._with_part(self._with_ingest(df, ingest_ts))
-        stamped.write.mode("append").partitionBy(_PART).parquet(self.path(name))
+        path = self.path(name)
+        parent, base = os.path.split(path)
+        stage = os.path.join(parent, f".{base}.append.{uuid.uuid4().hex}")
+        stamped.write.partitionBy(_PART).parquet(stage)
+        os.makedirs(path, exist_ok=True)
+        for entry in os.listdir(stage):
+            if not entry.startswith(f"{_PART}="):
+                continue
+            dst_dir = os.path.join(path, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            src_dir = os.path.join(stage, entry)
+            for f in os.listdir(src_dir):
+                if f.endswith(".parquet") and not f.startswith("."):
+                    os.rename(
+                        os.path.join(src_dir, f), os.path.join(dst_dir, f)
+                    )
+        shutil.rmtree(stage)
         self._save_schema(name, stamped)
 
     def overwrite(self, name: str, df: DataFrame, ingest_ts=None) -> None:
@@ -157,6 +194,7 @@ class TsStore:
         predating ingest stamping count as always-visible. The snapshot
         filter is a row-level predicate pushed to the scan; event-time
         partition pruning applies unchanged."""
+        self._sweep_compact_leftovers(name)
         reader = self.spark.read
         if as_of is not None:
             # schema union across files: old appends may lack _ingest_ts
@@ -202,6 +240,31 @@ class TsStore:
 
     # -- maintenance ------------------------------------------------------
 
+    def _sweep_compact_leftovers(self, name: str) -> None:
+        """Recover from a compact() crash at any instant (same sweep
+        discipline as optimize's per-partition swap):
+          - '.{name}.compact.old' with the series dir MISSING -> the
+            crash hit between the two renames and the old dir holds the
+            ONLY copy: restore it;
+          - '.{name}.compact.old' with the series dir present -> swap
+            completed, cleanup lost: finish deleting;
+          - '.{name}.compact.tmp' -> unfinished rewrite: discard.
+        Runs at compact() entry and fetch() entry, so a crashed compact
+        never strands a series until manual intervention."""
+        import shutil
+
+        parent, base = os.path.split(self.path(name))
+        path = self.path(name)
+        old = os.path.join(parent, f".{base}.compact.old")
+        tmp = os.path.join(parent, f".{base}.compact.tmp")
+        if os.path.isdir(old):
+            if os.path.isdir(path):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, path)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+
     def compact(
         self,
         name: str,
@@ -217,9 +280,43 @@ class TsStore:
         rows by day across the DEFAULT parallelism (one output file per
         day, many days in flight at once) — never `repartition(1, ...)`,
         which funnels the whole store through a single task (measured
-        20.2 s -> 10.6 s at 6.4M rows just from this)."""
+        20.2 s -> 10.6 s at 6.4M rows just from this).
+
+        CONCURRENCY: compaction replaces exactly the input files it
+        READ (snapshot listing -> dedup -> move compacted files in ->
+        delete the snapshot files), the LSM rule. A whole-directory
+        swap — the previous design — silently DISCARDS any file a
+        concurrent appender lands between compact's read and its swap
+        (caught by the threading law in tests/test_store.py). Files
+        appended mid-compact are simply not part of the snapshot and
+        survive untouched. Readers racing the in-place phase can
+        transiently see a compacted row next to its pre-compact
+        versions — the same duplicate class blind appends already
+        create, resolved by fetch(latest_by=...) and by the next
+        compact; no instant ever loses a row or tears a file."""
+        import shutil
+        import uuid
+
+        self._sweep_compact_leftovers(name)
         path = self.path(name)
-        df = self.spark.read.parquet(path)
+        snapshot: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(path)):
+            part_dir = os.path.join(path, entry)
+            if not entry.startswith(f"{_PART}=") or not os.path.isdir(part_dir):
+                continue
+            files = [
+                f
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+            if files:
+                snapshot[entry] = files
+        if not snapshot:
+            return
+        in_files = [
+            os.path.join(path, e, f) for e, fs in snapshot.items() for f in fs
+        ]
+        df = self.spark.read.option("basePath", path).parquet(*in_files)
         w = W.partitionBy(_PART, *key_cols).orderBy(
             F.col(order_col or self.ts_col).desc()
         )
@@ -229,18 +326,29 @@ class TsStore:
             .drop("__rn")
             .repartition(F.col(_PART))
         )
-        # dot-prefixed swap siblings: invisible to series() and to any
-        # scan, whatever instant a crash hits (same discipline as
-        # optimize's per-partition swap)
         parent, base = os.path.split(path)
-        tmp = os.path.join(parent, f".{base}.compact.tmp")
-        compacted.write.mode("overwrite").partitionBy(_PART).parquet(tmp)
-        old = os.path.join(parent, f".{base}.compact.old")
-        os.rename(path, old)
-        os.rename(tmp, path)
-        import shutil
-
-        shutil.rmtree(old)
+        stage = os.path.join(parent, f".{base}.compact.{uuid.uuid4().hex}.tmp")
+        compacted.write.partitionBy(_PART).parquet(stage)
+        # move compacted files in FIRST (transient duplicates, never a
+        # gap), then delete exactly the snapshot inputs
+        for entry in os.listdir(stage):
+            if not entry.startswith(f"{_PART}="):
+                continue
+            dst_dir = os.path.join(path, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            src_dir = os.path.join(stage, entry)
+            for f in os.listdir(src_dir):
+                if f.endswith(".parquet") and not f.startswith("."):
+                    os.rename(
+                        os.path.join(src_dir, f), os.path.join(dst_dir, f)
+                    )
+        for entry, files in snapshot.items():
+            for f in files:
+                try:
+                    os.remove(os.path.join(path, entry, f))
+                except FileNotFoundError:
+                    pass  # an interleaved compact already replaced it
+        shutil.rmtree(stage)
 
     def optimize(
         self,
@@ -502,7 +610,10 @@ class TsStore:
         sub = df.filter(F.col(_PART).isin(days))
         deleted = sub.filter(hit).count()
         kept = sub.filter(~hit).repartition(F.col(_PART))
-        tmp = path + ".delete.tmp"
+        # dot-prefixed like every swap sibling: a non-dotted tmp in the
+        # store root would show up in series() as a bogus series
+        parent, base = os.path.split(path)
+        tmp = os.path.join(parent, f".{base}.delete.tmp")
         kept.write.mode("overwrite").partitionBy(_PART).parquet(tmp)
         for day in days:
             part = f"{_PART}={day}"

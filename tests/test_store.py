@@ -359,3 +359,105 @@ def test_changes_feed_composes(spark, tmp_path):
     assert ids(store.changes("s", "2025-02-01 00:00:00")) == ids(c)
     # full feed == full store content
     assert ids(store.changes("s", "2000-01-01")) == ids(store.fetch("s"))
+
+
+def test_compact_crash_recovery(spark, store, events):
+    """A compact() crash between its two directory renames leaves the
+    series dir MISSING with the only copy in '.{name}.compact.old'
+    (round-2 ADVICE, medium). The sweep at compact()/fetch() entry must
+    restore it and discard any unfinished '.compact.tmp'."""
+    import os
+    import shutil
+
+    store.append("events", events)
+    n_rows = store.fetch("events").count()
+    parent = store.root
+    path = store.path("events")
+    # crash state: table dir renamed away, replacement never landed,
+    # plus a stale half-written tmp
+    shutil.copytree(path, os.path.join(parent, ".events.compact.tmp"))
+    os.rename(path, os.path.join(parent, ".events.compact.old"))
+    assert store.series() == []  # dot-dirs stay invisible
+    assert store.fetch("events").count() == n_rows  # sweep restored it
+    assert os.path.isdir(path)
+    assert not os.path.isdir(os.path.join(parent, ".events.compact.old"))
+    assert not os.path.isdir(os.path.join(parent, ".events.compact.tmp"))
+    # completed-swap-lost-cleanup state: old present AND table present
+    shutil.copytree(path, os.path.join(parent, ".events.compact.old"))
+    store.compact("events", key_cols=["event_id"])
+    assert not os.path.isdir(os.path.join(parent, ".events.compact.old"))
+    assert store.fetch("events").count() == n_rows
+
+
+def test_schema_file_tracks_schema_evolution(spark, store, events):
+    """_schema.json must follow the LATEST append (round-2 ADVICE): after
+    a widened append and a retention wipe, the emptied store fetches
+    with the evolved schema, not the first append's."""
+    store.append("events", events)
+    widened = events.withColumn("extra_col", F.lit(1).cast("long"))
+    store.append("events", widened)
+    dropped = store.drop_before("events", "2100-01-01")
+    assert dropped >= 1
+    got = store.fetch("events")
+    assert got.count() == 0
+    assert "extra_col" in got.columns
+
+
+def test_concurrent_appends_and_compact(spark, store, events):
+    """Concurrency law (round-2 verdict #5): two simultaneous blind
+    appenders plus a concurrent fetch/compact must lose no rows and
+    leave no bogus partitions — append is blind-partitioned and
+    compact's swap is atomic, so interleaving is safe by design; this
+    drives it for real on threads."""
+    import os
+    import threading
+
+    base = events.select("event_id", "user_id", "ts", "value")
+    n = base.count()
+    errs = []
+
+    def appender(tag):
+        try:
+            # distinct event_id spaces so compact's keep-latest never
+            # merges the two writers' rows
+            df = base.withColumn(
+                "event_id", F.col("event_id") + F.lit(tag * 10_000_000)
+            )
+            store.append("events", df)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    def reader():
+        try:
+            for _ in range(3):
+                store.fetch("events", latest_by=["event_id"]).count()
+        except Exception as e:
+            # a concurrent first-append may race directory creation;
+            # only total absence is fine mid-flight
+            if "PATH_NOT_FOUND" not in str(e):
+                errs.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(1,)),
+        threading.Thread(target=appender, args=(2,)),
+        threading.Thread(target=reader),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert store.fetch("events").count() == 2 * n
+    # append || compact
+    t1 = threading.Thread(target=appender, args=(3,))
+    t2 = threading.Thread(
+        target=store.compact, args=("events",), kwargs={"key_cols": ["event_id"]}
+    )
+    t1.start(); t2.start(); t1.join(); t2.join()
+    got = store.fetch("events", latest_by=["event_id"])
+    assert got.count() == 3 * n  # no lost rows from either writer
+    path = store.path("events")
+    assert all(
+        e.startswith(("_date=", "_schema", ".")) or e.startswith("_SUCCESS")
+        for e in os.listdir(path)
+    ), os.listdir(path)
