@@ -905,13 +905,24 @@ class Ewm:
 class Resampler:
     """resample(freq): time-bucket aggregation."""
 
+    _CAL_KIND = {
+        "w": "w", "week": "w", "m": "m", "mon": "m", "month": "m",
+        "me": "m", "q": "q", "qe": "q", "quarter": "q", "y": "y",
+        "a": "y", "ye": "y", "year": "y", "b": "b",
+    }
+
     def __init__(self, tf: TsFrame, freq: str):
         self.tf = tf
         self.freq = freq
+        self._cal_kind: str | None = None
         cal = _calendar_bucket(freq, tf.ts_col)
         if cal is not None:
             # W/W-MON/M/Q/Y/B: pandas-labeled calendar periods
             self.bucket = cal
+            m = re.fullmatch(
+                r"(\d*)\s*([A-Za-z]+)(?:-([A-Za-z]+))?", freq.strip()
+            )
+            self._cal_kind = self._CAL_KIND[m.group(2).lower()]
             return
         n, unit = _parse_freq(freq)
         if unit in _TRUNC_UNIT and n == 1:
@@ -921,6 +932,49 @@ class Resampler:
             span = _freq_us(freq)
             us = F.unix_micros(F.col(tf.ts_col))
             self.bucket = F.timestamp_micros((us - (us % span)))
+
+    def _calendar_grid(self, bounds: DataFrame) -> DataFrame:
+        """Densify calendar-period labels: ``bounds`` carries the series
+        key plus lo/hi LABEL timestamps; returns one row per period
+        label in [lo, hi]. Variable-width periods can't ride the fixed-
+        µs F.sequence, so the sequence runs over period STARTS (month/
+        quarter/year truncations stepped by calendar intervals — stepping
+        the END labels directly would drift: Feb-28 + 1 month = Mar-28)
+        and re-labels each start to its pandas period-end label. Weekly
+        labels are exactly 7 days apart (UTC) and business-day labels
+        are the weekday subset of the daily grid. Same bounded
+        per-series explode shape as the fixed path (round-2 ADVICE:
+        resample('M').ffill() previously raised a confusing sub-month
+        frequency error)."""
+        tf = self.tf
+        k = self._cal_kind
+        lo_d, hi_d = F.to_date("lo"), F.to_date("hi")
+        if k == "m":
+            seq = F.sequence(
+                F.trunc(lo_d, "month"), F.trunc(hi_d, "month"),
+                F.expr("interval 1 month"),
+            )
+            lab = F.last_day(F.col("_d"))
+        elif k == "q":
+            seq = F.sequence(
+                F.trunc(lo_d, "quarter"), F.trunc(hi_d, "quarter"),
+                F.expr("interval 3 months"),
+            )
+            lab = F.last_day(F.add_months(F.col("_d"), 2))
+        elif k == "y":
+            seq = F.sequence(
+                F.trunc(lo_d, "year"), F.trunc(hi_d, "year"),
+                F.expr("interval 12 months"),
+            )
+            lab = F.last_day(F.add_months(F.col("_d"), 11))
+        else:  # 'w' / 'b': fixed 7-day anchors, or weekday subset of days
+            step = "interval 7 days" if k == "w" else "interval 1 day"
+            seq = F.sequence(lo_d, hi_d, F.expr(step))
+            lab = F.col("_d")
+        g = bounds.select(*tf.by, F.explode(seq).alias("_d"))
+        if k == "b":
+            g = g.filter(~F.dayofweek("_d").isin(1, 7))
+        return g.select(*tf.by, lab.cast("timestamp").alias("bucket"))
 
     def _group(self):
         return self.tf.df.groupBy(
@@ -980,7 +1034,6 @@ class Resampler:
         null rows. One groupBy for the buckets, one for the bounds,
         both on the series key — no global broadcast."""
         tf = self.tf
-        span = _freq_us(self.freq)
         # "last in bucket" is TIME order with the order_col only as the
         # tie-break for equal timestamps (fuzz matrix 6: ordering by
         # order_col alone lets a later-rid-but-earlier-ts row win where
@@ -991,20 +1044,29 @@ class Resampler:
         )
         ok_nn = F.when(F.col(col).isNotNull(), F.struct(*order))
         per_bucket = self._group().agg(F.max_by(col, ok_nn).alias("_last"))
-        grid = (
-            per_bucket.groupBy(*tf.by)
-            .agg(
-                F.unix_micros(F.min("bucket")).alias("lo"),
-                F.unix_micros(F.max("bucket")).alias("hi"),
+        if self._cal_kind:
+            bounds = per_bucket.groupBy(*tf.by).agg(
+                F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
             )
-            .select(
-                *tf.by,
-                F.explode(
-                    F.sequence(F.col("lo"), F.col("hi"), F.lit(span))
-                ).alias("_us"),
+            grid = self._calendar_grid(bounds)
+        else:
+            span = _freq_us(self.freq)
+            grid = (
+                per_bucket.groupBy(*tf.by)
+                .agg(
+                    F.unix_micros(F.min("bucket")).alias("lo"),
+                    F.unix_micros(F.max("bucket")).alias("hi"),
+                )
+                .select(
+                    *tf.by,
+                    F.explode(
+                        F.sequence(F.col("lo"), F.col("hi"), F.lit(span))
+                    ).alias("_us"),
+                )
+                .select(
+                    *tf.by, F.timestamp_micros(F.col("_us")).alias("bucket")
+                )
             )
-            .select(*tf.by, F.timestamp_micros(F.col("_us")).alias("bucket"))
-        )
         return grid.join(per_bucket, on=[*tf.by, "bucket"], how="left")
 
     def asfreq(self, col: str) -> DataFrame:
@@ -1015,11 +1077,25 @@ class Resampler:
         rows on a grid point resolve by the frame's order_col (pandas
         raises there; a total tie-break is the distributed-determinism
         requirement). Same plan shape as ffill: bounded grid explode +
-        one equi-join."""
+        one equi-join. Calendar frequencies snapshot at the period-end
+        LABEL instant (midnight of the label day), matching pandas
+        asfreq on the resampled index."""
         tf = self.tf
-        span = _freq_us(self.freq)
         ok = tf.order_col or tf.ts_col
         us = F.unix_micros(F.col(tf.ts_col))
+        if self._cal_kind:
+            snap = (
+                tf.df.filter(F.col(tf.ts_col) == self.bucket)
+                .groupBy(*tf.by, F.col(tf.ts_col).alias("bucket"))
+                .agg(F.max_by(col, ok).alias(col))
+            )
+            bounds = tf.df.groupBy(*tf.by).agg(
+                F.min(self.bucket).alias("lo"),
+                F.max(self.bucket).alias("hi"),
+            )
+            grid = self._calendar_grid(bounds)
+            return grid.join(snap, on=[*tf.by, "bucket"], how="left")
+        span = _freq_us(self.freq)
         snap = (
             tf.df.filter(us % span == 0)
             .groupBy(*tf.by, F.col(tf.ts_col).alias("bucket"))

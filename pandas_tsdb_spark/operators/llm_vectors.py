@@ -107,13 +107,17 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: the query block rides in the closure (bounded by
     contract), the collection streams through executors batch by batch,
-    each batch emits only |queries| x (k+slack) candidate rows, and the
-    global window merges that tiny candidate stream. Nothing quadratic
-    shuffles at any collection size. The local cut keeps k+32 rows per
-    (query, batch) by raw cosine: a true top-k row can only be lost if
-    >32 candidates in one batch share its exact 6-dp rounded cosine
-    with a higher raw value — beyond-astronomical for continuous data,
-    and the oracle would catch it."""
+    each batch emits only ~|queries| x k candidate rows, and the global
+    window merges that tiny candidate stream. Nothing quadratic shuffles
+    at any collection size. The local cut is PROVABLY lossless against
+    the global (rounded-cosine desc, id) ranking without reproducing
+    Spark's decimal rounding locally: two raws that round to the same
+    6-dp value differ by < 1e-6, so keeping every row within 1e-6 of
+    the batch's k-th largest raw cosine retains every candidate that
+    could still tie into the global top-k (a dropped row has >= k batch
+    rows more than 1e-6 above it -> strictly greater rounded cosine ->
+    it can never rank <= k). Round-3 fix of the round-2 ADVICE nonzero
+    divergence window (the old k+32 raw cut)."""
     e = Tables(spark, sf_dir).embeddings
     q_rows = (
         e.filter(F.col("vec_id") < _N_QUERIES)
@@ -123,7 +127,6 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
     Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
     qn = np.sqrt(_seq_sqnorm(Q))
-    local_m = _TOP_K + 32
 
     def local_topm(batches):
         for pdf in batches:
@@ -139,9 +142,12 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, qid in enumerate(q_ids):
                 col = cos[:, j].copy()
                 col[ids == qid] = -np.inf  # exclude self
-                take = min(local_m, len(col))
-                top = np.argpartition(-col, take - 1)[:take]
-                keep = top[col[top] > -np.inf]
+                take = min(_TOP_K, len(col))
+                kth = col[np.argpartition(-col, take - 1)[:take]].min()
+                # lossless tie window: double(1e-6) > decimal 1e-6, so
+                # every same-rounded-value row clears the threshold
+                keep = np.flatnonzero(col >= kth - 1e-6)
+                keep = keep[col[keep] > -np.inf]
                 out_q.extend([qid] * len(keep))
                 out_n.extend(ids[keep])
                 out_c.extend(col[keep])
@@ -290,10 +296,13 @@ def knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same round-2 rewrite as sim_topk: the per-pair cosine runs in a
     sequential-order numpy kernel (bit-identical to the HOF fold, so the
     full DuckDB oracle is unchanged); each Arrow batch emits only
-    |queries| x (k+slack) ranked candidates, Spark rounds + windows the
+    ~|queries| x k ranked candidates, Spark rounds + windows the
     tiny candidate stream and tallies the vote. r1's expression path
     cost 9.3 s at 16x on the irreducible per-pair fold; this kernel
-    matches knn_label_blas's two-phase shape while keeping the oracle."""
+    matches knn_label_blas's two-phase shape while keeping the oracle.
+    The local cut uses sim_topk's provably-lossless 1e-6 tie window
+    against the global (rounded cosine, id) ranking (round-3 ADVICE
+    fix; see sim_topk's docstring for the argument)."""
     e = Tables(spark, sf_dir).embeddings
     q_rows = (
         e.filter(F.col("vec_id") < _N_QUERIES)
@@ -304,7 +313,6 @@ def knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_labels = np.array([r.label for r in q_rows], dtype="int32")
     Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
     qn = np.sqrt(_seq_sqnorm(Q))
-    local_m = _TOP_K + 32
 
     def local_topm(batches):
         for pdf in batches:
@@ -316,12 +324,13 @@ def knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             norms = np.sqrt(_seq_sqnorm(E))
             cos = _seq_dots(E, Q) / (norms[:, None] * qn[None, :])
             out = {k: [] for k in ("query_id", "true_label", "cand_id", "cand_label", "cos_raw")}
-            take = min(local_m, E.shape[0])
+            take = min(_TOP_K, E.shape[0])
             for j, qid in enumerate(q_ids):
                 col = cos[:, j]
-                top = np.argpartition(-col, take - 1)[:take]
-                out["query_id"].extend([qid] * take)
-                out["true_label"].extend([q_labels[j]] * take)
+                kth = col[np.argpartition(-col, take - 1)[:take]].min()
+                top = np.flatnonzero(col >= kth - 1e-6)
+                out["query_id"].extend([qid] * len(top))
+                out["true_label"].extend([q_labels[j]] * len(top))
                 out["cand_id"].extend(ids[top])
                 out["cand_label"].extend(labels[top])
                 out["cos_raw"].extend(col[top])

@@ -339,6 +339,12 @@ SELECT user_id, event_id,
         WHEN v IS NOT NULL THEN v
         WHEN prev_v IS NULL THEN NULL
         WHEN next_v IS NULL THEN prev_v
+        -- zero-width gap (duplicate timestamps around a null): the
+        -- engine coalesces the degenerate lerp to the NEXT value;
+        -- without this branch DuckDB would emit NULL via 0/0 (a latent
+        -- divergence the fixtures don't currently exercise — round-2
+        -- ADVICE)
+        WHEN next_x = prev_x THEN next_v
         ELSE prev_v + (next_v - prev_v)
              * (CAST(x - prev_x AS DOUBLE) / (next_x - prev_x))
     END, 6) AS v_interp

@@ -1105,3 +1105,57 @@ def test_fillna_dropna(ev):
     dropped = tf.dropna(["value"]).to_pandas()
     assert dropped.value.notna().all()
     assert len(dropped) < nulled.count()
+
+
+@pytest.mark.parametrize(
+    "spark_freq,pd_freq",
+    [("W-MON", "W-MON"), ("M", "ME"), ("Q", "QE"), ("B", "B")],
+)
+def test_resample_calendar_ffill_vs_pandas(spark, ev, pev, spark_freq, pd_freq):
+    """resample('M').ffill() and friends (round-2 ADVICE: these raised a
+    confusing sub-month-frequency error). Calendar-grid densification:
+    per-series period-end labels from first to last populated period,
+    forward-filling resample().last() — differential vs pandas."""
+    got = (
+        tsf(ev)
+        .resample(spark_freq)
+        .ffill("value")
+        .toPandas()
+        .sort_values(["user_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pev.set_index("ts")
+        .groupby("user_id")["value"]
+        .resample(pd_freq)
+        .last()
+        .groupby(level=0)
+        .ffill()
+        .rename("want")
+        .reset_index()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want), (spark_freq, len(got), len(want))
+    assert (got["bucket"].to_numpy() == want["ts"].to_numpy()).all()
+    assert _eq(got["value"], want["want"])
+
+
+def test_resample_calendar_asfreq_and_interpolate(spark, ev):
+    """Calendar asfreq snapshots at the period-end label instant (null
+    unless a row sits exactly there — none do in the fixture), and the
+    grid covers every period label between the series' first and last
+    period with no gaps; interpolate fills interior nulls."""
+    r = tsf(ev).resample("M")
+    grid = r.asfreq("value").toPandas().sort_values(["user_id", "bucket"])
+    assert grid["value"].isna().all()  # no midnight month-end rows
+    # per-user grid is contiguous month ends
+    for _, g in grid.groupby("user_id"):
+        months = pd.DatetimeIndex(g["bucket"])
+        assert (months == pd.date_range(months[0], months[-1], freq="ME")).all()
+    filled = r.interpolate("value", method="linear").toPandas()
+    last = tsf(ev).resample("M").last("value").toPandas()
+    # interpolation only densifies BETWEEN populated buckets; where a
+    # bucket had data, the value must equal resample().last()
+    m = filled.merge(last, on=["user_id", "bucket"], suffixes=("", "_want"))
+    assert _eq(m["value"], m["value_want"])
