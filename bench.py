@@ -86,12 +86,41 @@ def _sf(sf_dir: str) -> float:
         return -1.0
 
 
+def _size_shuffle_to_data(spark) -> None:
+    """Size spark.sql.shuffle.partitions to the benchmark data volume
+    (~64 MB target per shuffle partition, floor 8, ceiling 4x cores) —
+    the round-1 1024x lesson ("the fifth doubling is where 32 stops
+    being enough") applied in both directions: at sf0.1 (~17 MB total)
+    32 reduce tasks are pure scheduling overhead (measured 0.74 -> 0.48 s
+    on the bigram-LM query just from starting at 8), while the 100 TB
+    direction raises the count with the bytes. AQE stays ON and can
+    still coalesce below this start. SPARK_GRAFT_SHUFFLE_PARTITIONS
+    overrides."""
+    if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        return  # explicit override wins
+    total = 0
+    for f in os.listdir(SF_DIR):
+        p = os.path.join(SF_DIR, f)
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n = max(8, min(4 * cpus, total // (64 * 1024 * 1024) + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    # The benched stream is a bounded demo agg (~150 state keys): each
+    # state-store instance costs a fixed per-micro-batch commit, so size
+    # the store count to the key space, not the core count (measured
+    # 0.73 s at 8 instances vs 0.61 s at 4 for the same answer). Real
+    # high-volume topics size UP via the same env knob.
+    os.environ.setdefault("SPARK_GRAFT_STREAM_SHUFFLE", "4")
+
+
 def bench_spark() -> dict[str, float]:
     from pandas_tsdb_spark.registry import load_all
     from pandas_tsdb_spark.session import get_spark
 
     spark = get_spark("pandas-tsdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    _size_shuffle_to_data(spark)
     specs = load_all()
     times: dict[str, float] = {}
     for label, key in HEADLINE.items():

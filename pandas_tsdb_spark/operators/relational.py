@@ -221,51 +221,60 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recombined exactly in decimal on the 6-row aggregate output.
     # Headroom becomes ~9e12 rows/group (90x past 100 TB TPC-H) at
     # bigint-sum speed; verified bit-identical to the decimal path.
-    ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_f = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
-    tax_f = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
-    disc_price = ext_c * disc_f  # e4 units, >= 0, <= ~1.2e9
-    charge = disc_price * tax_f  # e6 units, >= 0, <= ~1.4e11
-    LO = F.lit((1 << 20) - 1)
+    # Expressions as SQL strings: each F.expr is ONE py4j roundtrip
+    # where the equivalent Column-builder chain makes dozens (this
+    # builder measured 163 ms of pure plan-construction chatter at
+    # sf0.1 — a fixed per-query cost the bench pays every run). The
+    # parsed expressions are identical Catalyst trees; the oracle is
+    # unchanged. NOTE Spark parses bare float literals as DECIMAL —
+    # the D suffix keeps every constant a double, and sum2's quotient
+    # shape (cast(sum(bigint) as double) / 100.0D) mirrors sum2_col
+    # operand for operand.
+    def sum2(col):
+        return f"cast(sum(cast(round({col} * 100, 0) as bigint)) as double) / 100.0D"
+
+    disc_price = (
+        "cast(round(l_extendedprice * 100, 0) as bigint)"
+        " * (100L - cast(round(l_discount * 100, 0) as bigint))"
+    )
+    charge = f"({disc_price}) * (100L + cast(round(l_tax * 100, 0) as bigint))"
 
     def split_hi_lo(p, tag):
         # non-negative p == (p >> 20) * 2^20 + (p & (2^20-1)), exactly;
         # both halves sum in plain BIGINT (hi <= ~1.4e5/row)
         return [
-            F.sum(F.shiftright(p, 20)).alias(f"_{tag}_hi"),
-            F.sum(p.bitwiseAND(LO)).alias(f"_{tag}_lo"),
+            F.expr(f"sum(shiftright({p}, 20))").alias(f"_{tag}_hi"),
+            F.expr(f"sum(({p}) & {(1 << 20) - 1}L)").alias(f"_{tag}_lo"),
         ]
 
     agg = (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        li.filter("l_shipdate <= timestamp_ntz'1998-09-02 00:00:00'")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            sum2_col("l_quantity").alias("sum_qty"),
-            sum2_col("l_extendedprice").alias("sum_base_price"),
+            F.expr(sum2("l_quantity")).alias("sum_qty"),
+            F.expr(sum2("l_extendedprice")).alias("sum_base_price"),
             *split_hi_lo(disc_price, "dp"),
             *split_hi_lo(charge, "ch"),
-            (sum2_col("l_quantity") / F.count("*")).alias("avg_qty"),
-            (sum2_col("l_extendedprice") / F.count("*")).alias("avg_price"),
-            (sum2_col("l_discount") / F.count("*")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.expr(f"({sum2('l_quantity')}) / count(*)").alias("avg_qty"),
+            F.expr(f"({sum2('l_extendedprice')}) / count(*)").alias("avg_price"),
+            F.expr(f"({sum2('l_discount')}) / count(*)").alias("avg_disc"),
+            F.expr("count(*)").alias("count_order"),
         )
     )
 
     def recombine(tag, scale):
         return (
-            F.col(f"_{tag}_hi").cast("decimal(38,0)") * F.lit(1 << 20)
-            + F.col(f"_{tag}_lo")
-        ).cast("double") / F.lit(scale)
+            f"cast(cast(_{tag}_hi as decimal(38,0)) * {1 << 20} + _{tag}_lo"
+            f" as double) / {scale}D"
+        )
 
-    dp = recombine("dp", 10000.0)
-    ch = recombine("ch", 1000000.0)
-    return agg.select(
+    return agg.selectExpr(
         "l_returnflag",
         "l_linestatus",
         "sum_qty",
         "sum_base_price",
-        dp.alias("sum_disc_price"),
-        ch.alias("sum_charge"),
+        f"{recombine('dp', 10000.0)} as sum_disc_price",
+        f"{recombine('ch', 1000000.0)} as sum_charge",
         "avg_qty",
         "avg_price",
         "avg_disc",

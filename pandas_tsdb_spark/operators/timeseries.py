@@ -63,47 +63,44 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pd.merge_asof(events, purchases, on=ts, by=user_id,
     tolerance=3d-variant) via union-and-window (see module docstring)."""
     ev = Tables(spark, sf_dir).events
-    left = ev.select(
+    left = ev.selectExpr(
         "user_id",
         "ts",
         "event_id",
         "value",
-        F.lit(1).alias("side"),
-        F.lit(None).cast("double").alias("r_value"),
-        F.lit(None).cast("long").alias("r_event_id"),
-        F.lit(None).cast("long").alias("r_ts_us"),
+        "1 AS side",
+        "cast(null as double) AS r_value",
+        "cast(null as bigint) AS r_event_id",
+        "cast(null as bigint) AS r_ts_us",
     )
-    right = ev.filter(F.col("event_type") == "purchase").select(
+    right = ev.filter("event_type = 'purchase'").selectExpr(
         "user_id",
         "ts",
         "event_id",
-        F.lit(None).cast("double").alias("value"),
-        F.lit(0).alias("side"),
-        F.col("value").alias("r_value"),
-        F.col("event_id").alias("r_event_id"),
-        F.unix_micros("ts").alias("r_ts_us"),
+        "cast(null as double) AS value",
+        "0 AS side",
+        "value AS r_value",
+        "event_id AS r_event_id",
+        "unix_micros(ts) AS r_ts_us",
     )
     w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "side", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+        "OVER (PARTITION BY user_id ORDER BY ts, side, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    last_val = F.last("r_value", ignorenulls=True).over(w)
-    last_id = F.last("r_event_id", ignorenulls=True).over(w)
-    last_ts_us = F.last("r_ts_us", ignorenulls=True).over(w)
-    fresh = F.unix_micros("ts") - last_ts_us <= F.lit(_US_3D)
     return (
         left.unionByName(right)
-        .select(
+        .selectExpr(
             "event_id",
             "user_id",
             "value",
             "side",
-            last_val.alias("last_purchase_value"),
-            last_id.alias("last_purchase_id"),
-            F.when(fresh, last_val).alias("last_purchase_value_3d"),
+            f"last(r_value, true) {w} AS last_purchase_value",
+            f"last(r_event_id, true) {w} AS last_purchase_id",
+            f"CASE WHEN unix_micros(ts) - last(r_ts_us, true) {w}"
+            f" <= {_US_3D} THEN last(r_value, true) {w} END"
+            " AS last_purchase_value_3d",
         )
-        .filter(F.col("side") == 1)
+        .filter("side = 1")
         .drop("side")
     )
 
@@ -590,58 +587,47 @@ def join_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
     join costs a single exchange + sort — the same 100 TB shape as
     join_asof, never a range explosion."""
     ev = Tables(spark, sf_dir).events
-    nd = F.lit(None).cast("double")
-    nl = F.lit(None).cast("long")
-    left = ev.select(
+    left = ev.selectExpr(
         "user_id", "ts", "event_id", "value",
-        F.lit(1).alias("side"),
-        nd.alias("b_val"), nl.alias("b_tus"),
-        nd.alias("f_val"), nl.alias("f_tus"),
+        "1 AS side",
+        "cast(null as double) AS b_val", "cast(null as bigint) AS b_tus",
+        "cast(null as double) AS f_val", "cast(null as bigint) AS f_tus",
     )
-    p = ev.filter(F.col("event_type") == "purchase")
-    bwd = p.select(
+    p = ev.filter("event_type = 'purchase'")
+    bwd = p.selectExpr(
         "user_id", "ts", "event_id",
-        nd.alias("value"), F.lit(0).alias("side"),
-        F.col("value").alias("b_val"), F.unix_micros("ts").alias("b_tus"),
-        nd.alias("f_val"), nl.alias("f_tus"),
+        "cast(null as double) AS value", "0 AS side",
+        "value AS b_val", "unix_micros(ts) AS b_tus",
+        "cast(null as double) AS f_val", "cast(null as bigint) AS f_tus",
     )
-    fwd = p.select(
+    fwd = p.selectExpr(
         "user_id", "ts", "event_id",
-        nd.alias("value"), F.lit(2).alias("side"),
-        nd.alias("b_val"), nl.alias("b_tus"),
-        F.col("value").alias("f_val"), F.unix_micros("ts").alias("f_tus"),
+        "cast(null as double) AS value", "2 AS side",
+        "cast(null as double) AS b_val", "cast(null as bigint) AS b_tus",
+        "value AS f_val", "unix_micros(ts) AS f_tus",
     )
-    order = ["ts", "side", "event_id"]
     w_b = (
-        W.partitionBy("user_id").orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+        "OVER (PARTITION BY user_id ORDER BY ts, side, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     w_f = (
-        W.partitionBy("user_id").orderBy(*order)
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        "OVER (PARTITION BY user_id ORDER BY ts, side, event_id "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
     )
-    u = left.unionByName(bwd).unionByName(fwd).select(
+    u = left.unionByName(bwd).unionByName(fwd).selectExpr(
         "user_id", "ts", "event_id", "value", "side",
-        F.last("b_val", ignorenulls=True).over(w_b).alias("bwd_value"),
-        F.last("b_tus", ignorenulls=True).over(w_b).alias("bwd_tus"),
-        F.first("f_val", ignorenulls=True).over(w_f).alias("fwd_value"),
-        F.first("f_tus", ignorenulls=True).over(w_f).alias("fwd_tus"),
+        f"last(b_val, true) {w_b} AS bwd_value",
+        f"last(b_tus, true) {w_b} AS bwd_tus",
+        f"first(f_val, true) {w_f} AS fwd_value",
+        f"first(f_tus, true) {w_f} AS fwd_tus",
     )
-    tus = F.unix_micros("ts")
-    b_dist = tus - F.col("bwd_tus")
-    f_dist = F.col("fwd_tus") - tus
-    nearest = (
-        F.when(F.col("fwd_value").isNull(), F.col("bwd_value"))
-        .when(F.col("bwd_value").isNull(), F.col("fwd_value"))
-        .when(b_dist <= f_dist, F.col("bwd_value"))
-        .otherwise(F.col("fwd_value"))
-    )
-    return (
-        u.filter(F.col("side") == 1)
-        .select(
-            "event_id", "user_id", "value",
-            "bwd_value", "fwd_value", nearest.alias("nearest_value"),
-        )
+    return u.filter("side = 1").selectExpr(
+        "event_id", "user_id", "value",
+        "bwd_value", "fwd_value",
+        "CASE WHEN fwd_value IS NULL THEN bwd_value"
+        " WHEN bwd_value IS NULL THEN fwd_value"
+        " WHEN unix_micros(ts) - bwd_tus <= fwd_tus - unix_micros(ts)"
+        " THEN bwd_value ELSE fwd_value END AS nearest_value",
     )
 
 

@@ -805,56 +805,51 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL until the frame holds 20 rows and for frames with zero time
     variance. All sums are exact integers cast to double once, so the
     raw double output hash-matches DuckDB with no rounding."""
-    x = (F.unix_micros("ts") - F.lit(1_704_067_200_000_000)).alias("x")
-    y = F.round(F.col("value") * 100).cast("long").alias("y")
     # Prefix-difference frames: Spark evaluates a bounded rows-frame by
     # re-scanning all 20 rows per output row (O(w)/row — measured 22 s
     # at 25.6M rows). Cumulative sums + lag(cum, 20) deliver the same
     # frame sums in O(1)/row, and because every sum is an exact
     # integer, the difference is bit-identical to the frame sum — the
     # frame-based DuckDB oracle needs no change. All five cumulatives
-    # and their lags share one partition sort.
-    wc = W.partitionBy("user_id").orderBy("event_id").rowsBetween(
-        W.unboundedPreceding, 0
+    # and their lags share one partition sort. Expressions as SQL
+    # strings (selectExpr parses each in one py4j call; this builder
+    # measured ~104 ms of Column-chain chatter per bench run).
+    wc = (
+        "OVER (PARTITION BY user_id ORDER BY event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    wl = W.partitionBy("user_id").orderBy("event_id")
-    b = _ev(spark, sf_dir).select("user_id", "event_id", "ts", "value").select(
-        "user_id", "event_id", x, y
-    )
-    xd = F.col("x").cast("decimal(19,0)")
-    cum = b.select(
+    wl = "OVER (PARTITION BY user_id ORDER BY event_id)"
+    b = _ev(spark, sf_dir).selectExpr(
         "user_id",
         "event_id",
-        F.row_number().over(wl).alias("rn"),
-        F.sum("x").over(wc).alias("cx"),
-        F.sum("y").over(wc).alias("cy"),
-        F.sum(F.col("x") * F.col("y")).over(wc).alias("cxy"),
-        F.sum(xd * xd).over(wc).alias("cxx"),
+        "unix_micros(ts) - 1704067200000000 AS x",
+        "cast(round(value * 100, 0) as bigint) AS y",
     )
-
-    def frame(c, zero):
-        return F.col(c) - F.coalesce(F.lag(c, 20).over(wl), F.lit(zero))
-
-    s = cum.select(
+    cum = b.selectExpr(
         "user_id",
         "event_id",
-        (F.col("rn") - F.coalesce(F.lag("rn", 20).over(wl), F.lit(0))).alias("n"),
-        frame("cx", 0).cast("double").alias("sx"),
-        frame("cy", 0).cast("double").alias("sy"),
-        frame("cxy", 0).cast("double").alias("sxy"),
-        (F.col("cxx") - F.coalesce(F.lag("cxx", 20).over(wl),
-                                   F.lit(0).cast("decimal(38,0)")))
-        .cast("double")
-        .alias("sxx"),
+        f"row_number() {wl} AS rn",
+        f"sum(x) {wc} AS cx",
+        f"sum(y) {wc} AS cy",
+        f"sum(x * y) {wc} AS cxy",
+        f"sum(cast(x as decimal(19,0)) * cast(x as decimal(19,0))) {wc} AS cxx",
     )
-    den = 20.0 * F.col("sxx") - F.col("sx") * F.col("sx")
-    num = 20.0 * F.col("sxy") - F.col("sx") * F.col("sy")
-    return s.select(
+    s = cum.selectExpr(
         "user_id",
         "event_id",
-        F.when((F.col("n") == 20) & (den != 0.0), num / den * 864000000.0).alias(
-            "slope_per_day"
-        ),
+        f"rn - coalesce(lag(rn, 20) {wl}, 0) AS n",
+        f"cast(cx - coalesce(lag(cx, 20) {wl}, 0L) as double) AS sx",
+        f"cast(cy - coalesce(lag(cy, 20) {wl}, 0L) as double) AS sy",
+        f"cast(cxy - coalesce(lag(cxy, 20) {wl}, 0L) as double) AS sxy",
+        f"cast(cxx - coalesce(lag(cxx, 20) {wl}, cast(0 as decimal(38,0)))"
+        " as double) AS sxx",
+    )
+    return s.selectExpr(
+        "user_id",
+        "event_id",
+        "CASE WHEN n = 20 AND 20.0D * sxx - sx * sx != 0.0D"
+        " THEN (20.0D * sxy - sx * sy) / (20.0D * sxx - sx * sx)"
+        " * 864000000.0D END AS slope_per_day",
     )
 
 
