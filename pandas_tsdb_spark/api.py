@@ -451,14 +451,23 @@ class TsFrame:
         across the rows the other side contributed (``fill_method=None``
         leaves the join nulls).
 
+        Fill semantics (pinned by the round-3 fuzz matrix): pandas
+        repeats each side's last ROW, not its last non-null VALUE — a
+        merge-introduced gap after a row whose own value is NaN fills
+        with that NaN. Implemented by forward-filling a presence-marked
+        STRUCT of the side's columns ("row present" is non-null even
+        when every field is null) and unpacking; a plain
+        last(ignorenulls=True) on the value column would silently skip
+        the null rows (the first draft's bug, caught by hypothesis).
+
         Full-outer join on (by, ts) + one ordered window for the fills —
         both on the same series key, so the whole merge is one exchange
         per side and one shared sort, never a per-row loop. Rows with
         equal timestamps on both sides merge into one row (outer-join
         key equality), matching merge_ordered on a unique-ts index."""
         ts, by = self.ts_col, self.by
-        lf = self.df.select(*by, ts, *left_cols)
-        rf = right.select(*by, ts, *right_cols)
+        lf = self.df.select(*by, ts, F.lit(True).alias("_lp"), *left_cols)
+        rf = right.select(*by, ts, F.lit(True).alias("_rp"), *right_cols)
         out = lf.join(rf, on=[*by, ts], how="full")
         if fill_method == "ffill":
             w = (
@@ -466,9 +475,21 @@ class TsFrame:
                 .orderBy(ts)
                 .rowsBetween(W.unboundedPreceding, W.currentRow)
             )
-            for c in [*left_cols, *right_cols]:
-                out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-        elif fill_method is not None:
+            ls = F.last(
+                F.when(F.col("_lp"), F.struct(*left_cols)), ignorenulls=True
+            ).over(w)
+            rs = F.last(
+                F.when(F.col("_rp"), F.struct(*right_cols)), ignorenulls=True
+            ).over(w)
+            out = out.select(
+                *by,
+                ts,
+                *[ls.getField(c).alias(c) for c in left_cols],
+                *[rs.getField(c).alias(c) for c in right_cols],
+            )
+        elif fill_method is None:
+            out = out.drop("_lp", "_rp")
+        else:
             raise ValueError(fill_method)
         return TsFrame(out, ts_col=ts, by=by)
 

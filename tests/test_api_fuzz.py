@@ -622,3 +622,111 @@ def test_tsstore_maintenance_fuzz(fuzz_spark, pdf, cut_day, victims):
     kept = store.fetch("s").toPandas()
     want = remaining[remaining.ts.dt.floor("D") >= cutoff.floor("D")]
     assert sorted(kept.rid) == sorted(want.rid)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pdf=frames())
+def test_merge_ordered_fuzz_vs_pandas(fuzz_spark, pdf):
+    """Seventh matrix: merge_ordered fill semantics vs pd.merge_ordered
+    per series, for fill_method='ffill' AND None. The API contract is a
+    unique-ts-per-side index (duplicate join keys cartesian on both
+    engines but row order among duplicates is engine-private), so each
+    side dedups timestamps keep-last-by-rid first — exactly the
+    documented contract in api.py."""
+    spark = fuzz_spark
+    # left = odd rids, right = even rids: two overlapping event streams
+    left = pdf[pdf["rid"] % 2 == 1].drop_duplicates(
+        subset=["user_id", "ts"], keep="last"
+    )
+    right = pdf[pdf["rid"] % 2 == 0].drop_duplicates(
+        subset=["user_id", "ts"], keep="last"
+    )
+    sl = spark.createDataFrame(
+        left.rename(columns={"value": "lv"})[["user_id", "ts", "lv"]],
+        "user_id long, ts timestamp, lv double",
+    )
+    sr = spark.createDataFrame(
+        right.rename(columns={"value": "rv"})[["user_id", "ts", "rv"]],
+        "user_id long, ts timestamp, rv double",
+    )
+    for fill in ["ffill", None]:
+        tf = TsFrame(sl, by="user_id")
+        got = (
+            tf.merge_ordered(sr, ["lv"], ["rv"], fill_method=fill)
+            .to_df()
+            .toPandas()
+            .sort_values(["user_id", "ts"])
+            .reset_index(drop=True)
+        )
+        wants = []
+        users = sorted(
+            set(left["user_id"]).union(set(right["user_id"]))
+        )
+        for uid in users:
+            lu = left[left["user_id"] == uid].rename(columns={"value": "lv"})
+            ru = right[right["user_id"] == uid].rename(columns={"value": "rv"})
+            w = pd.merge_ordered(
+                lu[["ts", "lv"]].sort_values("ts"),
+                ru[["ts", "rv"]].sort_values("ts"),
+                on="ts",
+                fill_method=fill,
+            )
+            w["user_id"] = uid
+            wants.append(w)
+        want = (
+            pd.concat(wants)
+            .sort_values(["user_id", "ts"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), fill
+        assert (got["ts"].to_numpy() == want["ts"].to_numpy()).all(), fill
+        assert _eq(got["lv"], want["lv"]), fill
+        assert _eq(got["rv"], want["rv"]), fill
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pdf=frames())
+def test_describe_fuzz_vs_pandas(fuzz_spark, pdf):
+    """Eighth matrix: describe() per series AND global (by=None — the
+    round-2 literal-column-leak fix) vs pandas describe: count/mean/std/
+    min/p25/p50/p75/max on frames with all-null series, singletons, and
+    constant runs. Spark's exact percentile and pandas both interpolate
+    linearly."""
+    spark = fuzz_spark
+    sdf = spark.createDataFrame(
+        pdf, "rid long, ts timestamp, user_id long, value double"
+    )
+    cols = ["count", "mean", "std", "min", "p25", "p50", "p75", "max"]
+    # grouped
+    got = (
+        TsFrame(sdf, by="user_id", order_col="rid")
+        .describe("value")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        pdf.groupby("user_id")["value"]
+        .describe()
+        .rename(columns={"25%": "p25", "50%": "p50", "75%": "p75"})
+        .reset_index()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+    for c in cols:
+        assert _eq(got[c], want[c]), c
+    # global (by=None): schema must be exactly the 8 stats
+    gg = TsFrame(sdf, by=None, order_col="rid").describe("value").toPandas()
+    assert list(gg.columns) == cols
+    wd = pdf["value"].describe()
+    for c, pc in zip(cols, ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]):
+        assert _eq(gg[c], pd.Series([wd[pc]])), c

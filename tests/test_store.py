@@ -461,3 +461,36 @@ def test_concurrent_appends_and_compact(spark, store, events):
         e.startswith(("_date=", "_schema", ".")) or e.startswith("_SUCCESS")
         for e in os.listdir(path)
     ), os.listdir(path)
+
+
+def test_changes_feed_duplicate_ingest_timestamps(spark, tmp_path):
+    """Half-open (since, until] law under DUPLICATE ingest stamps (the
+    round-2 verdict fuzz ask): several appends pinned to the SAME
+    ingest_ts must land together in exactly one window — a feed with
+    until=T takes all of them, a feed with since=T takes none — and
+    adjacent feeds cut AT the duplicated stamp still partition the rows
+    with no loss or overlap."""
+    from pandas_tsdb_spark.catalog import Tables
+
+    store = TsStore(spark, str(tmp_path / "cdc_dup"))
+    ev = Tables(spark, SMALL).events.select("event_id", "ts", "value")
+    a = ev.filter(F.col("event_id") % 4 == 0)
+    b = ev.filter(F.col("event_id") % 4 == 1)
+    c = ev.filter(F.col("event_id") % 4 == 2)
+    d = ev.filter(F.col("event_id") % 4 == 3)
+    T = "2025-06-01 00:00:00"
+    store.append("s", a, ingest_ts="2025-05-01 00:00:00")
+    store.append("s", b, ingest_ts=T)  # two distinct appends,
+    store.append("s", c, ingest_ts=T)  # same ingest stamp
+    store.append("s", d, ingest_ts="2025-07-01 00:00:00")
+
+    ids = lambda df: sorted(r.event_id for r in df.select("event_id").collect())
+    both = sorted(ids(b) + ids(c))
+    # until=T is inclusive of the whole duplicate group
+    assert ids(store.changes("s", "2025-05-15", T)) == both
+    # since=T excludes the whole duplicate group (half-open)
+    assert ids(store.changes("s", T)) == ids(d)
+    # adjacent feeds cut at T compose with no loss or overlap
+    f1 = ids(store.changes("s", "2000-01-01", T))
+    f2 = ids(store.changes("s", T))
+    assert sorted(f1 + f2) == ids(store.fetch("s"))
