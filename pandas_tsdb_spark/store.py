@@ -92,8 +92,12 @@ class TsStore:
         (write-to-tmp + atomic replace): with schema evolution across
         appends, a write-once file would pin the first append's schema
         and an emptied store would fetch without later-added columns."""
+        import uuid
+
         p = os.path.join(self.path(name), "_schema.json")
-        tmp = p + ".tmp"
+        # unique tmp per write: concurrent appenders sharing one tmp
+        # name race each other's os.replace (caught by the threading law)
+        tmp = f"{p}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             f.write(stamped.schema.json())
         os.replace(tmp, p)
