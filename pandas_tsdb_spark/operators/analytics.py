@@ -877,3 +877,94 @@ def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_events") * 1.0e6 / F.col("total")).alias("ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 version history (upsert_cdc is the type-1 twin, scans.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type AS state, ts, event_id,
+               lag(event_type) OVER w AS prev_state,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), marked AS (
+        SELECT *, CASE WHEN prev_state IS NULL
+                         OR prev_state != state THEN 1 ELSE 0 END AS chg
+        FROM o
+    ), versioned AS (
+        -- CAST: DuckDB integer sums promote to HUGEINT (float64 in
+        -- pandas) — pin the dtype to match Spark's bigint
+        SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY rn
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        FROM marked
+    ), runs AS (
+        SELECT user_id, state, version,
+               min(epoch_us(ts)) AS valid_from_us,
+               count(*) AS n_events
+        FROM versioned GROUP BY user_id, state, version
+    )
+    SELECT user_id, state, version, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to_us,
+           CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id
+                    ORDER BY version) IS NULL THEN 1 ELSE 0 END AS is_current,
+           n_events
+    FROM runs
+    """,
+    tags=("analytics", "timeseries"),
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build from a change stream:
+    collapse each user's consecutive runs of equal state (event_type)
+    into validity intervals [valid_from, valid_to) with a version
+    counter and an is_current flag — the warehouse history-table
+    primitive (upsert_cdc covers type 1 / latest-state).
+
+    One shuffle: the change-marking lag, the run-version cumsum, the
+    run aggregate, and the interval lead all partition by user_id, so
+    Catalyst reuses a single exchange + sort across all four steps —
+    at 100 TB this is a linear pass per key, never a self-join on
+    version boundaries. Interval edges are emitted as exact µs
+    integers."""
+    ev = _ev(spark, sf_dir)
+    w = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    o = ev.selectExpr(
+        "user_id",
+        "event_type AS state",
+        "ts",
+        f"lag(event_type) {w} AS prev_state",
+        f"row_number() {w} AS rn",
+    ).selectExpr(
+        "user_id",
+        "state",
+        "ts",
+        "rn",
+        "CASE WHEN prev_state IS NULL OR prev_state != state"
+        " THEN 1 ELSE 0 END AS chg",
+    ).selectExpr(
+        "user_id",
+        "state",
+        "ts",
+        "sum(chg) OVER (PARTITION BY user_id ORDER BY rn"
+        " ROWS UNBOUNDED PRECEDING) AS version",
+    )
+    runs = o.groupBy("user_id", "state", "version").agg(
+        F.expr("min(unix_micros(ts))").alias("valid_from_us"),
+        F.expr("count(*)").alias("n_events"),
+    )
+    wv = "OVER (PARTITION BY user_id ORDER BY version)"
+    return runs.selectExpr(
+        "user_id",
+        "state",
+        "version",
+        "valid_from_us",
+        f"lead(valid_from_us) {wv} AS valid_to_us",
+        f"CASE WHEN lead(valid_from_us) {wv} IS NULL THEN 1 ELSE 0 END"
+        " AS is_current",
+        "n_events",
+    )

@@ -1239,3 +1239,81 @@ def vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInPandas(
         project, "vec_id long, pc1 double, pc2 double"
     )
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, length(text) AS n,
+             ascii(substring(text, i, 1)) AS b,
+             least(15, CAST((16 * (i - 1)) // length(text) AS INTEGER)) AS q
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)
+    ), agg AS (
+      SELECT doc_id, any_value(n) AS n, q, sum(b) AS sj, count(*) AS cj
+      FROM chars GROUP BY doc_id, q
+    ), tot AS (
+      SELECT doc_id, sum(sj) AS st FROM agg GROUP BY doc_id
+    ), hashed AS (
+      SELECT a.doc_id,
+             CAST(sum(CASE WHEN a.sj * a.n >= t.st * a.cj
+                           THEN 1 << a.q ELSE 0 END) AS BIGINT) AS phash
+      FROM agg a JOIN tot t ON a.doc_id = t.doc_id
+      GROUP BY a.doc_id
+    )
+    SELECT phash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+    FROM hashed GROUP BY phash HAVING count(*) >= 2
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for the binary/image
+    modality: aHash-style 16-bit fingerprint (bucket mean >= global
+    mean per 16 positional buckets) over the opaque blob, then
+    dedup classes = docs sharing a fingerprint (keeper = lowest id).
+    The 'pixel decode' is the same deterministic stub as
+    multimodal_resize (bytes ARE pixels; swap in a real codec + DCT
+    for production pHash — the Spark plumbing is what's real here).
+
+    Exactness: every bucket decision is the cross-multiplied integer
+    comparison sj*n >= st*cj — no division, no float — so the Arrow
+    kernel and the DuckDB positional-SQL mirror agree bit for bit and
+    the op carries a FULL oracle (rare for a multimodal op). Requires
+    every blob >= 16 bytes so all 16 buckets are populated on both
+    sides (fixture min length 44; the kernel handles shorter blobs but
+    the SQL mirror would lose empty-bucket rows).
+
+    Scale: map-only hashing (zero shuffle) + one groupBy on the
+    16-bit hash — constant-width shuffle rows, collision classes
+    bounded by the hash space. Hamming-distance <= r matching extends
+    this with multi-probe (explode each hash into its r-bit-flip
+    neighborhood, 17 rows/doc at r=1) — same join shape, documented
+    extension rather than default because exact-class grouping is the
+    oracle-checkable core."""
+    d = Tables(spark, sf_dir).documents.select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+
+    def kern(batches):
+        for pdf in batches:
+            hashes = []
+            for blob in pdf["blob"]:
+                a = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+                n = len(a)
+                qq = np.minimum(15, (16 * np.arange(n)) // n)
+                sj = np.bincount(qq, weights=a, minlength=16).astype(np.int64)
+                cj = np.bincount(qq, minlength=16).astype(np.int64)
+                st = int(sj.sum())
+                bits = (sj * n >= st * cj).astype(np.int64)
+                hashes.append(int((bits << np.arange(16)).sum()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash": np.array(hashes, dtype="int64")}
+            )
+
+    h = d.mapInPandas(kern, "doc_id long, phash long")
+    return (
+        h.groupBy("phash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -58,6 +58,11 @@ EXPECTATIONS = {
     # counter rate(): running sum, counter lag, and ts lag all share
     # the one series-key window partitioning
     "win_counter_rate": (1, False),
+    # round 3: scd2's lag + version-cumsum + run agg + interval lead all
+    # ride one user_id exchange (subset-key clustering); phash is a
+    # map-only Arrow kernel + one groupBy on the 16-bit hash
+    "scd2_intervals": (1, False),
+    "multimodal_phash_dedup": (1, False),
     # round-2 additions: xcorr is ONE fact scan (conditional daily agg)
     # + two tiny daily-table exchanges — the role-explode alignment,
     # never a self-join of the aggregate subtree; interval overlap is
