@@ -1296,19 +1296,38 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kern(batches):
+        # Fully vectorized across the batch: one concatenated byte
+        # array + np.add.reduceat over per-doc bucket boundaries
+        # (bucket j of an n-byte doc covers positions
+        # [ceil(j*n/16), ceil((j+1)*n/16)) — the closed form of
+        # 16*i//n == j). A per-blob Python loop measured 5.4 s at 320k
+        # docs; reduceat does the same exact integer sums in C. Blobs
+        # under 16 bytes would create empty reduceat segments; the
+        # fixtures guarantee >= 16 (asserted) and shorter blobs belong
+        # to the documented SQL-mirror precondition anyway.
         for pdf in batches:
-            hashes = []
-            for blob in pdf["blob"]:
-                a = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
-                n = len(a)
-                qq = np.minimum(15, (16 * np.arange(n)) // n)
-                sj = np.bincount(qq, weights=a, minlength=16).astype(np.int64)
-                cj = np.bincount(qq, minlength=16).astype(np.int64)
-                st = int(sj.sum())
-                bits = (sj * n >= st * cj).astype(np.int64)
-                hashes.append(int((bits << np.arange(16)).sum()))
+            if not len(pdf):
+                continue
+            blobs = pdf["blob"].tolist()
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64)
+            assert (lens >= 16).all(), "phash requires blobs >= 16 bytes"
+            cat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            j = np.arange(16, dtype=np.int64)
+            # (docs, 16) start positions, flattened for one reduceat
+            starts = offs[:, None] + (j[None, :] * lens[:, None] + 15) // 16
+            sj = np.add.reduceat(cat.astype(np.int64), starts.ravel()).reshape(
+                -1, 16
+            )
+            ends = np.concatenate(
+                (starts[:, 1:], (offs + lens)[:, None]), axis=1
+            )
+            cj = ends - starts
+            st = sj.sum(axis=1, keepdims=True)
+            bits = (sj * lens[:, None] >= st * cj).astype(np.int64)
+            hashes = (bits << j[None, :]).sum(axis=1)
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "phash": np.array(hashes, dtype="int64")}
+                {"doc_id": pdf["doc_id"], "phash": hashes.astype("int64")}
             )
 
     h = d.mapInPandas(kern, "doc_id long, phash long")
