@@ -1336,3 +1336,164 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query("ann_ivf_pq", oracle=None)  # composite index engine-internal; recall tested
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN, IVF-PQ — the composite billion-scale recipe
+    (FAISS IVFADC shape) combining the two existing families: a coarse
+    spherical-k-means quantizer routes each vector to a cell (ann_ivf's
+    index), and the RESIDUAL x − centroid(cell) compresses to M=8
+    sub-codes (ann_pq's encoding, but trained on residuals — residuals
+    are smaller and better centered than raw vectors, so the same
+    codebook budget quantizes finer). Queries probe nprobe cells and
+    scan only those cells' CODES via per-(query, cell) ADC tables, then
+    re-rank the short candidate list exactly.
+
+    100 TB anatomy: train on the bounded md5-ordered sample
+    (driver-side numpy, bit-reproducible); ONE map-only encode pass
+    stores (cell, codes) — dims/M*4x smaller than raw; the query scan
+    is map-only over codes with closure-broadcast tables (each batch
+    touches only rows whose cell is probed — no join, no shuffle);
+    a tiny global merge window picks CAND per query; exact re-scoring
+    touches ~CAND raw rows per query. Recall vs brute-force sim_topk
+    asserted in tests like the other ANN families."""
+    e = Tables(spark, sf_dir).embeddings
+    samp_rows = (
+        e.withColumn("r", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("r", "vec_id")
+        .limit(4096)
+        .select("embedding")
+        .collect()
+    )
+    X = np.array([r.embedding for r in samp_rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = Xn.shape[1]
+    sub = dim // _PQ_M
+    # coarse quantizer: same spherical k-means recipe as ann_ivf
+    Cn = Xn[: _IVF_CELLS].copy()
+    for _ in range(10):
+        assign_ = np.argmax(Xn @ Cn.T, axis=1)
+        for c in range(_IVF_CELLS):
+            members = Xn[assign_ == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    Cn[c] = m / nrm
+    # residual PQ codebooks (Lloyd, fixed 10 iterations, L2)
+    a0 = np.argmax(Xn @ Cn.T, axis=1)
+    R = Xn - Cn[a0]
+    books = []
+    for m in range(_PQ_M):
+        S = R[:, m * sub : (m + 1) * sub]
+        C = S[: _PQ_K].copy()
+        for _ in range(10):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(_PQ_K):
+                members = S[a == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C)
+    B = np.stack(books)  # (M, K, sub)
+
+    def encode(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            cells = np.argmax(En @ Cn.T, axis=1)
+            res = En - Cn[cells]
+            codes = np.empty((len(En), _PQ_M), dtype=np.int32)
+            for m in range(_PQ_M):
+                S = res[:, m * sub : (m + 1) * sub]
+                d2 = ((S[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cells.astype("int64"),
+                    "codes": list(codes),
+                }
+            )
+
+    codes = e.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, cell long, codes array<int>"
+    )
+
+    q_rows = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qcells = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :_IVF_NPROBE]
+    # ADC tables for EVERY (query, cell): residual of q w.r.t. the cell
+    # centroid per subspace vs that subspace's codebook — 20x32x8x16
+    # doubles, trivially closure-broadcastable; only probed cells read.
+    Rq = Qn[:, None, :] - Cn[None, :, :]  # (nq, cells, dim)
+    T = np.empty((len(Qn), _IVF_CELLS, _PQ_M, _PQ_K))
+    for m in range(_PQ_M):
+        Sq = Rq[:, :, m * sub : (m + 1) * sub]
+        T[:, :, m, :] = (
+            (Sq[:, :, None, :] - B[m][None, None, :, :]) ** 2
+        ).sum(axis=3)
+    probe_mask = np.zeros((len(Qn), _IVF_CELLS), dtype=bool)
+    for j in range(len(Qn)):
+        probe_mask[j, qcells[j]] = True
+    marange = np.arange(_PQ_M)
+
+    def adc(batches):
+        for pdf in batches:
+            C = np.stack(pdf["codes"].to_numpy())  # (batch, M)
+            cells = pdf["cell"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for j, qid in enumerate(q_ids):
+                sel = np.flatnonzero(probe_mask[j, cells] & (ids != qid))
+                if not len(sel):
+                    continue
+                d = T[j, cells[sel][:, None], marange[None, :], C[sel]].sum(
+                    axis=1
+                )
+                take = min(_PQ_CAND, len(d))
+                top = np.argpartition(d, take - 1)[:take]
+                out_q.extend([qid] * take)
+                out_n.extend(ids[sel][top])
+                out_d.extend(d[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype="int64"),
+                    "vec_id": np.array(out_n, dtype="int64"),
+                    "approx_d": np.array(out_d, dtype="float64"),
+                }
+            )
+
+    wmerge = W.partitionBy("query_id").orderBy("approx_d", "vec_id")
+    cand = (
+        codes.mapInPandas(adc, "query_id long, vec_id long, approx_d double")
+        .withColumn("crk", F.row_number().over(wmerge))
+        .filter(F.col("crk") <= _PQ_CAND)
+        .select("query_id", "vec_id")
+    )
+    ev = _with_norm(Tables(spark, sf_dir).embeddings)
+    qe = ev.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    ce = ev.select("vec_id", "embedding", "norm")
+    cos = F.round(
+        _dot(F.col("qv"), F.col("embedding")) / (F.col("qnorm") * F.col("norm")), 6
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "vec_id")
+        .withColumn("cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rk")
+    )

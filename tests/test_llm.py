@@ -253,3 +253,19 @@ def test_vec_pca_matches_numpy_exact_pca(spark, sf_dir):
     assert np.allclose(got["pc2"].to_numpy(), P[:, 1], atol=1e-4)
     assert got["pc1"].var() > got["pc2"].var()
     assert abs(np.corrcoef(got["pc1"], got["pc2"])[0, 1]) < 1e-3
+
+
+def test_ann_ivf_pq_recall_vs_bruteforce(spark):
+    """IVF-PQ (coarse cells + residual product quantization, the
+    composite FAISS-IVFADC shape) must recover at least as much top-1
+    recall as the 0.5 floor shared by the other ANN families —
+    residual PQ should quantize FINER than raw-vector PQ at the same
+    codebook budget, since per-cell residuals are smaller and
+    centered."""
+    small = "/root/testdata/sf0.001"
+    brute = SPECS["sim_topk"].builder(spark, small).filter(F.col("rk") == 1)
+    truth = {r.query_id: r.neighbor_id for r in brute.collect()}
+    got_df = SPECS["ann_ivf_pq"].builder(spark, small).filter(F.col("rk") == 1)
+    got = {r.query_id: r.neighbor_id for r in got_df.collect()}
+    hits = sum(1 for k, v in truth.items() if got.get(k) == v)
+    assert hits / len(truth) >= 0.5, f"IVF-PQ recall {hits}/{len(truth)}"
