@@ -733,3 +733,32 @@ def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("P", F.lit(0)).alias("cnt_p"),
         (F.coalesce("F", F.lit(0)) + F.coalesce("O", F.lit(0)) + F.coalesce("P", F.lit(0))).alias("total"),
     )
+
+
+@query(
+    "agg_stringagg",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_id) AS type_seq,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg",),
+)
+def agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL LISTAGG / pandas
+    ``groupby.agg(','.join)``): the per-key event-type sequence in
+    event_id order — the session-path feature a behavioral model
+    consumes. Spelled engine-portably as sort_array(collect_list(
+    struct(order, val))) -> transform -> array_join, which pins the
+    concatenation order deterministically (a bare collect_list order is
+    partition-arrival nondeterminism). One hash-agg exchange; the
+    struct array materializes per GROUP, so memory is bounded by the
+    key's own row count (same envelope as any LISTAGG)."""
+    return Tables(spark, sf_dir).events.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(event_id, event_type))), x -> x.event_type), ',')"
+        ).alias("type_seq"),
+        F.expr("count(*)").alias("n"),
+    )

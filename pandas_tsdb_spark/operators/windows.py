@@ -1040,3 +1040,32 @@ def win_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(full, med).alias("med7"),
         F.when(full, mad).alias("mad7"),
     )
+
+
+@query(
+    "win_ntile_percent",
+    oracle="""
+    SELECT user_id, event_id,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    tags=("windows",),
+)
+def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank family: ntile(4) bucketing, percent_rank
+    ((rank-1)/(n-1)), cume_dist (rows<=current / n) per series ordered
+    by value. All three share ONE window sort; the fractions are
+    single integer-ratio divisions, so raw doubles hash identically on
+    both engines (no rounding needed). Total (value, event_id) order
+    makes ntile deterministic at ties."""
+    w = "OVER (PARTITION BY user_id ORDER BY value, event_id)"
+    return _ev(spark, sf_dir).selectExpr(
+        "user_id",
+        "event_id",
+        f"ntile(4) {w} AS quartile",
+        f"percent_rank() {w} AS pct_rank",
+        f"cume_dist() {w} AS cume",
+    )
