@@ -91,10 +91,17 @@ _DRIVER_VERIFIED_R2 = frozenset({
 _DRIVER_VERIFIED = _DRIVER_VERIFIED_R1 | _DRIVER_VERIFIED_R2
 
 # Ops whose registered builder was rewritten AFTER their last driver row
-# (r2 Arrow-kernel rewrites; oracles unchanged, local harness green, but the
-# driver's hash signal for the shipped code is stale — re-rank them ahead of
-# never-sampled extras so round 3 re-verifies the shipped implementation).
-_REVERIFY = ("sim_topk", "vec_quantize_int8")
+# (r2/r3 Arrow-kernel and expression-string rewrites; oracles unchanged,
+# local harness green, but the driver's hash signal for the shipped code is
+# stale — re-rank them ahead of never-sampled extras so round 3 re-verifies
+# the shipped implementation).
+_REVERIFY = (
+    "sim_topk",          # r2 Arrow kernel + r3 lossless tie-window cut
+    "vec_quantize_int8",  # r2 blas-builder swap
+    "knn_label",         # r3 lossless tie-window cut (same edit as sim_topk)
+    "join_asof",         # r3 selectExpr rewrite
+    "agg_groupby",       # r3 expression-string rewrite (also entry smoke)
+)
 
 
 def _ordered_specs() -> dict[str, "QuerySpec"]:

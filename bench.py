@@ -96,6 +96,10 @@ def _size_shuffle_to_data(spark) -> None:
     direction raises the count with the bytes. AQE stays ON and can
     still coalesce below this start. SPARK_GRAFT_SHUFFLE_PARTITIONS
     overrides."""
+    # stream state-store default first: it must apply even when the
+    # BATCH shuffle count is explicitly overridden (review catch — the
+    # early return below used to skip it)
+    os.environ.setdefault("SPARK_GRAFT_STREAM_SHUFFLE", "4")
     if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
         return  # explicit override wins
     total = 0
@@ -106,12 +110,6 @@ def _size_shuffle_to_data(spark) -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n = max(8, min(4 * cpus, total // (64 * 1024 * 1024) + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    # The benched stream is a bounded demo agg (~150 state keys): each
-    # state-store instance costs a fixed per-micro-batch commit, so size
-    # the store count to the key space, not the core count (measured
-    # 0.73 s at 8 instances vs 0.61 s at 4 for the same answer). Real
-    # high-volume topics size UP via the same env knob.
-    os.environ.setdefault("SPARK_GRAFT_STREAM_SHUFFLE", "4")
 
 
 def bench_spark() -> dict[str, float]:

@@ -1279,10 +1279,13 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: every bucket decision is the cross-multiplied integer
     comparison sj*n >= st*cj — no division, no float — so the Arrow
     kernel and the DuckDB positional-SQL mirror agree bit for bit and
-    the op carries a FULL oracle (rare for a multimodal op). Requires
-    every blob >= 16 bytes so all 16 buckets are populated on both
-    sides (fixture min length 44; the kernel handles shorter blobs but
-    the SQL mirror would lose empty-bucket rows).
+    the op carries a FULL oracle (rare for a multimodal op). Two
+    mirror preconditions (both verified properties of the fixtures,
+    shared with multimodal_resize): blobs >= 16 bytes (all 16 buckets
+    populated; min fixture length 44) and ASCII-only text (the kernel
+    hashes UTF-8 BYTES, the SQL mirror per-CHARACTER ascii() — they
+    coincide iff byte == char; real image bytes have no SQL mirror at
+    all, so the oracle's job is pinning the kernel arithmetic).
 
     Scale: map-only hashing (zero shuffle) + one groupBy on the
     16-bit hash — constant-width shuffle rows, collision classes

@@ -378,17 +378,29 @@ def win_interp_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), r AS (
         -- literals cast to DOUBLE: DuckDB types bare 1.0/0.7 as DECIMAL
-        -- and would run the den recurrence in scale-1 decimal arithmetic
+        -- and would run the den recurrence in scale-1 decimal arithmetic.
+        -- NULL values mirror the kernel's pandas ignore_na=False
+        -- semantics (null advances the decay, contributes nothing) —
+        -- without the CASE branches one null would poison num to NULL
+        -- for the rest of the series (round-3 review catch; latent, the
+        -- fixture is null-free)
         SELECT user_id, event_id, value, rn,
-               value + 0.0::DOUBLE AS num, 1.0::DOUBLE AS den
+               CASE WHEN value IS NULL THEN 0.0::DOUBLE
+                    ELSE value + 0.0::DOUBLE END AS num,
+               CASE WHEN value IS NULL THEN 0.0::DOUBLE
+                    ELSE 1.0::DOUBLE END AS den
         FROM s WHERE rn = 1
         UNION ALL
         SELECT s.user_id, s.event_id, s.value, s.rn,
-               s.value + 0.7::DOUBLE * r.num AS num,
-               1.0::DOUBLE + 0.7::DOUBLE * r.den AS den
+               CASE WHEN s.value IS NULL THEN 0.7::DOUBLE * r.num
+                    ELSE s.value + 0.7::DOUBLE * r.num END AS num,
+               CASE WHEN s.value IS NULL THEN 0.7::DOUBLE * r.den
+                    ELSE 1.0::DOUBLE + 0.7::DOUBLE * r.den END AS den
         FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
     )
-    SELECT user_id, event_id, value, num / den AS ewm_value FROM r
+    SELECT user_id, event_id, value,
+           CASE WHEN den = 0 THEN NULL ELSE num / den END AS ewm_value
+    FROM r
     """,
 )
 def win_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,7 +480,22 @@ def win_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 carry[int(uid[s])] = (float(pn[k]), float(pd_[k]))
             out = pdf[["user_id", "event_id", "value"]].copy()
             with np.errstate(invalid="ignore", divide="ignore"):
-                out["ewm_value"] = num / den
+                ewm = num / den
+            if miss_any:
+                # null inputs arrive as NaN through Arrow — emit them
+                # back as true nulls so the value column round-trips
+                # (object columns make Arrow write nulls, not NaN)
+                vc = pdf["value"].astype(object)
+                vc[np.isnan(v)] = None
+                out["value"] = vc
+            if (den == 0).any():
+                # all-null prefix: no observation yet -> NULL, matching
+                # the oracle's CASE WHEN den = 0
+                col = ewm.astype(object)
+                col[den == 0] = None
+                out["ewm_value"] = col
+            else:
+                out["ewm_value"] = ewm
             yield out
 
     return part.mapInPandas(

@@ -147,6 +147,17 @@ class TsStore:
         stage = os.path.join(parent, f".{base}.append.{uuid.uuid4().hex}")
         stamped.write.partitionBy(_PART).parquet(stage)
         os.makedirs(path, exist_ok=True)
+        self._move_staged_parts(stage, path)
+        shutil.rmtree(stage)
+        self._save_schema(name, stamped)
+
+    @staticmethod
+    def _move_staged_parts(stage: str, path: str) -> None:
+        """Move every staged day partition's part-files into the table —
+        one same-filesystem rename per file (readers only ever see whole
+        files). Shared by append() and compact(); their visibility
+        invariants depend on the exact same filtering (dotted files and
+        non-parquet artifacts stay behind)."""
         for entry in os.listdir(stage):
             if not entry.startswith(f"{_PART}="):
                 continue
@@ -158,8 +169,6 @@ class TsStore:
                     os.rename(
                         os.path.join(src_dir, f), os.path.join(dst_dir, f)
                     )
-        shutil.rmtree(stage)
-        self._save_schema(name, stamped)
 
     def overwrite(self, name: str, df: DataFrame, ingest_ts=None) -> None:
         stamped = self._with_part(self._with_ingest(df, ingest_ts))
@@ -244,15 +253,21 @@ class TsStore:
 
     # -- maintenance ------------------------------------------------------
 
-    def _sweep_compact_leftovers(self, name: str) -> None:
+    def _sweep_compact_leftovers(self, name: str, deep: bool = False) -> None:
         """Recover from a compact() crash at any instant (same sweep
         discipline as optimize's per-partition swap):
           - '.{name}.compact.old' with the series dir MISSING -> the
-            crash hit between the two renames and the old dir holds the
-            ONLY copy: restore it;
+            crash hit between the two renames (pre-round-3 whole-dir
+            swap layout) and the old dir holds the ONLY copy: restore;
           - '.{name}.compact.old' with the series dir present -> swap
             completed, cleanup lost: finish deleting;
-          - '.{name}.compact.tmp' -> unfinished rewrite: discard.
+          - '.{name}.compact[.uuid].tmp' -> unfinished rewrite: discard
+            (data is never only in a stage dir — inputs are deleted
+            strictly AFTER their replacements moved in).
+        The uuid'd stage dirs (crashed compact/append leftovers) are
+        swept only on ``deep=True`` — compact() entry, where this
+        process owns maintenance for the series — never from fetch(),
+        which must not destroy another process's in-flight stage.
         Runs at compact() entry and fetch() entry, so a crashed compact
         never strands a series until manual intervention."""
         import shutil
@@ -268,6 +283,24 @@ class TsStore:
                 os.rename(old, path)
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
+        if deep and os.path.isdir(parent):
+            # crashed uuid stages: compact stages are always safe to
+            # discard; append stages only when plausibly abandoned
+            # (mtime over an hour old — an in-flight append's stage is
+            # seconds old), since an appender may still be moving files
+            import time
+
+            cutoff = time.time() - 3600
+            for entry in os.listdir(parent):
+                p = os.path.join(parent, entry)
+                if not entry.startswith(f".{base}.") or not os.path.isdir(p):
+                    continue
+                if entry.endswith(".tmp") and ".compact." in entry:
+                    shutil.rmtree(p)
+                elif entry.startswith(f".{base}.append.") and (
+                    os.path.getmtime(p) < cutoff
+                ):
+                    shutil.rmtree(p)
 
     def compact(
         self,
@@ -293,15 +326,28 @@ class TsStore:
         concurrent appender lands between compact's read and its swap
         (caught by the threading law in tests/test_store.py). Files
         appended mid-compact are simply not part of the snapshot and
-        survive untouched. Readers racing the in-place phase can
-        transiently see a compacted row next to its pre-compact
+        survive untouched; no instant loses a row or tears a file.
+        Reader caveats (the honest limits of a manifest-less store): a
+        PLAN created before compaction holds the old file listing and
+        can hit FileNotFound if executed after the input deletion —
+        re-fetch on that error (a table format/manifest is the
+        production fix); a fetch run DURING the in-place phase can
+        transiently see a compacted row beside its pre-compact
         versions — the same duplicate class blind appends already
-        create, resolved by fetch(latest_by=...) and by the next
-        compact; no instant ever loses a row or tears a file."""
+        create, resolved by fetch(latest_by=...). Compaction assumes a
+        single maintenance owner per series (two simultaneous compacts
+        of one series may fail; they cannot lose data — inputs are
+        removed only after replacements are in).
+
+        SCHEMA EVOLUTION: the snapshot is read with mergeSchema — the
+        store allows appends to widen the schema, and inferring from
+        one (possibly oldest) file would rewrite every row WITHOUT the
+        later-added columns and then delete the only copies that had
+        them (round-3 review catch)."""
         import shutil
         import uuid
 
-        self._sweep_compact_leftovers(name)
+        self._sweep_compact_leftovers(name, deep=True)
         path = self.path(name)
         snapshot: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(path)):
@@ -320,7 +366,11 @@ class TsStore:
         in_files = [
             os.path.join(path, e, f) for e, fs in snapshot.items() for f in fs
         ]
-        df = self.spark.read.option("basePath", path).parquet(*in_files)
+        df = (
+            self.spark.read.option("basePath", path)
+            .option("mergeSchema", "true")
+            .parquet(*in_files)
+        )
         w = W.partitionBy(_PART, *key_cols).orderBy(
             F.col(order_col or self.ts_col).desc()
         )
@@ -335,17 +385,7 @@ class TsStore:
         compacted.write.partitionBy(_PART).parquet(stage)
         # move compacted files in FIRST (transient duplicates, never a
         # gap), then delete exactly the snapshot inputs
-        for entry in os.listdir(stage):
-            if not entry.startswith(f"{_PART}="):
-                continue
-            dst_dir = os.path.join(path, entry)
-            os.makedirs(dst_dir, exist_ok=True)
-            src_dir = os.path.join(stage, entry)
-            for f in os.listdir(src_dir):
-                if f.endswith(".parquet") and not f.startswith("."):
-                    os.rename(
-                        os.path.join(src_dir, f), os.path.join(dst_dir, f)
-                    )
+        self._move_staged_parts(stage, path)
         for entry, files in snapshot.items():
             for f in files:
                 try:

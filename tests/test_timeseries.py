@@ -379,3 +379,73 @@ def test_holt_blas_matches_sequential_kernel(spark, sf_dir):
     )
     assert len(a) == len(b)
     assert np.allclose(a.holt_level, b.holt_level, rtol=1e-9, atol=1e-9)
+
+
+def test_ewm_null_semantics_match_oracle(spark, tmp_path):
+    """The round-3 review flagged win_ewm's NaN branch as latent (the
+    fixture is null-free): drive the kernel AND the recursive-CTE
+    oracle over a null-injected copy of events — nulls must advance the
+    decay without contributing (pandas ignore_na=False), all-null
+    prefixes must emit NULL, and null input values must round-trip as
+    nulls, bit-identically on both engines."""
+    import duckdb
+
+    ev = SPECS["win_ewm"].builder(spark, SMALL).sparkSession.read.parquet(
+        f"{SMALL}/events.parquet"
+    )
+    # nulls sprinkled mid-series AND a guaranteed all-null prefix: the
+    # lowest event_ids of user 0 (fixture event_ids ascend per user)
+    import pyspark.sql.functions as F
+
+    holey = (
+        ev.withColumn(
+            "value",
+            F.when(
+                (F.col("event_id") % 7 == 0)
+                | ((F.col("user_id") == 0) & (F.col("event_id") < 70)),
+                F.lit(None).cast("double"),
+            ).otherwise(F.col("value")),
+        )
+    )
+    # builder reads {sf_dir}/events.parquet — stage the holey copy in
+    # the single-file fixture layout
+    import glob
+    import os
+    import shutil
+
+    d = str(tmp_path / "holey")
+    holey.coalesce(1).write.parquet(d)
+    stage = str(tmp_path / "sf_holey")
+    os.makedirs(stage)
+    part = glob.glob(f"{d}/part-*.parquet")[0]
+    shutil.copy(part, f"{stage}/events.parquet")
+
+    spdf = (
+        SPECS["win_ewm"].builder(spark, stage)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+        .astype(str)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{stage}/events.parquet')"
+    )
+    dpdf = (
+        con.execute(SPECS["win_ewm"].oracle)
+        .fetchdf()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+        .astype(str)
+    )
+    assert list(spdf.columns) == list(dpdf.columns) or set(spdf.columns) == set(dpdf.columns)
+    for c in ["user_id", "event_id", "value", "ewm_value"]:
+        assert (spdf[c] == dpdf[c]).all(), c
+    # the all-null prefix really exercised the den==0 path: the Spark
+    # result holds true NULLs (not NaN) for user 0's first rows
+    prefix_nulls = (
+        SPECS["win_ewm"].builder(spark, stage)
+        .filter("user_id = 0 AND event_id < 70 AND ewm_value IS NULL")
+        .count()
+    )
+    assert prefix_nulls >= 1
