@@ -637,13 +637,33 @@ class TsStore:
         that actually contain those keys. Discovery is one pruned scan
         (predicate pushes to parquet row-group stats); untouched days
         are never read or rewritten, so takedown cost scales with the
-        subject's footprint, not the store size. Swap is per-partition
-        directory rename — same atomicity story as compact. Returns
-        the number of rows deleted."""
+        subject's footprint, not the store size. Returns the number of
+        rows deleted.
+
+        Crash safety (round-3 hardening): each day swaps via
+        rename(day -> .{day}.del.old) -> rename(new -> day) ->
+        rmtree(.del.old) — the original rmtree-then-rename order lost
+        the whole day if the crash hit between the two. Leftover
+        '.del.old' dirs sweep on the next delete_keys/optimize-style
+        entry: restored when the day is missing, discarded otherwise.
+        Reads with mergeSchema so an evolved store's rewritten days
+        keep their later-added columns (the compact() lesson)."""
         import shutil as _shutil
 
         path = self.path(name)
-        df = self.spark.read.parquet(path)
+        # sweep a crashed prior delete: same restore-or-discard rule as
+        # optimize's per-partition swap
+        for entry in os.listdir(path):
+            leftover = os.path.join(path, entry)
+            if not entry.startswith(".") or not os.path.isdir(leftover):
+                continue
+            if entry.endswith(".del.old"):
+                orig = os.path.join(path, entry[1 : -len(".del.old")])
+                if os.path.isdir(orig):
+                    _shutil.rmtree(leftover)
+                else:
+                    os.rename(leftover, orig)
+        df = self.spark.read.option("mergeSchema", "true").parquet(path)
         hit = F.col(key_col).isin(list(keys))
         days = [
             r[0]
@@ -663,9 +683,11 @@ class TsStore:
             part = f"{_PART}={day}"
             old = os.path.join(path, part)
             new = os.path.join(tmp, part)
-            _shutil.rmtree(old)
+            aside = os.path.join(path, f".{part}.del.old")
+            os.rename(old, aside)
             if os.path.exists(new):  # day may become empty
                 os.rename(new, old)
+            _shutil.rmtree(aside)
         _shutil.rmtree(tmp, ignore_errors=True)
         return deleted
 

@@ -494,3 +494,25 @@ def test_changes_feed_duplicate_ingest_timestamps(spark, tmp_path):
     f1 = ids(store.changes("s", "2000-01-01", T))
     f2 = ids(store.changes("s", T))
     assert sorted(f1 + f2) == ids(store.fetch("s"))
+
+
+def test_delete_keys_crash_recovery(spark, store, events):
+    """A delete_keys crash between its two per-day renames leaves the
+    day only in '.{part}.del.old'; the sweep at the next delete_keys
+    entry must restore it (round-3 hardening — the original
+    rmtree-then-rename order lost the whole day)."""
+    import os
+
+    store.append("events", events)
+    n = store.fetch("events").count()
+    path = store.path("events")
+    parts = sorted(e for e in os.listdir(path) if e.startswith("_date="))
+    # simulate the crash window: day renamed aside, replacement missing
+    os.rename(
+        os.path.join(path, parts[0]), os.path.join(path, f".{parts[0]}.del.old")
+    )
+    assert store.fetch("events").count() < n
+    # any delete_keys entry sweeps; delete nothing real
+    assert store.delete_keys("events", "event_id", [-1]) == 0
+    assert os.path.isdir(os.path.join(path, parts[0]))
+    assert store.fetch("events").count() == n
