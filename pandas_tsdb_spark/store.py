@@ -456,7 +456,11 @@ class TsStore:
                 os.path.getsize(os.path.join(part_dir, f)) for f in files
             )
             n_out = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
-            df = self.spark.read.parquet(part_dir)
+            # mergeSchema: a partition can hold files from appends that
+            # widened the schema — inferring from one file would rewrite
+            # the partition without the other files' columns (the
+            # compact() data-loss class)
+            df = self.spark.read.option("mergeSchema", "true").parquet(part_dir)
             tmp = os.path.join(path, f".{entry}.opt.tmp")
             df.repartition(n_out).write.mode("overwrite").parquet(tmp)
             old = os.path.join(path, f".{entry}.opt.old")
@@ -546,7 +550,7 @@ class TsStore:
             os.replace(tmp, state_file)
 
         for day in sorted(stale):
-            day_df = self.spark.read.parquet(
+            day_df = self.spark.read.option("mergeSchema", "true").parquet(
                 os.path.join(src_path, f"{_PART}={day}")
             )
             out = agg(day_df)

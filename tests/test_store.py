@@ -516,3 +516,35 @@ def test_delete_keys_crash_recovery(spark, store, events):
     assert store.delete_keys("events", "event_id", [-1]) == 0
     assert os.path.isdir(os.path.join(path, parts[0]))
     assert store.fetch("events").count() == n
+
+
+def test_optimize_and_compact_preserve_evolved_schema(spark, store, events):
+    """mergeSchema law (round-3 review class): a day partition holding
+    files from both a narrow append and a widened append must keep the
+    widened column — with its values — through optimize() (layout
+    rewrite) AND compact() (semantic rewrite). Without mergeSchema the
+    rewrite inferred one file's schema and silently deleted the only
+    copies of the other's columns."""
+    narrow = events.select("event_id", "user_id", "ts", "value")
+    widened = narrow.withColumn(
+        "extra_col", F.col("event_id") * 2
+    ).withColumn("event_id", F.col("event_id") + 10_000_000)
+    store.append("events", narrow)
+    store.append("events", widened)
+    n = narrow.count()
+
+    store.optimize("events", target_file_mb=128, min_files=2)
+    got = store.fetch("events")
+    assert "extra_col" in got.columns
+    assert got.filter("extra_col IS NOT NULL").count() == n
+    assert (
+        got.filter("extra_col IS NOT NULL AND extra_col != (event_id - 10000000) * 2")
+        .count()
+        == 0
+    )
+
+    store.compact("events", key_cols=["event_id"])
+    got = store.fetch("events")
+    assert "extra_col" in got.columns
+    assert got.count() == 2 * n
+    assert got.filter("extra_col IS NOT NULL").count() == n
