@@ -92,9 +92,21 @@ def declared_schema_diff(spark: SparkSession, sf_dir: str) -> list[str]:
     return problems
 
 
-@query("sink_parquet", oracle=None)  # write path: rows-only check
+@query(
+    "sink_parquet",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-trip sink: aggregate -> write parquet (partitioned) -> re-read.
+    """Round-trip sink: aggregate -> write parquet (partitioned) ->
+    re-read — oracle-checked end to end like the CSV/JSON/ORC roundtrip
+    trio (round-3 upgrade from rows-only: the write path itself is what
+    the hash now certifies; l_quantity is integer-valued, so the
+    rounded sum is exact on both engines and survives the parquet
+    round-trip bit-identically).
 
     Partitioning by the group key demonstrates the layout a 100 TB sink
     would use (partition pruning on read); local tmp dir stands in for

@@ -105,12 +105,32 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("join_asof_cogroup", oracle=None)  # rows-only: pandas-kernel variant
+@query(
+    "join_asof_cogroup",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.value,
+           (SELECT p.value FROM events p
+             WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+               AND p.ts <= e.ts
+             ORDER BY p.ts DESC, p.event_id DESC LIMIT 1)
+               AS last_purchase_value,
+           (SELECT p.event_id FROM events p
+             WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+               AND p.ts <= e.ts
+             ORDER BY p.ts DESC, p.event_id DESC LIMIT 1)
+               AS last_purchase_id
+    FROM events e
+    """,
+)
 def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same as-of join, implemented with cogrouped applyInPandas calling
-    pd.merge_asof per key (§2.11 cogroup surface). Tests assert it equals
-    join_asof; the union-and-window plan stays the production path (one
-    window vs Arrow round-trip per key)."""
+    pd.merge_asof per key (§2.11 cogroup surface). Round-3 upgrade from
+    rows-only: the op carries join_asof's correlated-subquery oracle
+    minus the tolerance column (raw parquet doubles pass through the
+    Arrow kernel bit-identically), so the pandas-kernel path is now
+    hash-checked directly, not just equal-to-join_asof-tested. The
+    union-and-window plan stays the production path (one window vs an
+    Arrow round-trip per key)."""
     # The right side gets its OWN scan and uniquely-named columns: when
     # both cogroup children share attribute ids (self-cogroup off one
     # DataFrame), the duplicated `ts` attribute can be deduplicated out
