@@ -1510,3 +1510,134 @@ def win_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (700.0 * F.col("ng")),
         ).alias("resid"),
     )
+
+
+@query(
+    "win_kalman",
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+    ), r AS (
+        -- seed: x0 = z0, P0 = 1 (null z0 -> no information: x NULL, P
+        -- grows by Q each missing step via the recursive CASE below).
+        -- Every literal ::DOUBLE (bare literals are DECIMAL in DuckDB).
+        SELECT user_id, event_id, value, rn,
+               value AS x, 1.0::DOUBLE AS p
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT user_id, event_id, value, rn, x_new, p_new FROM (
+            SELECT s.user_id, s.event_id, s.value, s.rn,
+                   r.p + 0.001::DOUBLE AS pp,
+                   pp / (pp + 0.04::DOUBLE) AS k,
+                   CASE WHEN s.value IS NULL OR r.x IS NULL
+                        THEN coalesce(r.x, s.value)
+                        ELSE r.x + k * (s.value - r.x) END AS x_new,
+                   CASE WHEN s.value IS NULL OR r.x IS NULL
+                        THEN CASE WHEN s.value IS NULL THEN pp
+                                  ELSE 1.0::DOUBLE END
+                        ELSE (1.0::DOUBLE - k) * pp END AS p_new
+            FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+    )
+    SELECT user_id, event_id, value, x AS kalman_level FROM r
+    """,
+    tags=("timeseries",),
+)
+def win_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (local-level model, Q=0.001, R=0.04) per
+    series — unlike ewm/holt this recurrence is NONLINEAR in its state
+    (the gain K_t = P_t/(P_t+R) depends on the evolving covariance), so
+    no closed-form window expression exists even in principle; it is
+    the third member of the recursive-CTE-oracle family (round-3
+    pattern: ewm's num/den, holt's level/trend, now x/P).
+
+        predict:  Pp = P + Q
+        gain:     K  = Pp / (Pp + R)
+        update:   x  = x + K (z - x);  P = (1-K) Pp
+        missing z: x carries forward, P = Pp (uncertainty grows);
+        a series seeded by nulls takes the first real z as x0, P0 = 1.
+
+    Kernel: win_ewm's across-series vectorized position loop — each
+    step is a handful of numpy elementwise ops over all still-active
+    series, and the per-element IEEE sequence (add, div, sub-mul-add,
+    sub-mul) is exactly the CTE's, so kalman_level hashes RAW with no
+    rounding. One user_id shuffle; cross-batch (x, P, seeded) state
+    carries per user."""
+    Q, R = 0.001, 0.04
+    ev = Tables(spark, sf_dir).events.select("user_id", "event_id", "value")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = ev.repartition(n_part, "user_id").sortWithinPartitions(
+        "user_id", "event_id"
+    )
+
+    def kernel(batches):
+        # user -> (x, P, seeded); unseeded series have x=nan
+        carry: dict[int, tuple[float, float, bool]] = {}
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            uid = pdf["user_id"].to_numpy()
+            z = pdf["value"].to_numpy(dtype="float64")
+            new = np.r_[True, uid[1:] != uid[:-1]]
+            starts = np.flatnonzero(new)
+            lens = np.diff(np.r_[starts, n])
+            x = np.array(
+                [carry.get(int(uid[s]), (np.nan, 1.0, False))[0] for s in starts]
+            )
+            P = np.array(
+                [carry.get(int(uid[s]), (np.nan, 1.0, False))[1] for s in starts]
+            )
+            seeded = np.array(
+                [carry.get(int(uid[s]), (np.nan, 1.0, False))[2] for s in starts]
+            )
+            out = np.empty(n)
+            pos = starts.copy()
+            active = np.arange(len(starts))
+            step = 0
+            while len(active):
+                sel = pos[active]
+                zz = z[sel]
+                miss = np.isnan(zz)
+                sd = seeded[active]
+                xa = x[active]
+                Pa = P[active]
+                first = ~sd
+                # seed branch: first real observation -> x=z, P=1
+                xa = np.where(first & ~miss, zz, xa)
+                Pa = np.where(first & ~miss, 1.0, Pa)
+                # steady branch (seeded, z present): the CTE's exact order
+                pp = Pa + Q
+                k = pp / (pp + R)
+                upd = sd & ~miss
+                xa = np.where(upd, x[active] + k * (zz - x[active]), xa)
+                Pa = np.where(upd, (1.0 - k) * pp, Pa)
+                # missing z on a seeded series: carry x, grow P
+                grow = sd & miss
+                Pa = np.where(grow, pp, Pa)
+                seeded[active] = sd | ~miss
+                x[active] = xa
+                P[active] = Pa
+                out[sel] = xa
+                pos[active] += 1
+                step += 1
+                active = active[lens[active] > step]
+            for j, s in enumerate(starts):
+                carry[int(uid[s])] = (float(x[j]), float(P[j]), bool(seeded[j]))
+            res = pdf[["user_id", "event_id", "value"]].copy()
+            if np.isnan(z).any():
+                vc = pdf["value"].astype(object)
+                vc[np.isnan(z)] = None
+                res["value"] = vc
+                oc = out.astype(object)
+                oc[np.isnan(out)] = None
+                res["kalman_level"] = oc
+            else:
+                res["kalman_level"] = out
+            yield res
+
+    return part.mapInPandas(
+        kernel, "user_id long, event_id long, value double, kalman_level double"
+    )

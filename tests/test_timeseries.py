@@ -449,3 +449,52 @@ def test_ewm_null_semantics_match_oracle(spark, tmp_path):
         .count()
     )
     assert prefix_nulls >= 1
+
+
+def test_kalman_null_semantics_match_oracle(spark, tmp_path):
+    """win_kalman (nonlinear recurrence, recursive-CTE oracle) under
+    nulls: missing observations carry the level and grow the
+    covariance; all-null prefixes seed at the first real value — the
+    kernel and the CTE must agree bit for bit on a holey events copy,
+    like the win_ewm law."""
+    import duckdb
+    import glob
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{SMALL}/events.parquet")
+    holey = ev.withColumn(
+        "value",
+        F.when(
+            (F.col("event_id") % 5 == 0)
+            | ((F.col("user_id") == 0) & (F.col("event_id") < 70)),
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("value")),
+    )
+    d = str(tmp_path / "holey")
+    holey.coalesce(1).write.parquet(d)
+    stage = str(tmp_path / "sf_holey")
+    os.makedirs(stage)
+    shutil.copy(glob.glob(f"{d}/part-*.parquet")[0], f"{stage}/events.parquet")
+    spdf = (
+        SPECS["win_kalman"].builder(spark, stage)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+        .astype(str)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{stage}/events.parquet')"
+    )
+    dpdf = (
+        con.execute(SPECS["win_kalman"].oracle)
+        .fetchdf()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+        .astype(str)
+    )
+    for c in ["user_id", "event_id", "value", "kalman_level"]:
+        assert (spdf[c] == dpdf[c]).all(), c
