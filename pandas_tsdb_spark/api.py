@@ -1421,9 +1421,59 @@ def _tsframe_holt(
     return self.apply_per_series(fn, f"{schema_cols}, `{out}` double")
 
 
+def _tsframe_kalman(
+    self,
+    col: str,
+    q: float = 0.001,
+    r: float = 0.04,
+    out: str | None = None,
+) -> DataFrame:
+    """1-D Kalman filter (local-level model) per series — adaptive
+    smoothing whose gain tracks the evolving estimate covariance
+    (process noise ``q``, observation noise ``r``). Seeds x0 at the
+    first non-NaN observation with P0=1; missing observations carry
+    the level and grow P. Per-key Arrow kernel (apply_per_series); the
+    registry's win_kalman is the high-key-count mapInPandas variant of
+    the same recurrence with a recursive-CTE oracle — the two
+    implementations are cross-checked in tests."""
+    out = out or f"{col}_kalman"
+    ts_col, order_col, by = self.ts_col, self.order_col, list(self.by)
+    keep = by + [ts_col] + ([order_col] if order_col else []) + [col]
+    schema_cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in self.df.select(*keep).schema.fields
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = pdf[col].to_numpy(dtype=float)
+        res = np.full(len(z), np.nan)
+        x, P, seeded = np.nan, 1.0, False
+        for i in range(len(z)):
+            zi = z[i]
+            if not seeded:
+                if not np.isnan(zi):
+                    x, P, seeded = zi, 1.0, True
+                res[i] = x
+                continue
+            pp = P + q
+            if np.isnan(zi):
+                P = pp
+            else:
+                k = pp / (pp + r)
+                x = x + k * (zi - x)
+                P = (1.0 - k) * pp
+            res[i] = x
+        rdf = pdf[keep].copy()
+        rdf[out] = res
+        return rdf
+
+    return self.apply_per_series(fn, f"{schema_cols}, `{out}` double")
+
+
 TsFrame.combine_first = _tsframe_combine_first
 TsFrame.seasonal_adjust = _tsframe_seasonal_adjust
 TsFrame.holt = _tsframe_holt
+TsFrame.kalman = _tsframe_kalman
 
 
 def _tsframe_describe(self, col: str) -> DataFrame:

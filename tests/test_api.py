@@ -1159,3 +1159,24 @@ def test_resample_calendar_asfreq_and_interpolate(spark, ev):
     # bucket had data, the value must equal resample().last()
     m = filled.merge(last, on=["user_id", "bucket"], suffixes=("", "_want"))
     assert _eq(m["value"], m["value_want"])
+
+
+def test_kalman_api_matches_registry_kernel(spark, ev, pev):
+    """TsFrame.kalman (per-key applyInPandas, scalar loop) must equal
+    the registry's win_kalman (across-series vectorized mapInPandas
+    with cross-batch carry) — two independent implementations of the
+    same nonlinear recurrence, q/r matching."""
+    from pandas_tsdb_spark.registry import load_all
+
+    got = _sorted(
+        tsf(ev.select("user_id", "ts", "event_id", "value"))
+        .kalman("value", q=0.001, r=0.04)
+        .toPandas()
+    )
+    reg = (
+        load_all()["win_kalman"]
+        .builder(spark, SMALL)
+        .toPandas()
+        .pipe(_sorted)
+    )
+    assert _eq(got["value_kalman"], reg["kalman_level"], tol=1e-12)
