@@ -730,3 +730,101 @@ def stream_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vfirst", "vlast",
     )
     return run_to_memory(out, "complete", "m4bars")
+
+
+def make_kalman_kernel():
+    """Per-user 1-D Kalman kernel with (x, P, seeded) cross-batch state —
+    the streaming twin of the batch win_kalman recurrence (same IEEE
+    operation order, so the completed stream shares its recursive-CTE
+    oracle). Closure for by-value pickling, like make_cumsum_kernel."""
+
+    def kernel(key, pdf_iter, state):
+        import numpy as np
+
+        Q, R = 0.001, 0.04
+        if state.exists:
+            x, P, seeded = state.get
+        else:
+            x, P, seeded = 0.0, 1.0, False
+        pdf = pd.concat(list(pdf_iter)).sort_values("event_id")
+        z = pdf["value"].to_numpy(dtype=float)
+        res = np.full(len(z), np.nan)
+        xx = x if seeded else np.nan
+        for i in range(len(z)):
+            zi = z[i]
+            if not seeded:
+                if not np.isnan(zi):
+                    xx, P, seeded = zi, 1.0, True
+                res[i] = xx
+                continue
+            pp = P + Q
+            if np.isnan(zi):
+                P = pp
+            else:
+                k = pp / (pp + R)
+                xx = xx + k * (zi - xx)
+                P = (1.0 - k) * pp
+            res[i] = xx
+        state.update(
+            (float(xx) if seeded else 0.0, float(P), bool(seeded))
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+                "kalman_level": res,
+            }
+        )
+
+    return kernel
+
+
+@query(
+    "stream_kalman",
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+    ), r AS (
+        SELECT user_id, event_id, value, rn,
+               value AS x, 1.0::DOUBLE AS p
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT user_id, event_id, value, rn, x_new, p_new FROM (
+            SELECT s.user_id, s.event_id, s.value, s.rn,
+                   r.p + 0.001::DOUBLE AS pp,
+                   pp / (pp + 0.04::DOUBLE) AS k,
+                   CASE WHEN s.value IS NULL OR r.x IS NULL
+                        THEN coalesce(r.x, s.value)
+                        ELSE r.x + k * (s.value - r.x) END AS x_new,
+                   CASE WHEN s.value IS NULL OR r.x IS NULL
+                        THEN CASE WHEN s.value IS NULL THEN pp
+                                  ELSE 1.0::DOUBLE END
+                        ELSE (1.0::DOUBLE - k) * pp END AS p_new
+            FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+    )
+    SELECT user_id, event_id, value, x AS kalman_level FROM r
+    """,
+)
+def stream_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-D Kalman filter (applyInPandasWithState): per-user
+    (x, P, seeded) state carried across micro-batches — a NONLINEAR
+    recurrence running live on a stream, sharing batch win_kalman's
+    recursive-CTE oracle because the per-row IEEE sequence is
+    identical and event arrival order is event_id order (ts-monotone
+    fixture; the chunked-replay differential in tests/test_streaming.py
+    proves the state carry). State is three scalars per key — bounded
+    regardless of stream length, the applyInPandasWithState analogue
+    of the win_ewm/holt/kalman batch family."""
+    ev = events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        make_kalman_kernel(),
+        "user_id long, event_id long, value double, kalman_level double",
+        "x double, p double, seeded boolean",
+        "Append",
+        "NoTimeout",
+    )
+    return run_to_memory(out, "append", "kalman")

@@ -468,3 +468,22 @@ def test_random_microbatch_boundaries_equal_single_batch(
     gs = sorted(round(r.s, 2) for r in got.select("s").collect())
     ws = sorted(round(r.sum_value, 2) for r in want.select("sum_value").collect())
     assert gs == ws
+
+
+def test_chunked_kalman_carries_state(spark, chunk_dir):
+    """Streaming Kalman replayed as 4 micro-batches must equal the
+    single-batch run bit for bit — (x, P, seeded) state carries the
+    nonlinear recurrence across batch boundaries."""
+    def tf(ev):
+        return ev.groupBy("user_id").applyInPandasWithState(
+            S.make_kalman_kernel(),
+            "user_id long, event_id long, value double, kalman_level double",
+            "x double, p double, seeded boolean",
+            "Append",
+            "NoTimeout",
+        )
+
+    got = _run_chunks(spark, chunk_dir, tf, "append")
+    want = SPECS["win_kalman"].builder(spark, SMALL)
+    cols = ["user_id", "event_id", "value", "kalman_level"]
+    assert _rows(got, cols) == _rows(want, cols)
