@@ -171,6 +171,11 @@ class TsStore:
                     )
 
     def overwrite(self, name: str, df: DataFrame, ingest_ts=None) -> None:
+        """Replace the series wholesale. SINGLE-WRITER semantics by
+        definition (a full replacement concurrent with appends has no
+        meaningful merge order) — unlike append(), this writes straight
+        through Spark's committer; don't run it while appenders are
+        live."""
         stamped = self._with_part(self._with_ingest(df, ingest_ts))
         stamped.write.mode("overwrite").partitionBy(_PART).parquet(
             self.path(name)
