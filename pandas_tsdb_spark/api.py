@@ -276,8 +276,8 @@ class TsFrame:
     def expanding(self, min_periods: int = 1) -> "Rolling":
         return Rolling(self, None, min_periods)
 
-    def ewm(self, alpha: float) -> "Ewm":
-        return Ewm(self, alpha)
+    def ewm(self, alpha: float, adjust: bool = True) -> "Ewm":
+        return Ewm(self, alpha, adjust)
 
     def resample(self, freq: str) -> "Resampler":
         return Resampler(self, freq)
@@ -858,16 +858,19 @@ class Rolling:
 
 class Ewm:
     """ewm(alpha).mean() — exact recursive EWM per series via one Arrow
-    kernel per key group (adjust=True pandas semantics)."""
+    kernel per key group. ``adjust`` follows pandas: True (default) is
+    the finite-history weighted mean num/den; False is the plain
+    recursion y_t = (1-a) y_{t-1} + a x_t."""
 
-    def __init__(self, tf: TsFrame, alpha: float):
+    def __init__(self, tf: TsFrame, alpha: float, adjust: bool = True):
         if not 0 < alpha <= 1:
             raise ValueError("alpha in (0, 1]")
         self.tf = tf
         self.alpha = alpha
+        self.adjust = adjust
 
     def mean(self, col: str, out: str | None = None) -> TsFrame:
-        tf, alpha = self.tf, self.alpha
+        tf, alpha, adjust = self.tf, self.alpha, self.adjust
         out = out or f"{col}_ewm"
         # build 'a long, b double, ...' DDL from the existing schema
         ddl = ", ".join(
@@ -880,7 +883,7 @@ class Ewm:
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             sort_keys = [ts_col] + ([order_col] if order_col else [])
             pdf = pdf.sort_values(sort_keys)
-            pdf[out] = pdf[col].ewm(alpha=alpha, adjust=True).mean()
+            pdf[out] = pdf[col].ewm(alpha=alpha, adjust=adjust).mean()
             return pdf
 
         if by:
@@ -894,7 +897,7 @@ class Ewm:
     def _moment(self, col: str, out: str, fn_name: str) -> TsFrame:
         """Shared kernel for var/std: pandas ewm(adjust=True, bias=False)
         per series, same applyInPandas shape as mean()."""
-        tf, alpha = self.tf, self.alpha
+        tf, alpha, adjust = self.tf, self.alpha, self.adjust
         ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in tf.df.schema.fields
         ) + f", {out} double"
@@ -903,7 +906,9 @@ class Ewm:
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             sort_keys = [ts_col] + ([order_col] if order_col else [])
             pdf = pdf.sort_values(sort_keys)
-            pdf[out] = getattr(pdf[col].ewm(alpha=alpha, adjust=True), fn_name)()
+            pdf[out] = getattr(
+                pdf[col].ewm(alpha=alpha, adjust=adjust), fn_name
+            )()
             return pdf
 
         if by:

@@ -1180,3 +1180,23 @@ def test_kalman_api_matches_registry_kernel(spark, ev, pev):
         .pipe(_sorted)
     )
     assert _eq(got["value_kalman"], reg["kalman_level"], tol=1e-12)
+
+
+def test_ewm_adjust_false_vs_pandas(spark, ev, pev):
+    """ewm(alpha, adjust=False): the plain recursion
+    y_t = (1-a) y_{t-1} + a x_t — pandas parity for the non-default
+    adjust mode (round-3 API widening)."""
+    got = _sorted(
+        tsf(ev).ewm(alpha=0.3, adjust=False).mean("value").to_pandas()
+    )
+    want = _pandas_per_user(
+        pev, lambda g: g["value"].ewm(alpha=0.3, adjust=False).mean()
+    )
+    assert _eq(got.value_ewm, want.want, tol=1e-9)
+    got_v = _sorted(
+        tsf(ev).ewm(alpha=0.3, adjust=False).var("value").to_df().toPandas()
+    )
+    want_v = _pandas_per_user(
+        pev, lambda g: g["value"].ewm(alpha=0.3, adjust=False).var()
+    )
+    assert _eq(got_v["value_ewmvar"], want_v["want"])
