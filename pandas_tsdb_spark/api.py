@@ -270,13 +270,47 @@ class TsFrame:
 
     # -- windows ----------------------------------------------------------
 
-    def rolling(self, window: int | str, min_periods: int | None = None) -> "Rolling":
-        return Rolling(self, window, min_periods)
+    def rolling(
+        self,
+        window: int | str,
+        min_periods: int | None = None,
+        center: bool = False,
+    ) -> "Rolling":
+        return Rolling(self, window, min_periods, center)
 
     def expanding(self, min_periods: int = 1) -> "Rolling":
         return Rolling(self, None, min_periods)
 
-    def ewm(self, alpha: float, adjust: bool = True) -> "Ewm":
+    def ewm(
+        self,
+        alpha: float | None = None,
+        adjust: bool = True,
+        *,
+        com: float | None = None,
+        span: float | None = None,
+        halflife: float | None = None,
+    ) -> "Ewm":
+        """pandas decay aliases: exactly one of alpha / com / span /
+        halflife (a = 1/(1+com) = 2/(span+1) = 1-exp(ln 0.5/halflife) —
+        the same float64 conversions pandas applies, so results match
+        the equivalent pandas call bit-for-bit through the kernels)."""
+        import math
+
+        given = [v is not None for v in (alpha, com, span, halflife)]
+        if sum(given) != 1:
+            raise ValueError("exactly one of alpha/com/span/halflife")
+        if com is not None:
+            if com < 0:
+                raise ValueError("com >= 0")
+            alpha = 1.0 / (1.0 + com)
+        elif span is not None:
+            if span < 1:
+                raise ValueError("span >= 1")
+            alpha = 2.0 / (span + 1.0)
+        elif halflife is not None:
+            if halflife <= 0:
+                raise ValueError("halflife > 0")
+            alpha = 1.0 - math.exp(math.log(0.5) / halflife)
         return Ewm(self, alpha, adjust)
 
     def resample(self, freq: str) -> "Resampler":
@@ -622,11 +656,22 @@ class TsFrame:
 
 
 class Rolling:
-    """rolling(n) / rolling('7D') / expanding() aggregation surface."""
+    """rolling(n) / rolling('7D') / expanding() aggregation surface.
+    ``center=True`` (count windows only) centers the frame on the
+    current row like pandas: rows [i-w//2, i+(w-1)//2]."""
 
-    def __init__(self, tf: TsFrame, window: int | str | None, min_periods: int | None):
+    def __init__(
+        self,
+        tf: TsFrame,
+        window: int | str | None,
+        min_periods: int | None,
+        center: bool = False,
+    ):
+        if center and not isinstance(window, int):
+            raise ValueError("center=True needs a count window")
         self.tf = tf
         self.window = window
+        self.center = center
         if window is None:  # expanding
             self.min_periods = min_periods or 1
         elif isinstance(window, int):
@@ -638,6 +683,11 @@ class Rolling:
         if self.window is None:
             return self.tf._win().rowsBetween(W.unboundedPreceding, W.currentRow)
         if isinstance(self.window, int):
+            if self.center:
+                # pandas puts the even-window extra row BEFORE the
+                # current row: [i - w//2, i + (w-1)//2]
+                w = self.window
+                return self.tf._win().rowsBetween(-(w // 2), (w - 1) // 2)
             return self.tf._win().rowsBetween(-(self.window - 1), 0)
         span = _freq_us(self.window)
         w = W.partitionBy(*self.tf.by).orderBy(

@@ -1200,3 +1200,34 @@ def test_ewm_adjust_false_vs_pandas(spark, ev, pev):
         pev, lambda g: g["value"].ewm(alpha=0.3, adjust=False).var()
     )
     assert _eq(got_v["value_ewmvar"], want_v["want"])
+
+
+def test_rolling_center_vs_pandas(spark, ev, pev):
+    """rolling(window, center=True) for odd AND even windows — the
+    centered frame [i-(w-1)//2, i+w//2] must match pandas exactly."""
+    for w in (7, 4):
+        got = _sorted(
+            tsf(ev).rolling(w, center=True).mean("value").to_pandas()
+        )
+        want = _pandas_per_user(
+            pev,
+            lambda g, w=w: g["value"].rolling(w, center=True, min_periods=w).mean(),
+        )
+        assert _eq(got.value_mean, want.want), w
+
+
+def test_ewm_decay_aliases_vs_pandas(spark, ev, pev):
+    """ewm(com=) / ewm(span=) / ewm(halflife=) — the pandas decay
+    conversions, differential against the same pandas call."""
+    for kw in ({"com": 2.5}, {"span": 10}, {"halflife": 3.0}):
+        got = _sorted(tsf(ev).ewm(**kw).mean("value").to_pandas())
+        want = _pandas_per_user(
+            pev, lambda g, kw=kw: g["value"].ewm(**kw, adjust=True).mean()
+        )
+        assert _eq(got.value_ewm, want.want, tol=1e-9), kw
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tsf(ev).ewm(alpha=0.3, span=10)
+    with _pytest.raises(ValueError):
+        tsf(ev).ewm()
