@@ -180,6 +180,7 @@ def test_tsframe_windows_match_pandas_on_random_frames(fuzz_spark, pdf):
     chained = (
         tf.rolling(4, min_periods=2).sum("value", out="rsum")
         .rolling("1d").mean("value", out="tmean")
+        .rolling(3, center=True).mean("value", out="cmean")
         .expanding().max("value", out="emax")
         .zscore("value", out="z")
         .rank("value", method="average", out="rnk")
@@ -202,6 +203,11 @@ def test_tsframe_windows_match_pandas_on_random_frames(fuzz_spark, pdf):
     # align time-rolling result back by position within each group
     # (ts collides, so positional alignment is the only safe join)
     p["tmean"] = tm["value"].to_numpy()
+    p["cmean"] = (
+        g.rolling(3, center=True, min_periods=3)
+        .mean()
+        .reset_index(level=0, drop=True)
+    )
     p["emax"] = g.expanding().max().reset_index(level=0, drop=True)
     grp = p.groupby("user_id")["value"]
     # subnormal-range series underflow the squared-deviation sum to 0
@@ -220,6 +226,7 @@ def test_tsframe_windows_match_pandas_on_random_frames(fuzz_spark, pdf):
     # (module docstring)
     uniq = (~want.duplicated(["user_id", "ts"], keep=False)).to_numpy()
     assert _eq(got["tmean"][uniq], want["tmean"][uniq])
+    assert _eq(got["cmean"], want["cmean"])
     assert _eq(got["emax"], want["emax"])
     assert _eq(got["z"], want["z"])
     assert _eq(got["rnk"], want["rnk"])
