@@ -120,9 +120,19 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
     tier3 = [n for n in contract
              if n not in _DRIVER_VERIFIED and n not in seen]
     seen |= set(tier3)
-    tier4 = [n for n in specs
-             if n not in seen and n not in _DRIVER_VERIFIED
-             and specs[n].oracle is not None]
+    # within the never-sampled oracled extras, surface the ops ADDED
+    # this round first — a fresh driver row on new code is worth more
+    # than one on an extra that has sat green locally for two rounds
+    _NEW_R3 = [
+        "scd2_intervals", "multimodal_phash_dedup", "win_kalman",
+        "stream_kalman", "agg_stringagg", "win_ntile_percent",
+    ]
+    tier4_pool = [n for n in specs
+                  if n not in seen and n not in _DRIVER_VERIFIED
+                  and specs[n].oracle is not None]
+    tier4 = [n for n in _NEW_R3 if n in tier4_pool] + [
+        n for n in tier4_pool if n not in _NEW_R3
+    ]
     seen |= set(tier4)
     tier5 = [n for n in contract if n in _DRIVER_VERIFIED and n not in seen]
     seen |= set(tier5)
