@@ -299,6 +299,14 @@ class TsFrame:
         given = [v is not None for v in (alpha, com, span, halflife)]
         if sum(given) != 1:
             raise ValueError("exactly one of alpha/com/span/halflife")
+        if isinstance(halflife, str):
+            # TIME-decayed EWM over irregular samples (pandas
+            # ewm(halflife=Timedelta, times=index)): weight 0.5^(dt/hl)
+            # per OBSERVED gap, using the frame's ts_col as times.
+            # pandas only defines this for adjust=True.
+            if not adjust:
+                raise ValueError("time halflife requires adjust=True")
+            return Ewm(self, None, True, time_halflife=halflife)
         if com is not None:
             if com < 0:
                 raise ValueError("com >= 0")
@@ -912,15 +920,23 @@ class Ewm:
     the finite-history weighted mean num/den; False is the plain
     recursion y_t = (1-a) y_{t-1} + a x_t."""
 
-    def __init__(self, tf: TsFrame, alpha: float, adjust: bool = True):
-        if not 0 < alpha <= 1:
+    def __init__(
+        self,
+        tf: TsFrame,
+        alpha: float | None,
+        adjust: bool = True,
+        time_halflife: str | None = None,
+    ):
+        if time_halflife is None and not 0 < alpha <= 1:
             raise ValueError("alpha in (0, 1]")
         self.tf = tf
         self.alpha = alpha
         self.adjust = adjust
+        self.time_halflife = time_halflife
 
     def mean(self, col: str, out: str | None = None) -> TsFrame:
         tf, alpha, adjust = self.tf, self.alpha, self.adjust
+        hl = self.time_halflife
         out = out or f"{col}_ewm"
         # build 'a long, b double, ...' DDL from the existing schema
         ddl = ", ".join(
@@ -933,7 +949,14 @@ class Ewm:
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             sort_keys = [ts_col] + ([order_col] if order_col else [])
             pdf = pdf.sort_values(sort_keys)
-            pdf[out] = pdf[col].ewm(alpha=alpha, adjust=adjust).mean()
+            if hl is not None:
+                pdf[out] = (
+                    pdf[col]
+                    .ewm(halflife=pd.Timedelta(hl), times=pdf[ts_col])
+                    .mean()
+                )
+            else:
+                pdf[out] = pdf[col].ewm(alpha=alpha, adjust=adjust).mean()
             return pdf
 
         if by:

@@ -1231,3 +1231,23 @@ def test_ewm_decay_aliases_vs_pandas(spark, ev, pev):
         tsf(ev).ewm(alpha=0.3, span=10)
     with _pytest.raises(ValueError):
         tsf(ev).ewm()
+
+
+def test_ewm_time_halflife_vs_pandas(spark, ev, pev):
+    """Time-decayed EWM over irregular samples: ewm(halflife="2d")
+    weights by 0.5^(observed gap / halflife) using the frame's time
+    column — pandas ewm(halflife=Timedelta, times=index) parity."""
+    got = _sorted(tsf(ev).ewm(halflife="2d").mean("value").to_pandas())
+    want = _pandas_per_user(
+        pev,
+        lambda g: g.apply(
+            lambda sub: sub["value"]
+            .ewm(halflife=pd.Timedelta("2d"), times=sub["ts"])
+            .mean()
+        ),
+    )
+    assert _eq(got.value_ewm, want.want, tol=1e-9)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tsf(ev).ewm(halflife="2d", adjust=False)
