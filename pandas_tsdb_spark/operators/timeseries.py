@@ -1641,3 +1641,27 @@ def win_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.mapInPandas(
         kernel, "user_id long, event_id long, value double, kalman_level double"
     )
+
+
+@query("win_ewm_time", oracle=None)  # libm pow differs per engine: rows-only
+def win_ewm_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-decayed EWM over irregular samples — weight 0.5^(dt/halflife)
+    per OBSERVED gap (halflife 2 days), the pandas
+    ewm(halflife=Timedelta, times=...) semantics; the sampling-rate-
+    robust smoother (a fixed-alpha EWM over irregular data decays per
+    ROW, so densely sampled regions smooth differently than sparse
+    ones). Rows-only BY DESIGN: the decay needs pow/exp, and Spark
+    (Java Math.pow), numpy (SIMD pow), and DuckDB (libm) each round
+    within 1 ulp but not identically, so a recursive-CTE oracle would
+    be one tie away from flaky — the check is the pandas differential
+    behind TsFrame.ewm (tests/test_api.py::test_ewm_time_halflife) and
+    this builder IS that API surface (dogfooding). Plan shape: the
+    per-key Arrow kernel family (one user_id exchange)."""
+    from pandas_tsdb_spark.api import TsFrame
+
+    ev = Tables(spark, sf_dir).events.select("user_id", "ts", "event_id", "value")
+    tf = TsFrame(ev, ts_col="ts", by="user_id", order_col="event_id")
+    out = tf.ewm(halflife="2d").mean("value").to_df()
+    return out.select(
+        "user_id", "event_id", F.round("value_ewm", 6).alias("ewm_time")
+    )
