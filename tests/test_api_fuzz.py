@@ -18,6 +18,12 @@ Known, documented divergences handled here:
   1/6 — a pandas precision artifact; TsFrame's µs-integer arithmetic
   is exact. Timestamps here are drawn at SECOND granularity, where
   the float64 error (~2.6e-7 relative) sits below the tolerance.
+- zscore in the CANCELLATION BAND (7th-soak find): when the true
+  std is at rounding scale relative to the mean (two ~1e6 values
+  differing in the last ulp -> std <= |mean|*1e-7), pandas' two-pass
+  std and Spark's moment-based stddev_samp return DIFFERENT noise and
+  the z-scores are numerically meaningless in any engine; the window
+  matrix masks that band (exact-zero std agrees as NULL on both).
 - time-based rolling at DUPLICATE timestamps: SQL RANGE frames treat
   equal-ts rows as window PEERS (all included — the deterministic,
   order-independent semantics, matching DuckDB), while pandas
@@ -216,6 +222,16 @@ def test_tsframe_windows_match_pandas_on_random_frames(fuzz_spark, pdf):
     p["z"] = (
         (p["value"] - grp.transform("mean")) / grp.transform("std")
     ).replace([np.inf, -np.inf], np.nan)
+    # CANCELLATION BAND (soak-run find): when the true std sits at
+    # rounding scale relative to the mean (std <= |mean|*1e-7, e.g.
+    # two 1e6 values differing in the last ulp), pandas' two-pass std
+    # and Spark's moment formula return DIFFERENT noise and the
+    # z-scores are numerically meaningless in any engine — mask them
+    # (exact zero std stays: both engines agree on NULL there)
+    _cv_noise = (grp.transform("std") > 0) & (
+        grp.transform("std") <= grp.transform("mean").abs() * 1e-7
+    )
+    p["_cv_noise_mask"] = _cv_noise
     p["rnk"] = grp.rank(method="average")
     gap = p.groupby("user_id")["ts"].diff() > pd.Timedelta("6h")
     p["sess"] = gap.astype(int).groupby(p.user_id).cumsum() + 1
@@ -228,7 +244,8 @@ def test_tsframe_windows_match_pandas_on_random_frames(fuzz_spark, pdf):
     assert _eq(got["tmean"][uniq], want["tmean"][uniq])
     assert _eq(got["cmean"], want["cmean"])
     assert _eq(got["emax"], want["emax"])
-    assert _eq(got["z"], want["z"])
+    z_ok = ~want["_cv_noise_mask"].to_numpy()
+    assert _eq(got["z"][z_ok], want["z"][z_ok])
     assert _eq(got["rnk"], want["rnk"])
     assert (got["sess"].to_numpy() == want["sess"].to_numpy()).all()
 
