@@ -64,6 +64,7 @@ EXPECTATIONS = {
     "scd2_intervals": (1, False),
     "multimodal_phash_dedup": (1, False),
     "win_kalman": (1, False),  # win_ewm's one-shuffle kernel shape
+    "win_ewm_time": (1, False),  # per-key applyInPandas, one exchange
     # round-2 additions: xcorr is ONE fact scan (conditional daily agg)
     # + two tiny daily-table exchanges — the role-explode alignment,
     # never a self-join of the aggregate subtree; interval overlap is
