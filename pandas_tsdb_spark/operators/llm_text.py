@@ -1085,3 +1085,130 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("scrubbed").alias("scrub_md5"),
         F.length("scrubbed").alias("scrub_len"),
     )
+
+
+_SEG = 10  # tokens per segment (the "line" unit on this newline-free corpus)
+
+
+@query(
+    "dedup_lines",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, i AS seg_idx,
+            array_to_string(list_slice(toks, i*{_SEG}+1, i*{_SEG}+{_SEG}), ' ') AS seg
+          FROM t, LATERAL (
+            SELECT unnest(range(CAST(ceil(len(toks) / {_SEG}.0) AS BIGINT))) AS i) g),
+    k AS (SELECT doc_id, seg_idx,
+            row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+          FROM s)
+    SELECT doc_id, count(*) AS n_segs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS kept_frac
+    FROM k GROUP BY doc_id
+    """,
+    tags=("llm-pipeline",),
+)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SEGMENT dedup (CCNet/RefinedWeb line-dedup): split
+    each doc into 10-token segments, keep only the globally FIRST
+    occurrence of each segment (order = doc_id, seg_idx), report per-doc
+    survival. This is the boilerplate-removal pass of a web-corpus
+    pipeline — headers/footers/nav text repeat across millions of pages
+    and survive whole-doc dedup (different docs) AND intra-doc
+    repetition checks (once per doc); segment-level first-wins is the
+    standard kill. The corpus has no newlines, so the segment unit is a
+    fixed 10-token window instead of a physical line — same operator
+    shape, same oracle semantics.
+
+    Scale: segments explode from a sequence (no lambda-captured
+    re-evaluation — the pipeline_chunk pattern), the only exchange
+    carries (md5(seg), doc_id, seg_idx) — constant 16-byte key
+    regardless of segment text, exactly dedup_exact's discipline — and
+    the first-occurrence choice is one window sort within each hash
+    bucket. Work ∝ corpus tokens; never pairwise. The per-doc rollup
+    reuses the doc_id already present on every row."""
+    d = _spread(_docs(spark, sf_dir))
+    toks = d.select("doc_id", _tokens_col().alias("toks"))
+    n_seg_m1 = F.ceil(F.size("toks") / F.lit(float(_SEG))).cast("long") - 1
+    segs = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_seg_m1)).alias("seg_idx"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("toks", (F.col("seg_idx") * _SEG + 1).cast("int"), _SEG)
+            )
+        ).alias("seg_h"),
+    )
+    w = W.partitionBy("seg_h").orderBy("doc_id", "seg_idx")
+    return (
+        segs.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.round(
+                F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("kept_frac"),
+        )
+    )
+
+
+@query(
+    "text_entropy",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    n AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+                 sum(c * ln(c)) AS clc, count(*) AS n_unique
+          FROM c GROUP BY 1)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_unique,
+           round(ln(n) - clc / n, 6) AS token_entropy,
+           round((ln(n) - clc / n)
+                 / (CASE WHEN n_unique > 1 THEN ln(n_unique) ELSE 1.0 END),
+                 6) AS norm_entropy
+    FROM n
+    """,
+    tags=("llm-pipeline",),
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the classic
+    gibberish/boilerplate quality signal (near-zero = one token
+    repeated; near-ln(unique) = flat distribution). Uses the
+    shuffle-free identity H = ln(n) - (Σ c·ln c)/n so only per-token
+    COUNTS aggregate, never probabilities (log of a ratio would lose
+    the partial-aggregation property). norm_entropy divides by the
+    max achievable ln(n_unique), giving a scale-free [0,1] score.
+
+    Scale: explode → two hash aggregations, both with map-side partial
+    combine; the shuffle carries (doc_id, token, count) DISTINCT pairs,
+    bounded by per-doc vocabulary, not token count. At 100 TB this is
+    the same shape as a word-count — the canonical linear pipeline."""
+    d = _spread(_docs(spark, sf_dir))
+    c = (
+        d.select("doc_id", F.explode(_tokens_col()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = c.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("clc"),
+        F.count("*").alias("n_unique"),
+    )
+    ent = F.log("n") - F.col("clc") / F.col("n")
+    denom = F.when(F.col("n_unique") > 1, F.log("n_unique")).otherwise(F.lit(1.0))
+    return n.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        "n_unique",
+        F.round(ent, 6).alias("token_entropy"),
+        F.round(ent / denom, 6).alias("norm_entropy"),
+    )

@@ -504,3 +504,58 @@ def pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sl).alias("chunk_tokens"),
         F.md5(F.concat_ws(" ", sl)).alias("chunk_md5"),
     )
+
+
+# --------------------------------------- temperature-scaled mixture weights
+
+
+@query(
+    "pipeline_mixture_temperature",
+    oracle="""
+    WITH s AS (SELECT source, count(*) AS n_docs,
+                      CAST(sum(n_chars) AS BIGINT) AS n_chars
+               FROM documents GROUP BY 1),
+    t AS (SELECT *, CAST(n_chars AS DOUBLE) / sum(n_chars) OVER () AS raw_share
+          FROM s),
+    w AS (SELECT *, sqrt(raw_share) AS tw FROM t)
+    SELECT source, n_docs, n_chars,
+           round(raw_share, 6) AS raw_share,
+           round(tw / sum(tw) OVER (), 6) AS temp_weight,
+           round((tw / sum(tw) OVER ()) / raw_share, 6) AS epochs
+    FROM w
+    """,
+    tags=("llm-pipeline",),
+)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (the T=2 'square-root
+    sampling' of multilingual/multi-domain LM training — raw share^(1/T),
+    renormalized): upweights small sources, damps the head, and `epochs`
+    (weight/share) is the repetition factor pipeline_upsample consumes.
+    Sized by CHARACTERS, not doc count — mixture design follows the
+    token budget. T=2 is spelled sqrt() because IEEE sqrt is correctly
+    rounded in every engine while pow(x, 0.5) need not be — the same
+    cross-engine rounding trap win_ewm_time documents.
+
+    Scale: one count+sum aggregation over the corpus (map-side combine),
+    then all window math runs on the |sources|-row aggregate — a
+    single-partition table at any corpus size (sources are dozens, not
+    millions). Nothing about the 100 TB scan survives past the first
+    aggregate."""
+    d = Tables(spark, sf_dir).documents
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    everything = _w.Window.partitionBy()
+    raw_share = F.col("n_chars").cast("double") / F.sum("n_chars").over(everything)
+    t = s.withColumn("raw_share", raw_share).withColumn(
+        "tw", F.sqrt(F.col("raw_share"))
+    )
+    tweight = F.col("tw") / F.sum("tw").over(everything)
+    return t.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round("raw_share", 6).alias("raw_share"),
+        F.round(tweight, 6).alias("temp_weight"),
+        F.round(tweight / F.col("raw_share"), 6).alias("epochs"),
+    )

@@ -65,6 +65,14 @@ EXPECTATIONS = {
     "multimodal_phash_dedup": (1, False),
     "win_kalman": (1, False),  # win_ewm's one-shuffle kernel shape
     "win_ewm_time": (1, False),  # per-key applyInPandas, one exchange
+    # continuation-3: line-dedup shuffles (md5(seg), ids) — the _spread
+    # fan-out + the seg-hash window + the per-doc rollup; entropy's two
+    # groupBys BOTH ride the _spread doc_id partitioning (subset-key
+    # clustering — the tpch_q21 trick); mixture-temperature is one
+    # source agg + the single-partition window over |sources| rows.
+    "dedup_lines": (3, False),
+    "text_entropy": (1, False),
+    "pipeline_mixture_temperature": (2, False),
     # round-2 additions: xcorr is ONE fact scan (conditional daily agg)
     # + two tiny daily-table exchanges — the role-explode alignment,
     # never a self-join of the aggregate subtree; interval overlap is
