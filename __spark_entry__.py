@@ -126,6 +126,10 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
     _NEW_R3 = [
         "scd2_intervals", "multimodal_phash_dedup", "win_kalman",
         "stream_kalman", "agg_stringagg", "win_ntile_percent",
+        # continuation-3: new ops + the across-series win_holt rewrite
+        # (never driver-sampled; its CTE oracle now guards new code)
+        "dedup_lines", "text_entropy", "pipeline_mixture_temperature",
+        "win_holt",
     ]
     tier4_pool = [n for n in specs
                   if n not in seen and n not in _DRIVER_VERIFIED
