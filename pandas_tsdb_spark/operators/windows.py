@@ -1069,3 +1069,61 @@ def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"percent_rank() {w} AS pct_rank",
         f"cume_dist() {w} AS cume",
     )
+
+
+@query(
+    "win_rolling_rank",
+    # Exact integer tie-counts over the same 7-row frame in both
+    # engines; average-rank = less + (eq+1)/2 is a dyadic rational —
+    # raw doubles, bit-identical, no rounding.
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id, value,
+               list(value) OVER w AS arr,
+               count(*) OVER w AS cnt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value,
+        CASE WHEN cnt = 7 THEN
+            len(list_filter(arr, x -> x < value))
+            + (len(list_filter(arr, x -> x = value)) + 1) / 2.0
+        END AS rank7,
+        CASE WHEN cnt = 7 THEN
+            (len(list_filter(arr, x -> x < value))
+             + (len(list_filter(arr, x -> x = value)) + 1) / 2.0) / 7.0
+        END AS rank7_pct
+    FROM s
+    """,
+)
+def win_rolling_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling(7).rank(method='average') (+ pct) — the rank of the
+    current value within its own trailing window, pandas' in-window
+    momentum signal (1.0 = running 7-sample low, 7.0 = high). No
+    native window rank ranks against the FRAME (rank() ranks the
+    partition), so the frame is assembled with the win_rolling_median
+    lag-array trick — all seven lags ride ONE window sort — and the
+    tie-aware average rank is two bounded filters over the 7-array:
+    less + (eq+1)/2. The lambdas live in a PROJECTION over a 7-element
+    array (bounded, interpreted-eval cost O(w) per row), never in a
+    Filter (the InferFiltersFromGenerate trap does not apply — nothing
+    explodes). lag(6) IS NOT NULL == full frame == pandas
+    min_periods=7; value is never null in events. One exchange."""
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("event_id")
+    arr = F.array(
+        *[F.lag("value", i).over(w) for i in range(6, 0, -1)], F.col("value")
+    )
+    v = F.col("value")
+    less = F.size(F.filter(arr, lambda e: e < v))
+    eq = F.size(F.filter(arr, lambda e: e == v))
+    rank = less + (eq + F.lit(1)) / F.lit(2.0)
+    full = F.lag("value", 6).over(w).isNotNull()
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(full, rank).alias("rank7"),
+        F.when(full, rank / F.lit(7.0)).alias("rank7_pct"),
+    )

@@ -102,8 +102,9 @@ EXPECTATIONS = {
     # outer join's; the fill window rides the join's partitioning.
     # SMJ is correct here — both sides are comparable size.
     "join_merge_ordered": (3, False),
-    # rolling MAD rides the same single window sort as rolling_median
+    # rolling MAD/rank ride the same single window sort as rolling_median
     "win_rolling_mad": (1, False),
+    "win_rolling_rank": (1, False),
     "win_rolling_corr": (1, False),
     "sim_topk_blas": (2, False),
     # continuation-7 additions: quantize/pii/chunk are map-only (zero
