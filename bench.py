@@ -73,6 +73,10 @@ HEADLINE = {
     # the flagship tsdb visualization reduction: output bounded at
     # |series| x buckets regardless of input rows.
     "q28_m4_downsample": "win_downsample_m4",
+    # continuation-3: cross-doc segment dedup (the CCNet/RefinedWeb
+    # boilerplate-removal pass — the third dedup granularity after
+    # whole-doc exact and near-dup).
+    "q29_dedup_lines": "dedup_lines",
 }
 
 WARMUP, RUNS = 1, 3

@@ -477,6 +477,25 @@ def q28_m4_downsample(sf_dir):
     return out
 
 
+def q29_dedup_lines(sf_dir):
+    d = _read(sf_dir, "documents").sort_values("doc_id")
+    seen: set[str] = set()
+    out = []
+    for doc_id, text in zip(d.doc_id, d.text):
+        toks = text.lower().split(" ")
+        n_segs = (len(toks) + 9) // 10
+        kept = 0
+        for i in range(n_segs):
+            seg = " ".join(toks[i * 10 : (i + 1) * 10])
+            if seg not in seen:
+                seen.add(seg)
+                kept += 1
+        out.append((doc_id, n_segs, kept, round(kept / n_segs, 6)))
+    return pd.DataFrame(
+        out, columns=["doc_id", "n_segs", "n_kept", "kept_frac"]
+    )
+
+
 PANDAS_QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "q2_join_inner": q2_join_inner,
@@ -505,4 +524,5 @@ PANDAS_QUERIES = {
     "q26_pii_scrub": q26_pii_scrub,
     "q27_quantize": q27_quantize,
     "q28_m4_downsample": q28_m4_downsample,
+    "q29_dedup_lines": q29_dedup_lines,
 }
