@@ -1127,3 +1127,64 @@ def win_rolling_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(full, rank).alias("rank7"),
         F.when(full, rank / F.lit(7.0)).alias("rank7_pct"),
     )
+
+
+@query(
+    "win_drawdown",
+    # equity is rounded at 4dp BEFORE peak/drawdown: the running sum is
+    # the one engine-ordered accumulation here, and every downstream op
+    # (max / sub / min) is exact on the rounded values — so the whole
+    # chain is deterministic cross-engine with no compounding rounds.
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id,
+               round(sum(value) OVER w, 4) AS equity
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), p AS (
+        SELECT user_id, event_id, equity,
+               max(equity) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM c
+    )
+    SELECT user_id, event_id, equity, peak,
+           round(equity - peak, 4) AS drawdown,
+           round(min(equity - peak) OVER (PARTITION BY user_id
+                 ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 4) AS max_drawdown
+    FROM p
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown per series — the pandas finance idiom
+    ``equity - equity.cummax()`` plus its running minimum (max
+    drawdown to date), over the cumulative value as the equity curve.
+    Three stacked running windows (cumsum -> cummax -> cummin) all
+    share the ONE user_id partitioning and event_id sort: Spark plans
+    a single Exchange + a single Sort feeding three Window operators —
+    the subset-key discipline every per-series op here follows. At
+    100 TB this is one shuffle of (user, event, value), state per
+    series is O(1)."""
+    ev = _ev(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    equity = F.round(F.sum("value").over(w), 4)
+    c = ev.select("user_id", "event_id", equity.alias("equity"))
+    peak = F.max("equity").over(w)
+    p = c.select("user_id", "event_id", "equity", peak.alias("peak"))
+    dd = F.round(F.col("equity") - F.col("peak"), 4)
+    return p.select(
+        "user_id",
+        "event_id",
+        "equity",
+        "peak",
+        dd.alias("drawdown"),
+        F.round(F.min(F.col("equity") - F.col("peak")).over(w), 4).alias(
+            "max_drawdown"
+        ),
+    )

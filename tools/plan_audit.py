@@ -105,6 +105,8 @@ EXPECTATIONS = {
     # rolling MAD/rank ride the same single window sort as rolling_median
     "win_rolling_mad": (1, False),
     "win_rolling_rank": (1, False),
+    # drawdown: cumsum -> cummax -> cummin all share one exchange+sort
+    "win_drawdown": (1, False),
     "win_rolling_corr": (1, False),
     "sim_topk_blas": (2, False),
     # continuation-7 additions: quantize/pii/chunk are map-only (zero
