@@ -1749,3 +1749,279 @@ def win_ewm_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", F.round("value_ewm", 6).alias("ewm_time")
     )
+
+
+@query(
+    "win_rsi",
+    # Recursive-CTE oracle family (win_ewm/win_holt/win_kalman), here a
+    # TWO-track recurrence: Wilder-style RSI-14 = ewm(alpha=1/14,
+    # adjust=False) over the gain and loss series, anchored at the
+    # first diff (rn=2, pandas drops the first NaN diff). Literals:
+    # every constant spelled ::DOUBLE (DuckDB types bare decimals as
+    # DECIMAL) and q spelled 1.0 - 1.0/14.0 exactly as the kernel
+    # computes it. The diff d = value - lag(value) has identical
+    # operands in both engines (one IEEE subtract); the recurrence
+    # a*g + q*prev is mult, mult, add in both, so avg_gain/avg_loss
+    # and the final rsi hash bit-identical RAW. Series of length 1
+    # surface via the LEFT JOIN with NULL rsi.
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT user_id, event_id, value,
+               value - lag(value) OVER
+                   (PARTITION BY user_id ORDER BY event_id) AS d,
+               row_number() OVER
+                   (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+    ), r AS (
+        SELECT user_id, event_id, rn,
+               CASE WHEN d > 0.0::DOUBLE THEN d
+                    ELSE 0.0::DOUBLE END AS ag,
+               CASE WHEN d < 0.0::DOUBLE THEN -d
+                    ELSE 0.0::DOUBLE END AS al
+        FROM s WHERE rn = 2
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn,
+               (1.0::DOUBLE / 14.0::DOUBLE)
+                 * (CASE WHEN s.d > 0.0::DOUBLE THEN s.d
+                         ELSE 0.0::DOUBLE END)
+                 + (1.0::DOUBLE - 1.0::DOUBLE / 14.0::DOUBLE) * r.ag,
+               (1.0::DOUBLE / 14.0::DOUBLE)
+                 * (CASE WHEN s.d < 0.0::DOUBLE THEN -s.d
+                         ELSE 0.0::DOUBLE END)
+                 + (1.0::DOUBLE - 1.0::DOUBLE / 14.0::DOUBLE) * r.al
+        FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT s.user_id, s.event_id, r.ag AS avg_gain, r.al AS avg_loss,
+           CASE WHEN r.al = 0.0::DOUBLE THEN NULL
+                ELSE 100.0::DOUBLE
+                     - 100.0::DOUBLE / (1.0::DOUBLE + r.ag / r.al)
+           END AS rsi
+    FROM s LEFT JOIN r
+      ON r.user_id = s.user_id AND r.event_id = s.event_id
+    """,
+    tags=("timeseries", "finance"),
+)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI-14 per series — the pandas finance idiom
+    ``gain.ewm(alpha=1/14, adjust=False).mean()`` over diff gains and
+    losses, ``rsi = 100 - 100/(1 + ag/al)`` (all-gain windows -> NULL,
+    the deterministic choice both engines agree on).
+
+    Same partition-batched shape as win_ewm: ONE shuffle to co-locate
+    each series + sortWithinPartitions, then a mapInPandas kernel that
+    runs the two-track recurrence vectorized ACROSS series (Python
+    loop bounded by the longest series per batch). The diff is
+    vectorized per batch with an exact per-user last-value carry, so
+    a series spanning Arrow batches is seamless; per element the IEEE
+    sequence (mult alpha·g, mult q·prev, add) matches the CTE exactly
+    -> bit-identical raw doubles, full oracle."""
+    alpha = 1.0 / 14.0
+    q = 1.0 - 1.0 / 14.0
+    ev = Tables(spark, sf_dir).events.select("user_id", "event_id", "value")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = ev.repartition(n_part, "user_id").sortWithinPartitions(
+        "user_id", "event_id"
+    )
+
+    def kernel(batches):
+        # user -> (has_state, avg_gain, avg_loss, last_value)
+        carry: dict[int, tuple[bool, float, float, float]] = {}
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            uid = pdf["user_id"].to_numpy()
+            v = pdf["value"].to_numpy(dtype="float64")
+            new = np.r_[True, uid[1:] != uid[:-1]]
+            starts = np.flatnonzero(new)
+            lens = np.diff(np.r_[starts, n])
+            # vectorized diff with cross-batch last-value carry
+            d = np.empty(n)
+            d[1:] = v[1:] - v[:-1]
+            for s in starts:
+                prev = carry.get(int(uid[s]))
+                d[s] = v[s] - prev[3] if prev is not None else np.nan
+            gain = np.where(d > 0.0, d, 0.0)
+            loss = np.where(d < 0.0, -d, 0.0)
+            has = np.array(
+                [carry.get(int(uid[s]), (False, 0.0, 0.0, 0.0))[0]
+                 for s in starts]
+            )
+            ag = np.array(
+                [carry.get(int(uid[s]), (False, 0.0, 0.0, 0.0))[1]
+                 for s in starts]
+            )
+            al = np.array(
+                [carry.get(int(uid[s]), (False, 0.0, 0.0, 0.0))[2]
+                 for s in starts]
+            )
+            out_ag = np.full(n, np.nan)
+            out_al = np.full(n, np.nan)
+            pos = starts.copy()
+            active = np.arange(len(starts))
+            step = 0
+            while len(active):
+                sel = pos[active]
+                miss = np.isnan(d[sel])  # first row of a fresh series
+                g = gain[sel]
+                l = loss[sel]
+                # recurrence where state exists (mult, mult, add — CTE
+                # order); anchor ag=g where this is the first diff
+                nag = np.where(has[active], alpha * g + q * ag[active], g)
+                nal = np.where(has[active], alpha * l + q * al[active], l)
+                nag = np.where(miss, ag[active], nag)
+                nal = np.where(miss, al[active], nal)
+                upd = ~miss
+                out_ag[sel[upd]] = nag[upd]
+                out_al[sel[upd]] = nal[upd]
+                ag[active] = nag
+                al[active] = nal
+                has[active] = has[active] | upd
+                pos[active] += 1
+                step += 1
+                active = active[lens[active] > step]
+            for k, s in enumerate(starts):
+                e = int(starts[k] + lens[k] - 1)
+                carry[int(uid[s])] = (
+                    bool(has[k]), float(ag[k]), float(al[k]), float(v[e])
+                )
+            out = pdf[["user_id", "event_id"]].copy()
+            miss_out = np.isnan(out_ag)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                rsi = 100.0 - 100.0 / (1.0 + out_ag / out_al)
+            cols = {"avg_gain": out_ag, "avg_loss": out_al, "rsi": rsi}
+            for name, arr in cols.items():
+                if name == "rsi":
+                    bad = miss_out | (out_al == 0.0)
+                else:
+                    bad = miss_out
+                if bad.any():
+                    c = arr.astype(object)
+                    c[bad] = None
+                    out[name] = c
+                else:
+                    out[name] = arr
+            yield out
+
+    return part.mapInPandas(
+        kernel,
+        schema="user_id bigint, event_id bigint, avg_gain double, "
+        "avg_loss double, rsi double",
+    )
+
+
+@query(
+    "win_macd",
+    # THREE chained recurrences in one recursive CTE via DuckDB lateral
+    # column aliases (the win_kalman recipe): ema12/ema26 over value,
+    # then the signal line = ema9 over the macd SERIES itself. Anchors
+    # (rn=1) are plain assignments: e12=e26=v -> macd=0, sig=0, hist=0.
+    # Every constant is spelled ::DOUBLE and q as 1 - 2/(span+1)
+    # exactly as the kernel computes it; each step is mult, mult, add
+    # then subtracts of identical operands -> bit-identical raw.
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER
+                   (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+    ), r AS (
+        SELECT user_id, event_id, rn,
+               value + 0.0::DOUBLE AS e12,
+               value + 0.0::DOUBLE AS e26,
+               0.0::DOUBLE AS macd,
+               0.0::DOUBLE AS sig
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn,
+               (2.0::DOUBLE / 13.0::DOUBLE) * s.value
+                 + (1.0::DOUBLE - 2.0::DOUBLE / 13.0::DOUBLE) * r.e12
+                 AS e12n,
+               (2.0::DOUBLE / 27.0::DOUBLE) * s.value
+                 + (1.0::DOUBLE - 2.0::DOUBLE / 27.0::DOUBLE) * r.e26
+                 AS e26n,
+               e12n - e26n AS macdn,
+               (2.0::DOUBLE / 10.0::DOUBLE) * macdn
+                 + (1.0::DOUBLE - 2.0::DOUBLE / 10.0::DOUBLE) * r.sig
+        FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, macd, sig AS macd_signal,
+           macd - sig AS macd_hist
+    FROM r
+    """,
+    tags=("timeseries", "finance"),
+)
+def win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12, 26, 9) per series — ema12 − ema26 with a 9-span EMA
+    signal line and histogram, all ``adjust=False`` (the classic
+    charting recurrence), anchored at the first observation.
+
+    Same one-shuffle partition-batched mapInPandas shape as
+    win_ewm/win_rsi; the kernel carries THREE floats per series
+    (e12, e26, sig) across Arrow batches and runs the recurrences
+    vectorized across series. IEEE order per step matches the CTE
+    (mult alpha·v, mult q·prev, add; macd/hist are subtracts of
+    identical operands) -> full raw-double oracle. At 100 TB: one
+    exchange on user_id, O(1) state per series."""
+    a12, q12 = 2.0 / 13.0, 1.0 - 2.0 / 13.0
+    a26, q26 = 2.0 / 27.0, 1.0 - 2.0 / 27.0
+    a9, q9 = 2.0 / 10.0, 1.0 - 2.0 / 10.0
+    ev = Tables(spark, sf_dir).events.select("user_id", "event_id", "value")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = ev.repartition(n_part, "user_id").sortWithinPartitions(
+        "user_id", "event_id"
+    )
+
+    def kernel(batches):
+        carry: dict[int, tuple[float, float, float]] = {}
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            uid = pdf["user_id"].to_numpy()
+            v = pdf["value"].to_numpy(dtype="float64")
+            new = np.r_[True, uid[1:] != uid[:-1]]
+            starts = np.flatnonzero(new)
+            lens = np.diff(np.r_[starts, n])
+            has = np.array([int(uid[s]) in carry for s in starts])
+            z = (0.0, 0.0, 0.0)
+            e12 = np.array([carry.get(int(uid[s]), z)[0] for s in starts])
+            e26 = np.array([carry.get(int(uid[s]), z)[1] for s in starts])
+            sig = np.array([carry.get(int(uid[s]), z)[2] for s in starts])
+            macd = np.empty(n)
+            sigo = np.empty(n)
+            pos = starts.copy()
+            active = np.arange(len(starts))
+            step = 0
+            while len(active):
+                sel = pos[active]
+                vv = v[sel]
+                h = has[active]
+                n12 = np.where(h, a12 * vv + q12 * e12[active], vv)
+                n26 = np.where(h, a26 * vv + q26 * e26[active], vv)
+                nm = n12 - n26
+                nsig = np.where(h, a9 * nm + q9 * sig[active], nm)
+                macd[sel] = nm
+                sigo[sel] = nsig
+                e12[active] = n12
+                e26[active] = n26
+                sig[active] = nsig
+                has[active] = True
+                pos[active] += 1
+                step += 1
+                active = active[lens[active] > step]
+            for k, s in enumerate(starts):
+                carry[int(uid[s])] = (
+                    float(e12[k]), float(e26[k]), float(sig[k])
+                )
+            out = pdf[["user_id", "event_id"]].copy()
+            out["macd"] = macd
+            out["macd_signal"] = sigo
+            out["macd_hist"] = macd - sigo
+            yield out
+
+    return part.mapInPandas(
+        kernel,
+        schema="user_id bigint, event_id bigint, macd double, "
+        "macd_signal double, macd_hist double",
+    )

@@ -1188,3 +1188,83 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_drawdown"
         ),
     )
+
+
+@query(
+    "win_bollinger",
+    # Exact-integer-moments family (win_rolling_skew/kurt): 2-decimal
+    # values -> integer cents; the identity 20*s2 - s1^2 (>= 0 by
+    # Cauchy-Schwarz in EXACT integers) computes the rolling variance
+    # numerator with zero cancellation before ONE deterministic cast
+    # to double. s1 <= 20*56021 ~ 1.1e6, s1^2 ~ 1.3e12, 20*s2 ~ 1.3e15
+    # -- all inside int64. Every downstream op is IEEE (+,-,*,/, the
+    # correctly-rounded sqrt) with mirrored association order, so the
+    # bands hash bit-identical RAW with no rounding.
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             count(*) OVER w AS n,
+             sum(cv) OVER w AS s1,
+             sum(cv * cv) OVER w AS s2
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN n >= 20
+                THEN (CAST(s1 AS DOUBLE) / 20.0) / 100.0 END AS bb_mid,
+           CASE WHEN n >= 20
+                THEN (CAST(s1 AS DOUBLE) / 20.0) / 100.0
+                     + 2.0 * sqrt(CAST(20 * s2 - s1 * s1 AS DOUBLE)
+                                  / 380.0) / 100.0 END AS bb_upper,
+           CASE WHEN n >= 20
+                THEN (CAST(s1 AS DOUBLE) / 20.0) / 100.0
+                     - 2.0 * sqrt(CAST(20 * s2 - s1 * s1 AS DOUBLE)
+                                  / 380.0) / 100.0 END AS bb_lower
+    FROM s
+    """,
+)
+def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands per series — the finance idiom
+    ``mid = rolling(20).mean(); mid ± 2·rolling(20).std(ddof=1)``
+    (pandas default sample std), NULL until the frame holds 20 rows.
+
+    Both integer power sums ride ONE window frame (one exchange, one
+    sort, shared by n/s1/s2); the variance numerator ``20·s2 − s1²``
+    stays in exact int64 so there is no two-pass/Welford question at
+    all — the cast to double happens once, after the exact arithmetic,
+    identically in both engines. At 100 TB: one shuffle on user_id,
+    O(w) frame state per row (w=20, constant)."""
+    cv = F.round(F.col("value") * 100).cast("long")
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-19, 0)
+    d = _ev(spark, sf_dir).select("user_id", "event_id", cv.alias("cv"))
+    d = d.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n"),
+        F.sum("cv").over(w).alias("s1"),
+        F.sum(F.col("cv") * F.col("cv")).over(w).alias("s2"),
+    )
+    mid = (F.col("s1").cast("double") / F.lit(20.0)) / F.lit(100.0)
+    dev = (
+        F.lit(2.0)
+        * F.sqrt(
+            (F.lit(20) * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+            / F.lit(380.0)
+        )
+        / F.lit(100.0)
+    )
+    ok = F.col("n") >= 20
+    return d.select(
+        "user_id",
+        "event_id",
+        F.when(ok, mid).alias("bb_mid"),
+        F.when(ok, mid + dev).alias("bb_upper"),
+        F.when(ok, mid - dev).alias("bb_lower"),
+    )

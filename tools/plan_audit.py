@@ -271,6 +271,16 @@ EXPECTATIONS = {
     # r2: +1 vocab-window exchange (same corpus-total rewrite as
     # text_lm_score).
     "text_lm_bigram": (8, True),
+    # bollinger: the exact-moments rolling family — two integer sums
+    # share ONE frame (one exchange, one sort).
+    "win_bollinger": (1, False),
+    # rsi/macd: the win_ewm one-shuffle mapInPandas kernel shape.
+    "win_rsi": (1, False),
+    "win_macd": (1, False),
+    # triangles: order-group collect + pair distinct + degree agg +
+    # orientation joins + wedge self-join; small dims (deg) broadcast
+    # under AQE. Budget is the static-plan exchange count.
+    "graph_triangles": (12, False),
 }
 
 
