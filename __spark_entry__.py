@@ -57,9 +57,9 @@ CONTRACT_OPS: tuple[str, ...] = (
     "udf_scalar", "udaf_grouped", "udtf_table", "join_asof_cogroup",
 )
 
-# Queries the driver already hash-verified (all keys of CORRECTNESS_r01.json
-# and CORRECTNESS_r02.json — every row in both files is a full
-# rows+schema+hash PASS, zero failures).
+# Queries the driver already hash-verified (all keys of CORRECTNESS_r01/
+# r02/r03.json — every row in all three files is a full rows+schema+hash
+# PASS except agg_approx_distinct, rows-only-by-design; zero failures).
 _DRIVER_VERIFIED_R1 = frozenset({
     "agg_corr", "agg_gini", "agg_mode", "agg_quantiles", "cohort_retention",
     "corr_matrix", "dedup_cluster", "dedup_exact", "dedup_minhash",
@@ -88,20 +88,30 @@ _DRIVER_VERIFIED_R2 = frozenset({
     "multimodal_cols", "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark",
 })
-_DRIVER_VERIFIED = _DRIVER_VERIFIED_R1 | _DRIVER_VERIFIED_R2
+_DRIVER_VERIFIED_R3 = frozenset({
+    "sink_parquet", "win_ewm", "stream_dedup", "stream_stateful",
+    "stream_sink", "udf_scalar", "udaf_grouped", "udtf_table",
+    "join_asof_cogroup", "sim_topk", "vec_quantize_int8", "knn_label",
+    "join_asof", "agg_groupby", "agg_approx_distinct", "scd2_intervals",
+    "multimodal_phash_dedup", "win_kalman", "stream_kalman", "agg_stringagg",
+    "win_ntile_percent", "dedup_lines", "text_entropy",
+    "pipeline_mixture_temperature", "win_holt", "sample_stratified",
+    "agg_heavy_hitters", "agg_heavy_hitters_sketch", "graph_triangles",
+    "join_interval_overlap", "join_merge_ordered", "dedup_embedding",
+    "multimodal_frames", "multimodal_binary", "multimodal_resize",
+    "pipeline_mixture", "pipeline_split", "pipeline_pack", "pipeline_curate",
+    "pipeline_shuffle", "pipeline_decontaminate", "pipeline_upsample",
+    "pipeline_chunk", "distinct_subset", "agg_skew_kurt", "agg_value_counts",
+    "agg_bool", "filter_time_of_day", "agg_histogram", "agg_entropy",
+})
+_DRIVER_VERIFIED = _DRIVER_VERIFIED_R1 | _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3
 
 # Ops whose registered builder was rewritten AFTER their last driver row
-# (r2/r3 Arrow-kernel and expression-string rewrites; oracles unchanged,
-# local harness green, but the driver's hash signal for the shipped code is
-# stale — re-rank them ahead of never-sampled extras so round 3 re-verifies
-# the shipped implementation).
-_REVERIFY = (
-    "sim_topk",          # r2 Arrow kernel + r3 lossless tie-window cut
-    "vec_quantize_int8",  # r2 blas-builder swap
-    "knn_label",         # r3 lossless tie-window cut (same edit as sim_topk)
-    "join_asof",         # r3 selectExpr rewrite
-    "agg_groupby",       # r3 expression-string rewrite (also entry smoke)
-)
+# (oracles unchanged, local harness green, but the driver's hash signal for
+# the shipped code is stale — re-rank them ahead of never-sampled extras so
+# the next round re-verifies the shipped implementation). All five r3
+# entries landed full hash passes in CORRECTNESS_r03 — cleared.
+_REVERIFY: tuple[str, ...] = ()
 
 
 def _ordered_specs() -> dict[str, "QuerySpec"]:
@@ -122,20 +132,15 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
     seen |= set(tier3)
     # within the never-sampled oracled extras, surface the ops ADDED
     # this round first — a fresh driver row on new code is worth more
-    # than one on an extra that has sat green locally for two rounds
-    _NEW_R3 = [
-        "scd2_intervals", "multimodal_phash_dedup", "win_kalman",
-        "stream_kalman", "agg_stringagg", "win_ntile_percent",
-        # continuation-3: new ops + the across-series win_holt rewrite
-        # (never driver-sampled; its CTE oracle now guards new code)
-        "dedup_lines", "text_entropy", "pipeline_mixture_temperature",
-        "win_holt",
-    ]
+    # than one on an extra that has sat green locally for prior rounds
+    # (all of r3's new-op list landed hash passes and moved to
+    # _DRIVER_VERIFIED_R3; repopulate as round-4 ops land).
+    _NEW_R4: list[str] = []
     tier4_pool = [n for n in specs
                   if n not in seen and n not in _DRIVER_VERIFIED
                   and specs[n].oracle is not None]
-    tier4 = [n for n in _NEW_R3 if n in tier4_pool] + [
-        n for n in tier4_pool if n not in _NEW_R3
+    tier4 = [n for n in _NEW_R4 if n in tier4_pool] + [
+        n for n in tier4_pool if n not in _NEW_R4
     ]
     seen |= set(tier4)
     tier5 = [n for n in contract if n in _DRIVER_VERIFIED and n not in seen]
