@@ -106,11 +106,13 @@ def _size_shuffle_to_data(spark) -> None:
     os.environ.setdefault("SPARK_GRAFT_STREAM_SHUFFLE", "4")
     if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
         return  # explicit override wins
+    # recursive walk: scaled fixtures may be directory-backed parquet
+    # datasets (part-files under <table>.parquet/), which a flat listdir
+    # would size at 0 bytes and silently pin partitions to the floor
     total = 0
-    for f in os.listdir(SF_DIR):
-        p = os.path.join(SF_DIR, f)
-        if os.path.isfile(p):
-            total += os.path.getsize(p)
+    for dirpath, _dirnames, filenames in os.walk(SF_DIR):
+        for f in filenames:
+            total += os.path.getsize(os.path.join(dirpath, f))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n = max(8, min(4 * cpus, total // (64 * 1024 * 1024) + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(n))

@@ -1017,7 +1017,21 @@ def win_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
                     float(lev[j]), float(tr[j]), int(nsee[j]), float(x0[j])
                 )
             res = pdf[["user_id", "event_id", "value"]].copy()
-            res["holt_level"] = out
+            # null inputs poison the recurrence from the first null on —
+            # NaN through every numpy op here, NULL through every CTE op
+            # in the oracle, the SAME rows — but Arrow NaN is a VALUE in
+            # Spark (IS NULL false) while the oracle's is SQL NULL:
+            # round-trip both columns through object dtype so the engine
+            # emits true nulls (win_kalman's emit discipline)
+            if np.isnan(v).any():
+                vc = pdf["value"].astype(object)
+                vc[np.isnan(v)] = None
+                res["value"] = vc
+                oc = out.astype(object)
+                oc[np.isnan(out)] = None
+                res["holt_level"] = oc
+            else:
+                res["holt_level"] = out
             yield res
 
     return part.mapInPandas(
@@ -1814,7 +1828,14 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized per batch with an exact per-user last-value carry, so
     a series spanning Arrow batches is seamless; per element the IEEE
     sequence (mult alpha·g, mult q·prev, add) matches the CTE exactly
-    -> bit-identical raw doubles, full oracle."""
+    -> bit-identical raw doubles, full oracle.
+
+    Null semantics (round-4 hardening, matching the oracle's CASE):
+    a NULL value yields NULL diffs which count as gain=loss=0 — the
+    decay ADVANCES without contribution (Wilder's convention for a
+    missing bar), it does not freeze; only a series' true first row
+    (oracle rn=1) emits NULL. Differential-tested on a null-injected
+    events copy in tests/test_timeseries.py."""
     alpha = 1.0 / 14.0
     q = 1.0 - 1.0 / 14.0
     ev = Tables(spark, sf_dir).events.select("user_id", "event_id", "value")
@@ -1835,12 +1856,20 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             new = np.r_[True, uid[1:] != uid[:-1]]
             starts = np.flatnonzero(new)
             lens = np.diff(np.r_[starts, n])
-            # vectorized diff with cross-batch last-value carry
+            # vectorized diff with cross-batch last-value carry; rn1
+            # marks a user's first-EVER row (oracle rn=1, absent from
+            # its recursive r) — distinct from a null diff at rn>=2,
+            # which the oracle maps to gain=loss=0 and advances
             d = np.empty(n)
             d[1:] = v[1:] - v[:-1]
+            rn1 = np.zeros(n, dtype=bool)
             for s in starts:
                 prev = carry.get(int(uid[s]))
-                d[s] = v[s] - prev[3] if prev is not None else np.nan
+                if prev is None:
+                    d[s] = np.nan
+                    rn1[s] = True
+                else:
+                    d[s] = v[s] - prev[3]
             gain = np.where(d > 0.0, d, 0.0)
             loss = np.where(d < 0.0, -d, 0.0)
             has = np.array(
@@ -1862,21 +1891,25 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             step = 0
             while len(active):
                 sel = pos[active]
-                miss = np.isnan(d[sel])  # first row of a fresh series
+                m1 = rn1[sel]  # true first row of a never-seen series
+                # gain/loss are already 0.0 where d is NaN (NaN > 0 is
+                # False), matching the oracle's CASE-ELSE-0 on a NULL
+                # diff: null values ADVANCE the decay with zero gain
+                # instead of freezing the state (null-divergence fix)
                 g = gain[sel]
                 l = loss[sel]
                 # recurrence where state exists (mult, mult, add — CTE
-                # order); anchor ag=g where this is the first diff
+                # order); anchor ag=g at rn=2 (the first diff, null or not)
                 nag = np.where(has[active], alpha * g + q * ag[active], g)
                 nal = np.where(has[active], alpha * l + q * al[active], l)
-                nag = np.where(miss, ag[active], nag)
-                nal = np.where(miss, al[active], nal)
-                upd = ~miss
-                out_ag[sel[upd]] = nag[upd]
-                out_al[sel[upd]] = nal[upd]
+                nag = np.where(m1, ag[active], nag)
+                nal = np.where(m1, al[active], nal)
+                emit = ~m1
+                out_ag[sel[emit]] = nag[emit]
+                out_al[sel[emit]] = nal[emit]
                 ag[active] = nag
                 al[active] = nal
-                has[active] = has[active] | upd
+                has[active] = has[active] | emit
                 pos[active] += 1
                 step += 1
                 active = active[lens[active] > step]
@@ -1929,8 +1962,11 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, rn,
                value + 0.0::DOUBLE AS e12,
                value + 0.0::DOUBLE AS e26,
-               0.0::DOUBLE AS macd,
-               0.0::DOUBLE AS sig
+               -- derived from value (not literal 0.0) so a NULL first
+               -- observation anchors as NULL, matching the kernel's
+               -- NaN poison; exact 0.0 for any finite value
+               (value + 0.0::DOUBLE) - (value + 0.0::DOUBLE) AS macd,
+               (value + 0.0::DOUBLE) - (value + 0.0::DOUBLE) AS sig
         FROM s WHERE rn = 1
         UNION ALL
         SELECT s.user_id, s.event_id, s.rn,
@@ -2015,9 +2051,24 @@ def win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
                     float(e12[k]), float(e26[k]), float(sig[k])
                 )
             out = pdf[["user_id", "event_id"]].copy()
-            out["macd"] = macd
-            out["macd_signal"] = sigo
-            out["macd_hist"] = macd - sigo
+            hist = macd - sigo
+            # null inputs poison all three series from the first null on
+            # (NaN kernel-side, NULL oracle-side, same rows) — emit the
+            # NaNs as true SQL nulls so the representations agree
+            if np.isnan(v).any():
+                for name, arr in (
+                    ("macd", macd), ("macd_signal", sigo), ("macd_hist", hist)
+                ):
+                    if np.isnan(arr).any():
+                        c = arr.astype(object)
+                        c[np.isnan(arr)] = None
+                        out[name] = c
+                    else:
+                        out[name] = arr
+            else:
+                out["macd"] = macd
+                out["macd_signal"] = sigo
+                out["macd_hist"] = hist
             yield out
 
     return part.mapInPandas(

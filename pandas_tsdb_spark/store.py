@@ -91,15 +91,37 @@ class TsStore:
         parquet schema inference. Rewritten on EVERY append/overwrite
         (write-to-tmp + atomic replace): with schema evolution across
         appends, a write-once file would pin the first append's schema
-        and an emptied store would fetch without later-added columns."""
+        and an emptied store would fetch without later-added columns.
+
+        The written schema is the FIELD UNION of the current append's
+        schema and any existing _schema.json — without the merge, two
+        concurrent appenders with evolved schemas race and the last
+        writer wins, so a narrower schema could overwrite a wider one
+        and drop later-added columns from the emptied-store fallback.
+        (Two writers adding DIFFERENT new columns in the same instant
+        can still each miss the other's column for one append; the next
+        append of either column re-unions it in — monotone, eventually
+        complete.)"""
         import uuid
 
+        from pyspark.sql import types as T
+
         p = os.path.join(self.path(name), "_schema.json")
+        schema = stamped.schema
+        try:
+            with open(p) as f:
+                existing = T.StructType.fromJson(json.load(f))
+            have = {f.name for f in schema.fields}
+            extra = [f for f in existing.fields if f.name not in have]
+            if extra:
+                schema = T.StructType(list(schema.fields) + extra)
+        except (OSError, ValueError, KeyError):
+            pass  # absent or corrupt prior schema: write ours alone
         # unique tmp per write: concurrent appenders sharing one tmp
         # name race each other's os.replace (caught by the threading law)
         tmp = f"{p}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
-            f.write(stamped.schema.json())
+            f.write(schema.json())
         os.replace(tmp, p)
 
     def _empty_if_no_parts(self, name: str) -> DataFrame | None:
@@ -296,6 +318,26 @@ class TsStore:
             import time
 
             cutoff = time.time() - 3600
+
+            def newest_mtime(root: str) -> float:
+                # the NEWEST mtime anywhere under the stage dir, not the
+                # top-level dir's: a long-running append job (>1h between
+                # stage-dir creation and the file moves) keeps writing
+                # part-files whose mtimes stay fresh even when the dir
+                # entry itself has aged — judging by the top-level mtime
+                # alone would rmtree a live append's staging mid-commit
+                newest = os.path.getmtime(root)
+                for dirpath, dirnames, filenames in os.walk(root):
+                    for e in dirnames + filenames:
+                        try:
+                            newest = max(
+                                newest,
+                                os.path.getmtime(os.path.join(dirpath, e)),
+                            )
+                        except OSError:
+                            pass  # file moved out by the appender: live
+                return newest
+
             for entry in os.listdir(parent):
                 p = os.path.join(parent, entry)
                 if not entry.startswith(f".{base}.") or not os.path.isdir(p):
@@ -303,7 +345,7 @@ class TsStore:
                 if entry.endswith(".tmp") and ".compact." in entry:
                     shutil.rmtree(p)
                 elif entry.startswith(f".{base}.append.") and (
-                    os.path.getmtime(p) < cutoff
+                    newest_mtime(p) < cutoff
                 ):
                     shutil.rmtree(p)
 

@@ -498,3 +498,104 @@ def test_kalman_null_semantics_match_oracle(spark, tmp_path):
     )
     for c in ["user_id", "event_id", "value", "kalman_level"]:
         assert (spdf[c] == dpdf[c]).all(), c
+
+
+def _stage_holey_events(spark, tmp_path, every: int):
+    """Null-inject the sf0.001 events fixture (every Nth event_id plus an
+    all-null prefix for user 0) and stage it in the single-file fixture
+    layout the builders read, returning the stage dir."""
+    import glob
+    import os
+    import shutil
+
+    ev = spark.read.parquet(f"{SMALL}/events.parquet")
+    holey = ev.withColumn(
+        "value",
+        F.when(
+            (F.col("event_id") % every == 0)
+            | ((F.col("user_id") == 0) & (F.col("event_id") < 70)),
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("value")),
+    )
+    d = str(tmp_path / "holey")
+    holey.coalesce(1).write.parquet(d)
+    stage = str(tmp_path / "sf_holey")
+    os.makedirs(stage)
+    shutil.copy(glob.glob(f"{d}/part-*.parquet")[0], f"{stage}/events.parquet")
+    return stage
+
+
+def _assert_kernel_matches_oracle_on(spark, stage, name, cols):
+    import duckdb
+
+    spdf = (
+        SPECS[name].builder(spark, stage)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+        .astype(str)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{stage}/events.parquet')"
+    )
+    dpdf = (
+        con.execute(SPECS[name].oracle)
+        .fetchdf()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+        .astype(str)
+    )
+    assert len(spdf) == len(dpdf)
+    for c in cols:
+        assert (spdf[c] == dpdf[c]).all(), f"{name}.{c}"
+    return spdf
+
+
+def test_rsi_null_semantics_match_oracle(spark, tmp_path):
+    """Round-4 ADVICE fix: a NULL value used to freeze the kernel's
+    gain/loss state while the oracle's CASE advanced the decay with
+    gain=loss=0. Both now advance (Wilder missing-bar convention);
+    only a series' true first row (rn=1) emits NULL. Bit-identical on
+    a null-injected events copy."""
+    stage = _stage_holey_events(spark, tmp_path, every=7)
+    spdf = _assert_kernel_matches_oracle_on(
+        spark, stage, "win_rsi",
+        ["user_id", "event_id", "avg_gain", "avg_loss", "rsi"],
+    )
+    # null rows at rn>=2 emit ADVANCED (non-null) averages — the fix
+    adv = SPECS["win_rsi"].builder(spark, stage).filter(
+        "user_id = 0 AND event_id >= 70 AND avg_gain IS NOT NULL"
+    )
+    assert adv.count() > 0
+
+
+def test_holt_null_semantics_match_oracle(spark, tmp_path):
+    """win_holt under nulls: the recurrence is POISONED from the first
+    null on (NaN kernel-side, NULL CTE-side, same rows) — and the
+    round-4 emit fix converts the Arrow NaNs to true SQL nulls so both
+    engines agree representation-for-representation."""
+    stage = _stage_holey_events(spark, tmp_path, every=11)
+    _assert_kernel_matches_oracle_on(
+        spark, stage, "win_holt",
+        ["user_id", "event_id", "value", "holt_level"],
+    )
+    # poisoned tail is true SQL NULL (IS NULL), not Arrow NaN
+    poisoned = SPECS["win_holt"].builder(spark, stage).filter(
+        "user_id = 0 AND holt_level IS NULL"
+    )
+    assert poisoned.count() > 0
+
+
+def test_macd_null_semantics_match_oracle(spark, tmp_path):
+    """win_macd under nulls: same poison-forward law as win_holt across
+    all three output series, emitted as true SQL nulls."""
+    stage = _stage_holey_events(spark, tmp_path, every=13)
+    _assert_kernel_matches_oracle_on(
+        spark, stage, "win_macd",
+        ["user_id", "event_id", "macd", "macd_signal", "macd_hist"],
+    )
+    poisoned = SPECS["win_macd"].builder(spark, stage).filter(
+        "user_id = 0 AND macd IS NULL"
+    )
+    assert poisoned.count() > 0
