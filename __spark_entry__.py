@@ -57,9 +57,13 @@ CONTRACT_OPS: tuple[str, ...] = (
     "udf_scalar", "udaf_grouped", "udtf_table", "join_asof_cogroup",
 )
 
-# Queries the driver already hash-verified (all keys of CORRECTNESS_r01/
-# r02/r03.json — every row in all three files is a full rows+schema+hash
-# PASS except agg_approx_distinct, rows-only-by-design; zero failures).
+# Queries the driver already sampled (all keys of CORRECTNESS_r01/r02/r03/
+# r04.json). Every row is a full rows+schema+hash PASS except four run-only
+# entries (dedup_minhash, dedup_simhash, sim_topk_blas in r1 and
+# agg_approx_distinct in r3: err=no_oracle — the driver executed them and
+# recorded spark_rows, but verified neither rows nor hashes; they have no
+# oracle by design, so re-sampling them can never produce a stronger signal).
+# Zero failures across all four rounds.
 _DRIVER_VERIFIED_R1 = frozenset({
     "agg_corr", "agg_gini", "agg_mode", "agg_quantiles", "cohort_retention",
     "corr_matrix", "dedup_cluster", "dedup_exact", "dedup_minhash",
@@ -104,7 +108,25 @@ _DRIVER_VERIFIED_R3 = frozenset({
     "pipeline_chunk", "distinct_subset", "agg_skew_kurt", "agg_value_counts",
     "agg_bool", "filter_time_of_day", "agg_histogram", "agg_entropy",
 })
-_DRIVER_VERIFIED = _DRIVER_VERIFIED_R1 | _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3
+_DRIVER_VERIFIED_R4 = frozenset({
+    "agg_crosstab", "align_series", "fn_array_lambda", "fn_bin_cut",
+    "fn_bin_qcut", "fn_bitwise", "fn_onehot", "fn_struct", "fn_try",
+    "join_asof_directions", "reshape_melt", "rollup_continuous",
+    "scan_events_ts", "scan_schema_evolution", "set_except_all",
+    "sink_csv_roundtrip", "sink_json_roundtrip", "sink_orc_roundtrip",
+    "sink_partition_prune", "source_python_datasource", "stream_enrich",
+    "stream_kafka_shape", "stream_m4", "stream_python_source",
+    "stream_store_ingest", "stream_stream_join", "tpch_q10", "tpch_q14",
+    "tpch_q18", "tpch_q19", "tpch_q22", "tpch_q4", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9", "ts_outlier_mad", "upsert_cdc", "win_autocorr",
+    "win_counter_rate", "win_decompose", "win_downsample_m4",
+    "win_interp_time", "win_macd", "win_resample_interp", "win_rsi",
+    "win_seasonal_dow", "win_trend", "win_twa", "win_xcorr",
+})
+_DRIVER_VERIFIED = (
+    _DRIVER_VERIFIED_R1 | _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3
+    | _DRIVER_VERIFIED_R4
+)
 
 # Ops whose registered builder was rewritten AFTER their last driver row
 # (oracles unchanged, local harness green, but the driver's hash signal for
@@ -119,8 +141,11 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
     keys) covers maximum new ground: (1) never-verified contract ops WITH a
     full DuckDB oracle (hash check — the hard signal), (2) ops rewritten since
     their last driver row, (3) never-verified contract rows-only ops, (4)
-    never-verified extras with oracles in registration order, (5) everything
-    already driver-verified, (6) remaining rows-only extras."""
+    never-verified extras with oracles in registration order, (4b)
+    never-sampled rows-only extras (run-only signal, but it closes the
+    registry: after r1-r4 only 27 oracled + 12 rows-only entries remain
+    unsampled — 39 total, all inside the 50-slot window), (5) everything
+    already driver-verified, (6) the rest."""
     specs = load_all()
     contract = [n for n in CONTRACT_OPS if n in specs]
     tier1 = [n for n in contract
@@ -133,20 +158,26 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
     # within the never-sampled oracled extras, surface the ops ADDED
     # this round first — a fresh driver row on new code is worth more
     # than one on an extra that has sat green locally for prior rounds
-    # (all of r3's new-op list landed hash passes and moved to
-    # _DRIVER_VERIFIED_R3; repopulate as round-4 ops land).
-    _NEW_R4: list[str] = []
+    # (all of r3's/r4's new-op lists landed hash passes and moved to
+    # _DRIVER_VERIFIED_R3/R4; repopulate as round-5 ops land).
+    _NEW_R5: list[str] = []
     tier4_pool = [n for n in specs
                   if n not in seen and n not in _DRIVER_VERIFIED
                   and specs[n].oracle is not None]
-    tier4 = [n for n in _NEW_R4 if n in tier4_pool] + [
-        n for n in tier4_pool if n not in _NEW_R4
+    tier4 = [n for n in _NEW_R5 if n in tier4_pool] + [
+        n for n in tier4_pool if n not in _NEW_R5
     ]
     seen |= set(tier4)
+    # never-sampled rows-only extras: a run-only driver row is still a
+    # fresh signal (the op executes end-to-end on driver infra), and with
+    # only 39 never-sampled entries left they all fit in the sample.
+    tier4b = [n for n in specs
+              if n not in seen and n not in _DRIVER_VERIFIED]
+    seen |= set(tier4b)
     tier5 = [n for n in contract if n in _DRIVER_VERIFIED and n not in seen]
     seen |= set(tier5)
     tail = [n for n in specs if n not in seen]
-    head = tier1 + tier2 + tier3 + tier4 + tier5
+    head = tier1 + tier2 + tier3 + tier4 + tier4b + tier5
     return {n: specs[n] for n in head + tail}
 
 

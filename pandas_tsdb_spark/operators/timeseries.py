@@ -1027,6 +1027,12 @@ def win_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vc = pdf["value"].astype(object)
                 vc[np.isnan(v)] = None
                 res["value"] = vc
+            # gate OUTPUT conversion on the output, not the input: a null
+            # in an earlier batch poisons the carried (lev, tr), so a later
+            # all-finite batch still produces NaN outputs from the carry —
+            # those must become SQL NULLs too, or the engine emits Arrow
+            # NaN doubles (IS NULL false) while the oracle yields NULL
+            if np.isnan(out).any():
                 oc = out.astype(object)
                 oc[np.isnan(out)] = None
                 res["holt_level"] = oc
@@ -1729,6 +1735,12 @@ def win_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vc = pdf["value"].astype(object)
                 vc[np.isnan(z)] = None
                 res["value"] = vc
+            # output gate keys on the OUTPUT array (cross-batch carry
+            # discipline — see win_holt). For kalman the carry x is NaN
+            # only while unseeded, which implies a missing z in THIS
+            # batch at those rows, but gating on `out` is the invariant
+            # that stays correct if the emit logic ever changes.
+            if np.isnan(out).any():
                 oc = out.astype(object)
                 oc[np.isnan(out)] = None
                 res["kalman_level"] = oc
@@ -2054,21 +2066,20 @@ def win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
             hist = macd - sigo
             # null inputs poison all three series from the first null on
             # (NaN kernel-side, NULL oracle-side, same rows) — emit the
-            # NaNs as true SQL nulls so the representations agree
-            if np.isnan(v).any():
-                for name, arr in (
-                    ("macd", macd), ("macd_signal", sigo), ("macd_hist", hist)
-                ):
-                    if np.isnan(arr).any():
-                        c = arr.astype(object)
-                        c[np.isnan(arr)] = None
-                        out[name] = c
-                    else:
-                        out[name] = arr
-            else:
-                out["macd"] = macd
-                out["macd_signal"] = sigo
-                out["macd_hist"] = hist
+            # NaNs as true SQL nulls so the representations agree. The
+            # gate keys on each OUTPUT array, never on this batch's input:
+            # a null in an earlier Arrow batch poisons the carried
+            # (e12, e26, sig), so a later all-finite batch still yields
+            # NaN outputs that must become SQL NULLs.
+            for name, arr in (
+                ("macd", macd), ("macd_signal", sigo), ("macd_hist", hist)
+            ):
+                if np.isnan(arr).any():
+                    c = arr.astype(object)
+                    c[np.isnan(arr)] = None
+                    out[name] = c
+                else:
+                    out[name] = arr
             yield out
 
     return part.mapInPandas(

@@ -39,10 +39,105 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["TsStore"]
+__all__ = ["TsStore", "WriterLeaseHeld"]
 
 _PART = "_date"
 _INGEST = "_ingest_ts"
+
+# A crashed maintenance writer must not brick the series forever: a lease
+# older than this is presumed dead and taken over. Live holders refresh
+# the lease mtime via _touch inside long phases (compact's write). 15 min
+# >> any single local rewrite; at cluster scale a manifest/catalog lock
+# replaces this file, as the docstrings note.
+_LEASE_STALE_SECS = 900.0
+
+
+class WriterLeaseHeld(RuntimeError):
+    """Another process holds the series' maintenance-writer lease."""
+
+
+class _WriterLease:
+    """Cross-PROCESS single-writer guard for the maintenance ops
+    (overwrite/compact/optimize/delete_keys/drop_before): an exclusive
+    create (O_CREAT|O_EXCL — atomic on POSIX and local NFS alike) of a
+    dotted lease file beside the series dir. append() deliberately does
+    NOT take it — blind appends are concurrent-safe by design; the lease
+    enforces the documented "single maintenance owner per series"
+    invariant instead of leaving it a caveat. Stale leases (holder
+    crashed; mtime older than _LEASE_STALE_SECS) are broken on acquire.
+    The lease file is dot-prefixed and a plain FILE, so series() listing,
+    partition discovery, and the stage-dir sweeps (which only touch
+    directories) all ignore it."""
+
+    def __init__(self, series_path: str, op: str):
+        parent, base = os.path.split(series_path)
+        self.path = os.path.join(parent, f".{base}.writer.lock")
+        self.op = op
+        self._parent = parent
+
+    def _read_holder(self) -> str:
+        try:
+            with open(self.path) as f:
+                return f.read(512)
+        except OSError:
+            return "<unreadable>"
+
+    def __enter__(self) -> "_WriterLease":
+        import time
+
+        os.makedirs(self._parent, exist_ok=True)
+        try:
+            # break-then-acquire for a dead holder; the unlink+create
+            # pair is not atomic, but two breakers racing still funnel
+            # through the exclusive create — exactly one wins
+            if time.time() - os.path.getmtime(self.path) > _LEASE_STALE_SECS:
+                os.unlink(self.path)
+        except OSError:
+            pass  # no lease, or it vanished: nothing to break
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise WriterLeaseHeld(
+                f"maintenance lease {self.path} held by {self._read_holder()}"
+                f" — overwrite/compact/optimize/delete/retention are "
+                f"single-writer per series (blind append() is always safe)"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {"pid": os.getpid(), "op": self.op, "acquired_unix": time.time()},
+                f,
+            )
+        return self
+
+    def touch(self) -> None:
+        """Refresh the lease mtime mid-operation so a long rewrite is
+        never mistaken for a dead holder."""
+        try:
+            os.utime(self.path)
+        except OSError:
+            pass
+
+    def __exit__(self, *exc) -> None:
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+
+
+def _leased(op: str):
+    """Method decorator: run the maintenance op under the series'
+    cross-process writer lease (methods take ``name`` first)."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(self, name, *args, **kwargs):
+            with _WriterLease(self.path(name), op):
+                return fn(self, name, *args, **kwargs)
+
+        return wrapper
+
+    return deco
 
 
 class TsStore:
@@ -84,7 +179,9 @@ class TsStore:
         )
         return df.withColumn(_INGEST, stamp)
 
-    def _save_schema(self, name: str, stamped: DataFrame) -> None:
+    def _save_schema(
+        self, name: str, stamped: DataFrame, union: bool = True
+    ) -> None:
         """Persist the stamped schema beside the data (underscore file —
         invisible to scans) so an emptied store (retention dropped every
         partition) still fetches as an empty frame instead of dying on
@@ -101,13 +198,29 @@ class TsStore:
         (Two writers adding DIFFERENT new columns in the same instant
         can still each miss the other's column for one append; the next
         append of either column re-unions it in — monotone, eventually
-        complete.)"""
+        complete.)
+
+        The union applies ONLY to append() (``union=True``), the sole
+        documented concurrent path. overwrite() passes ``union=False``
+        and writes the stamped schema verbatim: under
+        spark.sql.sources.partitionOverwriteMode=dynamic the old
+        _schema.json survives the data overwrite, and unioning it back
+        would resurrect intentionally-dropped columns in the
+        emptied-store fallback. Same-named fields with conflicting
+        types resolve to the current writer's type (current fields win
+        the union by construction)."""
         import uuid
 
         from pyspark.sql import types as T
 
         p = os.path.join(self.path(name), "_schema.json")
         schema = stamped.schema
+        if not union:
+            tmp = f"{p}.{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                f.write(schema.json())
+            os.replace(tmp, p)
+            return
         try:
             with open(p) as f:
                 existing = T.StructType.fromJson(json.load(f))
@@ -192,6 +305,7 @@ class TsStore:
                         os.path.join(src_dir, f), os.path.join(dst_dir, f)
                     )
 
+    @_leased("overwrite")
     def overwrite(self, name: str, df: DataFrame, ingest_ts=None) -> None:
         """Replace the series wholesale. SINGLE-WRITER semantics by
         definition (a full replacement concurrent with appends has no
@@ -202,7 +316,7 @@ class TsStore:
         stamped.write.mode("overwrite").partitionBy(_PART).parquet(
             self.path(name)
         )
-        self._save_schema(name, stamped)
+        self._save_schema(name, stamped, union=False)
 
     # -- read -------------------------------------------------------------
 
@@ -326,7 +440,14 @@ class TsStore:
                 # part-files whose mtimes stay fresh even when the dir
                 # entry itself has aged — judging by the top-level mtime
                 # alone would rmtree a live append's staging mid-commit
-                newest = os.path.getmtime(root)
+                # root getmtime can race a concurrent appender's final
+                # shutil.rmtree (stage vanished == append committed):
+                # OSError here means "live, leave alone", not "abort
+                # the whole sweep"
+                try:
+                    newest = os.path.getmtime(root)
+                except OSError:
+                    return float("inf")
                 for dirpath, dirnames, filenames in os.walk(root):
                     for e in dirnames + filenames:
                         try:
@@ -342,13 +463,17 @@ class TsStore:
                 p = os.path.join(parent, entry)
                 if not entry.startswith(f".{base}.") or not os.path.isdir(p):
                     continue
-                if entry.endswith(".tmp") and ".compact." in entry:
-                    shutil.rmtree(p)
-                elif entry.startswith(f".{base}.append.") and (
-                    newest_mtime(p) < cutoff
-                ):
-                    shutil.rmtree(p)
+                try:
+                    if entry.endswith(".tmp") and ".compact." in entry:
+                        shutil.rmtree(p)
+                    elif entry.startswith(f".{base}.append.") and (
+                        newest_mtime(p) < cutoff
+                    ):
+                        shutil.rmtree(p)
+                except OSError:
+                    continue  # dir vanished mid-sweep: owner finished it
 
+    @_leased("compact")
     def compact(
         self,
         name: str,
@@ -441,6 +566,7 @@ class TsStore:
                     pass  # an interleaved compact already replaced it
         shutil.rmtree(stage)
 
+    @_leased("optimize")
     def optimize(
         self,
         name: str,
@@ -682,6 +808,7 @@ class TsStore:
         return q
 
 
+    @_leased("delete_keys")
     def delete_keys(self, name: str, key_col: str, keys: Sequence) -> int:
         """Targeted deletion (GDPR/opt-out): remove every row whose
         ``key_col`` is in ``keys``, rewriting ONLY the day partitions
@@ -744,6 +871,7 @@ class TsStore:
 
     # -- lifecycle --------------------------------------------------------
 
+    @_leased("drop_before")
     def drop_before(self, name: str, cutoff) -> int:
         """Retention: drop whole day partitions older than ``cutoff``
         (a date or 'YYYY-MM-DD' string). Deletion is directory-level —

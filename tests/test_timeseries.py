@@ -599,3 +599,55 @@ def test_macd_null_semantics_match_oracle(spark, tmp_path):
         "user_id = 0 AND macd IS NULL"
     )
     assert poisoned.count() > 0
+
+
+def test_poison_crosses_arrow_batches(spark, tmp_path):
+    """Round-5 ADVICE fix (the cross-batch NaN gate): a null early in a
+    series poisons the carried recurrence state, so a LATER Arrow batch
+    whose input is all-finite still produces NaN outputs from the carry.
+    The emit gate must key on the OUTPUT arrays, not the current batch's
+    input — otherwise those rows ship as Arrow NaN doubles (IS NULL
+    false) while the oracle yields SQL NULL. Force tiny Arrow batches so
+    user 0's poisoned series definitely spans batch boundaries, then
+    assert the Spark-side IS NULL count equals the oracle's NULL count
+    for every poisoned output column of win_holt and win_macd."""
+    import duckdb
+
+    # nulls ONLY in user 0's prefix (every=10**9 disables the modular
+    # nulls except event_id 0): later batches of user 0 are all-finite
+    # input but NaN-poisoned carry — exactly the latent path.
+    stage = _stage_holey_events(spark, tmp_path, every=10**9)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{stage}/events.parquet')"
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        # sanity: user 0 has enough rows that 16-row batches split it
+        n_u0 = spark.read.parquet(f"{stage}/events.parquet").filter(
+            "user_id = 0"
+        ).count()
+        assert n_u0 > 32
+
+        for name, out_cols in [
+            ("win_holt", ["holt_level"]),
+            ("win_macd", ["macd", "macd_signal", "macd_hist"]),
+        ]:
+            sdf = SPECS[name].builder(spark, stage)
+            dpdf = con.execute(SPECS[name].oracle).fetchdf()
+            for c in out_cols:
+                spark_nulls = sdf.filter(f"{c} IS NULL").count()
+                oracle_nulls = int(dpdf[c].isna().sum())
+                assert spark_nulls == oracle_nulls, (
+                    f"{name}.{c}: spark IS NULL {spark_nulls} "
+                    f"!= oracle NULL {oracle_nulls}"
+                )
+                # the poison really spans batches: far more nulls than
+                # one 16-row batch could hold
+                assert spark_nulls > 16, f"{name}.{c} poison too short"
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
