@@ -1500,3 +1500,85 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rk")
     )
+
+
+_ANN_RECALL_FLOOR = 0.5  # shared floor with tests/test_llm.py's per-family laws
+
+
+@query("ann_recall", oracle=None)  # recall of approximations: no SQL twin
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of every ANN family, IN-BAND (round-5 verdict item): one
+    row per index — (index_kind, k, hits, truth, recall, recall_floor) —
+    where recall = |approx_topk ∩ exact_topk| / |exact_topk| over the
+    query block, with exact_topk from the fully-oracled brute-force
+    sim_topk. This is the number a user tunes nprobe/bands/codebooks
+    against; until round 5 it lived only in test assertions.
+
+    The floor is ASSERTED INSIDE THE QUERY: the recall column is
+    F.when(recall >= floor, recall).otherwise(F.raise_error(...)), so a
+    regression below the documented floor fails the driver's rows-only
+    run loudly instead of shipping a silently-degraded index.
+
+    Scale shape: each family's plan is its registry plan unchanged
+    (bounded codebook samples, bucketed candidates); the recall join is
+    |queries|·k rows a side — broadcast-sized at any collection size.
+    ann_lsh reports strict recall@1 (its contract returns only the top
+    neighbor); the other three report recall@{_TOP_K}."""
+    exact = sim_topk(spark, sf_dir).select("query_id", "neighbor_id", "rk")
+    fams = [
+        (
+            "lsh",
+            ann_lsh(spark, sf_dir)
+            .filter(F.col("vec_id") < _N_QUERIES)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("nn_id").alias("neighbor_id"),
+            ),
+            1,
+        ),
+        ("ivf", ann_ivf(spark, sf_dir).select("query_id", "neighbor_id"), _TOP_K),
+        ("pq", ann_pq(spark, sf_dir).select("query_id", "neighbor_id"), _TOP_K),
+        (
+            "ivf_pq",
+            ann_ivf_pq(spark, sf_dir).select("query_id", "neighbor_id"),
+            _TOP_K,
+        ),
+    ]
+    parts = []
+    for kind, approx, k in fams:
+        truth = exact.filter(F.col("rk") <= k)
+        hits = approx.join(truth, ["query_id", "neighbor_id"], "inner")
+        parts.append(
+            hits.agg(F.count("*").alias("hits"))
+            .crossJoin(truth.agg(F.count("*").alias("truth")))
+            .select(
+                F.lit(kind).alias("index_kind"),
+                F.lit(k).cast("int").alias("k"),
+                F.col("hits").cast("long").alias("hits"),
+                F.col("truth").cast("long").alias("truth"),
+            )
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    recall = F.round(F.col("hits") / F.col("truth"), 4)
+    guarded = F.when(recall >= F.lit(_ANN_RECALL_FLOOR), recall).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ANN recall below documented floor "),
+                F.lit(str(_ANN_RECALL_FLOOR)),
+                F.lit(": index="),
+                F.col("index_kind"),
+                F.lit(" recall="),
+                recall.cast("string"),
+            )
+        ).cast("double")
+    )
+    return res.select(
+        "index_kind",
+        "k",
+        "hits",
+        "truth",
+        guarded.alias("recall"),
+        F.lit(_ANN_RECALL_FLOOR).alias("recall_floor"),
+    )

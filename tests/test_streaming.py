@@ -487,3 +487,70 @@ def test_chunked_kalman_carries_state(spark, chunk_dir):
     want = SPECS["win_kalman"].builder(spark, SMALL)
     cols = ["user_id", "event_id", "value", "kalman_level"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+@pytest.mark.parametrize("which", ["cumsum", "kalman"])
+def test_kill_and_restart_from_checkpoint(spark, chunk_dir, tmp_path, which):
+    """Round-5 verdict item: a stateful stream killed MID-RUN (abrupt
+    q.stop() with micro-batches still pending — no graceful drain) must
+    restart from its checkpoint and finish with results IDENTICAL to the
+    uninterrupted run: per-key state recovered, offsets recovered (no
+    reprocessed duplicates), file-sink exactly-once via _spark_metadata."""
+    import shutil
+    import time
+
+    if which == "cumsum":
+        kernel = S.make_cumsum_kernel()
+        out_schema = "user_id long, event_id long, cum_value double"
+        state_schema = "acc double"
+        w = "PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING"
+        want_df = S.batch_events(spark, SMALL).selectExpr(
+            "user_id", "event_id", f"round(sum(value) OVER ({w}), 4) AS cum_value"
+        )
+        cols = ["user_id", "event_id", "cum_value"]
+    else:
+        kernel = S.make_kalman_kernel()
+        out_schema = "user_id long, event_id long, value double, kalman_level double"
+        state_schema = "x double, p double, seeded boolean"
+        want_df = SPECS["win_kalman"].builder(spark, SMALL)
+        cols = ["user_id", "event_id", "kalman_level"]
+
+    # drip the chunks one per micro-batch so the kill lands mid-stream
+    src = str(tmp_path / "src")
+    shutil.copytree(chunk_dir, src)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        ev = S.events_stream(spark, SMALL, src_dir=src, max_files_per_trigger=1)
+        out = ev.groupBy("user_id").applyInPandasWithState(
+            kernel, out_schema, state_schema, "Append", "NoTimeout"
+        )
+        return (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    # kill as soon as the FIRST micro-batch commits — no awaitTermination,
+    # later batches are abandoned in whatever state they are in
+    deadline = time.time() + 120
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.02)
+    q.stop()
+    committed = sum(p["numInputRows"] for p in q.recentProgress)
+    total = S.batch_events(spark, SMALL).count()
+
+    # restart the IDENTICAL query on the same checkpoint + sink
+    q2 = start()
+    q2.awaitTermination()
+    got = spark.read.parquet(sink)
+    assert got.count() == total  # exactly-once: no gaps, no duplicates
+    assert got.select("event_id").distinct().count() == total
+    assert _rows(got, cols) == _rows(want_df, cols), (
+        f"killed after {committed}/{total} rows; restart diverged"
+    )
