@@ -129,11 +129,18 @@ _DRIVER_VERIFIED = (
 )
 
 # Ops whose registered builder was rewritten AFTER their last driver row
-# (oracles unchanged, local harness green, but the driver's hash signal for
-# the shipped code is stale — re-rank them ahead of never-sampled extras so
-# the next round re-verifies the shipped implementation). All five r3
-# entries landed full hash passes in CORRECTNESS_r03 — cleared.
-_REVERIFY: tuple[str, ...] = ()
+# (oracles unchanged or co-rewritten, local null-injection harness green,
+# but the driver's hash signal for the shipped code is stale — re-rank them
+# ahead of never-sampled extras so the next round re-verifies the shipped
+# implementation). Round-5 entries: the null-semantics hardening pass
+# (output-gated NaN→NULL emits in holt/macd/kalman; null-aware
+# max_by/min_by in the resample family and merge_ordered; latest-row CDC
+# in upsert_cdc, whose oracle changed too).
+_REVERIFY: tuple[str, ...] = (
+    "win_holt", "win_macd", "win_kalman", "win_resample_ffill",
+    "win_resample_interp", "win_resample_ohlc", "win_resample_hour",
+    "join_merge_ordered", "upsert_cdc",
+)
 
 
 def _ordered_specs() -> dict[str, "QuerySpec"]:

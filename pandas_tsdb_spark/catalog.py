@@ -138,6 +138,17 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def _nn_key(value_col: str, key_col: str) -> F.Column:
+    """Ordering key for a NULL-aware max_by/min_by: pandas
+    first()/last()/ohlc() pick the first/last NON-null observation and
+    DuckDB's arg_max/arg_min skip null values, but Spark's max_by/min_by
+    return whatever value sits at the extreme key — NULL included.
+    Nulling the key on null values makes Spark skip those rows (max_by
+    ignores null ordering keys), aligning all three engines. Shared by
+    every resample/last-per-group operator whose oracle uses arg_max."""
+    return F.when(F.col(value_col).isNotNull(), F.col(key_col))
+
+
 def _normalize_ts(dt: T.DataType) -> F.Column:
     """events.ts -> TimestampType whatever the parquet physical type.
 

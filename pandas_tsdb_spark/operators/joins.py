@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.catalog import Tables, _nn_key
 from pandas_tsdb_spark.registry import oracle_sum2, query, sum2_col
 
 
@@ -608,18 +608,29 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
     ),
     m AS (
+      -- presence-marked structs, mirroring the engine: pandas
+      -- merge_ordered ffill repeats each side's last ROW (a present
+      -- row whose value is NULL fills NULL forward), not its last
+      -- non-null VALUE — IGNORE NULLS on the raw value column would
+      -- skip null rows and diverge on holey data (round-5 sweep)
       SELECT coalesce(a.user_id, b.user_id) AS user_id,
-             coalesce(a.ts, b.ts) AS ts, a.click_v AS cv, b.purch_v AS pv
+             coalesce(a.ts, b.ts) AS ts,
+             CASE WHEN a.user_id IS NOT NULL THEN {'v': a.click_v} END AS lrow,
+             CASE WHEN b.user_id IS NOT NULL THEN {'v': b.purch_v} END AS rrow
       FROM a FULL JOIN b ON a.user_id = b.user_id AND a.ts = b.ts
+    ),
+    f AS (
+      SELECT user_id, ts,
+             last_value(lrow IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS lf,
+             last_value(rrow IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS rf
+      FROM m
     )
-    SELECT user_id, epoch_us(ts) AS ts_us,
-           last_value(cv IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY ts
-                   ROWS UNBOUNDED PRECEDING) AS click_v,
-           last_value(pv IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY ts
-                   ROWS UNBOUNDED PRECEDING) AS purch_v
-    FROM m
+    SELECT user_id, epoch_us(ts) AS ts_us, lf.v AS click_v, rf.v AS purch_v
+    FROM f
     """,
     tags=("joins", "timeseries"),
 )
@@ -642,7 +653,9 @@ def join_merge_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             ev.filter(F.col("event_type") == etype)
             .groupBy("user_id", "ts")
-            .agg(F.max_by("value", "event_id").alias(out))
+            .agg(  # null-aware last (catalog._nn_key): oracle arg_max
+                F.max_by("value", _nn_key("value", "event_id")).alias(out)
+            )
         )
 
     left = TsFrame(side("click", "click_v"), ts_col="ts", by="user_id")

@@ -255,11 +255,17 @@ def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "upsert_cdc",
+    # latest-ROW semantics via a rank window, NOT arg_max: CDC merge
+    # means "the newest row's state wins", and if the newest row carries
+    # a NULL value that NULL is the state. arg_max(value, event_id)
+    # silently skips null values (a stale non-null would win), so it
+    # mirrors the Spark plan only on null-free data (round-5
+    # null-injection sweep catch).
     oracle="""
-    SELECT user_id, event_type,
-           arg_max(value, event_id) AS value,
-           max(event_id) AS src_event
-    FROM events GROUP BY user_id, event_type
+    SELECT user_id, event_type, value, event_id AS src_event
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
     """,
 )
 def upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,7 +305,14 @@ def upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.coalesce("user_id", "u_user_id").alias("user_id"),
         F.coalesce("event_type", "u_event_type").alias("event_type"),
-        F.coalesce("u_value", "value").alias("value"),
+        # update-PRESENCE decides, not update-value nullness: an update
+        # row carrying NULL overwrites the base (latest-row CDC
+        # semantics) — coalesce(u_value, value) would resurrect the
+        # stale base value (round-5 null-injection sweep catch). Key
+        # presence on u_event_id (never null in a real update row).
+        F.when(F.col("u_event_id").isNotNull(), F.col("u_value"))
+        .otherwise(F.col("value"))
+        .alias("value"),
         F.coalesce("u_event_id", "event_id").alias("src_event"),
     )
 

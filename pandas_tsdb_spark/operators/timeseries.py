@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.catalog import Tables, _nn_key
 from pandas_tsdb_spark.registry import query
 
 _US_3D = 3 * 86_400 * 1_000_000
@@ -216,7 +216,13 @@ def win_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(
-        F.max_by("value", "event_id").alias("day_close"),
+        # pandas resample().last() takes the last NON-null observation,
+        # and DuckDB's arg_max(value, event_id) skips null values too —
+        # but Spark's max_by returns the value at max event_id even when
+        # it is NULL. Nulling the ordering key on null values makes
+        # max_by skip those rows (max_by ignores null keys), aligning
+        # all three engines (round-5 null-injection sweep catch).
+        F.max_by("value", _nn_key("value", "event_id")).alias("day_close"),
         F.count("*").alias("n_events"),
     )
     grid = users.crossJoin(F.broadcast(cal))
@@ -298,7 +304,9 @@ def win_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = ev.select("user_id").distinct()
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.max_by("value", "event_id").alias("day_close"))
+    ).agg(  # null-aware last: see win_resample_ffill's daily agg
+        F.max_by("value", _nn_key("value", "event_id")).alias("day_close")
+    )
     grid = users.crossJoin(F.broadcast(cal)).join(
         daily, ["user_id", "day"], "left"
     )

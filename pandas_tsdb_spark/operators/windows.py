@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.catalog import Tables, _nn_key
 from pandas_tsdb_spark.registry import oracle_avg, query
 
 _US_7D = 7 * 86_400 * 1_000_000  # rangeBetween unit: microseconds
@@ -478,10 +478,13 @@ def win_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
     ).agg(
-        F.min_by("value", "event_id").alias("open_v"),
+        # null-aware edges: pandas ohlc / DuckDB arg_min/arg_max skip
+        # null values; Spark's min_by/max_by need the null-keyed guard
+        # (catalog._nn_key, round-5 null-injection sweep)
+        F.min_by("value", _nn_key("value", "event_id")).alias("open_v"),
         F.max("value").alias("high_v"),
         F.min("value").alias("low_v"),
-        F.max_by("value", "event_id").alias("close_v"),
+        F.max_by("value", _nn_key("value", "event_id")).alias("close_v"),
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("total"),
     )
@@ -969,7 +972,7 @@ def win_resample_asfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
     hus = ((F.unix_micros("ts") / _HOUR_US_W).cast("long") * _HOUR_US_W)
     h = ev.groupBy("user_id", hus.alias("hus")).agg(
-        F.max_by("value", "event_id").alias("v")
+        F.max_by("value", _nn_key("value", "event_id")).alias("v")
     )
     grid = (
         h.groupBy("user_id")

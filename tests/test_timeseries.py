@@ -651,3 +651,52 @@ def test_poison_crosses_arrow_batches(spark, tmp_path):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+_NULL_SWEEP_OPS = [
+    # every events-only-oracle op in the window/resample/merge family,
+    # run builder-vs-oracle on a null-injected events copy (round-5
+    # verdict item: the driver fixture is null-free, so null semantics
+    # were latent). Caught and fixed by this sweep: max_by vs arg_max
+    # null skipping (resample ffill/interp/ohlc/hour, merge_ordered
+    # sides), upsert_cdc's coalesce resurrecting stale base values,
+    # merge_ordered's oracle filling last-VALUE instead of last-ROW.
+    "win_cusum", "win_drawdown", "win_bollinger", "win_trend", "win_twa",
+    "win_decompose", "win_autocorr", "win_xcorr", "win_counter_rate",
+    "win_interp_time", "win_resample_interp", "win_resample_ffill",
+    "win_resample_ohlc", "win_resample_hour", "win_resample_asfreq",
+    # (win_resample_month/wmon read orders, not events — outside the
+    # events-injection harness; their value column is TPC-H NOT NULL)
+    "win_seasonal_dow",
+    "ts_outlier_mad", "win_downsample_m4", "align_series",
+    "rollup_continuous", "join_merge_ordered", "upsert_cdc",
+]
+
+
+@pytest.fixture(scope="module")
+def holey_stage(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("holey_sweep")
+    return _stage_holey_events(spark, tmp, every=7)
+
+
+@pytest.mark.parametrize("name", _NULL_SWEEP_OPS)
+def test_null_injection_differential(spark, holey_stage, name):
+    """Builder vs DuckDB oracle on the null-injected events fixture —
+    the same comparison the driver runs, over data the driver never
+    feeds it. Any engine-pair null-semantics divergence (SQL NULL vs
+    Arrow NaN, skip-vs-propagate, presence-vs-value fills) fails here
+    first."""
+    import duckdb
+
+    from tests.harness import compare
+
+    spec = SPECS[name]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{holey_stage}/events.parquet')"
+    )
+    sp = spec.builder(spark, holey_stage).toPandas()
+    du = con.execute(spec.oracle).fetchdf()
+    errs = compare(sp, du, name)
+    assert not errs, errs[:5]
