@@ -100,12 +100,6 @@ def _size_shuffle_to_data(spark) -> None:
     direction raises the count with the bytes. AQE stays ON and can
     still coalesce below this start. SPARK_GRAFT_SHUFFLE_PARTITIONS
     overrides."""
-    # stream state-store default first: it must apply even when the
-    # BATCH shuffle count is explicitly overridden (review catch — the
-    # early return below used to skip it)
-    os.environ.setdefault("SPARK_GRAFT_STREAM_SHUFFLE", "4")
-    if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
-        return  # explicit override wins
     # recursive walk: scaled fixtures may be directory-backed parquet
     # datasets (part-files under <table>.parquet/), which a flat listdir
     # would size at 0 bytes and silently pin partitions to the floor
@@ -113,6 +107,19 @@ def _size_shuffle_to_data(spark) -> None:
     for dirpath, _dirnames, filenames in os.walk(SF_DIR):
         for f in filenames:
             total += os.path.getsize(os.path.join(dirpath, f))
+    # stream state-store default: it must apply even when the BATCH
+    # shuffle count is explicitly overridden (review catch — the early
+    # return below used to skip it). Round-5 note: 4 -> 2 instances and
+    # AQE-off both LOOKED like wins in isolated runs (1.20 -> 0.78 s /
+    # -17%) but an interleaved same-process A/B over the full headline
+    # showed both are session-warmth artifacts (AQE on 12.71 s vs off
+    # 12.92 s; stream 4 = 0.822 s vs 2 = 0.820 s). Keep AQE on (it is
+    # load-bearing at the 64x-1024x scales) and 4 state stores; only
+    # interleaved A/Bs are trustworthy on this container (±25% ambient
+    # drift measured within one hour).
+    os.environ.setdefault("SPARK_GRAFT_STREAM_SHUFFLE", "4")
+    if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        return  # explicit override wins
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n = max(8, min(4 * cpus, total // (64 * 1024 * 1024) + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
