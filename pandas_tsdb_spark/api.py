@@ -1113,13 +1113,17 @@ class Resampler:
 
     def ohlc(self, col: str, order_col: str | None = None) -> DataFrame:
         """Resampler.ohlc — order within the bucket by ``order_col``
-        (default: the frame's order_col, else the time column)."""
+        (default: the frame's order_col, else the time column). pandas
+        ohlc computes all four edges over the bucket's NON-null values
+        (a leading NaN does not become the open), so open/close use the
+        null-keyed min_by/max_by guard — max/min skip nulls natively."""
         ok = order_col or self.tf.order_col or self.tf.ts_col
+        ok_nn = F.when(F.col(col).isNotNull(), F.col(ok))
         return self._group().agg(
-            F.min_by(col, ok).alias("open"),
+            F.min_by(col, ok_nn).alias("open"),
             F.max(col).alias("high"),
             F.min(col).alias("low"),
-            F.max_by(col, ok).alias("close"),
+            F.max_by(col, ok_nn).alias("close"),
         )
 
     def _dense_grid(self, col: str):

@@ -1251,3 +1251,64 @@ def test_ewm_time_halflife_vs_pandas(spark, ev, pev):
 
     with _pytest.raises(ValueError):
         tsf(ev).ewm(halflife="2d", adjust=False)
+
+
+def test_resample_ohlc_skips_nulls(ev, pev):
+    """pandas Resampler.ohlc computes all four edges over the bucket's
+    NON-null values (a leading NaN never becomes the open) — round-5
+    null-hardening of the TsFrame twin: plain min_by/max_by would emit
+    the NaN edge rows verbatim."""
+    holey = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).cast("double"),
+    )
+    got = (
+        TsFrame(holey, by=None, order_col="event_id")
+        .resample("1d")
+        .ohlc("value")
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    ph = pev.sort_values("event_id").copy()
+    ph.loc[ph.event_id % 5 == 0, "value"] = np.nan
+    want = ph.set_index("ts")["value"].resample("1D").ohlc()
+    for c in ["open", "high", "low", "close"]:
+        assert _eq(got[c], want[c].reset_index(drop=True)), c
+
+
+def test_ewm_time_halflife_nulls_vs_pandas(ev, pev):
+    """Round-5 recurrence-family null sweep: the time-decayed EWM kernel
+    (win_ewm_time's engine) must match pandas ewm(halflife=Timedelta,
+    times=...) on null-injected data — NaN observations contribute no
+    weight but time keeps decaying."""
+    holey = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).cast("double"),
+    )
+    got = (
+        TsFrame(holey, ts_col="ts", by="user_id", order_col="event_id")
+        .ewm(halflife="2 days")
+        .mean("value")
+        .df.toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ph = pev.sort_values(["user_id", "event_id"]).copy()
+    ph.loc[ph.event_id % 5 == 0, "value"] = np.nan
+    outs = []
+    for _uid, g in ph.groupby("user_id"):
+        s = (
+            g.set_index("ts")["value"]
+            .ewm(halflife=pd.Timedelta("2 days"), times=g["ts"].values)
+            .mean()
+        )
+        outs.append(
+            pd.DataFrame({"event_id": g["event_id"].to_numpy(), "want": s.to_numpy()})
+        )
+    want = pd.concat(outs).sort_values("event_id").reset_index(drop=True)
+    m = got.merge(want, on="event_id")
+    a = m["value_ewm"].to_numpy(dtype=float)
+    b = m["want"].to_numpy(dtype=float)
+    ok = np.isclose(a, b, rtol=1e-9, atol=1e-12) | (np.isnan(a) & np.isnan(b))
+    assert ok.all(), m[~ok].head()
