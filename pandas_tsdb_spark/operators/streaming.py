@@ -74,14 +74,40 @@ _US_3H = 3 * _US_1H
 
 def stage_stream_dir(sf_dir: str, table: str = "events") -> str:
     """Symlink `{sf_dir}/{table}.parquet` into a directory the file
-    stream source can list (it refuses bare file paths)."""
+    stream source can list (it refuses bare file paths). Handles both
+    fixture shapes: a single parquet FILE (driver testdata) and a
+    Spark-written DATASET DIRECTORY (the scaled 256x/1024x fixtures) —
+    for a directory, each part file is linked individually, because a
+    dir symlinked under a file-named path neither lists as data nor
+    parses as a partition (UNABLE_TO_INFER_SCHEMA; round-5 catch at
+    sf256full)."""
+    import shutil
+
     src = os.path.realpath(f"{sf_dir.rstrip('/')}/{table}.parquet")
     key = hashlib.md5(src.encode()).hexdigest()[:12]
     d = os.path.join(_STAGE_ROOT, key, table)
+    # a stale stage from before this fixture existed (or from the
+    # single-file code path pointed at a dataset dir) holds links that
+    # resolve to directories — wipe and rebuild rather than trust it
+    if os.path.isdir(d) and any(
+        os.path.isdir(os.path.join(d, e)) for e in os.listdir(d)
+    ):
+        shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "part-00000.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    if os.path.isdir(src):
+        for i, f in enumerate(
+            sorted(
+                f for f in os.listdir(src)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+        ):
+            link = os.path.join(d, f"part-{i:05d}.parquet")
+            if not os.path.exists(link):
+                os.symlink(os.path.join(src, f), link)
+    else:
+        link = os.path.join(d, "part-00000.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return d
 
 
