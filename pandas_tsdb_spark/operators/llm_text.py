@@ -1212,3 +1212,120 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ent, 6).alias("token_entropy"),
         F.round(ent / denom, 6).alias("norm_entropy"),
     )
+
+
+_DEDUP_RECALL_FLOOR = 0.8
+_DEDUP_PROBE = 512  # brute-force probe sample size (bounded at any corpus)
+
+
+@query("dedup_recall", oracle=None)  # recall of approximations: no SQL twin
+def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the approximate dedup families, IN-BAND (the ann_recall
+    pattern applied to text dedup): one row per method with
+    (truth_pairs, found_pairs, recall, recall_floor), floor asserted
+    inside the query via raise_error so a banding/bucketing regression
+    fails the driver's rows-only run loudly.
+
+    Ground truth is a BOUNDED brute-force probe: the first 512 docs by
+    md5(doc_id) (deterministic at every corpus size), all ~131k probe
+    pairs exact-shingle-Jaccard'd — the only quadratic is 512², fixed
+    by construction, exactly the bounded-sample discipline of the ANN
+    codebooks. Rows:
+
+    - minhash: truth = probe pairs with exact 3-shingle Jaccard >= 0.5,
+      found = dedup_minhash's candidate-verified output restricted to
+      the probe. The fixture's true near-dups are exact-text dups
+      (J = 1.0), which collide in every LSH band, so recall is 1.0
+      deterministically; the 0.8 floor leaves room for borderline-J
+      pairs in future corpora (single-band collision odds).
+    - simhash: truth = probe pairs with EQUAL token sets (dedup_near's
+      signature), found = probe pairs sharing a simhash fingerprint —
+      1.0 by construction (the fingerprint is a function of the token
+      set); any miss means the fingerprint stopped being one.
+
+    Empty truth (small fixtures have no near-dups in the probe) reports
+    recall = 1.0 with truth_pairs = 0 — the assertion only fires on
+    truth_pairs > 0."""
+    d = _docs(spark, sf_dir)
+    probe = (
+        d.withColumn("r", F.md5(F.col("doc_id").cast("string")))
+        .orderBy("r", "doc_id")
+        .limit(_DEDUP_PROBE)
+        .select(
+            "doc_id",
+            F.array_distinct(_shingle_hashes_col(3)).alias("shs"),
+            _sig_col().alias("sig"),
+        )
+    )
+    a = probe.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("sa"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = probe.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("sb"),
+        F.col("sig").alias("sig_b"),
+    )
+    ni = F.size(F.array_intersect("sa", "sb"))
+    pairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("j", ni / (F.size("sa") + F.size("sb") - ni))
+        .select("doc_a", "doc_b", "j", "sig_a", "sig_b")
+    )
+    truth_mh = pairs.filter(F.col("j") >= 0.5).select("doc_a", "doc_b")
+    mh = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    found_mh = truth_mh.join(mh, ["doc_a", "doc_b"], "left_semi")
+
+    truth_sh = pairs.filter(F.col("sig_a") == F.col("sig_b")).select(
+        "doc_a", "doc_b"
+    )
+    fps = dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    found_sh = (
+        truth_sh.join(
+            fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa")),
+            "doc_a",
+        )
+        .join(
+            fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb")),
+            "doc_b",
+        )
+        .filter(F.col("fa") == F.col("fb"))
+    )
+
+    def row(method, truth, found):
+        return (
+            truth.agg(F.count("*").alias("truth_pairs"))
+            .crossJoin(found.agg(F.count("*").alias("found_pairs")))
+            .select(
+                F.lit(method).alias("method"),
+                F.col("truth_pairs").cast("long").alias("truth_pairs"),
+                F.col("found_pairs").cast("long").alias("found_pairs"),
+            )
+        )
+
+    res = row("minhash_j0.5", truth_mh, found_mh).unionByName(
+        row("simhash_tokenset", truth_sh, found_sh)
+    )
+    recall = F.when(F.col("truth_pairs") == 0, F.lit(1.0)).otherwise(
+        F.round(F.col("found_pairs") / F.col("truth_pairs"), 4)
+    )
+    guarded = F.when(recall >= F.lit(_DEDUP_RECALL_FLOOR), recall).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("dedup recall below documented floor "),
+                F.lit(str(_DEDUP_RECALL_FLOOR)),
+                F.lit(": method="),
+                F.col("method"),
+                F.lit(" recall="),
+                recall.cast("string"),
+            )
+        ).cast("double")
+    )
+    return res.select(
+        "method",
+        "truth_pairs",
+        "found_pairs",
+        guarded.alias("recall"),
+        F.lit(_DEDUP_RECALL_FLOOR).alias("recall_floor"),
+    )

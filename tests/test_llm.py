@@ -286,3 +286,19 @@ def test_ann_recall_in_band(spark):
         assert r.recall >= r.recall_floor
         assert r.hits <= r.truth
         assert r.k == (1 if r.index_kind == "lsh" else 5)
+
+
+def test_dedup_recall_in_band(spark, sf_dir):
+    """Round-5: the ann_recall pattern applied to text dedup — recall of
+    minhash (vs bounded brute-force shingle-Jaccard truth) and simhash
+    (vs token-set-equality truth) surfaced as a registry query with the
+    floor asserted inside the plan."""
+    rows = SPECS["dedup_recall"].builder(spark, sf_dir).collect()
+    methods = {r.method: r for r in rows}
+    assert set(methods) == {"minhash_j0.5", "simhash_tokenset"}
+    for r in rows:
+        assert r.recall >= r.recall_floor
+        assert r.found_pairs <= r.truth_pairs
+    # simhash's fingerprint is a FUNCTION of the token set: recall is
+    # exactly 1.0, not approximately
+    assert methods["simhash_tokenset"].recall == 1.0
