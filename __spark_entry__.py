@@ -167,7 +167,7 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
     # than one on an extra that has sat green locally for prior rounds
     # (all of r3's/r4's new-op lists landed hash passes and moved to
     # _DRIVER_VERIFIED_R3/R4; repopulate as round-5 ops land).
-    _NEW_R5: list[str] = []
+    _NEW_R5: list[str] = ["stream_stateful_rocksdb", "ann_recall", "dedup_recall"]
     tier4_pool = [n for n in specs
                   if n not in seen and n not in _DRIVER_VERIFIED
                   and specs[n].oracle is not None]

@@ -854,3 +854,49 @@ def stream_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "NoTimeout",
     )
     return run_to_memory(out, "append", "kalman")
+
+
+@query(
+    "stream_stateful_rocksdb",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS cum_value
+    FROM events
+    """,
+)
+def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_stateful's exact semantics under the ROCKSDB state-store
+    provider — the 100 TB streaming-state path: HDFSBackedStateStore
+    keeps every key's state in executor HEAP (a 100 TB keyspace OOMs a
+    JVM long before the data does), while RocksDB keeps state on local
+    disk with block-cache reads and incremental checkpoint uploads, so
+    state capacity scales with disk, not heap. Same kernel, same
+    oracle — the provider swap must be answer-invariant, which is
+    exactly what the shared full oracle pins. The provider conf is set
+    only for this query's start() and restored after (it is frozen into
+    the streaming checkpoint at first start, like the shuffle-partition
+    count)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = events_stream(spark, sf_dir)
+        out = ev.groupBy("user_id").applyInPandasWithState(
+            make_cumsum_kernel(),
+            "user_id long, event_id long, cum_value double",
+            "acc double",
+            "Append",
+            "NoTimeout",
+        )
+        return run_to_memory(out, "append", "stateful_rocksdb")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

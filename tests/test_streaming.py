@@ -554,3 +554,37 @@ def test_kill_and_restart_from_checkpoint(spark, chunk_dir, tmp_path, which):
     assert _rows(got, cols) == _rows(want_df, cols), (
         f"killed after {committed}/{total} rows; restart diverged"
     )
+
+
+def test_chunked_stateful_rocksdb_carries_state(spark, chunk_dir):
+    """RocksDB provider twin of the cumsum state-carry law: 4
+    micro-batches, per-user acc must survive batch boundaries inside
+    RocksDB (disk-backed) state exactly as in the default HDFS-backed
+    store."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        tf = lambda ev: ev.groupBy("user_id").applyInPandasWithState(
+            S.make_cumsum_kernel(),
+            "user_id long, event_id long, cum_value double",
+            "acc double",
+            "Append",
+            "NoTimeout",
+        )
+        got = _run_chunks(spark, chunk_dir, tf, "append")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    w = "PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING"
+    want = S.batch_events(spark, SMALL).selectExpr(
+        "user_id", "event_id", f"round(sum(value) OVER ({w}), 4) AS cum_value"
+    )
+    cols = ["user_id", "event_id", "cum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
