@@ -1019,13 +1019,25 @@ def vec_quantize_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PQ_M = 8          # subspaces
-_PQ_K = 16         # centroids per subspace
-_PQ_CAND = 64      # ADC candidates per query before exact re-rank
-# (the recall knob: embeddings here are near-isotropic, the hardest
-# case for PQ — 24 candidates gave 0.45 recall@1 at 500 vectors, 64
-# clears the 0.5 gate with margin while still re-ranking <13% of the
-# fixture collection; at real scale CAND stays fixed while the
-# collection grows, so the re-rank fraction only shrinks)
+_PQ_K = 256        # centroids per subspace (8-bit codes, FAISS default)
+# Round-5 scale finding (caught IN-BAND by ann_recall's raise_error at
+# 512k vectors): 4-bit codebooks (K=16) + a FIXED 64-candidate ADC cut
+# collapse recall@5 from 0.85 at 2k vectors to 0.07 at 512k — the
+# quantized distances can't separate the true neighbor from half a
+# million near-isotropic competitors inside a fixed-size shortlist.
+# Measured at 512k: K=16/CAND=1024 → 0.39, K=256/CAND=64 → 0.51,
+# K=256/CAND=scaled → 0.91. Both knobs matter: 8-bit codes shrink the
+# quantization error, and the candidate budget must grow ~linearly
+# with the collection (a constant FRACTION re-ranked, the standard PQ
+# operating point) rather than staying constant.
+
+
+def _pq_cand(n_vectors: int) -> int:
+    """ADC shortlist size: re-rank ~0.2% of the collection, floor 64.
+    Keeps the exact re-rank linear in N with a tiny constant while the
+    shortlist stays large enough that quantization noise cannot push
+    the true neighbors out (0.91 recall@5 at 512k vectors)."""
+    return max(64, n_vectors // 500)
 
 
 @query("ann_pq", oracle=None)  # codebook engine-internal; recall tested
@@ -1105,6 +1117,8 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         Sq = Qn[:, m * sub : (m + 1) * sub]
         T[:, m, :] = ((Sq[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
 
+    cand_k = _pq_cand(e.count())  # shortlist ∝ collection (round-5 fix)
+
     def adc(batches):
         for pdf in batches:
             C = np.stack(pdf["codes"].to_numpy())  # (batch, M)
@@ -1114,7 +1128,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, qid in enumerate(q_ids):
                 d = T[j][np.arange(_PQ_M)[None, :], C].sum(axis=1)
                 d[ids == qid] = np.inf
-                take = min(_PQ_CAND, len(d))
+                take = min(cand_k, len(d))
                 top = np.argpartition(d, take - 1)[:take]
                 out_q.extend([qid] * take)
                 out_n.extend(ids[top])
@@ -1132,7 +1146,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.mapInPandas(adc, "query_id long, vec_id long, approx_d double")
         .filter(F.col("approx_d") < float("inf"))
         .withColumn("crk", F.row_number().over(wmerge))
-        .filter(F.col("crk") <= _PQ_CAND)
+        .filter(F.col("crk") <= cand_k)
         .select("query_id", "vec_id")
     )
     ev = _with_norm(Tables(spark, sf_dir).embeddings)
@@ -1362,6 +1376,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches ~CAND raw rows per query. Recall vs brute-force sim_topk
     asserted in tests like the other ANN families."""
     e = Tables(spark, sf_dir).embeddings
+    cand_k = _pq_cand(e.count())  # shortlist ∝ collection (round-5 fix)
     samp_rows = (
         e.withColumn("r", F.md5(F.col("vec_id").cast("string")))
         .orderBy("r", "vec_id")
@@ -1461,7 +1476,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = T[j, cells[sel][:, None], marange[None, :], C[sel]].sum(
                     axis=1
                 )
-                take = min(_PQ_CAND, len(d))
+                take = min(cand_k, len(d))
                 top = np.argpartition(d, take - 1)[:take]
                 out_q.extend([qid] * take)
                 out_n.extend(ids[sel][top])
@@ -1478,7 +1493,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         codes.mapInPandas(adc, "query_id long, vec_id long, approx_d double")
         .withColumn("crk", F.row_number().over(wmerge))
-        .filter(F.col("crk") <= _PQ_CAND)
+        .filter(F.col("crk") <= cand_k)
         .select("query_id", "vec_id")
     )
     ev = _with_norm(Tables(spark, sf_dir).embeddings)
