@@ -1293,6 +1293,35 @@ def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fa") == F.col("fb"))
     )
 
+    # scale-stable truth: EXACT-text duplicate pairs are true J=1.0
+    # near-dups discoverable at ANY corpus size with one linear shuffle
+    # (md5(text) groupBy) — no quadratic, no sample dilution. The random
+    # probe above goes empty once the corpus dwarfs 512 docs (measured:
+    # 28 truth pairs at 1k docs, 0 at 5.12M), so this row keeps the
+    # recall signal alive at scale. Groups are bounded to 512 (md5
+    # order) and pairs to the first 8 ids per group — a whale group of
+    # k copies would otherwise contribute k² pairs.
+    grp = (
+        d.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .orderBy("h")
+        .limit(512)
+        .select(F.slice("ids", 1, 8).alias("ids"))
+    )
+    truth_ex = (
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, x -> "
+                    "transform(filter(ids, y -> y > x), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        ).select("p.*")
+    )
+    found_ex = truth_ex.join(mh, ["doc_a", "doc_b"], "left_semi")
+
     def row(method, truth, found):
         return (
             truth.agg(F.count("*").alias("truth_pairs"))
@@ -1304,8 +1333,10 @@ def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    res = row("minhash_j0.5", truth_mh, found_mh).unionByName(
-        row("simhash_tokenset", truth_sh, found_sh)
+    res = (
+        row("minhash_j0.5", truth_mh, found_mh)
+        .unionByName(row("simhash_tokenset", truth_sh, found_sh))
+        .unionByName(row("minhash_exactdup", truth_ex, found_ex))
     )
     recall = F.when(F.col("truth_pairs") == 0, F.lit(1.0)).otherwise(
         F.round(F.col("found_pairs") / F.col("truth_pairs"), 4)

@@ -295,7 +295,9 @@ def test_dedup_recall_in_band(spark, sf_dir):
     floor asserted inside the plan."""
     rows = SPECS["dedup_recall"].builder(spark, sf_dir).collect()
     methods = {r.method: r for r in rows}
-    assert set(methods) == {"minhash_j0.5", "simhash_tokenset"}
+    assert set(methods) == {
+        "minhash_j0.5", "simhash_tokenset", "minhash_exactdup"
+    }
     for r in rows:
         assert r.recall >= r.recall_floor
         assert r.found_pairs <= r.truth_pairs
