@@ -140,6 +140,12 @@ _REVERIFY: tuple[str, ...] = (
     "win_holt", "win_macd", "win_kalman", "win_resample_ffill",
     "win_resample_interp", "win_resample_ohlc", "win_resample_hour",
     "join_merge_ordered", "upsert_cdc",
+    # second null-hardening wave (the broad 68-query sweep): these five
+    # driver-attested builders were rewritten for null semantics
+    # (fn_struct's argmax struct, the stateful cumsum kernel, the two
+    # as-of presence-struct fills, the rebuilt distribution-rank family)
+    "fn_struct", "stream_stateful", "join_asof", "join_asof_directions",
+    "win_ntile_percent",
 )
 
 

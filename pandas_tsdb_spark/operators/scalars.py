@@ -458,7 +458,9 @@ def fn_bin_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_struct",
     oracle="""
-    WITH s AS (SELECT user_id, {'v': value, 'eid': event_id} AS st
+    WITH s AS (SELECT user_id,
+                      CASE WHEN value IS NOT NULL
+                           THEN {'v': value, 'eid': event_id} END AS st
                FROM events)
     SELECT user_id, max(st).v AS best_v, max(st).eid AS best_eid,
            count(*) AS n
@@ -471,9 +473,19 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes eid the deterministic tie-break), and field access on the
     aggregated result. Both engines compare structs field-by-field in
     declaration order, so max(struct) is a cross-engine argmax idiom
-    that needs no window — one hash-agg, one exchange."""
+    that needs no window — one hash-agg, one exchange.
+
+    NULL discipline (round-5 null sweep): a struct with a NULL field is
+    non-null, and the two engines rank null FIELDS differently inside
+    the comparison — so rows with null value are excluded from the max
+    by nulling the WHOLE struct (aggregate max skips null inputs in
+    both engines; pandas idxmax skips NaN the same way). An all-null
+    series yields best_v/best_eid NULL while n still counts its rows."""
     ev = Tables(spark, sf_dir).events
-    st = F.struct(F.col("value").alias("v"), F.col("event_id").alias("eid"))
+    st = F.when(
+        F.col("value").isNotNull(),
+        F.struct(F.col("value").alias("v"), F.col("event_id").alias("eid")),
+    )
     return (
         ev.groupBy("user_id")
         .agg(F.max(st).alias("st"), F.count("*").alias("n"))

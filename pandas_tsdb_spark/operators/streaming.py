@@ -332,17 +332,31 @@ def make_cumsum_kernel():
     (pickled by reference) would fail to unpickle there."""
 
     def kernel(key, pdf_iter, state):
+        import numpy as np
+
         # GroupState.get is a PROPERTY (raises when absent) — guard on
         # .exists; only multi-batch runs ever take the True branch.
-        acc = state.get[0] if state.exists else 0.0
+        acc, seen = state.get if state.exists else (0.0, False)
         pdf = pd.concat(list(pdf_iter)).sort_values("event_id")
-        cum = acc + pdf["value"].cumsum()
-        state.update((float(cum.iloc[-1]),))
+        v = pdf["value"]
+        # SQL running-sum semantics (the oracle's sum() OVER): a NULL
+        # observation contributes nothing and the sum stays defined,
+        # and the result is NULL only before the series' FIRST non-null
+        # row. pandas cumsum would instead emit NaN AT null rows and —
+        # worse — poison the carried acc once a batch ENDS on a null
+        # (round-5 null sweep: 989 diverging rows from one holey run).
+        cum = (acc + v.fillna(0.0).cumsum()).round(4)
+        seen_row = np.logical_or(seen, v.notna().cumsum() > 0)
+        out = cum.astype(object)
+        out[~seen_row] = None
+        state.update(
+            (float(cum.iloc[-1]), bool(seen_row.iloc[-1]))
+        )
         yield pd.DataFrame(
             {
                 "user_id": pdf["user_id"],
                 "event_id": pdf["event_id"],
-                "cum_value": cum.round(4),
+                "cum_value": out,
             }
         )
 
@@ -368,7 +382,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.groupBy("user_id").applyInPandasWithState(
         make_cumsum_kernel(),
         "user_id long, event_id long, cum_value double",
-        "acc double",
+        "acc double, seen boolean",
         "Append",
         "NoTimeout",
     )
@@ -890,7 +904,7 @@ def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = ev.groupBy("user_id").applyInPandasWithState(
             make_cumsum_kernel(),
             "user_id long, event_id long, cum_value double",
-            "acc double",
+            "acc double, seen boolean",
             "Append",
             "NoTimeout",
         )

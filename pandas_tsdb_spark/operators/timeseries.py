@@ -87,6 +87,16 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "OVER (PARTITION BY user_id ORDER BY ts, side, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
+    # presence-struct fill (round-5 null sweep): pandas merge_asof
+    # matches the last purchase ROW — a matched row whose value is NULL
+    # yields NULL. last(r_value, true) would skip null-valued purchases
+    # and surface an OLDER purchase's value; wrapping the right row in a
+    # struct (non-null whenever the row exists) makes ignorenulls skip
+    # only left rows, never null-valued right rows.
+    last_st = (
+        "last(CASE WHEN side = 0 THEN named_struct("
+        "'v', r_value, 'eid', r_event_id, 'tus', r_ts_us) END, true) " + w
+    )
     return (
         left.unionByName(right)
         .selectExpr(
@@ -94,11 +104,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "value",
             "side",
-            f"last(r_value, true) {w} AS last_purchase_value",
-            f"last(r_event_id, true) {w} AS last_purchase_id",
-            f"CASE WHEN unix_micros(ts) - last(r_ts_us, true) {w}"
-            f" <= {_US_3D} THEN last(r_value, true) {w} END"
-            " AS last_purchase_value_3d",
+            f"({last_st}).v AS last_purchase_value",
+            f"({last_st}).eid AS last_purchase_id",
+            f"CASE WHEN unix_micros(ts) - ({last_st}).tus <= {_US_3D} "
+            f"THEN ({last_st}).v END AS last_purchase_value_3d",
         )
         .filter("side = 1")
         .drop("side")
@@ -669,20 +678,31 @@ def join_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "OVER (PARTITION BY user_id ORDER BY ts, side, event_id "
         "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
     )
+    # presence-struct fill (round-5 null sweep, same law as join_asof):
+    # the matched ROW decides, even when its value is NULL —
+    # last/first(ignorenulls) on the bare value column would skip
+    # null-valued purchases AND make the nearest-arm's "no row on this
+    # side" test (value IS NULL) misfire on a present-but-null match.
+    bs = (
+        "last(CASE WHEN side = 0 THEN named_struct("
+        "'v', b_val, 'tus', b_tus) END, true) " + w_b
+    )
+    fs = (
+        "first(CASE WHEN side = 2 THEN named_struct("
+        "'v', f_val, 'tus', f_tus) END, true) " + w_f
+    )
     u = left.unionByName(bwd).unionByName(fwd).selectExpr(
         "user_id", "ts", "event_id", "value", "side",
-        f"last(b_val, true) {w_b} AS bwd_value",
-        f"last(b_tus, true) {w_b} AS bwd_tus",
-        f"first(f_val, true) {w_f} AS fwd_value",
-        f"first(f_tus, true) {w_f} AS fwd_tus",
+        f"({bs}) AS b_st",
+        f"({fs}) AS f_st",
     )
     return u.filter("side = 1").selectExpr(
         "event_id", "user_id", "value",
-        "bwd_value", "fwd_value",
-        "CASE WHEN fwd_value IS NULL THEN bwd_value"
-        " WHEN bwd_value IS NULL THEN fwd_value"
-        " WHEN unix_micros(ts) - bwd_tus <= fwd_tus - unix_micros(ts)"
-        " THEN bwd_value ELSE fwd_value END AS nearest_value",
+        "b_st.v AS bwd_value", "f_st.v AS fwd_value",
+        "CASE WHEN f_st IS NULL THEN b_st.v"
+        " WHEN b_st IS NULL THEN f_st.v"
+        " WHEN unix_micros(ts) - b_st.tus <= f_st.tus - unix_micros(ts)"
+        " THEN b_st.v ELSE f_st.v END AS nearest_value",
     )
 
 

@@ -426,9 +426,11 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_rank_avg",
     oracle="""
     SELECT event_id, user_id, value,
-           (2.0 * rank() OVER (PARTITION BY user_id ORDER BY value)
-            + count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0
-             AS avg_rank
+           CASE WHEN value IS NOT NULL THEN
+             (2.0 * rank() OVER (PARTITION BY user_id
+                                 ORDER BY (value IS NULL), value)
+              + count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0
+           END AS avg_rank
     FROM events
     """,
 )
@@ -438,16 +440,24 @@ def win_rank_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition: avg_rank = min_rank + (ties - 1)/2, from two windows
     that share the user_id partitioning (one exchange; the tie-count
     window adds a sort key, not a shuffle). Exact in float64: rank and
-    count are small integers."""
+    count are small integers.
+
+    NULL discipline (round-5 null sweep): pandas rank(na_option='keep')
+    leaves NaN rows unranked and ranks the rest among themselves. The
+    window orders by ((value IS NULL), value) — null-LAST in BOTH
+    engines by construction, sidestepping the Spark-nulls-first /
+    DuckDB-nulls-last dialect split — so non-null rows take ranks
+    1..n_nonnull directly, and null rows emit NULL."""
     ev = Tables(spark, sf_dir).events
-    w_rank = W.partitionBy("user_id").orderBy("value")
+    w_rank = W.partitionBy("user_id").orderBy(F.col("value").isNull(), "value")
     w_ties = W.partitionBy("user_id", "value")
     return ev.select(
         "event_id",
         "user_id",
         "value",
-        (
-            (2.0 * F.rank().over(w_rank) + F.count("*").over(w_ties) - 1) / 2.0
+        F.when(
+            F.col("value").isNotNull(),
+            (2.0 * F.rank().over(w_rank) + F.count("*").over(w_ties) - 1) / 2.0,
         ).alias("avg_rank"),
     )
 
@@ -496,7 +506,7 @@ def win_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT event_id, user_id, value,
                quantile_cont(value, 0.5) OVER w AS med,
-               count(*) OVER w AS cnt
+               count(value) OVER w AS cnt
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -516,17 +526,19 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row, exact. This beats the collect_list-over-frame shape 3x at
     256x (10.7 -> 3.8 s for the quantile twin): lag is a fixed offset
     read from the sorted partition, while a running collect_list frame
-    re-materializes a per-row buffer. lag(6) IS NOT NULL == "frame has
-    7 rows" (value is never null), giving pandas min_periods=7
-    semantics; the 7-row frame is odd, so the median is an exact
-    element — raw parquet doubles, bit-identical, no rounding. One
-    exchange."""
+    re-materializes a per-row buffer. Fullness = count(value) over the
+    frame == 7 — seven NON-null observations, pandas min_periods=7
+    under NaN (a frame containing any null emits NULL; the round-5
+    null sweep replaced lag(6) IS NOT NULL, which a null VALUE at
+    offset 6 fooled); the 7-row frame is odd, so the median is an
+    exact element — raw parquet doubles, bit-identical, no rounding.
+    One exchange."""
     ev = _ev(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("event_id")
     frame = F.array_sort(
         F.array(*[F.lag("value", i).over(w) for i in range(6, 0, -1)], F.col("value"))
     )
-    full = F.lag("value", 6).over(w).isNotNull()
+    full = F.count("value").over(w.rowsBetween(-6, 0)) == 7
     return ev.select(
         "event_id",
         "user_id",
@@ -547,7 +559,7 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT event_id, user_id, value,
                list_sort(list(value) OVER w) AS arr,
-               count(*) OVER w AS cnt
+               count(value) OVER w AS cnt
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -570,15 +582,16 @@ def win_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-offset read from the sorted partition. pos = (n-1)*q lands
     between sorted elements lo and lo+1; the emitted value is the
     numpy/pandas lerp arr[lo] + (arr[lo+1] - arr[lo])*frac.
-    min_periods=7 (pandas default) via lag(6) IS NOT NULL (value has
-    no nulls); frame width is a constant 7, so lo/frac fold to
-    literals at plan time. One exchange, one sort."""
+    min_periods=7 (pandas default) via count(value) over the frame
+    == 7 — seven NON-null observations (round-5 null sweep; see
+    win_rolling_median); frame width is a constant 7, so lo/frac fold
+    to literals at plan time. One exchange, one sort."""
     ev = _ev(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("event_id")
     arr = F.array_sort(
         F.array(*[F.lag("value", i).over(w) for i in range(6, 0, -1)], F.col("value"))
     )
-    full = F.lag("value", 6).over(w).isNotNull()
+    full = F.count("value").over(w.rowsBetween(-6, 0)) == 7
     # The sorted array is materialized in its OWN projection: the four
     # element_at consumers below would otherwise each re-evaluate the
     # sort (common-subexpression elimination does not cross `when`
@@ -1048,29 +1061,83 @@ def win_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "win_ntile_percent",
     oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, value,
+               count(value) OVER (PARTITION BY user_id) AS n_nn,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY (value IS NULL), value, event_id) AS rn,
+               rank() OVER (PARTITION BY user_id
+                   ORDER BY (value IS NULL), value) AS rk,
+               count(*) OVER (PARTITION BY user_id, value) AS ties
+        FROM events
+    ), t AS (
+        SELECT *, CAST(floor(n_nn / 4.0) AS BIGINT) AS q,
+               n_nn - 4 * CAST(floor(n_nn / 4.0) AS BIGINT) AS r
+        FROM s
+    )
     SELECT user_id, event_id,
-           ntile(4) OVER w AS quartile,
-           percent_rank() OVER w AS pct_rank,
-           cume_dist() OVER w AS cume
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+           CASE WHEN value IS NULL THEN NULL
+                WHEN rn <= r * (q + 1)
+                    THEN CAST(floor(CAST(rn - 1 AS DOUBLE) / (q + 1)) AS INT) + 1
+                ELSE CAST(r + floor(CAST(rn - r * (q + 1) - 1 AS DOUBLE) / q) AS INT) + 1
+           END AS quartile,
+           CASE WHEN value IS NULL THEN NULL
+                WHEN n_nn = 1 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(rk - 1 AS DOUBLE) / (n_nn - 1) END AS pct_rank,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE CAST(rk + ties - 1 AS DOUBLE) / n_nn END AS cume
+    FROM t
     """,
     tags=("windows",),
 )
 def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-rank family: ntile(4) bucketing, percent_rank
     ((rank-1)/(n-1)), cume_dist (rows<=current / n) per series ordered
-    by value. All three share ONE window sort; the fractions are
+    by value. All rank inputs share ONE window sort; the fractions are
     single integer-ratio divisions, so raw doubles hash identically on
     both engines (no rounding needed). Total (value, event_id) order
-    makes ntile deterministic at ties."""
-    w = "OVER (PARTITION BY user_id ORDER BY value, event_id)"
-    return _ev(spark, sf_dir).selectExpr(
+    makes ntile deterministic at ties.
+
+    NULL discipline (round-5 null sweep): pandas gives NaN rows NaN
+    distribution stats and ranks the rest among themselves, while the
+    engines' native ntile/percent_rank/cume_dist rank null rows too —
+    on OPPOSITE ends (Spark sorts nulls first, DuckDB last). So all
+    three stats are rebuilt from rank/row_number/tie-count over the
+    ((value IS NULL), value, event_id) ordering — nulls LAST in both
+    engines by construction — against n_nonnull: quartile is ntile's
+    exact allocation law (first r buckets get q+1 rows) applied to
+    non-null rows, pct_rank = (rank-1)/(n_nn-1), cume =
+    (rank+ties-1)/n_nn; null rows emit NULL. On null-free data every
+    formula reduces bit-for-bit to the native function it replaces."""
+    ev = _ev(spark, sf_dir)
+    s = ev.selectExpr(
         "user_id",
         "event_id",
-        f"ntile(4) {w} AS quartile",
-        f"percent_rank() {w} AS pct_rank",
-        f"cume_dist() {w} AS cume",
+        "value",
+        "count(value) OVER (PARTITION BY user_id) AS n_nn",
+        "row_number() OVER (PARTITION BY user_id"
+        " ORDER BY (value IS NULL), value, event_id) AS rn",
+        "rank() OVER (PARTITION BY user_id"
+        " ORDER BY (value IS NULL), value) AS rk",
+        "count(*) OVER (PARTITION BY user_id, value) AS ties",
+    ).selectExpr(
+        "*",
+        "CAST(floor(n_nn / 4.0) AS BIGINT) AS q",
+        "n_nn - 4 * CAST(floor(n_nn / 4.0) AS BIGINT) AS r",
+    )
+    return s.selectExpr(
+        "user_id",
+        "event_id",
+        "CASE WHEN value IS NULL THEN NULL"
+        " WHEN rn <= r * (q + 1)"
+        " THEN CAST(floor(CAST(rn - 1 AS DOUBLE) / (q + 1)) AS INT) + 1"
+        " ELSE CAST(r + floor(CAST(rn - r * (q + 1) - 1 AS DOUBLE) / q) AS INT) + 1"
+        " END AS quartile",
+        "CASE WHEN value IS NULL THEN NULL"
+        " WHEN n_nn = 1 THEN CAST(0 AS DOUBLE)"
+        " ELSE CAST(rk - 1 AS DOUBLE) / (n_nn - 1) END AS pct_rank",
+        "CASE WHEN value IS NULL THEN NULL"
+        " ELSE CAST(rk + ties - 1 AS DOUBLE) / n_nn END AS cume",
     )
 
 
@@ -1083,7 +1150,7 @@ def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT event_id, user_id, value,
                list(value) OVER w AS arr,
-               count(*) OVER w AS cnt
+               count(value) OVER w AS cnt
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -1111,8 +1178,9 @@ def win_rolling_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     less + (eq+1)/2. The lambdas live in a PROJECTION over a 7-element
     array (bounded, interpreted-eval cost O(w) per row), never in a
     Filter (the InferFiltersFromGenerate trap does not apply — nothing
-    explodes). lag(6) IS NOT NULL == full frame == pandas
-    min_periods=7; value is never null in events. One exchange."""
+    explodes). Fullness = count(value) over the frame == 7 (seven
+    NON-null observations — round-5 null sweep; see
+    win_rolling_median). One exchange."""
     ev = _ev(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("event_id")
     arr = F.array(
@@ -1122,7 +1190,7 @@ def win_rolling_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     less = F.size(F.filter(arr, lambda e: e < v))
     eq = F.size(F.filter(arr, lambda e: e == v))
     rank = less + (eq + F.lit(1)) / F.lit(2.0)
-    full = F.lag("value", 6).over(w).isNotNull()
+    full = F.count("value").over(w.rowsBetween(-6, 0)) == 7
     return ev.select(
         "event_id",
         "user_id",

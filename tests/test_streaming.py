@@ -75,7 +75,7 @@ def test_chunked_stateful_cumsum_carries_state(spark, chunk_dir):
     tf = lambda ev: ev.groupBy("user_id").applyInPandasWithState(
         S.make_cumsum_kernel(),
         "user_id long, event_id long, cum_value double",
-        "acc double",
+        "acc double, seen boolean",
         "Append",
         "NoTimeout",
     )
@@ -502,7 +502,7 @@ def test_kill_and_restart_from_checkpoint(spark, chunk_dir, tmp_path, which):
     if which == "cumsum":
         kernel = S.make_cumsum_kernel()
         out_schema = "user_id long, event_id long, cum_value double"
-        state_schema = "acc double"
+        state_schema = "acc double, seen boolean"
         w = "PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING"
         want_df = S.batch_events(spark, SMALL).selectExpr(
             "user_id", "event_id", f"round(sum(value) OVER ({w}), 4) AS cum_value"
@@ -572,7 +572,7 @@ def test_chunked_stateful_rocksdb_carries_state(spark, chunk_dir):
         tf = lambda ev: ev.groupBy("user_id").applyInPandasWithState(
             S.make_cumsum_kernel(),
             "user_id long, event_id long, cum_value double",
-            "acc double",
+            "acc double, seen boolean",
             "Append",
             "NoTimeout",
         )

@@ -670,6 +670,14 @@ _NULL_SWEEP_OPS = [
     "win_seasonal_dow",
     "ts_outlier_mad", "win_downsample_m4", "align_series",
     "rollup_continuous", "join_merge_ordered", "upsert_cdc",
+    # round-5 broad sweep (all 68 events-only-oracle queries): the ten
+    # that diverged, now fixed — argmax struct null-fields (fn_struct),
+    # pandas-cumsum poison in the stateful stream kernel, presence-
+    # struct as-of fills, rank-family null ordering + rank-among-
+    # non-null, and count(value)-based rolling-frame fullness.
+    "fn_struct", "stream_stateful", "join_asof", "join_asof_directions",
+    "win_rank_avg", "win_rolling_median", "win_rolling_quantile",
+    "win_ntile_percent", "win_rolling_rank",
 ]
 
 
