@@ -146,6 +146,13 @@ _REVERIFY: tuple[str, ...] = (
     # as-of presence-struct fills, the rebuilt distribution-rank family)
     "fn_struct", "stream_stateful", "join_asof", "join_asof_directions",
     "win_ntile_percent",
+    # third wave (null-TEXT sweep over the documents ops): rewritten
+    # driver-attested builders — kernel null guards (multimodal blobs,
+    # udf casts), decontaminate survivor semantics, chunk/repetition
+    # null-doc conventions
+    "text_repetition", "multimodal_frames", "multimodal_binary",
+    "multimodal_resize", "multimodal_phash_dedup",
+    "pipeline_decontaminate", "pipeline_chunk", "udf_scalar",
 )
 
 
@@ -182,10 +189,16 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
     ]
     seen |= set(tier4)
     # never-sampled rows-only extras: a run-only driver row is still a
-    # fresh signal (the op executes end-to-end on driver infra), and with
-    # only 39 never-sampled entries left they all fit in the sample.
-    tier4b = [n for n in specs
+    # fresh signal (the op executes end-to-end on driver infra). The
+    # in-band recall gates lead this tier — their raise_error floors
+    # make a rows-only run a REAL assertion (recall >= floor on driver
+    # infra), worth more than an ordinary rows-only row.
+    _ROWS_ONLY_FIRST = ("ann_recall", "dedup_recall")
+    pool4b = [n for n in specs
               if n not in seen and n not in _DRIVER_VERIFIED]
+    tier4b = [n for n in _ROWS_ONLY_FIRST if n in pool4b] + [
+        n for n in pool4b if n not in _ROWS_ONLY_FIRST
+    ]
     seen |= set(tier4b)
     tier5 = [n for n in contract if n in _DRIVER_VERIFIED and n not in seen]
     seen |= set(tier5)

@@ -869,7 +869,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     intra-doc 64-bit hash collision (the only kind that could shift a
     count) has probability ~1e-12 even for a million-distinct-bigram
     document."""
-    d = _spread(_docs(spark, sf_dir))
+    # docs that produce NO bigrams (null or <2-token text) drop from the
+    # output — the oracle's unnest does the same; without the filter the
+    # engine emits a garbage row per null doc (round-5 null-text sweep)
+    d = _spread(_docs(spark, sf_dir)).filter(F.col("text").isNotNull())
     sh = F.array_sort(_shingle_hashes_col(2))
     acc0 = F.struct(
         F.lit(None).cast("long").alias("prev"),

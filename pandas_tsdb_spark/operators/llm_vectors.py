@@ -664,6 +664,11 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sample_frames(batches):
         for pdf in batches:
+            # a missing blob yields no frames (the oracle's
+            # generate_series over a NULL bound emits no rows)
+            pdf = pdf[pdf["blob"].notna()]
+            if not len(pdf):
+                continue
             n = pdf["blob"].map(len) % 7 + 1
             doc = pdf["doc_id"].repeat(n.to_numpy())
             idx = np.concatenate([np.arange(k) for k in n]).astype("int64")
@@ -708,12 +713,20 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fake_decode(batches):
         for pdf in batches:
             blobs = pdf["blob"]
+            # a missing blob decodes to NULL features, row kept (the
+            # oracle's octet_length/ascii of NULL) — nullable Int64 so
+            # Arrow ships true nulls
+            ln = blobs.map(lambda b: len(b) if b is not None else None).astype(
+                "Int64"
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": blobs.map(len).astype("int64"),
-                    "n_frames": (blobs.map(len) % 7 + 1).astype("int64"),
-                    "head_byte": blobs.map(lambda b: b[0]).astype("int64"),
+                    "byte_len": ln,
+                    "n_frames": ln % 7 + 1,
+                    "head_byte": blobs.map(
+                        lambda b: b[0] if b is not None else None
+                    ).astype("Int64"),
                 }
             )
 
@@ -759,6 +772,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def resize(batches):
         for pdf in batches:
+            # missing blobs resize to nothing (the oracle's LATERAL
+            # over a NULL length emits no rows for the doc)
+            pdf = pdf[pdf["blob"].notna()]
+            if not len(pdf):
+                continue
             out = {"doc_id": pdf["doc_id"], "n_bytes": [], "t0": [], "t1": [], "t2": [], "t3": []}
             for blob in pdf["blob"]:
                 a = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
@@ -1323,6 +1341,8 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fixtures guarantee >= 16 (asserted) and shorter blobs belong
         # to the documented SQL-mirror precondition anyway.
         for pdf in batches:
+            # missing blobs hash to nothing (oracle: LATERAL over NULL)
+            pdf = pdf[pdf["blob"].notna()]
             if not len(pdf):
                 continue
             blobs = pdf["blob"].tolist()

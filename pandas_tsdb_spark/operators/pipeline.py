@@ -291,7 +291,8 @@ def pipeline_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     e AS (SELECT DISTINCT unnest(ngs) AS ng FROM g WHERE doc_id % 50 = 0),
     tr AS (SELECT doc_id, unnest(ngs) AS ng FROM g WHERE doc_id % 50 <> 0),
     h AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN e USING (ng) GROUP BY 1)
-    SELECT g.doc_id, CAST(len(g.ngs) AS BIGINT) AS n_ngrams,
+    SELECT g.doc_id,
+           coalesce(CAST(len(g.ngs) AS BIGINT), 0) AS n_ngrams,
            coalesce(h.n_hits, 0) AS n_hits,
            coalesce(h.n_hits, 0) > 0 AS contaminated
     FROM g LEFT JOIN h USING (doc_id)
@@ -348,12 +349,16 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured at all SFs; a <4-token doc would drop from the output,
     # which the oracle's full LEFT JOIN would catch as a row-count
     # mismatch).
+    # explode_OUTER + count(ng): a null-text doc yields no n-grams but
+    # must SURVIVE decontamination (trivially uncontaminated, n_ngrams
+    # 0) — plain explode dropped it from the output entirely (round-5
+    # null-text sweep); count(ng) ignores the outer-join's null row.
     return (
         d.filter(~is_eval)
-        .select("doc_id", F.explode(ngs).alias("ng"))
+        .select("doc_id", F.explode_outer(ngs).alias("ng"))
         .join(F.broadcast(eval_ngrams), "ng", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_ngrams"), F.count("hit").alias("n_hits"))
+        .agg(F.count("ng").alias("n_ngrams"), F.count("hit").alias("n_hits"))
         .select(
             "doc_id",
             "n_ngrams",
@@ -445,7 +450,7 @@ _CHUNK, _STRIDE = 32, 24
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS tokens,
              len(string_split(text, ' ')) AS n_tok
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     idx AS (
       SELECT doc_id, tokens, n_tok,
@@ -481,7 +486,12 @@ def pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     end (DuckDB list_slice clamps stop at len)."""
     from pandas_tsdb_spark.operators.llm_text import _spread
 
-    d = _spread(Tables(spark, sf_dir).documents)  # per-chunk md5 is the CPU
+    # null text chunks to NOTHING (both engines filter it; the engines'
+    # null-propagation through greatest/sequence/concat_ws otherwise
+    # disagree on whether a ghost chunk appears — round-5 sweep)
+    d = _spread(Tables(spark, sf_dir).documents).filter(
+        F.col("text").isNotNull()
+    )  # per-chunk md5 is the CPU
     toks = d.select(
         "doc_id",
         F.split("text", " ").alias("tokens"),

@@ -553,13 +553,17 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Python-worker path itself is oracle-checked."""
     from pyspark.sql.functions import pandas_udf
 
+    # nullable Int64, not int64: .str ops yield NaN for null text, and
+    # the hard int64 cast CRASHED the Python worker on a null input row
+    # (round-5 null-text sweep) where the oracle's length(NULL) is just
+    # NULL — nullable Int64 ships true nulls through Arrow instead.
     @pandas_udf("long")
     def text_len(s: pd.Series) -> pd.Series:
-        return s.str.len().astype("int64")
+        return s.str.len().astype("Int64")
 
     @pandas_udf("long")
     def n_tokens(s: pd.Series) -> pd.Series:
-        return (s.str.count(" ") + 1).astype("int64")
+        return (s.str.count(" ") + 1).astype("Int64")
 
     docs = Tables(spark, sf_dir).documents
     return docs.select(

@@ -98,6 +98,8 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, bigram string")
     class Bigrams:
         def eval(self, text: str):
+            if text is None:  # null text emits no bigrams (oracle:
+                return        # generate_series over NULL is empty)
             toks = text.lower().split(" ")
             for i in range(len(toks) - 1):
                 yield i, f"{toks[i]} {toks[i + 1]}"

@@ -4,6 +4,8 @@ each approximate path is checked against its exact counterpart.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pandas_tsdb_spark.registry import load_all
@@ -304,3 +306,62 @@ def test_dedup_recall_in_band(spark, sf_dir):
     # simhash's fingerprint is a FUNCTION of the token set: recall is
     # exactly 1.0, not approximately
     assert methods["simhash_tokenset"].recall == 1.0
+
+
+_NULL_TEXT_OPS = [
+    # every documents-only-oracle op, builder-vs-oracle on a null-TEXT
+    # injected corpus (round-5 sweep #3). The nine that diverged or
+    # CRASHED, now fixed: text_repetition garbage rows, five Python
+    # kernels dying on None blobs/text (multimodal_* and the
+    # udf_scalar/udtf_python int64 casts), decontaminate dropping
+    # null docs that must survive, chunk's ghost chunk.
+    "text_repetition", "multimodal_frames", "multimodal_binary",
+    "multimodal_resize", "multimodal_phash_dedup",
+    "pipeline_decontaminate", "pipeline_chunk", "udf_scalar",
+    "udtf_python", "dedup_exact", "dedup_near", "text_tokenize",
+    "text_tfidf", "text_stats", "text_quality", "text_fingerprint",
+    "text_normalize", "lang_id", "pipeline_curate", "pipeline_split",
+    "pipeline_pack", "text_lm_score", "text_lm_bigram",
+]
+
+
+@pytest.fixture(scope="module")
+def holey_docs_stage(spark, tmp_path_factory):
+    import glob
+    import shutil
+
+    tmp = tmp_path_factory.mktemp("holey_docs")
+    d0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    holey = d0.withColumn(
+        "text", F.when(F.col("doc_id") % 11 != 0, F.col("text"))
+    )
+    d = str(tmp / "h")
+    holey.coalesce(1).write.parquet(d)
+    stage = tmp / "sf"
+    stage.mkdir()
+    shutil.copy(glob.glob(f"{d}/part-*.parquet")[0], f"{stage}/documents.parquet")
+    # some builders read companion tables (pipeline_curate joins
+    # embeddings) even when their oracle is documents-only
+    import os
+
+    for t in ("region nation customer supplier part orders lineitem "
+              "events embeddings").split():
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", f"{stage}/{t}.parquet"
+        )
+    return str(stage)
+
+
+@pytest.mark.parametrize("name", _NULL_TEXT_OPS)
+def test_null_text_differential(spark, holey_docs_stage, name):
+    """Builder vs DuckDB oracle on a corpus where every 11th document's
+    text is NULL — the missing-document case every real scraped corpus
+    contains. Catches both wrong answers AND Python-kernel crashes."""
+    from tests.harness import compare, duck_connect
+
+    spec = SPECS[name]
+    con = duck_connect(holey_docs_stage)
+    sp = spec.builder(spark, holey_docs_stage).toPandas()
+    du = con.execute(spec.oracle).fetchdf()
+    errs = compare(sp, du, name)
+    assert not errs, errs[:5]
