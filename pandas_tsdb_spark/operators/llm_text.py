@@ -1304,8 +1304,13 @@ def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall signal alive at scale. Groups are bounded to 512 (md5
     # order) and pairs to the first 8 ids per group — a whale group of
     # k copies would otherwise contribute k² pairs.
+    # null/empty text is excluded from the truth: all null-text docs
+    # share the NULL md5 key and would form one fake "duplicate" group
+    # whose pairs minhash (no shingles for null docs) can never find —
+    # a spurious floor trip on any corpus with >=2 null docs.
     grp = (
-        d.groupBy(F.md5(F.col("text")).alias("h"))
+        d.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .groupBy(F.md5(F.col("text")).alias("h"))
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
         .orderBy("h")

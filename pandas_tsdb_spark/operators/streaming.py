@@ -345,12 +345,18 @@ def make_cumsum_kernel():
         # row. pandas cumsum would instead emit NaN AT null rows and —
         # worse — poison the carried acc once a batch ENDS on a null
         # (round-5 null sweep: 989 diverging rows from one holey run).
-        cum = (acc + v.fillna(0.0).cumsum()).round(4)
+        # carry the UNROUNDED running sum across batches — the oracle
+        # rounds a full-precision running sum per emitted row, so
+        # rounding before the carry would compound a per-batch rounding
+        # error across batch boundaries (latent on single-batch runs,
+        # wrong on multi-batch).
+        raw = acc + v.fillna(0.0).cumsum()
+        cum = raw.round(4)
         seen_row = np.logical_or(seen, v.notna().cumsum() > 0)
         out = cum.astype(object)
         out[~seen_row] = None
         state.update(
-            (float(cum.iloc[-1]), bool(seen_row.iloc[-1]))
+            (float(raw.iloc[-1]), bool(seen_row.iloc[-1]))
         )
         yield pd.DataFrame(
             {

@@ -46,9 +46,11 @@ _INGEST = "_ingest_ts"
 
 # A crashed maintenance writer must not brick the series forever: a lease
 # older than this is presumed dead and taken over. Live holders refresh
-# the lease mtime via _touch inside long phases (compact's write). 15 min
-# >> any single local rewrite; at cluster scale a manifest/catalog lock
-# replaces this file, as the docstrings note.
+# the lease mtime automatically: __enter__ starts a daemon heartbeat
+# thread touching every _LEASE_STALE_SECS/5, so even a single Spark
+# action longer than the bound (driver blocked inside it) keeps the
+# lease fresh. At cluster scale a manifest/catalog lock replaces this
+# file, as the docstrings note.
 _LEASE_STALE_SECS = 900.0
 
 
@@ -74,6 +76,7 @@ class _WriterLease:
         self.path = os.path.join(parent, f".{base}.writer.lock")
         self.op = op
         self._parent = parent
+        self._stop = None  # threading.Event while held
 
     def _read_holder(self) -> str:
         try:
@@ -82,18 +85,62 @@ class _WriterLease:
         except OSError:
             return "<unreadable>"
 
+    def _break_stale(self) -> None:
+        """Break a dead holder's lease ATOMICALLY: rename the observed
+        stale file to a unique tombstone (exactly one of N racing
+        breakers wins the rename — the losers get ENOENT and fall
+        through to the exclusive create), then verify BY INODE that the
+        file we moved is the one whose mtime we checked. A plain
+        unlink+create pair is a TOCTOU hole: breaker B (which statted
+        before breaker A re-created a FRESH lease) would unlink A's
+        live lease. Here B's rename would move A's fresh lease, but the
+        inode check catches the swap and B restores it and backs off."""
+        import time
+
+        try:
+            st = os.stat(self.path)
+        except OSError:
+            return  # no lease: nothing to break
+        if time.time() - st.st_mtime <= _LEASE_STALE_SECS:
+            return  # live holder (the toucher thread keeps mtime fresh)
+        self._break_observed(st)
+
+    def _break_observed(self, st: os.stat_result) -> None:
+        """Second half of the break (split out so the stat→rename race
+        window is directly testable): ``st`` is the stale lease as
+        OBSERVED; only that exact inode may be removed."""
+        import time
+
+        tomb = f"{self.path}.tomb.{os.getpid()}.{time.monotonic_ns()}"
+        try:
+            os.rename(self.path, tomb)
+        except OSError:
+            return  # another breaker won the rename; race via O_EXCL
+        try:
+            moved = os.stat(tomb)
+            # identity = (inode, mtime_ns): the filesystem recycles
+            # inodes, so a fresh lease re-created on the same path can
+            # reuse the stale file's inode — but its mtime is fresh
+            # (that IS the liveness signal), so the pair can only match
+            # the exact file whose staleness we verified.
+            if (moved.st_ino, moved.st_mtime_ns) != (st.st_ino, st.st_mtime_ns):
+                # we moved a lease CREATED AFTER our staleness check —
+                # a live holder's. Put it back and treat it as held.
+                os.rename(tomb, self.path)
+                return
+        except OSError:
+            return
+        try:
+            os.unlink(tomb)
+        except OSError:
+            pass
+
     def __enter__(self) -> "_WriterLease":
+        import threading
         import time
 
         os.makedirs(self._parent, exist_ok=True)
-        try:
-            # break-then-acquire for a dead holder; the unlink+create
-            # pair is not atomic, but two breakers racing still funnel
-            # through the exclusive create — exactly one wins
-            if time.time() - os.path.getmtime(self.path) > _LEASE_STALE_SECS:
-                os.unlink(self.path)
-        except OSError:
-            pass  # no lease, or it vanished: nothing to break
+        self._break_stale()
         try:
             fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
@@ -107,17 +154,42 @@ class _WriterLease:
                 {"pid": os.getpid(), "op": self.op, "acquired_unix": time.time()},
                 f,
             )
+        # heartbeat: refresh the lease mtime every _LEASE_STALE_SECS/5
+        # for as long as the op runs. Loop-site touch() calls can't cover
+        # a SINGLE long Spark action (one compact write can exceed the
+        # staleness bound with the driver blocked inside it); a daemon
+        # toucher covers any phase length, so a live holder is never
+        # broken as stale no matter how long the rewrite runs.
+        self._stop = threading.Event()
+
+        def _beat(stop: "threading.Event", period: float) -> None:
+            while not stop.wait(period):
+                self.touch()
+
+        t = threading.Thread(
+            target=_beat,
+            args=(self._stop, _LEASE_STALE_SECS / 5.0),
+            name=f"lease-heartbeat:{os.path.basename(self.path)}",
+            daemon=True,
+        )
+        t.start()
+        self._beat_thread = t
         return self
 
     def touch(self) -> None:
         """Refresh the lease mtime mid-operation so a long rewrite is
-        never mistaken for a dead holder."""
+        never mistaken for a dead holder (also driven automatically by
+        the heartbeat thread while the lease is held)."""
         try:
             os.utime(self.path)
         except OSError:
             pass
 
     def __exit__(self, *exc) -> None:
+        if self._stop is not None:
+            self._stop.set()
+            self._beat_thread.join(timeout=5.0)
+            self._stop = None
         try:
             os.unlink(self.path)
         except OSError:

@@ -365,3 +365,16 @@ def test_null_text_differential(spark, holey_docs_stage, name):
     du = con.execute(spec.oracle).fetchdf()
     errs = compare(sp, du, name)
     assert not errs, errs[:5]
+
+
+def test_dedup_recall_tolerates_null_text(spark, holey_docs_stage):
+    """Round-6 ADVICE fix: null-text docs all share the NULL md5 key, so
+    without the IS NOT NULL filter the exact-dup truth contains one fake
+    'duplicate group' of all null docs — pairs minhash (no shingles for
+    null text) can never find, spuriously tripping the in-band floor on
+    any corpus with >=2 null docs."""
+    rows = SPECS["dedup_recall"].builder(spark, holey_docs_stage).collect()
+    methods = {r.method for r in rows}
+    assert methods == {"minhash_j0.5", "simhash_tokenset", "minhash_exactdup"}
+    for r in rows:
+        assert r.recall >= r.recall_floor

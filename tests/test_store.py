@@ -655,3 +655,79 @@ def test_overwrite_narrows_schema_sidecar_under_dynamic_mode(
     with open(os.path.join(store.path("events"), "_schema.json")) as f:
         sidecar = T.StructType.fromJson(json.load(f))
     assert "later" in {fld.name for fld in sidecar.fields}
+
+
+def test_lease_heartbeat_keeps_long_op_alive(monkeypatch, tmp_path):
+    """Round-6 ADVICE fix: a live holder whose op outlasts the staleness
+    bound must NOT be broken as stale — the heartbeat thread started in
+    __enter__ refreshes the lease mtime, so a second acquirer rejects
+    instead of stealing the lease mid-rewrite."""
+    import os
+    import time
+
+    from pandas_tsdb_spark import store as store_mod
+
+    monkeypatch.setattr(store_mod, "_LEASE_STALE_SECS", 1.0)
+    series = str(tmp_path / "s")
+    lease = store_mod._WriterLease(series, "compact")
+    with lease:
+        time.sleep(2.5)  # well past the (shrunk) staleness bound
+        with pytest.raises(store_mod.WriterLeaseHeld):
+            with store_mod._WriterLease(series, "optimize"):
+                pass  # pragma: no cover — must not acquire
+        assert os.path.exists(lease.path)
+    assert not os.path.exists(lease.path)  # released on exit
+
+
+def test_stale_break_spares_freshly_replaced_lease(tmp_path):
+    """Round-6 ADVICE fix (TOCTOU): breaker B observed a stale lease,
+    but breaker A broke it and created a FRESH lease before B's rename
+    ran. B's rename moves A's live lease — the inode check must detect
+    the swap, restore A's lease, and back off without unlinking it."""
+    import json
+    import os
+    import time
+
+    from pandas_tsdb_spark import store as store_mod
+
+    series = str(tmp_path / "s")
+    lease_b = store_mod._WriterLease(series, "compact")
+    # the stale lease B observes
+    with open(lease_b.path, "w") as f:
+        json.dump({"pid": 999999, "op": "compact"}, f)
+    old = time.time() - 10 * store_mod._LEASE_STALE_SECS
+    os.utime(lease_b.path, (old, old))
+    observed = os.stat(lease_b.path)
+    # interleave: A breaks the stale lease and creates a fresh one
+    os.unlink(lease_b.path)
+    with open(lease_b.path, "w") as f:
+        json.dump({"pid": os.getpid(), "op": "optimize"}, f)
+    fresh_ino = os.stat(lease_b.path).st_ino
+    # B resumes with its STALE observation: must not remove A's lease
+    lease_b._break_observed(observed)
+    assert os.path.exists(lease_b.path)
+    assert os.stat(lease_b.path).st_ino == fresh_ino
+    # and no tombstone litter beside the series dir
+    litter = [p for p in os.listdir(tmp_path) if ".tomb." in p]
+    assert litter == []
+
+
+def test_stale_break_same_inode_proceeds(tmp_path):
+    """The non-racy stale path still breaks: same inode as observed →
+    tombstone removed, path free for the exclusive create."""
+    import json
+    import os
+    import time
+
+    from pandas_tsdb_spark import store as store_mod
+
+    series = str(tmp_path / "s")
+    lease = store_mod._WriterLease(series, "compact")
+    with open(lease.path, "w") as f:
+        json.dump({"pid": 999999, "op": "compact"}, f)
+    old = time.time() - 10 * store_mod._LEASE_STALE_SECS
+    os.utime(lease.path, (old, old))
+    lease._break_observed(os.stat(lease.path))
+    assert not os.path.exists(lease.path)
+    with lease:  # acquire proceeds on the freed path
+        assert os.path.exists(lease.path)

@@ -588,3 +588,42 @@ def test_chunked_stateful_rocksdb_carries_state(spark, chunk_dir):
     )
     cols = ["user_id", "event_id", "cum_value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_cumsum_kernel_carries_unrounded_state():
+    """Round-6 ADVICE fix: the carried accumulator must be the
+    FULL-PRECISION running sum — carrying the .round(4) value compounds
+    a per-batch rounding error across batch boundaries, while the
+    oracle rounds a full-precision running sum per row. Values of
+    0.00004 make the divergence visible immediately: rounded-carry
+    yields 0.0 forever; unrounded-carry reaches round(0.00020, 4)."""
+    import pandas as pd
+
+    kernel = S.make_cumsum_kernel()
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+    st = FakeState()
+    outs = []
+    for batch_start in (0, 3):  # two micro-batches of the same user
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1, 1, 1],
+                "event_id": [batch_start, batch_start + 1, batch_start + 2],
+                "value": [0.00004] * 3,
+            }
+        )
+        outs.append(pd.concat(list(kernel((1,), iter([pdf]), st))))
+    # carried state is full precision (6 * 0.00004 = 0.00024)
+    assert abs(st.get[0] - 0.00024) < 1e-12
+    # last emitted row rounds the FULL-precision sum: round(0.00024,4)
+    assert outs[-1]["cum_value"].iloc[-1] == 0.0002
