@@ -123,9 +123,25 @@ _DRIVER_VERIFIED_R4 = frozenset({
     "win_interp_time", "win_macd", "win_resample_interp", "win_rsi",
     "win_seasonal_dow", "win_trend", "win_twa", "win_xcorr",
 })
+_DRIVER_VERIFIED_R5 = frozenset({
+    "ann_recall", "dedup_recall", "fn_struct", "join_asof",
+    "join_asof_directions", "join_merge_ordered", "multimodal_binary",
+    "multimodal_frames", "multimodal_phash_dedup", "multimodal_resize",
+    "pipeline_chunk", "pipeline_decontaminate", "stream_stateful",
+    "stream_stateful_rocksdb", "text_repetition", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q2", "tpch_q20",
+    "tpch_q21", "udf_scalar", "udtf_python", "upsert_cdc", "win_bollinger",
+    "win_cusum", "win_drawdown", "win_holt", "win_kalman", "win_macd",
+    "win_ntile_percent", "win_rank_avg", "win_resample_asfreq",
+    "win_resample_ffill", "win_resample_hour", "win_resample_interp",
+    "win_resample_month", "win_resample_ohlc", "win_resample_wmon",
+    "win_rolling_corr", "win_rolling_kurt", "win_rolling_mad",
+    "win_rolling_median", "win_rolling_quantile", "win_rolling_rank",
+    "win_rolling_skew", "win_rolling_slope",
+})
 _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R1 | _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3
-    | _DRIVER_VERIFIED_R4
+    | _DRIVER_VERIFIED_R4 | _DRIVER_VERIFIED_R5
 )
 
 # Ops whose registered builder was rewritten AFTER their last driver row
@@ -136,24 +152,14 @@ _DRIVER_VERIFIED = (
 # (output-gated NaN→NULL emits in holt/macd/kalman; null-aware
 # max_by/min_by in the resample family and merge_ordered; latest-row CDC
 # in upsert_cdc, whose oracle changed too).
-_REVERIFY: tuple[str, ...] = (
-    "win_holt", "win_macd", "win_kalman", "win_resample_ffill",
-    "win_resample_interp", "win_resample_ohlc", "win_resample_hour",
-    "join_merge_ordered", "upsert_cdc",
-    # second null-hardening wave (the broad 68-query sweep): these five
-    # driver-attested builders were rewritten for null semantics
-    # (fn_struct's argmax struct, the stateful cumsum kernel, the two
-    # as-of presence-struct fills, the rebuilt distribution-rank family)
-    "fn_struct", "stream_stateful", "join_asof", "join_asof_directions",
-    "win_ntile_percent",
-    # third wave (null-TEXT sweep over the documents ops): rewritten
-    # driver-attested builders — kernel null guards (multimodal blobs,
-    # udf casts), decontaminate survivor semantics, chunk/repetition
-    # null-doc conventions
-    "text_repetition", "multimodal_frames", "multimodal_binary",
-    "multimodal_resize", "multimodal_phash_dedup",
-    "pipeline_decontaminate", "pipeline_chunk", "udf_scalar",
-)
+_REVERIFY: list[str] = [
+    # round-6 rewrites of driver-attested builders: the stateful cumsum
+    # kernel now carries the UNROUNDED accumulator across micro-batches
+    # (ADVICE fix — both registered streams share the kernel), and
+    # dedup_recall's exact-dup truth excludes null text (its in-band
+    # raise_error floor makes the rows-only run a real assertion).
+    "stream_stateful", "stream_stateful_rocksdb", "dedup_recall",
+]
 
 
 def _ordered_specs() -> dict[str, "QuerySpec"]:
@@ -163,9 +169,10 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
     their last driver row, (3) never-verified contract rows-only ops, (4)
     never-verified extras with oracles in registration order, (4b)
     never-sampled rows-only extras (run-only signal, but it closes the
-    registry: after r1-r4 only 27 oracled + 12 rows-only entries remain
-    unsampled — 39 total, all inside the 50-slot window), (5) everything
-    already driver-verified, (6) the rest."""
+    registry: after r1-r5 every oracled query has a driver hash pass and
+    exactly 12 rows-only entries have never been driver-touched — all
+    inside the 50-slot window), (5) everything already driver-verified,
+    (6) the rest."""
     specs = load_all()
     contract = [n for n in CONTRACT_OPS if n in specs]
     tier1 = [n for n in contract
@@ -178,22 +185,28 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
     # within the never-sampled oracled extras, surface the ops ADDED
     # this round first — a fresh driver row on new code is worth more
     # than one on an extra that has sat green locally for prior rounds
-    # (all of r3's/r4's new-op lists landed hash passes and moved to
-    # _DRIVER_VERIFIED_R3/R4; repopulate as round-5 ops land).
-    _NEW_R5: list[str] = ["stream_stateful_rocksdb", "ann_recall", "dedup_recall"]
+    # (all of r3/r4/r5's new-op lists landed driver rows and moved to
+    # _DRIVER_VERIFIED_R3/R4/R5; repopulate as round-6 ops land).
+    _NEW_R6: list[str] = ["store_reader_snapshot"]
     tier4_pool = [n for n in specs
                   if n not in seen and n not in _DRIVER_VERIFIED
                   and specs[n].oracle is not None]
-    tier4 = [n for n in _NEW_R5 if n in tier4_pool] + [
-        n for n in tier4_pool if n not in _NEW_R5
+    tier4 = [n for n in _NEW_R6 if n in tier4_pool] + [
+        n for n in tier4_pool if n not in _NEW_R6
     ]
     seen |= set(tier4)
     # never-sampled rows-only extras: a run-only driver row is still a
-    # fresh signal (the op executes end-to-end on driver infra). The
-    # in-band recall gates lead this tier — their raise_error floors
-    # make a rows-only run a REAL assertion (recall >= floor on driver
-    # infra), worth more than an ordinary rows-only row.
-    _ROWS_ONLY_FIRST = ("ann_recall", "dedup_recall")
+    # fresh signal (the op executes end-to-end on driver infra). After
+    # r1-r5 exactly 12 registry entries have never been driver-touched —
+    # all rows-only by design (ANN families, BLAS twins, approx
+    # sketches, sampling-grid kernels); this tier closes driver contact
+    # with 238/238 of the registry. ann_recall-gated families first:
+    # their in-band raise_error floors make a rows-only run a REAL
+    # assertion (recall >= floor on driver infra).
+    _ROWS_ONLY_FIRST = (
+        "ann_lsh", "ann_ivf", "ann_pq", "ann_ivf_pq",
+        "dedup_embedding_blas", "knn_label_blas",
+    )
     pool4b = [n for n in specs
               if n not in seen and n not in _DRIVER_VERIFIED]
     tier4b = [n for n in _ROWS_ONLY_FIRST if n in pool4b] + [
