@@ -159,6 +159,16 @@ _REVERIFY: list[str] = [
     # dedup_recall's exact-dup truth excludes null text (its in-band
     # raise_error floor makes the rows-only run a real assertion).
     "stream_stateful", "stream_stateful_rocksdb", "dedup_recall",
+    # round-6 core-table null sweep (tests/test_core_nulls.py): six
+    # driver-attested builders/oracles rewritten for null semantics —
+    # crosstab totals counting null-status rows, gini/qcut excluding
+    # null observations before ranking (NULLS FIRST/LAST rank shifts),
+    # skew/kurt oracle keeping the NULL group (IS NOT DISTINCT FROM)
+    # and counting non-null observations, melt keeping NULL values
+    # (pandas semantics; SQL UNPIVOT drops them), array-lambda NULL
+    # p_size → NULL outputs with '' only for empty-but-present lists.
+    "agg_crosstab", "agg_gini", "agg_skew_kurt", "fn_array_lambda",
+    "fn_bin_qcut", "reshape_melt",
 ]
 
 

@@ -673,6 +673,7 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY c_mktsegment
                                 ORDER BY o_totalprice, o_orderkey) AS i
       FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice IS NOT NULL
     )
     SELECT c_mktsegment,
            count(*) AS n,
@@ -709,7 +710,11 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = t.orders.join(
         F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
         F.col("o_custkey") == F.col("c_custkey"),
-    )
+    # a NULL order value carries no inequality information — and its
+    # rank would shift every other rank differently per engine (Spark
+    # sorts NULLS FIRST, DuckDB NULLS LAST; round-6 null sweep), so
+    # both sides exclude it before ranking
+    ).filter(F.col("o_totalprice").isNotNull())
     w = W.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
     r = j.select(
         "c_mktsegment",

@@ -377,7 +377,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT l_returnflag AS flag, avg(l_quantity) AS mu,
-               stddev_pop(l_quantity) AS sd, count(*) AS n
+               stddev_pop(l_quantity) AS sd, count(l_quantity) AS n
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT s.flag AS l_returnflag,
@@ -385,7 +385,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS skew_qty,
            round(sum(pow(l_quantity - s.mu, 4)) / s.n / pow(s.sd, 4) - 3, 4) + 0.0
              AS kurt_qty
-    FROM lineitem JOIN s ON lineitem.l_returnflag = s.flag
+    FROM lineitem JOIN s ON lineitem.l_returnflag IS NOT DISTINCT FROM s.flag
     GROUP BY s.flag, s.n, s.sd
     """,
 )
@@ -396,7 +396,13 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds to IEEE -0.0, which one engine prints as "-0.0" and the
     other as "0.0" — numerically equal, hash-different (hit at
     sf0.001 where a group's skewness is ~-1e-5). Adding +0.0
-    canonicalizes the zero sign."""
+    canonicalizes the zero sign.
+
+    Null semantics (round-6 core-table sweep): Spark's skewness/
+    kurtosis skip NULL observations, so the oracle's n must be
+    count(l_quantity), not count(*), and its self-join must use IS NOT
+    DISTINCT FROM — a plain equi-join silently drops the NULL-flag
+    GROUP that Spark's groupBy keeps."""
     li = Tables(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
         (F.round(F.skewness("l_quantity"), 4) + F.lit(0.0)).alias("skew_qty"),
@@ -711,27 +717,23 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pd.crosstab(c_mktsegment, o_orderstatus): contingency table of
-    order status by customer segment. Spark's pivot with an EXPLICIT
-    value list ('F','O','P' — the order-status domain) so no extra
-    distinct-collect job runs and the output schema is static (a
-    pivot without values triggers a blocking distinct scan — never do
-    that on a 100 TB fact table). The join broadcasts the customer dim
-    under AQE; the pivot compiles to conditional counts that partial-
-    aggregate map-side, so the exchange carries |segments|x|statuses|
-    cells, not rows."""
+    order status by customer segment, spelled as conditional counts
+    over a static status domain ('F','O','P') so no distinct-collect
+    job runs and the output schema is static (a pivot without values
+    triggers a blocking distinct scan — never do that on a 100 TB fact
+    table). ``total`` is count(*) — it also counts rows whose status is
+    NULL/out-of-domain, so the margins stay honest on dirty data (a
+    pivot-column sum would silently drop them; round-6 null sweep).
+    The join broadcasts the customer dim under AQE; conditional counts
+    partial-aggregate map-side, so the exchange carries
+    |segments|x|statuses| cells, not rows."""
     t = Tables(spark, sf_dir)
     j = t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-    piv = (
-        j.groupBy("c_mktsegment")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.count(F.lit(1)))
-    )
-    return piv.select(
-        "c_mktsegment",
-        F.coalesce("F", F.lit(0)).alias("cnt_f"),
-        F.coalesce("O", F.lit(0)).alias("cnt_o"),
-        F.coalesce("P", F.lit(0)).alias("cnt_p"),
-        (F.coalesce("F", F.lit(0)) + F.coalesce("O", F.lit(0)) + F.coalesce("P", F.lit(0))).alias("total"),
+    return j.groupBy("c_mktsegment").agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("cnt_f"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("cnt_o"),
+        F.count_if(F.col("o_orderstatus") == "P").alias("cnt_p"),
+        F.count("*").alias("total"),
     )
 
 

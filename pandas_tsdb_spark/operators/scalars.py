@@ -240,15 +240,23 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            CAST(list_aggregate(list_transform(generate_series(1, p_size),
                                                x -> x * x), 'sum') AS BIGINT) AS sq_sum,
-           coalesce(array_to_string(list_filter(generate_series(1, p_size),
-                                                x -> x % 2 = 0), ','), '') AS evens,
+           CASE WHEN p_size IS NULL THEN NULL
+                ELSE coalesce(array_to_string(
+                       list_filter(generate_series(1, p_size),
+                                   x -> x % 2 = 0), ','), '') END AS evens,
            len(generate_series(1, p_size)) AS n_terms
     FROM part
     """,
 )
 def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions: transform/filter/aggregate over a
-    generated integer sequence (exact integer math, no float hazards)."""
+    generated integer sequence (exact integer math, no float hazards).
+
+    Null semantics (round-6 core-table sweep): a NULL p_size yields a
+    NULL sequence, and ALL THREE outputs are NULL — array_join and the
+    oracle's array_to_string both propagate it, but Spark's size(NULL)
+    is -1 under the legacy sizeOfNull default, so n_terms is gated
+    explicitly; an aggregate over an empty evens list is '' in both."""
     p = Tables(spark, sf_dir).part
     seq = F.sequence(F.lit(1), F.col("p_size"))
     return p.select(
@@ -257,7 +265,9 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(seq, lambda x: x * x), F.lit(0), lambda a, x: a + x
         ).cast("bigint").alias("sq_sum"),
         F.array_join(F.filter(seq, lambda x: x % 2 == 0), ",").alias("evens"),
-        F.size(seq).cast("bigint").alias("n_terms"),
+        F.when(F.col("p_size").isNotNull(), F.size(seq).cast("bigint")).alias(
+            "n_terms"
+        ),
     )
 
 
@@ -391,7 +401,8 @@ def fn_bin_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_bin_qcut",
     oracle="""
     WITH hist AS (
-      SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY l_quantity
+      SELECT l_quantity AS v, count(*) AS c FROM lineitem
+      WHERE l_quantity IS NOT NULL GROUP BY l_quantity
     ),
     cdf AS (
       SELECT v, CAST(sum(c) OVER (ORDER BY v) AS DOUBLE)
@@ -421,11 +432,21 @@ def fn_bin_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value->bin map back over the fact scan. No global sort, no
     single-partition window, no interpolation ambiguity — the exact
     trap an ntile()-over-everything formulation hits at scale. Integer
-    counts divide in float64 identically in both engines."""
+    counts divide in float64 identically in both engines.
+
+    Null semantics (round-6 core-table sweep): pd.qcut assigns NaN
+    observations NO bin, so NULL values are excluded from the histogram
+    (otherwise the NULL group shifts every CDF fraction, differently
+    per engine — Spark windows order NULLS FIRST, DuckDB NULLS LAST);
+    null rows then drop out of the output via the equi-join."""
     li = Tables(spark, sf_dir).lineitem
     from pyspark.sql import Window as W
 
-    hist = li.groupBy(F.col("l_quantity").alias("v")).agg(F.count("*").alias("c"))
+    hist = (
+        li.filter(F.col("l_quantity").isNotNull())
+        .groupBy(F.col("l_quantity").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
     total = hist.agg(F.sum("c").alias("n"))
     cdf = (
         hist.crossJoin(F.broadcast(total))

@@ -171,16 +171,23 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "reshape_melt",
     oracle="""
-    SELECT o_orderkey, metric, val FROM (
-        SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE) AS custkey_d
-        FROM orders
-    ) UNPIVOT (val FOR metric IN (o_totalprice, custkey_d))
+    SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS val
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey_d' AS metric, CAST(o_custkey AS DOUBLE) AS val
+    FROM orders
     """,
 )
 def reshape_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas melt / DataFrame.unpivot: wide -> long reshape (the
     inverse of agg_pivot). Narrow-schema emission keeps the shuffle-free
-    plan: unpivot is a per-row flatMap, no exchange."""
+    plan: unpivot is a per-row flatMap, no exchange.
+
+    Null semantics (round-6 core-table sweep): pandas melt KEEPS rows
+    whose value is NaN, and Spark's unpivot keeps NULL values too — but
+    SQL UNPIVOT drops them by definition, so the oracle is spelled as
+    the explicit UNION ALL (one SELECT per measure), which preserves
+    NULL val rows."""
     o = Tables(spark, sf_dir).orders
     return (
         o.select(
