@@ -169,6 +169,11 @@ _REVERIFY: list[str] = [
     # p_size → NULL outputs with '' only for empty-but-present lists.
     "agg_crosstab", "agg_gini", "agg_skew_kurt", "fn_array_lambda",
     "fn_bin_qcut", "reshape_melt",
+    # round-6 props sweep: lenient JSON extraction (try_cast — the
+    # plain ANSI cast is a hard job failure on the first wrong-typed
+    # value), json_valid-guarded oracles, null-field-preserving
+    # re-serialization
+    "fn_json", "fn_map",
 ]
 
 

@@ -282,18 +282,22 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT event_id,
                map(['k', 'v'],
-                   [CAST(json_extract(props, '$.k') AS DOUBLE), value]) AS m
+                   [TRY_CAST(CASE WHEN json_valid(props)
+                             THEN json_extract(props, '$.k') END AS DOUBLE),
+                    value]) AS m
         FROM events
     )
     """,
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map column ops (no map col in fixtures — synthesized from props):
-    create_map/element_at/size/map_keys."""
+    create_map/element_at/size/map_keys. try_cast + the oracle's
+    json_valid guard keep the op TOTAL on dirty props (NULL /
+    wrong-typed / malformed) — see fn_json."""
     ev = Tables(spark, sf_dir).events
     m = F.create_map(
         F.lit("k"),
-        F.get_json_object("props", "$.k").cast("double"),
+        F.get_json_object("props", "$.k").try_cast("double"),
         F.lit("v"),
         F.col("value"),
     )
@@ -310,22 +314,39 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json",
     oracle="""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
-           json_extract_string(props, '$.k') AS k_str,
-           to_json(struct_pack(event_id := event_id, k := CAST(json_extract(props, '$.k') AS BIGINT)))
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract(props, '$.k') END AS BIGINT) AS k_num,
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS k_str,
+           to_json(struct_pack(
+               event_id := event_id,
+               k := TRY_CAST(CASE WHEN json_valid(props)
+                             THEN json_extract(props, '$.k') END AS BIGINT)))
                AS packed
     FROM events
     """,
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON payload surface: extract (string + typed), re-serialize."""
+    """JSON payload surface: extract (string + typed), re-serialize.
+
+    TOTAL on dirty property bags (round-6 props sweep): the engine
+    contract is lenient extraction — NULL for a missing key, a
+    non-numeric value (try_cast: the plain ANSI cast is a hard JOB
+    FAILURE on the first 'oops' string), or a malformed document
+    (get_json_object already returns NULL; the oracle needs the
+    json_valid guard because DuckDB's json_extract throws). The
+    re-serialize keeps NULL fields (ignoreNullFields=false) so packed
+    matches DuckDB's struct serialization on null k."""
     ev = Tables(spark, sf_dir).events
-    k_num = F.get_json_object("props", "$.k").cast("bigint")
+    k_num = F.get_json_object("props", "$.k").try_cast("bigint")
     return ev.select(
         "event_id",
         k_num.alias("k_num"),
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.to_json(F.struct(F.col("event_id"), k_num.alias("k"))).alias("packed"),
+        F.to_json(
+            F.struct(F.col("event_id"), k_num.alias("k")),
+            {"ignoreNullFields": "false"},
+        ).alias("packed"),
     )
 
 

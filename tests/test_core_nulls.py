@@ -142,3 +142,53 @@ def test_core_null_differential(spark, holey_core_stage, name):
     du = con.execute(spec.oracle).fetchdf()
     errs = compare(sp, du, name)
     assert not errs, errs[:5]
+
+
+# ---------------------------------------------------------------------------
+# Round-6 sweep #5: the JSON/map surface on dirty props (verdict item 7).
+# events.props is the one genuinely nullable fixture column in practice —
+# a scraped/ingested property bag serves NULL, empty objects, wrong-typed
+# values, and outright malformed JSON.
+# ---------------------------------------------------------------------------
+
+_PROPS_OPS = ["fn_map", "fn_json", "stream_kafka_shape"]
+
+
+@pytest.fixture(scope="module")
+def dirty_props_stage(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dirty_props")
+    ev = spark.read.parquet(f"{SMALL}/events.parquet")
+    dirty = ev.withColumn(
+        "props",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("event_id") % 11 == 0, F.lit("{}"))
+        .when(F.col("event_id") % 13 == 0, F.lit('{"k": "oops"}'))
+        .when(F.col("event_id") % 17 == 0, F.lit("not json"))
+        .otherwise(F.col("props")),
+    )
+    d = str(tmp / "dirty")
+    dirty.coalesce(1).write.parquet(d)
+    stage = str(tmp / "sf")
+    os.makedirs(stage)
+    shutil.copy(glob.glob(f"{d}/part-*.parquet")[0], f"{stage}/events.parquet")
+    for table in ("region nation customer supplier part orders lineitem "
+                  "documents embeddings").split():
+        os.symlink(f"{SMALL}/{table}.parquet", f"{stage}/{table}.parquet")
+    return stage
+
+
+@pytest.mark.parametrize("name", _PROPS_OPS)
+def test_dirty_props_differential(spark, dirty_props_stage, name):
+    """Builder vs oracle on NULL / empty-object / wrong-typed /
+    malformed props. The engine contract is LENIENT extraction
+    (get_json_object semantics: NULL on missing key, bad type, or
+    malformed document) — the oracle must implement the same totality,
+    not crash."""
+    from tests.harness import compare, duck_connect
+
+    spec = SPECS[name]
+    con = duck_connect(dirty_props_stage)
+    sp = spec.builder(spark, dirty_props_stage).toPandas()
+    du = con.execute(spec.oracle).fetchdf()
+    errs = compare(sp, du, name)
+    assert not errs, errs[:5]
