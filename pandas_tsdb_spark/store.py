@@ -638,6 +638,44 @@ class TsStore:
                     pass  # an interleaved compact already replaced it
         shutil.rmtree(stage)
 
+    def _recover_opt_journals(self, path: str) -> None:
+        """Complete any optimize() transaction a crash interrupted.
+        The journal (written atomically before any visible mutation)
+        lists the staged replacement files and the exact snapshot
+        inputs they replace; recovery is idempotent: finish moving
+        staged files in, finish deleting the inputs, drop the journal.
+        Run before every optimize pass — a half-moved state must be
+        COMPLETED before any rewrite reads the partition, or the
+        transient duplicates would be baked into the new files."""
+        import shutil
+
+        for entry in list(os.listdir(path)):
+            if not (entry.startswith(".") and entry.endswith(".opt.journal")):
+                continue
+            jpath = os.path.join(path, entry)
+            try:
+                with open(jpath) as f:
+                    j = json.load(f)
+            except (OSError, ValueError):
+                os.unlink(jpath)
+                continue
+            part_dir = os.path.join(path, j["partition"])
+            for src, dst in j["moves"]:
+                if os.path.exists(src) and os.path.isdir(part_dir):
+                    target = os.path.join(part_dir, dst)
+                    if os.path.exists(target):
+                        os.unlink(src)
+                    else:
+                        os.rename(src, target)
+            for f in j["old"]:
+                try:
+                    os.remove(os.path.join(part_dir, f))
+                except FileNotFoundError:
+                    pass
+            if os.path.isdir(j["stage"]):
+                shutil.rmtree(j["stage"])
+            os.unlink(jpath)
+
     @_leased("optimize")
     def optimize(
         self,
@@ -657,23 +695,27 @@ class TsStore:
         to the debt, not the store. Returns the number of partitions
         rewritten.
 
-        At cluster scale the same loop runs as one job per batch of
-        debt partitions; here each partition is one read+write with an
-        atomic directory swap (same swap discipline as compact)."""
+        CONCURRENCY (round-6 rewrite; the old directory-swap had a
+        visible GAP between its two renames, and rewrote the whole dir
+        so a file appended mid-optimize was silently dropped): each
+        partition now follows compact()'s snapshot discipline — read
+        EXACTLY the snapshot files, stage the rewrite dot-prefixed
+        (invisible), journal the transaction, move replacements in
+        (atomic per-file renames), then delete exactly the snapshot
+        inputs. A reader never sees a gap at any instant; mid-swap it
+        can transiently see a row twice (the same duplicate class blind
+        appends create, resolved by fetch(latest_by=...)); a file a
+        concurrent appender lands survives untouched. A crash at any
+        point is completed by the journal recovery on the next
+        optimize()."""
         import math
         import shutil
+        import uuid
 
         path = self.path(name)
         rewritten = 0
-        # swap dirs are DOT-prefixed ('.{part}.opt.tmp'/'.opt.old') so a
-        # crash mid-swap can never leave a directory that partition
-        # discovery would parse as a bogus partition value. Sweep stale
-        # leftovers from a crashed prior optimize() first:
-        #  - '.X.opt.old' with 'X' present  -> swap completed, cleanup lost:
-        #    finish deleting the old copy
-        #  - '.X.opt.old' with 'X' MISSING  -> crashed between the two
-        #    renames: the old dir holds the only copy — restore it
-        #  - '.X.opt.tmp'                   -> unfinished rewrite: discard
+        self._recover_opt_journals(path)
+        # legacy leftovers from the pre-round-6 directory-swap layout
         for entry in os.listdir(path):
             leftover = os.path.join(path, entry)
             if not entry.startswith(".") or not os.path.isdir(leftover):
@@ -690,28 +732,59 @@ class TsStore:
             part_dir = os.path.join(path, entry)
             if not entry.startswith(f"{_PART}=") or not os.path.isdir(part_dir):
                 continue
-            files = [
+            files = sorted(
                 f
                 for f in os.listdir(part_dir)
                 if f.endswith(".parquet") and not f.startswith(".")
-            ]
+            )
             if len(files) < min_files:
                 continue
             n_bytes = sum(
                 os.path.getsize(os.path.join(part_dir, f)) for f in files
             )
             n_out = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
-            # mergeSchema: a partition can hold files from appends that
-            # widened the schema — inferring from one file would rewrite
-            # the partition without the other files' columns (the
-            # compact() data-loss class)
-            df = self.spark.read.option("mergeSchema", "true").parquet(part_dir)
-            tmp = os.path.join(path, f".{entry}.opt.tmp")
-            df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-            old = os.path.join(path, f".{entry}.opt.old")
-            os.rename(part_dir, old)
-            os.rename(tmp, part_dir)
-            shutil.rmtree(old)
+            # snapshot read of exactly these files — mergeSchema because
+            # a partition can hold files from appends that widened the
+            # schema (inferring from one file would rewrite the
+            # partition without the other files' columns)
+            df = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*(os.path.join(part_dir, f) for f in files))
+            )
+            txn = uuid.uuid4().hex
+            stage = os.path.join(path, f".{entry}.opt.{txn}.tmp")
+            df.repartition(n_out).write.parquet(stage)
+            staged = sorted(
+                f
+                for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            moves = [
+                (os.path.join(stage, f), f"opt-{txn}-{i:05d}.parquet")
+                for i, f in enumerate(staged)
+            ]
+            jpath = os.path.join(path, f".{entry}.opt.journal")
+            jtmp = jpath + ".tmp"
+            with open(jtmp, "w") as f:
+                json.dump(
+                    {
+                        "partition": entry,
+                        "stage": stage,
+                        "moves": moves,
+                        "old": files,
+                    },
+                    f,
+                )
+            os.replace(jtmp, jpath)  # journal commit point (atomic)
+            for src, dst in moves:
+                os.rename(src, os.path.join(part_dir, dst))
+            for f in files:
+                try:
+                    os.remove(os.path.join(part_dir, f))
+                except FileNotFoundError:
+                    pass
+            os.unlink(jpath)
+            shutil.rmtree(stage)
             rewritten += 1
         return rewritten
 

@@ -731,3 +731,118 @@ def test_stale_break_same_inode_proceeds(tmp_path):
     assert not os.path.exists(lease.path)
     with lease:  # acquire proceeds on the freed path
         assert os.path.exists(lease.path)
+
+
+def test_optimize_journal_recovery_half_moved(spark, store, events):
+    """Round-6: optimize's journaled swap — crash states at BOTH bad
+    instants must recover with no row lost and none double-counted:
+    (a) journal committed, nothing moved yet; (b) replacements moved
+    in, snapshot inputs not yet deleted (transient-duplicate state)."""
+    import json
+    import os
+    import shutil
+
+    store.append("events", events)
+    store.append("events", events)
+    n_logical = store.fetch("events", latest_by=["event_id"]).count()
+    n_physical = store.fetch("events").count()
+    path = store.path("events")
+    parts = sorted(e for e in os.listdir(path) if e.startswith("_date="))
+    assert len(parts) >= 2
+
+    def build_txn(entry):
+        part_dir = os.path.join(path, entry)
+        files = sorted(
+            f for f in os.listdir(part_dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        stage = os.path.join(path, f".{entry}.opt.testtxn.tmp")
+        (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*(os.path.join(part_dir, f) for f in files))
+            .repartition(1)
+            .write.parquet(stage)
+        )
+        staged = sorted(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        moves = [
+            (os.path.join(stage, f), f"opt-testtxn-{i:05d}.parquet")
+            for i, f in enumerate(staged)
+        ]
+        with open(os.path.join(path, f".{entry}.opt.journal"), "w") as f:
+            json.dump(
+                {"partition": entry, "stage": stage, "moves": moves,
+                 "old": files},
+                f,
+            )
+        return part_dir, moves
+
+    # (a) journal committed, nothing moved — old files still authoritative
+    build_txn(parts[0])
+    # (b) moved in, old not deleted — reader would see duplicates
+    part_dir_b, moves_b = build_txn(parts[1])
+    for src, dst in moves_b:
+        os.rename(src, os.path.join(part_dir_b, dst))
+
+    store.optimize("events")  # recovery completes both transactions
+    assert not any(".opt." in e for e in os.listdir(path))
+    assert store.fetch("events").count() == n_physical
+    assert store.fetch("events", latest_by=["event_id"]).count() == n_logical
+
+
+def test_reader_never_sees_gap_during_maintenance(spark, store, events):
+    """Round-6 verdict item: a reader mid-fetch during optimize/compact
+    must never observe a half-swapped layout. optimize/compact move
+    replacement files IN before deleting exactly their snapshot inputs,
+    so at every instant each logical row exists in >=1 visible file —
+    a fetch(latest_by=...) therefore always returns exactly the logical
+    row count, while maintenance churns the layout underneath it.
+    (A plan holding the OLD file listing may hit FileNotFound after
+    input deletion — the documented re-fetch case — so the reader
+    retries on that error only; any other wrong count fails.)"""
+    import threading
+
+    ev = events.limit(2000)
+    store.append("events", ev)
+    n_logical = store.fetch("events", latest_by=["event_id"]).count()
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def churn():
+        try:
+            for _ in range(4):
+                store.append("events", ev)  # pile up duplicate versions
+                store.optimize("events", min_files=2)
+                store.compact("events", key_cols=["event_id"])
+        except Exception as e:  # pragma: no cover
+            errors.append(f"maintenance: {e!r}")
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=churn, daemon=True)
+    t.start()
+    reads = 0
+    while not stop.is_set():
+        try:
+            got = store.fetch("events", latest_by=["event_id"]).count()
+        except Exception as e:
+            # Py4JJavaError's str() is just "An error occurred..." —
+            # the real cause lives on java_exception
+            msg = str(e) + str(getattr(e, "java_exception", ""))
+            if (
+                "FileNotFound" in msg
+                or "does not exist" in msg
+                or "FAILED_READ_FILE" in msg
+            ):
+                continue  # stale plan listing: documented, re-fetch
+            errors.append(f"reader: {msg[:500]}")
+            break
+        if got != n_logical:
+            errors.append(f"reader saw {got} logical rows, want {n_logical}")
+            break
+        reads += 1
+    t.join()
+    assert not errors, errors
+    assert reads >= 5  # the race was actually exercised
