@@ -497,3 +497,37 @@ def rollup_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll.select(
         F.col("_date").cast("timestamp").alias("day"), "event_type", "n", "total"
     )
+
+
+@query(
+    "store_maintenance_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n_keys,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def store_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full TsStore maintenance loop, oracle-checked end-to-end
+    (round-6): two blind appends of the same events (every row now has
+    a duplicate version on disk, the late/replay reality), then
+    ``optimize`` (small-file layout rewrite via the journaled
+    move-in-then-delete swap — the round-6 no-gap protocol, see
+    store.py) and ``compact`` (keep-latest-per-event_id). The fetch
+    that follows must return EXACTLY one physical row per event_id —
+    so the per-type counts and sums equal a plain aggregate over the
+    source table. Any row a maintenance pass loses, duplicates, or
+    tears shows up as a count/sum mismatch against the oracle."""
+    from pandas_tsdb_spark.store import TsStore
+
+    ev = Tables(spark, sf_dir).events
+    store = TsStore(spark, tempfile.mkdtemp(prefix="pts_maint_"))
+    store.append("events", ev)
+    store.append("events", ev)
+    store.optimize("events", min_files=2)
+    store.compact("events", key_cols=["event_id"])
+    got = store.fetch("events")
+    return got.groupBy("event_type").agg(
+        F.count("*").alias("n_keys"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
