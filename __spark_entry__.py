@@ -174,6 +174,12 @@ _REVERIFY: list[str] = [
     # value), json_valid-guarded oracles, null-field-preserving
     # re-serialization
     "fn_json", "fn_map",
+    # round-6 dirty-embeddings sweep: the vector surface now EXCLUDES
+    # invalid embeddings (NULL/empty/zero-norm) uniformly in builders
+    # and oracles; fn_array stays lenient (structural ops, NULL out,
+    # try_element_at against the ANSI out-of-bounds crash)
+    "sim_topk", "sim_pairs_threshold", "knn_label", "vec_quantize_int8",
+    "dedup_embedding", "multimodal_cols", "fn_array",
 ]
 
 

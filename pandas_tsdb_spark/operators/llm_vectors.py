@@ -67,6 +67,28 @@ def _seq_dots(E: np.ndarray, Q: np.ndarray) -> np.ndarray:
     return acc
 
 
+
+# A scraped corpus's embedding column contains NULLs (failed encoder
+# calls), empty arrays, and zero vectors (padding artifacts). None of
+# them carries a direction, numpy kernels np.stack() straight into a
+# hard job failure on NULL/ragged rows, and zero vectors poison cosine
+# math with 0/0 NaNs — so the vector surface's contract is: such rows
+# are EXCLUDED, uniformly, in every op and its oracle (round-6 dirty-
+# embeddings sweep). The oracle-side twin of this predicate is
+#   embedding IS NOT NULL AND coalesce(list_aggregate(
+#       list_transform(embedding, x -> x <> 0), 'bool_or'), false)
+_VALID_EMB = (
+    "embedding IS NOT NULL AND exists(embedding, x -> x <> CAST(0.0 AS DOUBLE))"
+)
+
+
+def _clean_embeddings(df: DataFrame) -> DataFrame:
+    """Drop rows whose embedding is NULL, empty, or zero-norm (no
+    direction). Pure codegen predicate — evaluated during the scan,
+    no Python, no shuffle."""
+    return df.filter(F.expr(_VALID_EMB))
+
+
 def _with_norm(df: DataFrame, out: str = "norm") -> DataFrame:
     return df.withColumn(out, F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
 
@@ -80,7 +102,8 @@ _DUCK_COS = (
 @query(
     "sim_topk",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false))
     SELECT query_id, neighbor_id, cos, rk FROM (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                {_DUCK_COS} AS cos,
@@ -118,7 +141,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows more than 1e-6 above it -> strictly greater rounded cosine ->
     it can never rank <= k). Round-3 fix of the round-2 ADVICE nonzero
     divergence window (the old k+32 raw cut)."""
-    e = Tables(spark, sf_dir).embeddings
+    e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
     q_rows = (
         e.filter(F.col("vec_id") < _N_QUERIES)
         .select("vec_id", "embedding")
@@ -181,7 +204,7 @@ def sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulates dot products in a different order than the sequential
     spec, so cosines differ in the last ulps (ranks are asserted equal
     to sim_topk in tests, away from ties)."""
-    e = Tables(spark, sf_dir).embeddings
+    e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
     q_rows = (
         e.filter(F.col("vec_id") < _N_QUERIES)
         .select("vec_id", "embedding")
@@ -229,7 +252,8 @@ def sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_pairs_threshold",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false))
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUCK_COS} AS cos
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_DUCK_COS} >= 0.75
@@ -238,7 +262,7 @@ def sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine >= 0.75 within a label bucket — the bucketed
     self-join shape that bounds the quadratic pair space per bucket."""
-    e = _with_norm(Tables(spark, sf_dir).embeddings)
+    e = _with_norm(_clean_embeddings(Tables(spark, sf_dir).embeddings))
     a = e.select("vec_id", "label", "embedding", "norm")
     b = (
         e.select(
@@ -269,7 +293,8 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "knn_label",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false)),
     ranked AS (
         SELECT a.vec_id AS query_id, a.label AS true_label,
                b.label AS cand_label,
@@ -303,7 +328,7 @@ def knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     The local cut uses sim_topk's provably-lossless 1e-6 tie window
     against the global (rounded cosine, id) ranking (round-3 ADVICE
     fix; see sim_topk's docstring for the argument)."""
-    e = Tables(spark, sf_dir).embeddings
+    e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
     q_rows = (
         e.filter(F.col("vec_id") < _N_QUERIES)
         .select("vec_id", "label", "embedding")
@@ -381,7 +406,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     collides in ANY of the L tables; exact cosine re-scoring runs only on
     candidates. The scale path for sim_topk: candidate count, not n²,
     bounds the work."""
-    e = Tables(spark, sf_dir).embeddings
+    e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
 
     def bucketize(batches):
         rng = np.random.RandomState(_LSH_SEED)
@@ -453,10 +478,11 @@ _SIGN_SQL = " + ".join(
 @query(
     "dedup_embedding",
     oracle=f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT vec_id, label, embedding::DOUBLE[] AS v,
              {_SIGN_SQL} AS sbucket
       FROM embeddings
+      WHERE embedding IS NOT NULL AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false)
     )
     SELECT vec_id FROM e a
     WHERE NOT EXISTS (
@@ -481,7 +507,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard LSH recall trade-off, here deterministic and mirrored
     bit-for-bit in the oracle (raw parquet floats compare identically
     in both engines). Anti-join keeps survivors."""
-    e = _with_norm(Tables(spark, sf_dir).embeddings)
+    e = _with_norm(_clean_embeddings(Tables(spark, sf_dir).embeddings))
     sbucket = sum(
         (F.when(F.element_at("embedding", d) >= 0, 1 << j).otherwise(0))
         for j, d in enumerate(_SIGN_DIMS)
@@ -561,7 +587,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scoring on candidates only. Cells/nprobe scale with the
     collection via _ivf_geometry (round-6: recall 0.70 → 0.98 at 512k
     vectors)."""
-    e = Tables(spark, sf_dir).embeddings
+    e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
     n_cells, nprobe = _ivf_geometry(e.count())
     samp_rows = (
         e.withColumn("r", F.md5(F.col("vec_id").cast("string")))
@@ -616,7 +642,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probes.join(cells, "cell").filter(
         F.col("vec_id") != F.col("query_id")
     ).select("query_id", "vec_id")
-    ev = _with_norm(Tables(spark, sf_dir).embeddings)
+    ev = _with_norm(_clean_embeddings(Tables(spark, sf_dir).embeddings))
     qe = ev.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -645,14 +671,19 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
                AS self_dot
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE embedding IS NOT NULL AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false)
     """,
 )
 def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One plan carrying text + vector + scalar columns: documents ⋈
-    embeddings on doc_id = vec_id with per-modality derivations."""
+    embeddings on doc_id = vec_id with per-modality derivations.
+    Invalid embeddings (NULL/empty/zero-norm) are excluded — see
+    _clean_embeddings."""
     t = Tables(spark, sf_dir)
     return (
-        t.documents.join(t.embeddings, F.col("doc_id") == F.col("vec_id"))
+        t.documents.join(
+            _clean_embeddings(t.embeddings), F.col("doc_id") == F.col("vec_id")
+        )
         .select(
             "doc_id",
             "lang",
@@ -831,7 +862,7 @@ def dedup_embedding_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sorted-by-id) similarity matrix, which at scale is bounded by the
     bucket refinement exactly like the SQL twin. One exchange
     (repartition by bucket)."""
-    e = _with_norm(Tables(spark, sf_dir).embeddings)
+    e = _with_norm(_clean_embeddings(Tables(spark, sf_dir).embeddings))
     sbucket = sum(
         (F.when(F.element_at("embedding", d) >= 0, 1 << j).otherwise(0))
         for j, d in enumerate(_SIGN_DIMS)
@@ -870,7 +901,7 @@ def knn_label_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted equal to the oracled knn_label in tests (cos rounded at 6
     on both paths; vec_id tie-breaks make rank and vote deterministic).
     Measured 6.2 s -> 1.5 s on the 16x-scaled embeddings."""
-    e = Tables(spark, sf_dir).embeddings
+    e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
     q_rows = (
         e.filter(F.col("vec_id") < _N_QUERIES)
         .select("vec_id", "label", "embedding")
@@ -944,6 +975,7 @@ _QUANTIZE_ORACLE = """
                             AS DOUBLE) / 127.0
                   ELSE 1.0 END AS scale
       FROM embeddings
+      WHERE embedding IS NOT NULL AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false)
     ),
     q AS (
       SELECT vec_id, label, scale,
@@ -982,7 +1014,7 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream through executors, nothing shuffles at any scale. n_clipped
     asserts the scale choice makes clipping impossible (always 0 — the
     self-check a real pipeline would log)."""
-    emb = Tables(spark, sf_dir).embeddings
+    emb = _clean_embeddings(Tables(spark, sf_dir).embeddings)
 
     def kernel(batches):
         for pdf in batches:
@@ -1023,7 +1055,7 @@ def vec_quantize_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB half-even — floor is tie-free on both; the float->double
     casts and sequential left-to-right fold order match numpy's
     single-assignment ops, so every output column is exact."""
-    emb = Tables(spark, sf_dir).embeddings
+    emb = _clean_embeddings(Tables(spark, sf_dir).embeddings)
     absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
     # total function: zero vectors quantize with scale 1 (all-zero codes)
     # instead of filtering, keeping the plan a pure Project with no
@@ -1102,7 +1134,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, local top-C per batch, tiny global merge), exact re-score
     (broadcast queries ⋈ candidate rows only). Recall vs brute-force
     sim_topk is asserted in tests, not assumed."""
-    e = Tables(spark, sf_dir).embeddings
+    e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
     samp_rows = (
         e.withColumn("r", F.md5(F.col("vec_id").cast("string")))
         .orderBy("r", "vec_id")
@@ -1191,7 +1223,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crk") <= cand_k)
         .select("query_id", "vec_id")
     )
-    ev = _with_norm(Tables(spark, sf_dir).embeddings)
+    ev = _with_norm(_clean_embeddings(Tables(spark, sf_dir).embeddings))
     qe = ev.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -1237,7 +1269,7 @@ def vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     is flipped so its largest-|loading| coordinate is positive.
     Rows-only for the driver; tests/test_llm.py asserts the projection
     against an exact numpy PCA of the same data."""
-    e = Tables(spark, sf_dir).embeddings
+    e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
     d = 64
 
     def partials(batches):
@@ -1419,7 +1451,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     a tiny global merge window picks CAND per query; exact re-scoring
     touches ~CAND raw rows per query. Recall vs brute-force sim_topk
     asserted in tests like the other ANN families."""
-    e = Tables(spark, sf_dir).embeddings
+    e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
     n_vec = e.count()
     cand_k = _pq_cand(n_vec)  # shortlist ∝ collection (round-5 fix)
     n_cells, nprobe = _ivf_geometry(n_vec)  # router ∝ collection (round-6)
@@ -1542,7 +1574,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crk") <= cand_k)
         .select("query_id", "vec_id")
     )
-    ev = _with_norm(Tables(spark, sf_dir).embeddings)
+    ev = _with_norm(_clean_embeddings(Tables(spark, sf_dir).embeddings))
     qe = ev.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),

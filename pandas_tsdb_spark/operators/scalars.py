@@ -218,16 +218,32 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array structural ops on the embedding column: size/element_at/
     slice/sort/contains. Numeric kernels (dot product, norms) live in
-    the llm module."""
+    the llm module.
+
+    LENIENT on dirty arrays (round-6 dirty-embeddings sweep): these are
+    STRUCTURAL ops, so unlike the vector-math surface (which excludes
+    invalid embeddings) a NULL or short array yields NULL outputs —
+    dim is gated (Spark's legacy size(NULL) is -1, the oracle's len is
+    NULL) and every element access is try_element_at (the plain ANSI
+    element_at is a hard job failure on the first array shorter than
+    the index)."""
     e = Tables(spark, sf_dir).embeddings
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
-        F.element_at("embedding", 1).alias("e0"),
-        F.element_at("embedding", 64).alias("e_last"),
-        F.element_at(F.array_sort(F.slice("embedding", 1, 3)), 1).alias("s3_a"),
-        F.element_at(F.array_sort(F.slice("embedding", 1, 3)), 2).alias("s3_b"),
-        F.element_at(F.array_sort(F.slice("embedding", 1, 3)), 3).alias("s3_c"),
+        F.when(
+            F.col("embedding").isNotNull(), F.size("embedding")
+        ).alias("dim"),
+        F.try_element_at("embedding", F.lit(1)).alias("e0"),
+        F.try_element_at("embedding", F.lit(64)).alias("e_last"),
+        F.try_element_at(
+            F.array_sort(F.slice("embedding", 1, 3)), F.lit(1)
+        ).alias("s3_a"),
+        F.try_element_at(
+            F.array_sort(F.slice("embedding", 1, 3)), F.lit(2)
+        ).alias("s3_b"),
+        F.try_element_at(
+            F.array_sort(F.slice("embedding", 1, 3)), F.lit(3)
+        ).alias("s3_c"),
         F.array_contains(F.array(F.col("label")), F.col("label")).alias(
             "self_contains"
         ),

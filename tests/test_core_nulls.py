@@ -192,3 +192,61 @@ def test_dirty_props_differential(spark, dirty_props_stage, name):
     du = con.execute(spec.oracle).fetchdf()
     errs = compare(sp, du, name)
     assert not errs, errs[:5]
+
+
+# ---------------------------------------------------------------------------
+# Round-6 sweep #6: dirty embeddings over the vector surface. A scraped
+# corpus's embedding column contains NULLs (failed encoder calls), empty
+# arrays, and zero vectors (padding artifacts) — numpy kernels np.stack()
+# straight into a hard job failure on any of them, and cosine math turns
+# zero vectors into NaN cascades. Engine contract: rows whose embedding
+# is NULL, empty, or zero-norm carry no direction — they are EXCLUDED
+# from vector ops, identically in builder and oracle.
+# ---------------------------------------------------------------------------
+
+_DIRTY_EMB_OPS = [
+    "multimodal_cols", "sim_topk", "sim_pairs_threshold", "knn_label",
+    "vec_quantize_int8", "dedup_embedding", "pipeline_curate", "fn_array",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_emb_stage(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dirty_emb")
+    em = spark.read.parquet(f"{SMALL}/embeddings.parquet")
+    dirty = em.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 13 == 0, F.lit(None).cast("array<double>"))
+        .when(F.col("vec_id") % 17 == 0, F.array().cast("array<double>"))
+        .when(
+            F.col("vec_id") % 19 == 0,
+            F.expr("transform(embedding, x -> CAST(0.0 AS DOUBLE))"),
+        )
+        .otherwise(F.col("embedding")),
+    )
+    d = str(tmp / "dirty")
+    dirty.coalesce(1).write.parquet(d)
+    stage = str(tmp / "sf")
+    os.makedirs(stage)
+    shutil.copy(
+        glob.glob(f"{d}/part-*.parquet")[0], f"{stage}/embeddings.parquet"
+    )
+    for table in ("region nation customer supplier part orders lineitem "
+                  "events documents").split():
+        os.symlink(f"{SMALL}/{table}.parquet", f"{stage}/{table}.parquet")
+    return stage
+
+
+@pytest.mark.parametrize("name", _DIRTY_EMB_OPS)
+def test_dirty_embeddings_differential(spark, dirty_emb_stage, name):
+    """Builder vs oracle on NULL / empty / zero-norm embeddings —
+    catches numpy-kernel crashes (np.stack on None, 0/0 norms) and
+    engine-pair NaN-vs-NULL divergence."""
+    from tests.harness import compare, duck_connect
+
+    spec = SPECS[name]
+    con = duck_connect(dirty_emb_stage)
+    sp = spec.builder(spark, dirty_emb_stage).toPandas()
+    du = con.execute(spec.oracle).fetchdf()
+    errs = compare(sp, du, name)
+    assert not errs, errs[:5]
