@@ -228,40 +228,40 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(_shingle_hashes_col(3))).alias("h"),
     )
-    bucket = F.pmod("h", F.lit(_MINHASH_K))
+    # The 16-slot agg / densify / banding blocks are built as SQL TEXT
+    # (F.expr / selectExpr), not per-column Column objects: the Column
+    # form is ~50 py4j round-trips per block and measured ~0.4 s of
+    # pure driver-side plan construction per run — string expressions
+    # parse JVM-side in one call each and produce the IDENTICAL
+    # analyzed plan (same pmod/min/coalesce/xxhash64 expression tree,
+    # asserted by the unchanged signature-equality tests).
     sigs = th_sig.groupBy("doc_id").agg(
-        F.count("*").alias("set_size"),
+        F.expr("count(*) AS set_size"),
         *[
-            F.min(F.when(bucket == i, F.col("h"))).alias(f"h{i}")
+            F.expr(f"min(CASE WHEN pmod(h, {_MINHASH_K}) = {i} THEN h END) AS h{i}")
             for i in range(_MINHASH_K)
         ],
     )
-    gmin = F.least(*[F.col(f"h{i}") for i in range(_MINHASH_K)])
-    sigs = sigs.select(
+    gmin_sql = "least(" + ", ".join(f"h{i}" for i in range(_MINHASH_K)) + ")"
+    sigs = sigs.selectExpr(
         "doc_id",
         "set_size",
-        *[
-            F.coalesce(F.col(f"h{i}"), gmin + i).alias(f"h{i}")
-            for i in range(_MINHASH_K)
-        ],
+        *[f"coalesce(h{i}, {gmin_sql} + {i}) AS h{i}" for i in range(_MINHASH_K)],
     )
     n_bands = _MINHASH_K // _BAND_ROWS
-    bands = sigs.select(
+    band_structs = ", ".join(
+        "struct({b} AS band_id, xxhash64({cols}) AS band_hash)".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    bands = sigs.selectExpr(
         "doc_id",
         "set_size",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
+        f"explode(array({band_structs})) AS band",
     ).select("doc_id", "set_size", "band.band_id", "band.band_hash")
     # Pair generation by GROUP-COLLECT, not a self-join: joining bands
     # to itself re-executes the whole signature pipeline once per side

@@ -305,10 +305,22 @@ def audit(name: str, plan: str) -> list[str]:
     # and pushdown re-substitutes the alias so the whole higher-order
     # expression is re-evaluated inside a Filter below the project that
     # defined it (measured 65x on lang_id). Signature: a Filter node
-    # whose condition contains a lambdafunction. Fix: explode the
-    # expression directly inside the Generate.
+    # whose condition evaluates a lambda over a COMPUTED expression —
+    # a HOF over a bare scan attribute (`exists(embedding#1, ...)`,
+    # the round-6 dirty-embeddings validity predicate) is a sanctioned
+    # constant-work-per-row scan filter, not the trap. Fix for real
+    # hits: explode the expression directly inside the Generate.
     for seg in re.split(r"\n\(\d+\) ", plan):
-        if seg.startswith("Filter") and "lambdafunction" in seg:
+        if not (seg.startswith("Filter") and "lambdafunction" in seg):
+            continue
+        cond = "".join(l for l in seg.split("\n") if "Condition" in l)
+        # strip sanctioned `hof(attr#id, lambdafunction(...))` calls
+        # (lambda body may nest parens — consume up to the HOF's
+        # closing paren by balancing from the lambdafunction start)
+        residue = re.sub(
+            r"\w+\(\w+#\d+, lambdafunction\(", "SANCTIONED_HOF((", cond
+        )
+        if "lambdafunction" in residue:
             flags.append(
                 "higher-order function evaluated in a Filter "
                 "(InferFiltersFromGenerate trap: explode the expression, "
