@@ -239,8 +239,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_nodes = nations.count()
-    base = (1.0 - _PR_DAMP) / n_nodes
-    ranks = nations.select("id", F.lit(1.0 / n_nodes).alias("r"))
+    # zero nodes: the plan below is empty-on-empty anyway; the literals
+    # just must not divide by zero driver-side (round-6 zero-row sweep)
+    base = (1.0 - _PR_DAMP) / n_nodes if n_nodes else 0.0
+    init = 1.0 / n_nodes if n_nodes else 0.0
+    ranks = nations.select("id", F.lit(init).alias("r"))
     for _ in range(_PR_ITERS):
         ranks = (
             norm.join(ranks, norm["src"] == ranks["id"])

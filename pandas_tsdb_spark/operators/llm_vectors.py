@@ -148,10 +148,16 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )  # bounded: the query block is small by contract
     q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
-    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
-    qn = np.sqrt(_seq_sqnorm(Q))
+    # empty query block (empty or fully-invalid collection): the
+    # numpy prep below is axis-1 math over a 0-d array — skip it and
+    # make the kernel a no-op, so the op returns a typed empty frame
+    # through its NORMAL plan (round-6 zero-row sweep).
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64) if q_rows else None
+    qn = np.sqrt(_seq_sqnorm(Q)) if q_rows else None
 
     def local_topm(batches):
+        if Q is None:
+            return
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -211,11 +217,14 @@ def sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )  # bounded: the query block is small by contract; rides in the closure
     q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
-    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # empty query block: no-op kernel, typed empty result (zero-row sweep)
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64) if q_rows else None
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True) if q_rows else None
     k = _TOP_K
 
     def local_topk(batches):
+        if Qn is None:
+            return
         for pdf in batches:
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
@@ -336,10 +345,13 @@ def knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
     q_labels = np.array([r.label for r in q_rows], dtype="int32")
-    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
-    qn = np.sqrt(_seq_sqnorm(Q))
+    # empty query block: no-op kernel, typed empty result (zero-row sweep)
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64) if q_rows else None
+    qn = np.sqrt(_seq_sqnorm(Q)) if q_rows else None
 
     def local_topm(batches):
+        if Q is None:
+            return
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -596,20 +608,28 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding")
         .collect()
     )
-    X = np.array([r.embedding for r in samp_rows], dtype=np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    Cn = Xn[:n_cells].copy()  # deterministic seeding from the sample
-    for _ in range(10):
-        assign_ = np.argmax(Xn @ Cn.T, axis=1)
-        for c in range(len(Cn)):
-            members = Xn[assign_ == c]
-            if len(members):
-                m = members.mean(axis=0)
-                n = np.linalg.norm(m)
-                if n > 0:
-                    Cn[c] = m / n
+    # empty collection: nothing to train a coarse quantizer on — make
+    # both kernels no-ops so the op returns a typed empty frame through
+    # its normal plan (round-6 zero-row sweep).
+    if samp_rows:
+        X = np.array([r.embedding for r in samp_rows], dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Cn = Xn[:n_cells].copy()  # deterministic seeding from the sample
+        for _ in range(10):
+            assign_ = np.argmax(Xn @ Cn.T, axis=1)
+            for c in range(len(Cn)):
+                members = Xn[assign_ == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    n = np.linalg.norm(m)
+                    if n > 0:
+                        Cn[c] = m / n
+    else:
+        Cn = None
 
     def assign(batches):
+        if Cn is None:
+            return
         for pdf in batches:
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
@@ -622,6 +642,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     def probe(batches):
+        if Cn is None:
+            return
         for pdf in batches:
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
@@ -909,11 +931,14 @@ def knn_label_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
     q_labels = {int(r.vec_id): int(r.label) for r in q_rows}
-    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # empty query block: no-op kernel, typed empty result (zero-row sweep)
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64) if q_rows else None
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True) if q_rows else None
     k = _TOP_K
 
     def local_topk(batches):
+        if Qn is None:
+            return
         for pdf in batches:
             pdf = pdf[pdf["vec_id"] >= _N_QUERIES]
             if not len(pdf):
@@ -951,10 +976,17 @@ def knn_label_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = W.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "cand_label")
     # query_id -> true_label as a map LITERAL (bounded by the query
-    # block): stays in codegen, no Python round trip per row.
-    tl = F.create_map(
-        *[F.lit(v) for qid in sorted(q_labels) for v in (qid, q_labels[qid])]
-    )[F.col("query_id")].cast("int")
+    # block): stays in codegen, no Python round trip per row. Empty
+    # query block: create_map() infers map<void,void> and map[bigint]
+    # fails analysis (zero-row sweep) — the zero-entry lookup is just
+    # NULL, typed directly.
+    tl = (
+        F.create_map(
+            *[F.lit(v) for qid in sorted(q_labels) for v in (qid, q_labels[qid])]
+        )[F.col("query_id")].cast("int")
+        if q_labels
+        else F.lit(None).cast("int")
+    )
     return (
         votes.withColumn("vrk", F.row_number().over(w2))
         .filter(F.col("vrk") == 1)
@@ -1142,25 +1174,33 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding")
         .collect()
     )
-    X = np.array([r.embedding for r in samp_rows], dtype=np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    dim = Xn.shape[1]
-    sub = dim // _PQ_M
-    books = []  # per subspace: (K, sub) centroid block
-    for m in range(_PQ_M):
-        S = Xn[:, m * sub : (m + 1) * sub]
-        C = S[: _PQ_K].copy()
-        for _ in range(10):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)
-            for c in range(_PQ_K):
-                members = S[a == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
-        books.append(C)
-    B = np.stack(books)  # (M, K, sub)
+    # empty collection: no sample to train codebooks on — every kernel
+    # below no-ops and the op returns a typed empty frame through its
+    # normal plan (round-6 zero-row sweep).
+    if samp_rows:
+        X = np.array([r.embedding for r in samp_rows], dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        dim = Xn.shape[1]
+        sub = dim // _PQ_M
+        books = []  # per subspace: (K, sub) centroid block
+        for m in range(_PQ_M):
+            S = Xn[:, m * sub : (m + 1) * sub]
+            C = S[: _PQ_K].copy()
+            for _ in range(10):
+                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d2, axis=1)
+                for c in range(_PQ_K):
+                    members = S[a == c]
+                    if len(members):
+                        C[c] = members.mean(axis=0)
+            books.append(C)
+        B = np.stack(books)  # (M, K, sub)
+    else:
+        sub, B = 0, None
 
     def encode(batches):
+        if B is None:
+            return
         for pdf in batches:
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
@@ -1183,17 +1223,22 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
-    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    # per-query ADC tables: T[q, m, k] = ||q_sub - centroid||^2
-    T = np.empty((len(Qn), _PQ_M, _PQ_K))
-    for m in range(_PQ_M):
-        Sq = Qn[:, m * sub : (m + 1) * sub]
-        T[:, m, :] = ((Sq[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
+    if q_rows:
+        Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        # per-query ADC tables: T[q, m, k] = ||q_sub - centroid||^2
+        T = np.empty((len(Qn), _PQ_M, _PQ_K))
+        for m in range(_PQ_M):
+            Sq = Qn[:, m * sub : (m + 1) * sub]
+            T[:, m, :] = ((Sq[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
+    else:
+        T = None  # empty query block: ADC kernel no-ops (zero-row sweep)
 
     cand_k = _pq_cand(e.count())  # shortlist ∝ collection (round-5 fix)
 
     def adc(batches):
+        if T is None:
+            return
         for pdf in batches:
             C = np.stack(pdf["codes"].to_numpy())  # (batch, M)
             ids = pdf["vec_id"].to_numpy()
@@ -1301,16 +1346,23 @@ def vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in parts:
         colsum += np.array(r.colsum)
         gram += np.array(r.gram).reshape(d, d)
-    mean = colsum / n
-    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
-    evals, evecs = np.linalg.eigh(cov)
-    comps = evecs[:, ::-1][:, :2].T.copy()  # (2, d), top eigenvalue first
-    for i in range(2):
-        j = int(np.abs(comps[i]).argmax())
-        if comps[i, j] < 0:
-            comps[i] = -comps[i]
+    # n < 2: no covariance to decompose (empty collection is a normal
+    # input per the zero-row sweep) — project no-ops, typed empty result.
+    if n >= 2:
+        mean = colsum / n
+        cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+        evals, evecs = np.linalg.eigh(cov)
+        comps = evecs[:, ::-1][:, :2].T.copy()  # (2, d), top first
+        for i in range(2):
+            j = int(np.abs(comps[i]).argmax())
+            if comps[i, j] < 0:
+                comps[i] = -comps[i]
+    else:
+        mean = comps = None
 
     def project(batches):
+        if comps is None:
+            return
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1462,39 +1514,46 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding")
         .collect()
     )
-    X = np.array([r.embedding for r in samp_rows], dtype=np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    dim = Xn.shape[1]
-    sub = dim // _PQ_M
-    # coarse quantizer: same spherical k-means recipe as ann_ivf
-    Cn = Xn[:n_cells].copy()
-    for _ in range(10):
-        assign_ = np.argmax(Xn @ Cn.T, axis=1)
-        for c in range(len(Cn)):
-            members = Xn[assign_ == c]
-            if len(members):
-                m = members.mean(axis=0)
-                nrm = np.linalg.norm(m)
-                if nrm > 0:
-                    Cn[c] = m / nrm
-    # residual PQ codebooks (Lloyd, fixed 10 iterations, L2)
-    a0 = np.argmax(Xn @ Cn.T, axis=1)
-    R = Xn - Cn[a0]
-    books = []
-    for m in range(_PQ_M):
-        S = R[:, m * sub : (m + 1) * sub]
-        C = S[: _PQ_K].copy()
+    # empty collection: no sample to train on — all kernels below
+    # no-op and the op returns a typed empty frame (zero-row sweep).
+    if samp_rows:
+        X = np.array([r.embedding for r in samp_rows], dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        dim = Xn.shape[1]
+        sub = dim // _PQ_M
+        # coarse quantizer: same spherical k-means recipe as ann_ivf
+        Cn = Xn[:n_cells].copy()
         for _ in range(10):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)
-            for c in range(_PQ_K):
-                members = S[a == c]
+            assign_ = np.argmax(Xn @ Cn.T, axis=1)
+            for c in range(len(Cn)):
+                members = Xn[assign_ == c]
                 if len(members):
-                    C[c] = members.mean(axis=0)
-        books.append(C)
-    B = np.stack(books)  # (M, K, sub)
+                    m = members.mean(axis=0)
+                    nrm = np.linalg.norm(m)
+                    if nrm > 0:
+                        Cn[c] = m / nrm
+        # residual PQ codebooks (Lloyd, fixed 10 iterations, L2)
+        a0 = np.argmax(Xn @ Cn.T, axis=1)
+        R = Xn - Cn[a0]
+        books = []
+        for m in range(_PQ_M):
+            S = R[:, m * sub : (m + 1) * sub]
+            C = S[: _PQ_K].copy()
+            for _ in range(10):
+                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d2, axis=1)
+                for c in range(_PQ_K):
+                    members = S[a == c]
+                    if len(members):
+                        C[c] = members.mean(axis=0)
+            books.append(C)
+        B = np.stack(books)  # (M, K, sub)
+    else:
+        sub, Cn, B = 0, None, None
 
     def encode(batches):
+        if B is None:
+            return
         for pdf in batches:
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
@@ -1523,25 +1582,30 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
-    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    qcells = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :nprobe]
-    # ADC tables for EVERY (query, cell): residual of q w.r.t. the cell
-    # centroid per subspace vs that subspace's codebook — 20x32x8x16
-    # doubles, trivially closure-broadcastable; only probed cells read.
-    Rq = Qn[:, None, :] - Cn[None, :, :]  # (nq, cells, dim)
-    T = np.empty((len(Qn), n_cells, _PQ_M, _PQ_K))
-    for m in range(_PQ_M):
-        Sq = Rq[:, :, m * sub : (m + 1) * sub]
-        T[:, :, m, :] = (
-            (Sq[:, :, None, :] - B[m][None, None, :, :]) ** 2
-        ).sum(axis=3)
-    probe_mask = np.zeros((len(Qn), n_cells), dtype=bool)
-    for j in range(len(Qn)):
-        probe_mask[j, qcells[j]] = True
+    if q_rows:
+        Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        qcells = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :nprobe]
+        # ADC tables for EVERY (query, cell): residual of q w.r.t. the cell
+        # centroid per subspace vs that subspace's codebook — 20x32x8x16
+        # doubles, trivially closure-broadcastable; only probed cells read.
+        Rq = Qn[:, None, :] - Cn[None, :, :]  # (nq, cells, dim)
+        T = np.empty((len(Qn), n_cells, _PQ_M, _PQ_K))
+        for m in range(_PQ_M):
+            Sq = Rq[:, :, m * sub : (m + 1) * sub]
+            T[:, :, m, :] = (
+                (Sq[:, :, None, :] - B[m][None, None, :, :]) ** 2
+            ).sum(axis=3)
+        probe_mask = np.zeros((len(Qn), n_cells), dtype=bool)
+        for j in range(len(Qn)):
+            probe_mask[j, qcells[j]] = True
+    else:
+        T, probe_mask = None, None  # empty query block (zero-row sweep)
     marange = np.arange(_PQ_M)
 
     def adc(batches):
+        if T is None:
+            return
         for pdf in batches:
             C = np.stack(pdf["codes"].to_numpy())  # (batch, M)
             cells = pdf["cell"].to_numpy()
@@ -1666,7 +1730,13 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("index_kind"),
     )
     recall = F.round(F.col("hits") / F.col("truth"), 4)
-    guarded = F.when(recall >= floor, recall).otherwise(
+    # truth = 0 (empty corpus / empty query block): recall is undefined,
+    # not failed — NULL recall, floor vacuously satisfied (zero-row
+    # sweep: 0/0 is NULL, NULL >= floor is NULL, and the old otherwise()
+    # branch fired raise_error on a corpus with nothing to recall).
+    guarded = F.when(F.col("truth") == 0, F.lit(None).cast("double")).when(
+        recall >= floor, recall
+    ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("ANN recall below documented floor "),

@@ -419,11 +419,59 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pivot_table(margins=True) analogue: CUBE subtotals."""
+    """pivot_table(margins=True) analogue: CUBE subtotals.
+
+    NOT df.cube(): Spark's Expand-based cube (a) shuffles 4x the fact
+    rows (every input row expands once per grouping set before the
+    exchange) and (b) silently drops even the global () row on EMPTY
+    input, where standard SQL — and the DuckDB oracle — emit the
+    identity row (sum NULL, n 0); the round-6 zero-row sweep caught
+    the 0-vs-1-row divergence. Instead: ONE finest-grain aggregation
+    of the fact (the only shuffle that scales with data), then the
+    three coarser sets re-aggregate the tiny (rf x ls) base — exact,
+    because rounding is applied once per output row over raw sums
+    (l_quantity is integer-valued, so double sums are exact and
+    reassociation-safe), and Spark's global .agg() DOES emit the
+    identity row on empty input. Same multiset of rows as CUBE by
+    construction, including the data-NULL vs subtotal-NULL pairs on
+    null-injected group keys (core-nulls sweep re-verified)."""
     li = Tables(spark, sf_dir).lineitem
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.count("*").alias("n"),
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sq"), F.count("*").alias("cnt")
+    )
+    lvl_rl = base.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sq", 2).alias("sum_qty"),
+        F.col("cnt").alias("n"),
+    )
+    lvl_r = base.groupBy("l_returnflag").agg(
+        F.round(F.sum("sq"), 2).alias("sum_qty"), F.sum("cnt").alias("n")
+    ).select(
+        "l_returnflag",
+        F.lit(None).cast("string").alias("l_linestatus"),
+        "sum_qty",
+        "n",
+    )
+    lvl_l = base.groupBy("l_linestatus").agg(
+        F.round(F.sum("sq"), 2).alias("sum_qty"), F.sum("cnt").alias("n")
+    ).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        "l_linestatus",
+        "sum_qty",
+        "n",
+    )
+    lvl_g = base.agg(
+        F.round(F.sum("sq"), 2).alias("sum_qty"),
+        F.coalesce(F.sum("cnt"), F.lit(0).cast("long")).alias("n"),
+    ).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        "sum_qty",
+        "n",
+    )
+    return (
+        lvl_rl.unionByName(lvl_r).unionByName(lvl_l).unionByName(lvl_g)
     )
 
 

@@ -119,7 +119,12 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = tempfile.mkdtemp(prefix="pts_sink_") + "/agg"
     out.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
-    back = spark.read.parquet(path)
+    # explicit schema on the read-back: a zero-row write commits no
+    # partition directories, and schema inference over the bare
+    # _SUCCESS marker throws UNABLE_TO_INFER_SCHEMA (round-6 zero-row
+    # sweep). The writer knows its schema — production read-after-write
+    # should always pin it.
+    back = spark.read.schema(out.schema).parquet(path)
     return back.select("l_returnflag", "l_linestatus", "sum_qty", "n")
 
 
@@ -237,10 +242,15 @@ def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executors x 30 days = 30k files/day batch); here it's also a
     # measured 1.09 s -> 0.7 s. For skewed days, add a salt term to
     # spread one day over k writers.
-    ev.withColumn("event_date", F.to_date("ts")).repartition(
+    dated = ev.withColumn("event_date", F.to_date("ts"))
+    dated.repartition("event_date").write.mode("overwrite").partitionBy(
         "event_date"
-    ).write.mode("overwrite").partitionBy("event_date").parquet(path)
-    back = spark.read.parquet(path)
+    ).parquet(path)
+    # explicit schema: a zero-row increment commits no day directories
+    # and an inference read-back dies on the empty layout (round-6
+    # zero-row sweep) — the exact first-run-of-an-incremental-pipeline
+    # failure a 100 TB deployment hits.
+    back = spark.read.schema(dated.schema).parquet(path)
     return (
         back.filter(
             F.col("event_date").between("2024-01-10", "2024-01-12")
@@ -493,7 +503,11 @@ def rollup_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.refresh_rollup("events", "daily", day_agg)
     store.append("events", ev.filter(F.col("ts") >= cut))
     store.refresh_rollup("events", "daily", day_agg)
-    roll = spark.read.parquet(store.path("daily"))
+    # read_rollup, not a raw path read: an empty source leaves the
+    # rollup with zero day partitions, and only the store's typed
+    # empty-frame fallback keeps that from dying on schema inference
+    # (round-6 zero-row sweep).
+    roll = store.read_rollup("daily", keep_day=True)
     return roll.select(
         F.col("_date").cast("timestamp").alias("day"), "event_type", "n", "total"
     )

@@ -893,17 +893,60 @@ class TsStore:
             del state[day]
             save_state()
             n += 1
+        self._save_rollup_schema(src, dst_path, agg)
         return n
 
-    def read_rollup(self, name: str, start=None, end=None) -> DataFrame:
+    def _save_rollup_schema(self, src: str, dst_path: str, agg) -> None:
+        """Persist the ROLLUP's schema beside its day partitions (same
+        underscore-file mechanism as _save_schema): with zero refreshed
+        days — an empty source, or retention that dropped every day —
+        the rollup directory has no parquet to infer from, and without
+        this file read_rollup dies on schema inference (round-6
+        zero-row sweep catch). The schema is derived by running ``agg``
+        over an EMPTY frame typed like one source day (source schema
+        minus the partition column — exactly what a day read yields),
+        plus the partition column itself."""
+        import uuid
+
+        from pyspark.sql import types as T
+
+        sp = os.path.join(self.path(src), "_schema.json")
+        if not os.path.exists(sp):
+            return  # source never appended: nothing to type from
+        try:
+            with open(sp) as fh:
+                src_schema = T.StructType.fromJson(json.load(fh))
+        except (OSError, ValueError, KeyError):
+            return
+        day_fields = [f for f in src_schema.fields if f.name != _PART]
+        empty_day = self.spark.createDataFrame([], T.StructType(day_fields))
+        roll_schema = T.StructType(
+            list(agg(empty_day).schema.fields)
+            + [T.StructField(_PART, T.DateType())]
+        )
+        p = os.path.join(dst_path, "_schema.json")
+        tmp = f"{p}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(roll_schema.json())
+        os.replace(tmp, p)
+
+    def read_rollup(
+        self, name: str, start=None, end=None, keep_day: bool = False
+    ) -> DataFrame:
         """Read a rollup series; start/end (inclusive, dates) prune to
-        the touched day directories before any file opens."""
-        df = self.spark.read.parquet(self.path(name))
+        the touched day directories before any file opens. A rollup
+        with zero day partitions reads as a typed empty frame (the
+        _schema.json saved by refresh_rollup — same emptied-store
+        fallback as fetch). ``keep_day=True`` retains the day
+        partition column."""
+        df = self._empty_if_no_parts(name)
+        if df is None:
+            df = self.spark.read.parquet(self.path(name))
         if start is not None:
             df = df.filter(F.col(_PART) >= F.to_date(F.lit(start)))
         if end is not None:
             df = df.filter(F.col(_PART) <= F.to_date(F.lit(end)))
-        return df.drop(_PART)
+        return df if keep_day else df.drop(_PART)
 
     def changes(self, name: str, since, until=None) -> DataFrame:
         """Change feed: every row INGESTED strictly after ``since`` (and,
