@@ -419,12 +419,19 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _spread(d).select("doc_id", F.explode(_tokens_col()).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    n_docs = d.count()  # scalar; folded into the expression as a literal
+    # corpus size joins as a broadcast 1-row aggregate (the oracle's
+    # CROSS JOIN n), NOT an eager d.count() at plan-build time: the
+    # eager count was a full extra driver-blocking job per run
+    # (~0.1 s at sf0.1), and a blocking action inside a plan builder
+    # is the wrong shape for a shared-cluster driver anyway. Double
+    # math is identical either way (same (N+1)/(df+1) values).
+    n = d.agg(F.count("*").alias("n_docs"))
     tfidf = F.col("tf") * (
-        F.log((n_docs + 1.0) / (F.col("df") + F.lit(1.0))) + 1.0
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + F.lit(1.0))) + 1.0
     )
     return (
         tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))  # 1-row corpus total
         .select("doc_id", "tok", "tf", "df", F.round(tfidf, 6).alias("tfidf"))
     )
 

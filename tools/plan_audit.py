@@ -37,7 +37,10 @@ EXPECTATIONS = {
     # -> ONE query_id exchange for the global merge window; the old
     # broadcast-join-per-pair plan is gone.
     "sim_topk": (1, False),
-    "text_tfidf": (3, True),
+    # round 6: +1 SinglePartition exchange for the in-plan 1-row corpus
+    # count (replaces the eager driver-blocking d.count() job); the
+    # extra exchange carries exactly one row.
+    "text_tfidf": (4, True),
     "join_range": (3, False),
     "join_skew_salted": (4, False),
     "win_resample_ffill": (4, True),
