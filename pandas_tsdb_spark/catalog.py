@@ -149,6 +149,40 @@ def _nn_key(value_col: str, key_col: str) -> F.Column:
     return F.when(F.col(value_col).isNotNull(), F.col(key_col))
 
 
+# Measure (double) columns per table: IEEE specials arriving in these
+# are ingest noise (a scraped/exported corpus serves NaN and ±Inf), and
+# they are normalized to SQL NULL (= missing) at the scan layer. Why:
+# (a) the reference model is pandas, where NaN IS the missing marker —
+# "skip missing" is already this engine's attested contract across three
+# null-hardening sweeps, and specials inherit all of it for free;
+# (b) left raw, ONE special is a job-killer under ANSI: the
+# cents-integer aggregation trick (round(v*100) cast bigint, used for
+# float-order-independent exact sums) throws CAST_OVERFLOW on NaN/Inf —
+# the round-6 NaN/Inf sweep measured 48 of 96 swept queries crashing or
+# diverging on a 3-prime injection; (c) DuckDB itself dies on Inf in
+# stddev/corr, so IEEE-propagation parity is not even oracle-testable.
+# Scale cost: ~zero. The rewrite is one codegen CASE per measure column;
+# measure predicates lose parquet row-group pushdown, but uniform-domain
+# measures never prune row groups anyway (min/max spans the domain in
+# every group) — the selective predicates (dates, keys) ride untouched
+# pass-through attributes and still push down. Embeddings are covered by
+# the vector surface's own exclusion contract (llm_vectors module doc).
+_MEASURE_DOUBLES: dict[str, tuple[str, ...]] = {
+    "events": ("value",),
+    "lineitem": ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "orders": ("o_totalprice",),
+    "customer": ("c_acctbal",),
+    "supplier": ("s_acctbal",),
+    "part": ("p_retailprice",),
+}
+
+
+def sanitize_special(col: str) -> F.Column:
+    """NaN/±Inf -> NULL, everything else unchanged (see _MEASURE_DOUBLES)."""
+    c = F.col(col)
+    return F.when(F.isnan(c) | (F.abs(c) == float("inf")), F.lit(None)).otherwise(c)
+
+
 def _normalize_ts(dt: T.DataType) -> F.Column:
     """events.ts -> TimestampType whatever the parquet physical type.
 
@@ -205,6 +239,9 @@ class Tables:
         df = self.spark.read.parquet(path)
         if name == "events":
             df = df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
+        for col in _MEASURE_DOUBLES.get(name, ()):
+            if isinstance(df.schema[col].dataType, T.DoubleType):
+                df = df.withColumn(col, sanitize_special(col))
         if key is not None:
             if len(cache) > 256:  # bound growth across many tmp fixtures
                 cache.clear()

@@ -127,10 +127,25 @@ def events_stream(
     reader = spark.readStream.schema(actual)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    from pandas_tsdb_spark.catalog import _normalize_ts
+    from pandas_tsdb_spark.catalog import (
+        _MEASURE_DOUBLES,
+        _normalize_ts,
+        sanitize_special,
+    )
+    from pyspark.sql import types as T
 
     df = reader.parquet(d)
-    return df.withColumn("ts", _normalize_ts(actual["ts"].dataType))
+    df = df.withColumn("ts", _normalize_ts(actual["ts"].dataType))
+    # Same IEEE-special -> missing contract as the batch catalog
+    # (catalog._MEASURE_DOUBLES): a stream is just the incremental scan
+    # of the same table, and a NaN that crashes the batch cents trick
+    # would otherwise poison streaming state forever.
+    for col in _MEASURE_DOUBLES["events"]:
+        if col in actual.names and isinstance(
+            actual[col].dataType, T.DoubleType
+        ):
+            df = df.withColumn(col, sanitize_special(col))
+    return df
 
 
 def run_to_memory(df: DataFrame, mode: str, name_hint: str = "q") -> DataFrame:

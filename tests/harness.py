@@ -17,12 +17,29 @@ import pandas as pd
 from pandas_tsdb_spark.catalog import TABLE_NAMES
 
 
-def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+def duck_connect(
+    sf_dir: str, sanitize_specials: bool = False
+) -> duckdb.DuckDBPyConnection:
+    """Register the fixture tables as DuckDB views. With
+    ``sanitize_specials`` the views mirror the engine's scan contract
+    (catalog._MEASURE_DOUBLES: NaN/±Inf in measure doubles -> NULL) so
+    a differential over special-injected files tests that the Spark
+    normalization reaches every query."""
+    from pandas_tsdb_spark.catalog import _MEASURE_DOUBLES
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
+        repl = ""
+        if sanitize_specials and t in _MEASURE_DOUBLES:
+            parts = ", ".join(
+                f"CASE WHEN isnan({c}) OR isinf({c}) THEN NULL ELSE {c} END"
+                f" AS {c}"
+                for c in _MEASURE_DOUBLES[t]
+            )
+            repl = f" REPLACE ({parts})"
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"SELECT *{repl} FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
 
