@@ -101,6 +101,24 @@ def special_stage(spark, tmp_path_factory):
     return stage
 
 
+# Rows-only (✗-oracle) ops whose builders read an injected table:
+# crash-check only (their approximate outputs carry in-band guards).
+ROWS_ONLY_OPS = sorted(
+    name
+    for name, spec in SPECS.items()
+    if spec.oracle is None
+    and any(
+        t in __import__("inspect").getsource(spec.builder).lower()
+        for t in _TABLES
+    )
+)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_OPS)
+def test_ieee_specials_run_only(spark, special_stage, name):
+    assert SPECS[name].builder(spark, special_stage).count() >= 0
+
+
 @pytest.mark.parametrize("name", SPECIAL_OPS)
 def test_ieee_specials_differential(spark, special_stage, name):
     from tests.harness import compare, duck_connect
