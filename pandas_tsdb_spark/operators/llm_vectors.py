@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from pandas_tsdb_spark.catalog import Tables
+from pandas_tsdb_spark.catalog import Tables, artifact_memo
 from pandas_tsdb_spark.registry import query
 
 _N_QUERIES = 20  # vec_id < 20 are the demo query vectors
@@ -80,6 +80,52 @@ def _seq_dots(E: np.ndarray, Q: np.ndarray) -> np.ndarray:
 _VALID_EMB = (
     "embedding IS NOT NULL AND exists(embedding, x -> x <> CAST(0.0 AS DOUBLE))"
 )
+
+
+def _qblock(spark: SparkSession, sf_dir: str, e: DataFrame, *cols: str):
+    """Collected query block (vec_id < _N_QUERIES), memoized per fixture
+    file via catalog.artifact_memo: bounded by contract, deterministic
+    given the file, so a session re-running a vector op pays the collect
+    job once per fixture instead of once per call."""
+    return artifact_memo(
+        spark,
+        sf_dir,
+        "embeddings",
+        "qblock:" + ",".join(cols),
+        lambda: (
+            e.filter(F.col("vec_id") < _N_QUERIES).select(*cols).collect()
+        ),
+    )
+
+
+def _valid_count(spark: SparkSession, sf_dir: str, e: DataFrame) -> int:
+    """count() of valid embeddings, memoized per fixture file — the ANN
+    geometry scalers (_ivf_geometry, _pq_cand) all need it and a session
+    shouldn't pay a count job per ANN call on an unchanged file."""
+    return artifact_memo(
+        spark, sf_dir, "embeddings", "valid_count", lambda: e.count()
+    )
+
+
+def _codebook_sample(spark: SparkSession, sf_dir: str, e: DataFrame):
+    """The 4096-row md5-ordered training sample shared by every
+    codebook-trained ANN family (bit-reproducible: md5 order is a pure
+    function of vec_id), memoized per fixture file via artifact_memo —
+    ann_ivf / ann_pq / ann_ivf_pq / ann_recall in one session train from
+    ONE collected sample instead of four identical sample jobs."""
+    return artifact_memo(
+        spark,
+        sf_dir,
+        "embeddings",
+        "codebook_sample_4096",
+        lambda: (
+            e.withColumn("r", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("r", "vec_id")
+            .limit(4096)
+            .select("embedding")
+            .collect()
+        ),
+    )
 
 
 def _clean_embeddings(df: DataFrame) -> DataFrame:
@@ -142,11 +188,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     it can never rank <= k). Round-3 fix of the round-2 ADVICE nonzero
     divergence window (the old k+32 raw cut)."""
     e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
-    q_rows = (
-        e.filter(F.col("vec_id") < _N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )  # bounded: the query block is small by contract
+    q_rows = _qblock(spark, sf_dir, e, "vec_id", "embedding")
     q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
     # empty query block (empty or fully-invalid collection): the
     # numpy prep below is axis-1 math over a 0-d array — skip it and
@@ -211,11 +253,7 @@ def sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec, so cosines differ in the last ulps (ranks are asserted equal
     to sim_topk in tests, away from ties)."""
     e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
-    q_rows = (
-        e.filter(F.col("vec_id") < _N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )  # bounded: the query block is small by contract; rides in the closure
+    q_rows = _qblock(spark, sf_dir, e, "vec_id", "embedding")
     q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
     # empty query block: no-op kernel, typed empty result (zero-row sweep)
     Q = np.array([r.embedding for r in q_rows], dtype=np.float64) if q_rows else None
@@ -338,11 +376,7 @@ def knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the global (rounded cosine, id) ranking (round-3 ADVICE
     fix; see sim_topk's docstring for the argument)."""
     e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
-    q_rows = (
-        e.filter(F.col("vec_id") < _N_QUERIES)
-        .select("vec_id", "label", "embedding")
-        .collect()
-    )
+    q_rows = _qblock(spark, sf_dir, e, "vec_id", "label", "embedding")
     q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
     q_labels = np.array([r.label for r in q_rows], dtype="int32")
     # empty query block: no-op kernel, typed empty result (zero-row sweep)
@@ -600,14 +634,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     collection via _ivf_geometry (round-6: recall 0.70 → 0.98 at 512k
     vectors)."""
     e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
-    n_cells, nprobe = _ivf_geometry(e.count())
-    samp_rows = (
-        e.withColumn("r", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("r", "vec_id")
-        .limit(4096)
-        .select("embedding")
-        .collect()
-    )
+    n_cells, nprobe = _ivf_geometry(_valid_count(spark, sf_dir, e))
+    samp_rows = _codebook_sample(spark, sf_dir, e)
     # empty collection: nothing to train a coarse quantizer on — make
     # both kernels no-ops so the op returns a typed empty frame through
     # its normal plan (round-6 zero-row sweep).
@@ -924,11 +952,7 @@ def knn_label_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both paths; vec_id tie-breaks make rank and vote deterministic).
     Measured 6.2 s -> 1.5 s on the 16x-scaled embeddings."""
     e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
-    q_rows = (
-        e.filter(F.col("vec_id") < _N_QUERIES)
-        .select("vec_id", "label", "embedding")
-        .collect()
-    )
+    q_rows = _qblock(spark, sf_dir, e, "vec_id", "label", "embedding")
     q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
     q_labels = {int(r.vec_id): int(r.label) for r in q_rows}
     # empty query block: no-op kernel, typed empty result (zero-row sweep)
@@ -1167,13 +1191,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast queries ⋈ candidate rows only). Recall vs brute-force
     sim_topk is asserted in tests, not assumed."""
     e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
-    samp_rows = (
-        e.withColumn("r", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("r", "vec_id")
-        .limit(4096)
-        .select("embedding")
-        .collect()
-    )
+    samp_rows = _codebook_sample(spark, sf_dir, e)
     # empty collection: no sample to train codebooks on — every kernel
     # below no-ops and the op returns a typed empty frame through its
     # normal plan (round-6 zero-row sweep).
@@ -1217,11 +1235,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode, "vec_id long, codes array<int>"
     )
 
-    q_rows = (
-        e.filter(F.col("vec_id") < _N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    q_rows = _qblock(spark, sf_dir, e, "vec_id", "embedding")
     q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
     if q_rows:
         Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
@@ -1234,7 +1248,8 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         T = None  # empty query block: ADC kernel no-ops (zero-row sweep)
 
-    cand_k = _pq_cand(e.count())  # shortlist ∝ collection (round-5 fix)
+    # shortlist ∝ collection (round-5 fix)
+    cand_k = _pq_cand(_valid_count(spark, sf_dir, e))
 
     def adc(batches):
         if T is None:
@@ -1504,16 +1519,10 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches ~CAND raw rows per query. Recall vs brute-force sim_topk
     asserted in tests like the other ANN families."""
     e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
-    n_vec = e.count()
+    n_vec = _valid_count(spark, sf_dir, e)
     cand_k = _pq_cand(n_vec)  # shortlist ∝ collection (round-5 fix)
     n_cells, nprobe = _ivf_geometry(n_vec)  # router ∝ collection (round-6)
-    samp_rows = (
-        e.withColumn("r", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("r", "vec_id")
-        .limit(4096)
-        .select("embedding")
-        .collect()
-    )
+    samp_rows = _codebook_sample(spark, sf_dir, e)
     # empty collection: no sample to train on — all kernels below
     # no-op and the op returns a typed empty frame (zero-row sweep).
     if samp_rows:
@@ -1576,11 +1585,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode, "vec_id long, cell long, codes array<int>"
     )
 
-    q_rows = (
-        e.filter(F.col("vec_id") < _N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    q_rows = _qblock(spark, sf_dir, e, "vec_id", "embedding")
     q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
     if q_rows:
         Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
