@@ -180,6 +180,15 @@ _REVERIFY: list[str] = [
     # try_element_at against the ANSI out-of-bounds crash)
     "sim_topk", "sim_pairs_threshold", "knn_label", "vec_quantize_int8",
     "dedup_embedding", "multimodal_cols", "fn_array",
+    # round-6 duplicate-timestamp sweep: the asof-directions oracle's
+    # nearest arm is now DERIVED from the backward/forward arms (same
+    # row, backward on distance ties) instead of an independently-
+    # ordered lookup that could disagree with the other two columns on
+    # duplicate purchase timestamps
+    "join_asof_directions",
+    # round-6 IEEE-specials contract: text_tfidf corpus count now rides
+    # the plan as a broadcast 1-row aggregate (same values)
+    "text_tfidf",
 ]
 
 

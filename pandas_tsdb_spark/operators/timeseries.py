@@ -621,22 +621,34 @@ def win_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# nearest is DERIVED from the backward/forward arms — "the backward
+# arm's row if its distance <= the forward arm's row's distance" — not
+# an independently-ordered third lookup. The round-6 duplicate-ts sweep
+# caught the old independent arm (ORDER BY abs(dt), (p.ts > e.ts),
+# p.event_id ASC) disagreeing with itself: on a purchase ts carrying
+# several rows, nearest could return a DIFFERENT row than the
+# bwd_value column shows for the same event (ASC vs DESC event_id
+# tie-break). The composable law keeps all three columns consistent
+# and is exactly what the one-pass union-window builder computes.
 ASOF_DIR_ORACLE = """
-SELECT e.event_id, e.user_id, e.value,
-       (SELECT p.value FROM events p
-         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
-           AND p.ts <= e.ts
-         ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS bwd_value,
-       (SELECT p.value FROM events p
-         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
-           AND p.ts >= e.ts
-         ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS fwd_value,
-       (SELECT p.value FROM events p
-         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
-         ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)), (p.ts > e.ts),
-                  p.event_id
-         LIMIT 1) AS nearest_value
-FROM events e
+WITH x AS (
+  SELECT e.event_id, e.user_id, e.value, epoch_us(e.ts) AS tus,
+         (SELECT {'v': p.value, 't': epoch_us(p.ts)} FROM events p
+           WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+             AND p.ts <= e.ts
+           ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS b,
+         (SELECT {'v': p.value, 't': epoch_us(p.ts)} FROM events p
+           WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+             AND p.ts >= e.ts
+           ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS f
+  FROM events e)
+SELECT event_id, user_id, value,
+       b.v AS bwd_value, f.v AS fwd_value,
+       CASE WHEN f IS NULL THEN b.v
+            WHEN b IS NULL THEN f.v
+            WHEN tus - b.t <= f.t - tus THEN b.v
+            ELSE f.v END AS nearest_value
+FROM x
 """
 
 
