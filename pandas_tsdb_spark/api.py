@@ -37,6 +37,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 __all__ = ["TsFrame"]
 
@@ -181,6 +182,28 @@ class TsFrame:
 
     def to_pandas(self) -> pd.DataFrame:
         return self.df.toPandas()
+
+    def sanitize_specials(self, *cols: str) -> "TsFrame":
+        """NaN/±Inf -> NULL in the given double columns (every double
+        column when none are named) — the engine's measure contract
+        (catalog._MEASURE_DOUBLES) applied to a user-supplied frame.
+
+        Frames arriving FROM pandas already get NaN -> NULL at the
+        Arrow boundary; Spark-native frames keep IEEE specials, where
+        one NaN poisons running aggregates and ±Inf breaks
+        integer-exact sums. Call this once at ingest; it is one codegen
+        CASE per column, no shuffle, no Python."""
+        from pandas_tsdb_spark.catalog import sanitize_special
+
+        targets = list(cols) or [
+            f.name
+            for f in self.df.schema.fields
+            if isinstance(f.dataType, DoubleType)
+        ]
+        out = self.df
+        for c in targets:
+            out = out.withColumn(c, sanitize_special(c))
+        return self._wrap(out)
 
     # -- indexing / slicing ----------------------------------------------
 

@@ -1312,3 +1312,41 @@ def test_ewm_time_halflife_nulls_vs_pandas(ev, pev):
     b = m["want"].to_numpy(dtype=float)
     ok = np.isclose(a, b, rtol=1e-9, atol=1e-12) | (np.isnan(a) & np.isnan(b))
     assert ok.all(), m[~ok].head()
+
+
+def test_sanitize_specials_matches_pandas_missing_model(spark, ev):
+    """sanitize_specials: NaN/±Inf -> NULL, so a rolling mean over a
+    sanitized Spark-native frame matches pandas (where the same rows
+    would be NaN = missing and skipped)."""
+    dirty = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(float("nan")))
+        .when(F.col("event_id") % 11 == 0, F.lit(float("inf")))
+        .otherwise(F.col("value")),
+    )
+    tf = TsFrame(dirty, ts_col="ts", by="user_id", order_col="event_id")
+    got = _sorted(
+        tf.sanitize_specials()
+        .rolling(3, min_periods=1)
+        .mean("value", out="m")
+        .to_pandas()
+    )
+    pdirty = dirty.toPandas().sort_values(["user_id", "event_id"])
+    # toPandas maps the injected NaN/Inf faithfully; emulate the
+    # contract (specials are missing), then pandas rolling-skipna
+    pdirty["value"] = pdirty["value"].where(np.isfinite(pdirty["value"]))
+    exp = (
+        pdirty.groupby("user_id")["value"]
+        .rolling(3, min_periods=1).mean()
+        .reset_index(level=0, drop=True)
+    )
+    exp = pdirty.assign(m=exp).sort_values("event_id").reset_index(drop=True)
+    assert _eq(got["m"], exp["m"])
+
+
+def test_sanitize_specials_named_columns_only(spark, ev):
+    dirty = ev.withColumn("v2", F.lit(float("inf")))
+    tf = TsFrame(dirty, ts_col="ts", by="user_id", order_col="event_id")
+    out = tf.sanitize_specials("v2").to_pandas()
+    assert out["v2"].isna().all()
+    assert np.isfinite(out["value"].to_numpy()).all()
