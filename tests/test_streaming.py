@@ -292,14 +292,20 @@ def test_chunked_m4_bars_merge_across_batches(spark, chunk_dir):
 def test_transform_with_state_probe(spark, chunk_dir):
     """transformWithStateInPandas re-probe (VERDICT r1 #8).
 
-    Round-1 finding (NOTES.md): the TWS Python driver worker crashes in
-    this container ("driver worker exited unexpectedly") with both HDFS
-    and RocksDB state-store providers; applyInPandasWithState covers
-    the stateful surface meanwhile. This test is the standing guard:
+    Round-6 root cause isolated (INFO-level probe of the long-running
+    TWS driver worker): the opaque "driver worker exited unexpectedly"
+    is an ImportError inside transform_with_state_driver_worker.py —
+    TWS's state-server protocol is protobuf-based
+    (pyspark/sql/streaming/proto/StateMessage_pb2.py) and the
+    `google.protobuf` package is NOT installed in this container
+    (installs are prohibited). So the block is a precise, named
+    dependency gap, not an engine bug; applyInPandasWithState (which
+    speaks plain Arrow, no protobuf) covers the stateful surface. This
+    test is the standing guard:
     - runtime lacks the API            -> skip (version gate)
-    - the DOCUMENTED env crash repros  -> skip with that reason
+    - the DOCUMENTED dependency gap    -> skip with that reason
     - any other failure                -> real failure, surface it
-    - works                           -> assert the cross-batch cumsum
+    - works (protobuf present)         -> assert the cross-batch cumsum
       differential, same bar as applyInPandasWithState.
     """
     import pandas as pd
@@ -308,6 +314,16 @@ def test_transform_with_state_probe(spark, chunk_dir):
         from pyspark.sql.streaming import StatefulProcessor
     except ImportError:
         pytest.skip("transformWithStateInPandas API not in this PySpark")
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithStateInPandas needs google.protobuf (its "
+            "state-server protocol is protobuf-based) — not installed "
+            "in this container and installs are prohibited; "
+            "applyInPandasWithState covers the stateful surface"
+        )
 
     class CumSum(StatefulProcessor):
         def init(self, handle):
