@@ -1084,3 +1084,63 @@ class TsStore:
                 _shutil.rmtree(os.path.join(root, entry))
                 dropped += 1
         return dropped
+
+    def verify(self, name: str) -> DataFrame:
+        """Distributed integrity scan of a series' data files.
+
+        Each executor opens the parquet FOOTER of its assigned files
+        (pyarrow metadata read — no row-group bytes stream) and reports
+        one row per file: (file, ok, n_rows, error). Zero-byte files,
+        truncated tails (footer magic missing) and garbage bytes all
+        surface with the exact path and the reader's message.
+
+        Why this exists: the engine's fail-fast contract. A corrupt
+        file — a crashed EXTERNAL copy tool, a bad disk, a half-synced
+        object-store upload (the store's own writers can't leave one:
+        appends stage-and-rename, optimize/compact journal) — makes
+        fetch() raise rather than silently return less data;
+        `spark.sql.files.ignoreCorruptFiles` is never set because
+        silently dropping a file IS silent data loss. verify() is the
+        operational tool that finds and names the bad files so the
+        operator can restore or explicitly delete them.
+
+        Scale shape: the file listing is driver-side metadata (same as
+        every scan's file index); footer opens are distributed one
+        Arrow batch per ~task via mapInPandas, so a million-file store
+        verifies at executor parallelism with O(files) total I/O of a
+        few KB each."""
+        import pandas as _pd
+
+        root = self.path(name)
+        paths = []
+        if os.path.isdir(root):
+            for dirpath, _dirs, files in os.walk(root):
+                for f in files:
+                    if f.endswith(".parquet") and not f.startswith((".", "_")):
+                        paths.append(os.path.join(dirpath, f))
+        pdf = self.spark.createDataFrame(
+            [(p,) for p in sorted(paths)], "file string"
+        ).repartition(max(1, min(len(paths), 32)))
+
+        def check(batches):
+            import pyarrow.parquet as _pq
+
+            for b in batches:
+                out = {"file": [], "ok": [], "n_rows": [], "error": []}
+                for p in b["file"]:
+                    try:
+                        md = _pq.read_metadata(p)
+                        out["file"].append(p)
+                        out["ok"].append(True)
+                        out["n_rows"].append(int(md.num_rows))
+                        out["error"].append(None)
+                    except Exception as ex:  # noqa: BLE001 — report, not raise
+                        out["file"].append(p)
+                        out["ok"].append(False)
+                        out["n_rows"].append(None)
+                        out["error"].append(str(ex)[:200])
+                yield _pd.DataFrame(out)
+
+        return pdf.mapInPandas(
+            check, "file string, ok boolean, n_rows long, error string"
+        )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -846,3 +847,39 @@ def test_reader_never_sees_gap_during_maintenance(spark, store, events):
     t.join()
     assert not errors, errors
     assert reads >= 5  # the race was actually exercised
+
+
+def test_verify_reports_corrupt_files_and_fetch_fails_fast(
+    spark, store, events
+):
+    """Round-6: integrity contract. verify() names zero-byte and
+    truncated files exactly; fetch() FAILS on them rather than silently
+    returning less data (ignoreCorruptFiles is never set)."""
+    store.append("ev", events)
+    clean = store.verify("ev").toPandas()
+    assert len(clean) > 0 and clean["ok"].all()
+    assert clean["n_rows"].sum() == events.count()
+
+    # corrupt one data file two ways: truncate half, and a zero-byte
+    root = store.path("ev")
+    files = sorted(
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    victim = files[0]
+    size = os.path.getsize(victim)
+    with open(victim, "r+b") as fh:
+        fh.truncate(max(1, size // 2))
+    zb = os.path.join(os.path.dirname(victim), "part-zz-injected.parquet")
+    with open(zb, "wb"):
+        pass
+
+    rep = store.verify("ev").toPandas().set_index("file")
+    assert rep.loc[victim, "ok"] == False  # noqa: E712
+    assert rep.loc[zb, "ok"] == False  # noqa: E712
+    assert rep["ok"].sum() == len(files) - 1  # every other file clean
+
+    with pytest.raises(Exception):
+        store.fetch("ev").count()  # fail-fast, never silent data loss
