@@ -189,6 +189,11 @@ _REVERIFY: list[str] = [
     # round-6 IEEE-specials contract: text_tfidf corpus count now rides
     # the plan as a broadcast 1-row aggregate (same values)
     "text_tfidf",
+    # round-6 Unicode sweep: the four multimodal oracles rewritten to
+    # true BYTE semantics (hex(encode(text)) walked two chars per
+    # byte) — identical on the ASCII fixtures, correct on any text
+    "multimodal_binary", "multimodal_frames", "multimodal_resize",
+    "multimodal_phash_dedup",
 ]
 
 

@@ -747,9 +747,12 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_frames",
+    # head byte from the blob's hex (byte semantics; see
+    # multimodal_binary — round-6 Unicode sweep)
     oracle="""
     WITH b AS (SELECT doc_id, octet_length(encode(text)) AS byte_len,
-                      ascii(substring(text, 1, 1)) AS head_byte
+                      CAST(concat('0x', substr(hex(encode(text)), 1, 2))
+                           AS BIGINT) AS head_byte
                FROM documents)
     SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
            (head_byte + i * 31) % 256 AS frame_feature
@@ -793,11 +796,16 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_binary",
+    # head byte extracted from the UTF-8 BLOB's hex (byte semantics),
+    # not ascii(first char) (codepoint semantics) — identical on ASCII,
+    # divergent on multibyte text (round-6 Unicode sweep: 模 is
+    # codepoint 27169 but first byte 0xE6 = 230).
     oracle="""
     SELECT doc_id,
            octet_length(encode(text)) AS byte_len,
            octet_length(encode(text)) % 7 + 1 AS n_frames,
-           ascii(substring(text, 1, 1)) AS head_byte
+           CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS BIGINT)
+             AS head_byte
     FROM documents
     """,
 )
@@ -842,13 +850,20 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_resize",
+    # positional BYTES from the blob's hex (2 hex chars per byte), not
+    # per-CHARACTER codepoints — identical on ASCII, divergent on
+    # multibyte text (round-6 Unicode sweep); n is octet_length, the
+    # kernel's len(blob)
     oracle="""
-    WITH chars AS (
-      SELECT doc_id, length(text) AS n,
-             ascii(substring(text, i, 1)) AS b,
-             least(3, CAST((4 * (i - 1)) // length(text) AS INTEGER)) AS q
-      FROM documents,
-           LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), chars AS (
+      SELECT doc_id, n,
+             CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS BIGINT) AS b,
+             least(3, CAST((4 * (i - 1)) // n AS INTEGER)) AS q
+      FROM h, LATERAL (SELECT unnest(generate_series(1, n)) AS i)
     )
     SELECT doc_id, any_value(n) AS n_bytes,
            CAST(sum(b) FILTER (WHERE q = 0) AS DOUBLE)
@@ -1398,13 +1413,18 @@ def vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_phash_dedup",
+    # positional BYTES via hex, byte-true like multimodal_resize
+    # (round-6 Unicode sweep)
     oracle="""
-    WITH chars AS (
-      SELECT doc_id, length(text) AS n,
-             ascii(substring(text, i, 1)) AS b,
-             least(15, CAST((16 * (i - 1)) // length(text) AS INTEGER)) AS q
-      FROM documents,
-           LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), chars AS (
+      SELECT doc_id, n,
+             CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS BIGINT) AS b,
+             least(15, CAST((16 * (i - 1)) // n AS INTEGER)) AS q
+      FROM h, LATERAL (SELECT unnest(generate_series(1, n)) AS i)
     ), agg AS (
       SELECT doc_id, any_value(n) AS n, q, sum(b) AS sj, count(*) AS cj
       FROM chars GROUP BY doc_id, q
@@ -1434,13 +1454,13 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: every bucket decision is the cross-multiplied integer
     comparison sj*n >= st*cj — no division, no float — so the Arrow
     kernel and the DuckDB positional-SQL mirror agree bit for bit and
-    the op carries a FULL oracle (rare for a multimodal op). Two
-    mirror preconditions (both verified properties of the fixtures,
-    shared with multimodal_resize): blobs >= 16 bytes (all 16 buckets
-    populated; min fixture length 44) and ASCII-only text (the kernel
-    hashes UTF-8 BYTES, the SQL mirror per-CHARACTER ascii() — they
-    coincide iff byte == char; real image bytes have no SQL mirror at
-    all, so the oracle's job is pinning the kernel arithmetic).
+    the op carries a FULL oracle (rare for a multimodal op). One
+    mirror precondition remains (a verified fixture property, shared
+    with multimodal_resize): blobs >= 16 bytes so all 16 buckets are
+    populated (min fixture length 44). The old ASCII-only precondition
+    is GONE (round-6 Unicode sweep): the SQL mirror now walks the
+    blob's hex two chars at a time — true BYTE semantics, byte-equal
+    to the kernel's np.frombuffer on any text.
 
     Scale: map-only hashing (zero shuffle) + one groupBy on the
     16-bit hash — constant-width shuffle rows, collision classes
