@@ -222,9 +222,12 @@ def _normalize_ts(dt: T.DataType) -> F.Column:
     """events.ts -> TimestampType whatever the parquet physical type.
 
     - TIMESTAMP(NANOS) scans as bigint ns (via nanosAsLong) -> µs
-      timestamp; integer ``div`` == floor, matching DuckDB's ns->µs
-      narrowing exactly (never ``/1000``: double rounding at 1.7e18 ns
-      perturbs the microsecond).
+      timestamp; integer ``div`` TRUNCATES TOWARD ZERO, and so does
+      DuckDB's ns->µs narrowing — verified on pre-1970 negatives
+      (-1500 ns -> -1 µs in both; floor would give -2) by the round-6
+      date-extremes differential (tests/test_ts_extremes.py). Never
+      ``/1000``: double rounding at 1.7e18 ns perturbs the
+      microsecond.
     - TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false) scans as
       TIMESTAMP_NTZ -> cast to TIMESTAMP (session zone is pinned UTC, so
       the wall time IS the instant, same as DuckDB's naive semantics).
@@ -275,7 +278,11 @@ class Tables:
         if name == "events":
             df = df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
         for col in _MEASURE_DOUBLES.get(name, ()):
-            if isinstance(df.schema[col].dataType, T.DoubleType):
+            # presence-guarded: narrowed user files (a projection
+            # written back, a test fixture) may lack the column
+            if col in df.columns and isinstance(
+                df.schema[col].dataType, T.DoubleType
+            ):
                 df = df.withColumn(col, sanitize_special(col))
         if key is not None:
             if len(cache) > 256:  # bound growth across many tmp fixtures
