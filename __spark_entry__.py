@@ -194,6 +194,10 @@ _REVERIFY: list[str] = [
     # byte) — identical on the ASCII fixtures, correct on any text
     "multimodal_binary", "multimodal_frames", "multimodal_resize",
     "multimodal_phash_dedup",
+    # round-6 big-doc sweep: segment/chunk generators rebuilt as
+    # transform+posexplode (linear per doc; the old shape carried the
+    # whole token array per exploded row and hung on one 4 MB doc)
+    "dedup_lines", "pipeline_chunk",
 ]
 
 

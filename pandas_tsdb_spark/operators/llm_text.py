@@ -1141,19 +1141,23 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the doc_id already present on every row."""
     d = _spread(_docs(spark, sf_dir))
     toks = d.select("doc_id", _tokens_col().alias("toks"))
-    n_seg_m1 = F.ceil(F.size("toks") / F.lit(float(_SEG))).cast("long") - 1
+    # Segment hashes are built INSIDE one transform() over the doc's
+    # token array, then posexplode ships only the 16-byte md5 per row.
+    # The previous shape (explode the seg_idx sequence, slice in a
+    # later projection) carried the WHOLE token array on every exploded
+    # row — O(tokens²/SEG) intermediate per doc, invisible on 50-token
+    # fixture docs but a hard hang on one real 4 MB web document
+    # (round-6 big-doc probe: 600k tokens -> 60k rows x 4 MB array).
+    # transform+slice is O(tokens) per doc and the exploded row is the
+    # hash alone — the same constant-width-exchange discipline the
+    # docstring already promises.
+    seg_arr = F.expr(
+        f"transform(sequence(0L, cast(ceil(size(toks) / {_SEG}.0) as long) - 1),"
+        f" i -> md5(concat_ws(' ',"
+        f" slice(toks, cast(i * {_SEG} + 1 as int), {_SEG}))))"
+    )
     segs = toks.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_seg_m1)).alias("seg_idx"),
-    ).select(
-        "doc_id",
-        "seg_idx",
-        F.md5(
-            F.concat_ws(
-                " ", F.slice("toks", (F.col("seg_idx") * _SEG + 1).cast("int"), _SEG)
-            )
-        ).alias("seg_h"),
+        "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg_h")
     )
     w = W.partitionBy("seg_h").orderBy("doc_id", "seg_idx")
     return (

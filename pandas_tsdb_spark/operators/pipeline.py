@@ -497,22 +497,27 @@ def pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").alias("tokens"),
         F.size(F.split("text", " ")).alias("n_tok"),
     )
-    n_chunks_m1 = F.ceil(
-        F.greatest(F.col("n_tok") - _CHUNK, F.lit(0)) / F.lit(float(_STRIDE))
-    ).cast("long")
-    idx = toks.select(
-        "doc_id",
-        "tokens",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks_m1)).alias("chunk_id"),
+    # Per-chunk (size, md5) pairs are built INSIDE one transform() over
+    # the doc's token array, then posexplode ships only the small
+    # struct per row. The previous shape (explode chunk_id, slice in a
+    # later projection) carried the WHOLE token array on every chunk
+    # row — O(tokens²/STRIDE) per doc, a hard hang on one real 4 MB
+    # document (round-6 big-doc probe; same fix as dedup_lines).
+    chunk_arr = F.expr(
+        f"transform(sequence(0L, cast(ceil(greatest(n_tok - {_CHUNK}, 0)"
+        f" / {_STRIDE}.0) as long)),"
+        f" i -> named_struct("
+        f"'chunk_tokens', size(slice(tokens, cast(i * {_STRIDE} + 1 as int),"
+        f" {_CHUNK})),"
+        f"'chunk_md5', md5(concat_ws(' ',"
+        f" slice(tokens, cast(i * {_STRIDE} + 1 as int), {_CHUNK})))))"
     )
-    sl = F.slice(
-        "tokens", (F.col("chunk_id") * _STRIDE + 1).cast("int"), _CHUNK
-    )
+    idx = toks.select("doc_id", F.posexplode(chunk_arr).alias("pos", "c"))
     return idx.select(
         "doc_id",
-        "chunk_id",
-        F.size(sl).alias("chunk_tokens"),
-        F.md5(F.concat_ws(" ", sl)).alias("chunk_md5"),
+        F.col("pos").cast("long").alias("chunk_id"),
+        F.col("c.chunk_tokens").alias("chunk_tokens"),
+        F.col("c.chunk_md5").alias("chunk_md5"),
     )
 
 
