@@ -751,7 +751,7 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal_binary — round-6 Unicode sweep)
     oracle="""
     WITH b AS (SELECT doc_id, octet_length(encode(text)) AS byte_len,
-                      CAST(concat('0x', substr(hex(encode(text)), 1, 2))
+                      CAST(('0x' || substr(hex(encode(text)), 1, 2))
                            AS BIGINT) AS head_byte
                FROM documents)
     SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
@@ -804,7 +804,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            octet_length(encode(text)) AS byte_len,
            octet_length(encode(text)) % 7 + 1 AS n_frames,
-           CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS BIGINT)
+           CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS BIGINT)
              AS head_byte
     FROM documents
     """,
@@ -861,7 +861,7 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), chars AS (
       SELECT doc_id, n,
-             CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS BIGINT) AS b,
+             CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT) AS b,
              least(3, CAST((4 * (i - 1)) // n AS INTEGER)) AS q
       FROM h, LATERAL (SELECT unnest(generate_series(1, n)) AS i)
     )
@@ -1422,7 +1422,7 @@ def vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), chars AS (
       SELECT doc_id, n,
-             CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS BIGINT) AS b,
+             CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT) AS b,
              least(15, CAST((16 * (i - 1)) // n AS INTEGER)) AS q
       FROM h, LATERAL (SELECT unnest(generate_series(1, n)) AS i)
     ), agg AS (
