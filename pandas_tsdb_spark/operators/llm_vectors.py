@@ -69,16 +69,23 @@ def _seq_dots(E: np.ndarray, Q: np.ndarray) -> np.ndarray:
 
 
 # A scraped corpus's embedding column contains NULLs (failed encoder
-# calls), empty arrays, and zero vectors (padding artifacts). None of
-# them carries a direction, numpy kernels np.stack() straight into a
-# hard job failure on NULL/ragged rows, and zero vectors poison cosine
-# math with 0/0 NaNs — so the vector surface's contract is: such rows
-# are EXCLUDED, uniformly, in every op and its oracle (round-6 dirty-
-# embeddings sweep). The oracle-side twin of this predicate is
-#   embedding IS NOT NULL AND coalesce(list_aggregate(
-#       list_transform(embedding, x -> x <> 0), 'bool_or'), false)
+# calls), empty arrays, zero vectors (padding artifacts), and RAGGED
+# rows whose length is not the encoder's declared dimension (a model
+# swap mid-ingest, a truncated write). None carries a usable direction,
+# numpy kernels np.stack() straight into a hard job failure on
+# NULL/ragged rows, and zero vectors poison cosine math with 0/0 NaNs —
+# so the vector surface's contract is: such rows are EXCLUDED,
+# uniformly, in every op and its oracle (round-6 dirty-embeddings +
+# ragged-dims sweeps; the latter measured 13 of 16 vector ops crashing
+# on a 32-dim row slipped into a 64-dim collection). The oracle-side
+# twin of this predicate is
+#   embedding IS NOT NULL AND len(embedding) = 64 AND coalesce(
+#       list_aggregate(list_transform(embedding, x -> x <> 0),
+#                      'bool_or'), false)
+_EMB_DIM = 64  # the fixture encoder's declared output dimension
 _VALID_EMB = (
-    "embedding IS NOT NULL AND exists(embedding, x -> x <> CAST(0.0 AS DOUBLE))"
+    f"embedding IS NOT NULL AND size(embedding) = {_EMB_DIM}"
+    " AND exists(embedding, x -> x <> CAST(0.0 AS DOUBLE))"
 )
 
 
@@ -149,7 +156,7 @@ _DUCK_COS = (
     "sim_topk",
     oracle=f"""
     WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE embedding IS NOT NULL AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false))
+               WHERE embedding IS NOT NULL AND len(embedding) = 64 AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false))
     SELECT query_id, neighbor_id, cos, rk FROM (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                {_DUCK_COS} AS cos,
@@ -300,7 +307,7 @@ def sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_pairs_threshold",
     oracle=f"""
     WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE embedding IS NOT NULL AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false))
+               WHERE embedding IS NOT NULL AND len(embedding) = 64 AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false))
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUCK_COS} AS cos
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_DUCK_COS} >= 0.75
@@ -341,7 +348,7 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_label",
     oracle=f"""
     WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE embedding IS NOT NULL AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false)),
+               WHERE embedding IS NOT NULL AND len(embedding) = 64 AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false)),
     ranked AS (
         SELECT a.vec_id AS query_id, a.label AS true_label,
                b.label AS cand_label,
@@ -528,7 +535,7 @@ _SIGN_SQL = " + ".join(
       SELECT vec_id, label, embedding::DOUBLE[] AS v,
              {_SIGN_SQL} AS sbucket
       FROM embeddings
-      WHERE embedding IS NOT NULL AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false)
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false)
     )
     SELECT vec_id FROM e a
     WHERE NOT EXISTS (
@@ -721,7 +728,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
                AS self_dot
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-    WHERE embedding IS NOT NULL AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false)
+    WHERE embedding IS NOT NULL AND len(embedding) = 64 AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false)
     """,
 )
 def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1046,7 +1053,7 @@ _QUANTIZE_ORACLE = """
                             AS DOUBLE) / 127.0
                   ELSE 1.0 END AS scale
       FROM embeddings
-      WHERE embedding IS NOT NULL AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false)
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), 'bool_or'), false)
     ),
     q AS (
       SELECT vec_id, label, scale,

@@ -200,7 +200,8 @@ def test_dirty_props_differential(spark, dirty_props_stage, name):
 # arrays, and zero vectors (padding artifacts) — numpy kernels np.stack()
 # straight into a hard job failure on any of them, and cosine math turns
 # zero vectors into NaN cascades. Engine contract: rows whose embedding
-# is NULL, empty, or zero-norm carry no direction — they are EXCLUDED
+# is NULL, empty, zero-norm, or off the declared dimension (ragged)
+# carry no usable direction — they are EXCLUDED
 # from vector ops, identically in builder and oracle.
 # ---------------------------------------------------------------------------
 
@@ -221,6 +222,14 @@ def dirty_emb_stage(spark, tmp_path_factory):
         .when(
             F.col("vec_id") % 19 == 0,
             F.expr("transform(embedding, x -> CAST(0.0 AS DOUBLE))"),
+        )
+        # ragged dims (round-6 ragged sweep: 13 of 16 vector ops
+        # crashed in np.stack on a 32-dim row in a 64-dim collection;
+        # the exclusion contract now also requires the declared dim)
+        .when(F.col("vec_id") % 23 == 0, F.expr("slice(embedding, 1, 32)"))
+        .when(
+            F.col("vec_id") % 29 == 0,
+            F.expr("concat(embedding, array(0.1d, 0.2d, 0.3d))"),
         )
         .otherwise(F.col("embedding")),
     )
