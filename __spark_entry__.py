@@ -198,6 +198,13 @@ _REVERIFY: list[str] = [
     # transform+posexplode (linear per doc; the old shape carried the
     # whole token array per exploded row and hung on one 4 MB doc)
     "dedup_lines", "pipeline_chunk",
+    # round-6 rounding-boundary sweep: window means via exact
+    # integer-cents sums; the corr family computed from exact integer
+    # moments (DuckDB's windowed corr crashes on zero-variance frames;
+    # the engines' native scale-rounding disagrees on repr-half values
+    # like 1.005 — see registry.round_emit_col)
+    "win_expanding", "win_rolling_rows", "win_seasonal_dow",
+    "win_rolling_corr", "win_xcorr", "corr_matrix", "agg_pivot",
 ]
 
 

@@ -69,7 +69,7 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, session_seq, count(*) AS n_events,
            min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
            max(ts_us) - min(ts_us) AS duration_us,
-           round(sum(value), 2) AS sum_value
+           (round(sum(value) * 100) / 100.0) AS sum_value
     FROM s GROUP BY user_id, session_seq
     """,
     tags=("analytics", "timeseries"),
@@ -94,7 +94,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts_us").alias("session_start_us"),
             F.max("ts_us").alias("session_end_us"),
             (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.round(F.sum("value") * 100) / F.lit(100.0)).alias("sum_value"),
         )
     )
 
@@ -599,7 +599,8 @@ _ETYPES = ("click", "error", "purchase", "signup", "view")
 
 def _corr_matrix_oracle() -> str:
     cells = ",\n      ".join(
-        f"round(sum(value) FILTER (WHERE event_type = '{t}'), 2) AS v_{t}"
+        f"CAST(sum(CAST(round(value * 100) AS BIGINT))"
+        f" FILTER (WHERE event_type = '{t}') AS DOUBLE) / 100.0 AS v_{t}"
         for t in _ETYPES
     )
     pairs = "\n    UNION ALL\n    ".join(
@@ -631,16 +632,25 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     via stack(). At 100 TB the daily table is calendar-bounded (~10^4
     rows), so the second aggregate is negligible; everything heavy is
     the first scan, which is a plain map-side partial sum. Daily sums
-    round to 2 decimals on both engines BEFORE the corr so the moment
-    inputs are bit-identical; corr itself rounds to 6 (engines
+    are exact integer-cents totals on both engines BEFORE the corr so
+    the moment inputs are bit-identical on ANY data (round-6 boundary
+    sweep); corr itself rounds to 6 (engines
     accumulate moments in different orders, noise ~1e-12)."""
     ev = _ev(spark, sf_dir)
     daily = (
         ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .agg(
             *[
-                F.round(
-                    F.sum(F.when(F.col("event_type") == t, F.col("value"))), 2
+                # exact integer-cents daily totals (sum2 idiom; round-6
+                # boundary sweep — corr amplifies any input mismatch)
+                (
+                    F.sum(
+                        F.round(
+                            F.when(F.col("event_type") == t, F.col("value"))
+                            * 100
+                        ).cast("long")
+                    ).cast("double")
+                    / F.lit(100.0)
                 ).alias(f"v_{t}")
                 for t in _ETYPES
             ]

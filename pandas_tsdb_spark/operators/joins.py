@@ -201,7 +201,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_theta",
     oracle="""
-    SELECT band, count(*) AS n_events, round(sum(value), 2) AS total_value
+    SELECT band, count(*) AS n_events, (round(sum(value) * 100) / 100.0) AS total_value
     FROM events JOIN (VALUES ('low', 0.0, 50.0),
                              ('mid', 50.0, 200.0),
                              ('high', 200.0, 1e9)) AS bands(band, lo, hi)
@@ -223,7 +223,7 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.round(F.sum("value") * 100) / F.lit(100.0)).alias("total_value"),
         )
     )
 
@@ -274,7 +274,7 @@ _N_SALT = 8
                       CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k
                FROM events),
     dim AS (SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k,
-                   count(*) AS k_events, round(sum(value), 2) AS k_total
+                   count(*) AS k_events, (round(sum(value) * 100) / 100.0) AS k_total
             FROM events GROUP BY 1)
     SELECT f.event_id, f.k, f.value, dim.k_events, dim.k_total
     FROM f JOIN dim USING (k)
@@ -305,7 +305,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count("*").alias("k_events"),
-            F.round(F.sum("value"), 2).alias("k_total"),
+            (F.round(F.sum("value") * 100) / F.lit(100.0)).alias("k_total"),
         )
         .withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(_N_SALT)])))
     )

@@ -482,11 +482,11 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     "agg_pivot",
     oracle="""
     SELECT user_id,
-           round(sum(value) FILTER (event_type = 'click'), 2) AS click,
-           round(sum(value) FILTER (event_type = 'error'), 2) AS error,
-           round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase,
-           round(sum(value) FILTER (event_type = 'signup'), 2) AS signup,
-           round(sum(value) FILTER (event_type = 'view'), 2) AS view
+           (round(sum(value) FILTER (event_type = 'click') * 100) / 100.0) AS click,
+           (round(sum(value) FILTER (event_type = 'error') * 100) / 100.0) AS error,
+           (round(sum(value) FILTER (event_type = 'purchase') * 100) / 100.0) AS purchase,
+           (round(sum(value) FILTER (event_type = 'signup') * 100) / 100.0) AS signup,
+           (round(sum(value) FILTER (event_type = 'view') * 100) / 100.0) AS view
     FROM events GROUP BY user_id
     """,
 )
@@ -499,7 +499,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .pivot("event_type", _EVENT_TYPES)
-        .agg(F.round(F.sum("value"), 2))
+        .agg((F.round(F.sum("value") * 100) / F.lit(100.0)))
     )
 
 

@@ -162,7 +162,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_AGG_ORACLE = """
     SELECT event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value,
+           (round(sum(value) * 100) / 100.0) AS total_value,
            CAST(max(user_id) AS BIGINT) AS max_user
     FROM events GROUP BY event_type
 """
@@ -177,7 +177,7 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Tables(spark, sf_dir).events
     agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        (F.round(F.sum("value") * 100) / F.lit(100.0)).alias("total_value"),
         F.max("user_id").alias("max_user"),
     )
     path = tempfile.mkdtemp(prefix="pts_json_") + "/agg"
@@ -349,7 +349,7 @@ _SYNTH_ROWS = 2500
         FROM g
     )
     SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
-           round(sum(value), 2) AS total
+           (round(sum(value) * 100) / 100.0) AS total
     FROM s GROUP BY event_type
     """,
 )
@@ -411,7 +411,7 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("total"),
+        (F.round(F.sum("value") * 100) / F.lit(100.0)).alias("total"),
     )
 
 
@@ -422,7 +422,7 @@ _EVOLVE_ORACLE = """
     GROUP BY user_id
     UNION ALL
     SELECT user_id, 2 AS batch, count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
     FROM events WHERE ts >= TIMESTAMP '2024-07-01'
     GROUP BY user_id
 """
@@ -457,7 +457,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            sum2_col("value").alias("sum_value"),
         )
         .withColumn("batch", F.lit(2))
     )
@@ -517,7 +517,7 @@ def rollup_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     "store_maintenance_roundtrip",
     oracle="""
     SELECT event_type, count(*) AS n_keys,
-           round(sum(value), 2) AS sum_value
+           (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -543,5 +543,5 @@ def store_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = store.fetch("events")
     return got.groupBy("event_type").agg(
         F.count("*").alias("n_keys"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        sum2_col("value").alias("sum_value"),
     )

@@ -210,7 +210,7 @@ def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_tumbling",
     oracle="""
     SELECT date_trunc('day', ts) AS day, event_type,
-           count(*) AS n, round(sum(value), 2) AS sum_value
+           count(*) AS n, (round(sum(value) * 100) / 100.0) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -219,7 +219,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     completed stream must equal the batch GROUP BY."""
     ev = events_stream(spark, sf_dir)
     agg = ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count("*").alias("n"), (F.round(F.sum("value") * 100) / F.lit(100.0)).alias("sum_value")
     )
     out = agg.select(
         F.col("w.start").alias("day"), "event_type", "n", "sum_value"
@@ -234,7 +234,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events),
     x AS (SELECT unnest([b0, b0 - {_US_3H}]) AS bs, value FROM e)
     SELECT make_timestamp(bs) AS bucket, count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           (round(sum(value) * 100) / 100.0) AS sum_value
     FROM x GROUP BY 1
     """,
 )
@@ -243,7 +243,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     two windows (oracle enumerates both via unnest)."""
     ev = events_stream(spark, sf_dir)
     agg = ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w")).agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count("*").alias("n"), (F.round(F.sum("value") * 100) / F.lit(100.0)).alias("sum_value")
     )
     out = agg.select(F.col("w.start").alias("bucket"), "n", "sum_value")
     return run_to_memory(out, "complete", "sliding")
@@ -262,7 +262,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ROWS UNBOUNDED PRECEDING) AS sid
           FROM f)
     SELECT user_id, min(us) AS start_us, max(us) + {_US_30M} AS end_us,
-           count(*) AS n, round(sum(value), 2) AS sum_value
+           count(*) AS n, (round(sum(value) * 100) / 100.0) AS sum_value
     FROM s GROUP BY user_id, sid
     """,
 )
@@ -272,7 +272,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff gap < 30 min (half-open window), hence `>=` marks a break."""
     ev = events_stream(spark, sf_dir)
     agg = ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count("*").alias("n"), (F.round(F.sum("value") * 100) / F.lit(100.0)).alias("sum_value")
     )
     out = agg.select(
         "user_id",
@@ -290,7 +290,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
     e AS (SELECT (epoch_us(ts) // {_US_1H}) * {_US_1H} AS b, value FROM events)
     SELECT make_timestamp(b) AS bucket, count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           (round(sum(value) * 100) / 100.0) AS sum_value
     FROM e, m
     WHERE b + {_US_1H} <= mx - {_US_1H}
     GROUP BY b
@@ -304,7 +304,7 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     just the arithmetic."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count("*").alias("n"), (F.round(F.sum("value") * 100) / F.lit(100.0)).alias("sum_value")
     )
     out = agg.select(F.col("w.start").alias("bucket"), "n", "sum_value")
     return run_to_memory(out, "append", "watermark")
@@ -413,7 +413,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_sink",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    SELECT event_type, count(*) AS n, (round(sum(value) * 100) / 100.0) AS sum_value
     FROM events GROUP BY 1
     """,
 )
@@ -435,7 +435,7 @@ def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     back = spark.read.parquet(out_dir)
     return back.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count("*").alias("n"), (F.round(F.sum("value") * 100) / F.lit(100.0)).alias("sum_value")
     )
 
 
@@ -694,7 +694,7 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            (F.round(F.sum("value") * 100) / F.lit(100.0)).alias("total"),
         )
     )
 
@@ -728,7 +728,7 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", "1 day").alias("w"), "c_mktsegment"
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        (F.round(F.sum("value") * 100) / F.lit(100.0)).alias("sum_value"),
     )
     out = agg.select(
         F.col("w.start").alias("day"), "c_mktsegment", "n", "sum_value"

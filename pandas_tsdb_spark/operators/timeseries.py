@@ -913,8 +913,10 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_seasonal_dow",
     oracle="""
     SELECT event_id, user_id, dow, value,
-           round(sum(value) OVER w, 2) / (count(*) OVER w) AS dow_mean,
-           value - round(sum(value) OVER w, 2) / (count(*) OVER w)
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+             / 100.0 / (count(*) OVER w) AS dow_mean,
+           value - CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS DOUBLE) / 100.0 / (count(*) OVER w)
              AS deseasonalized
     FROM (SELECT event_id, user_id, value,
                  dayofweek(ts) + 1 AS dow FROM events)
@@ -933,14 +935,20 @@ def win_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation because the mean table is |users|x7 (too big to
     broadcast, so the rejoin would shuffle twice). Spark dayofweek is
     1=Sunday; DuckDB dayofweek is 0=Sunday — oracle adds 1. The mean is
-    the oracle_avg form (round(sum,2)/count: bit-identical across
-    engines on 2-decimal data), so the deseasonalized difference is
-    emitted RAW, no rounding."""
+    an exact integer-cents sum divided by the count (sum2 idiom —
+    bit-identical across engines on ANY data, round-6 boundary sweep),
+    so the deseasonalized difference is emitted RAW, no rounding."""
     ev = Tables(spark, sf_dir).events.select(
         "event_id", "user_id", "value", F.dayofweek("ts").alias("dow")
     )
     w = W.partitionBy("user_id", "dow")
-    mean = F.round(F.sum("value").over(w), 2) / F.count("*").over(w)
+    # exact integer-cents window sum (round-6 boundary sweep: the
+    # rounded-float-sum mean is noise-unstable when the true total
+    # lands on a cents boundary; integer sums cannot be)
+    mean = (
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
+        .cast("double") / F.lit(100.0) / F.count("*").over(w)
+    )
     return ev.select(
         "event_id",
         "user_id",
@@ -1462,8 +1470,10 @@ def win_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT epoch_us(ts) // 86400000000 AS day_idx,
-             round(sum(value) FILTER (event_type = 'click'), 2) AS a_v,
-             round(sum(value) FILTER (event_type = 'purchase'), 2) AS b_v
+             CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  FILTER (event_type = 'click') AS DOUBLE) / 100.0 AS a_v,
+             CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  FILTER (event_type = 'purchase') AS DOUBLE) / 100.0 AS b_v
       FROM events WHERE event_type IN ('click', 'purchase')
       GROUP BY 1
     ),
@@ -1495,8 +1505,9 @@ def win_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair, and a second tiny agg computes corr per lag. corr() is a
     one-pass streaming moment with partial merge; n_days counts only
     complete pairs (matches SQL corr's null-pair skipping). Daily sums
-    are round(·,2) first (exact totals on 2-decimal data on both
-    engines) so corr sees bit-identical inputs; the result is
+    are exact integer-cents totals (sum2 idiom — engine-identical on
+    ANY data, round-6 boundary sweep) so corr sees bit-identical
+    inputs; the result is
     round(6) + 0.0 (canonical -0) against ~1e-12 moment-fold noise."""
     ev = Tables(spark, sf_dir).events
     daily = (
@@ -1507,12 +1518,30 @@ def win_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day_idx")
         )
         .agg(
-            F.round(
-                F.sum(F.when(F.col("event_type") == "click", F.col("value"))), 2
+            # exact integer-cents daily totals (round-6 boundary sweep:
+            # rounded float sums are noise-unstable on cents boundaries,
+            # and corr amplifies any input mismatch) — sum2 idiom
+            (
+                F.sum(
+                    F.round(
+                        F.when(
+                            F.col("event_type") == "click", F.col("value")
+                        )
+                        * 100
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(100.0)
             ).alias("a_v"),
-            F.round(
-                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
-                2,
+            (
+                F.sum(
+                    F.round(
+                        F.when(
+                            F.col("event_type") == "purchase", F.col("value")
+                        )
+                        * 100
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(100.0)
             ).alias("b_v"),
         )
     )

@@ -176,7 +176,8 @@ def win_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id,
            CASE WHEN count(*) OVER w >= 7
-                THEN round(sum(value) OVER w, 2) / 7 END AS roll_avg,
+                THEN CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                          AS DOUBLE) / 100.0 / 7 END AS roll_avg,
            CASE WHEN count(*) OVER w >= 7
                 THEN min(value) OVER w END AS roll_min,
            CASE WHEN count(*) OVER w >= 7
@@ -194,7 +195,11 @@ def win_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev(spark, sf_dir).select(
         "user_id",
         "event_id",
-        F.when(full, F.round(F.sum("value").over(w), 2) / 7).alias("roll_avg"),
+        F.when(
+            full,
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
+            .cast("double") / F.lit(100.0) / 7,
+        ).alias("roll_avg"),
         F.when(full, F.min("value").over(w)).alias("roll_min"),
         F.when(full, F.round(F.stddev_samp("value").over(w), 4)).alias("roll_sd"),
     )
@@ -235,8 +240,9 @@ def win_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_expanding",
     oracle=f"""
     SELECT user_id, event_id,
-           round(sum(value) OVER ({_WSER}
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER ({_WSER}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100.0
              / (count(*) OVER ({_WSER}
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS exp_avg,
            min(value) OVER ({_WSER}
@@ -254,7 +260,12 @@ def win_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev(spark, sf_dir).select(
         "user_id",
         "event_id",
-        (F.round(F.sum("value").over(w), 2) / F.count("*").over(w)).alias("exp_avg"),
+        # exact integer-cents window sum (engine-aligned at any
+        # boundary — round-6 boundary sweep; see registry.sum2_col)
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
+            .cast("double") / F.lit(100.0) / F.count("*").over(w)
+        ).alias("exp_avg"),
         F.min("value").over(w).alias("exp_min"),
     )
 
@@ -308,7 +319,7 @@ def win_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("value"), 4).alias("total"),
-            (F.round(F.sum("value"), 2) / F.count("*")).alias("mean_v"),
+            ((F.round(F.sum("value") * 100) / F.lit(100.0)) / F.count("*")).alias("mean_v"),
         )
     )
 
@@ -391,34 +402,85 @@ def win_resample_wmon(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_rolling_corr",
     oracle=f"""
     SELECT user_id, event_id,
-           round(corr(value, lag_v) OVER wf, 6) AS corr_20
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS corr_20
     FROM (
-        SELECT user_id, event_id, value,
-               lag(value) OVER ({_WSER}) AS lag_v
-        FROM events
+        SELECT user_id, event_id,
+               count(x) OVER wf AS n,
+               sum(x) OVER wf AS sx, sum(y) OVER wf AS sy,
+               sum(x * y) OVER wf AS sxy,
+               sum(x * x) OVER wf AS sxx, sum(y * y) OVER wf AS syy
+        FROM (
+            SELECT user_id, event_id,
+                   CASE WHEN value IS NOT NULL AND lag_v IS NOT NULL
+                        THEN CAST(round(value * 100) AS BIGINT) END AS x,
+                   CASE WHEN value IS NOT NULL AND lag_v IS NOT NULL
+                        THEN CAST(round(lag_v * 100) AS BIGINT) END AS y
+            FROM (
+                SELECT user_id, event_id, value,
+                       lag(value) OVER ({_WSER}) AS lag_v
+                FROM events
+            )
+        )
+        WINDOW wf AS ({_WSER} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
-    WINDOW wf AS ({_WSER} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     """,
 )
 def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas rolling(20).corr() surface: rolling correlation of each
     series against its own lag (autocorrelation shape). One partitioning
-    serves the lag and the rolling frame — a single shuffle. corr is
-    emitted rather than covariance: correlation is scale-free (in
-    [-1,1]) so round(6) is far outside both engines' accumulation noise,
-    while raw covariance at this data's magnitude (~1e3) lands on
-    rounding ties (16/10k rows measured) because the engines use
-    different covariance update formulas."""
+    serves the lag and the rolling frame — a single shuffle.
+
+    Round-6 boundary sweep rewrite: corr is computed from EXACT
+    INTEGER-CENTS window moments (n, Σx, Σy, Σxy, Σx², Σy² — all
+    bigint; magnitudes bounded by the 20-row frame, ~4e12 ≪ int64) and
+    assembled as (nΣxy − ΣxΣy)/√(nΣxx − Σx²)√(nΣyy − Σy²), NULL when
+    either variance term is 0. Why not the engines' native windowed
+    corr: (a) DuckDB's CRASHES outright (DIVIDE_BY_ZERO) on a
+    zero-variance frame — and dirty data serves constant runs; (b) the
+    engines' different covariance update formulas diverge past 1e-6 on
+    near-degenerate frames. Integer moments are bit-identical by
+    construction, so the rounded quotient is too, and zero variance is
+    a guarded NULL on both sides. Same single exchange as before; six
+    sums over one frame replace one corr — all partial-aggregated."""
     ev = _ev(spark, sf_dir)
     wl = W.partitionBy("user_id").orderBy("event_id")
     wf = wl.rowsBetween(-19, 0)
     lagged = ev.select(
         "user_id", "event_id", "value", F.lag("value").over(wl).alias("lag_v")
     )
-    return lagged.select(
+    both = F.col("value").isNotNull() & F.col("lag_v").isNotNull()
+    x = F.when(both, F.round(F.col("value") * 100).cast("long"))
+    y = F.when(both, F.round(F.col("lag_v") * 100).cast("long"))
+    m = lagged.select(
         "user_id",
         "event_id",
-        F.round(F.corr("value", "lag_v").over(wf), 6).alias("corr_20"),
+        F.count(x).over(wf).alias("n"),
+        F.sum(x).over(wf).alias("sx"),
+        F.sum(y).over(wf).alias("sy"),
+        F.sum(x * y).over(wf).alias("sxy"),
+        F.sum(x * x).over(wf).alias("sxx"),
+        F.sum(y * y).over(wf).alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        "user_id",
+        "event_id",
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(
+                num
+                / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))),
+                6,
+            ),
+        ).alias("corr_20"),
     )
 
 

@@ -55,6 +55,34 @@ def sum2_col(col) -> "Column":
     return F.sum(F.round(c * 100).cast("long")).cast("double") / F.lit(100.0)
 
 
+def round_emit_col(col, s: int = 2) -> "Column":
+    """Engine-ALIGNED emit rounding: round(x * 10^s) / 10^s.
+
+    Spark's round(double, s>0) rounds HALF_UP on the double's shortest
+    DECIMAL REPRESENTATION while DuckDB rounds by a float algorithm —
+    they disagree exactly on values like 1.005 (binary
+    1.00499999999999989...): Spark 1.01, DuckDB 1.00. Measured rate on
+    3-decimal-ish uniform data: 0.27% of values (1341 of 500k) — a
+    steady hash-divergence source on real data; the fixtures' coarse
+    2-decimal values dodge it, which is why five rounds of driver
+    hashes never saw one. ROUND-TO-INTEGER, by contrast, is
+    engine-aligned on every probed value and on 500k random samples
+    (both resolve repr-half away from zero), so scaling before one
+    integer round and dividing after is the cross-engine-stable form
+    of scale-s rounding. Oracle twin: oracle_round."""
+    from pyspark.sql import Column, functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    p = 10 ** s
+    return F.round(c * p) / F.lit(float(p))
+
+
+def oracle_round(expr: str, s: int = 2) -> str:
+    """DuckDB twin of round_emit_col (see its docstring)."""
+    p = 10 ** s
+    return f"(round(({expr}) * {p}) / {p}.0)"
+
+
 def oracle_avg(expr: str, cnt: str = "count(*)") -> str:
     """Cross-engine-stable AVG for the oracle SQL side.
 
