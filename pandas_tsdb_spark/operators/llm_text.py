@@ -1098,6 +1098,16 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEG = 10  # tokens per segment (the "line" unit on this newline-free corpus)
+# Adaptive-path cutoff for segment/chunk generators (dedup_lines,
+# pipeline_chunk): docs at or under this RAW CHAR length take the
+# codegen explode+slice path (its O(tokens²/stride) carried-array term
+# is capped — tokens <= chars/2 + 1 — and it is 2x faster than
+# interpreted transform() on normal docs, 256x A/B); bigger docs take
+# the linear transform+posexplode path that cannot hang. Char length is
+# the predicate because it is a scan-column codegen compare — a
+# size(tokens) predicate would force the tokenizing split once per
+# branch.
+_BIG_DOC_CHARS = 32768  # ~<= 16k tokens -> carried arrays <= 32 KB
 
 
 @query(
@@ -1140,25 +1150,57 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket. Work ∝ corpus tokens; never pairwise. The per-doc rollup
     reuses the doc_id already present on every row."""
     d = _spread(_docs(spark, sf_dir))
-    toks = d.select("doc_id", _tokens_col().alias("toks"))
-    # Segment hashes are built INSIDE one transform() over the doc's
-    # token array, then posexplode ships only the 16-byte md5 per row.
-    # The previous shape (explode the seg_idx sequence, slice in a
-    # later projection) carried the WHOLE token array on every exploded
-    # row — O(tokens²/SEG) intermediate per doc, invisible on 50-token
-    # fixture docs but a hard hang on one real 4 MB web document
-    # (round-6 big-doc probe: 600k tokens -> 60k rows x 4 MB array).
-    # transform+slice is O(tokens) per doc and the exploded row is the
-    # hash alone — the same constant-width-exchange discipline the
-    # docstring already promises.
+    # ADAPTIVE segment generation (round-6 big-doc probe + 256x A/B):
+    # - docs <= _BIG_DOC_CHARS take the CODEGEN path (explode the
+    #   seg_idx sequence, slice in the projection). It carries the
+    #   token array per exploded row — O(tokens²/SEG) per doc — which
+    #   is a hard hang on one real 4 MB document (600k tokens -> 60k
+    #   rows x 4 MB array) but harmless when capped (4096² /10 ≈ 1.7M
+    #   cells/doc) and 2x faster than the lambda path on normal docs
+    #   (256x A/B: 2.2 s vs 4.2 s — higher-order transform() is
+    #   interpreted, the exploded projection is whole-stage codegen).
+    # - bigger docs take the LINEAR path: per-segment md5 built inside
+    #   ONE transform() over the array, posexplode ships only the
+    #   16-byte hash. Both branches are map-side of the seg_h exchange,
+    #   so the union costs no extra shuffle.
+    # The branch predicate is RAW CHAR LENGTH (a scan-column codegen
+    # compare), NOT size(toks): a size(toks) filter forces the
+    # tokenizing split to run once per branch — measured 3.9 s vs the
+    # 2.2 s codegen floor at 256x. Chars bound tokens from above
+    # (tokens <= chars/2 + 1), so the char cutoff keeps the carried
+    # array capped; which PATH a doc takes never changes its output.
+    small = d.filter(F.length("text") <= _BIG_DOC_CHARS).select(
+        "doc_id", _tokens_col().alias("toks")
+    )
+    big = d.filter(F.length("text") > _BIG_DOC_CHARS).select(
+        "doc_id", _tokens_col().alias("toks")
+    )
+    n_seg_m1 = F.ceil(F.size("toks") / F.lit(float(_SEG))).cast("long") - 1
+    segs_small = small.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_seg_m1)).alias(
+            "seg_idx"
+        ),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice("toks", (F.col("seg_idx") * _SEG + 1).cast("int"), _SEG),
+            )
+        ).alias("seg_h"),
+    )
     seg_arr = F.expr(
         f"transform(sequence(0L, cast(ceil(size(toks) / {_SEG}.0) as long) - 1),"
         f" i -> md5(concat_ws(' ',"
         f" slice(toks, cast(i * {_SEG} + 1 as int), {_SEG}))))"
     )
-    segs = toks.select(
+    segs_big = big.select(
         "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg_h")
     )
+    segs = segs_small.unionByName(segs_big)
     w = W.partitionBy("seg_h").orderBy("doc_id", "seg_idx")
     return (
         segs.withColumn("rn", F.row_number().over(w))

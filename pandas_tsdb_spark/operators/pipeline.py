@@ -492,17 +492,45 @@ def pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(Tables(spark, sf_dir).documents).filter(
         F.col("text").isNotNull()
     )  # per-chunk md5 is the CPU
-    toks = d.select(
+    # ADAPTIVE chunk generation (round-6 big-doc probe; same split as
+    # dedup_lines, see llm_text._BIG_DOC_TOKENS): docs at or under the
+    # cutoff take the codegen explode+slice path (the carried-array
+    # quadratic term is capped and codegen is ~2x the interpreted
+    # lambda on normal docs); bigger docs build per-chunk (size, md5)
+    # structs inside ONE transform() and posexplode only the small
+    # struct — linear, cannot hang on a 4 MB document.
+    from pandas_tsdb_spark.operators.llm_text import _BIG_DOC_CHARS
+
+    # raw char-length predicate: a scan-column codegen compare, so the
+    # tokenizing split below runs once per ROW, not once per branch
+    small = d.filter(F.length("text") <= _BIG_DOC_CHARS).select(
         "doc_id",
         F.split("text", " ").alias("tokens"),
         F.size(F.split("text", " ")).alias("n_tok"),
     )
-    # Per-chunk (size, md5) pairs are built INSIDE one transform() over
-    # the doc's token array, then posexplode ships only the small
-    # struct per row. The previous shape (explode chunk_id, slice in a
-    # later projection) carried the WHOLE token array on every chunk
-    # row — O(tokens²/STRIDE) per doc, a hard hang on one real 4 MB
-    # document (round-6 big-doc probe; same fix as dedup_lines).
+    big = d.filter(F.length("text") > _BIG_DOC_CHARS).select(
+        "doc_id",
+        F.split("text", " ").alias("tokens"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    n_chunks_m1 = F.ceil(
+        F.greatest(F.col("n_tok") - _CHUNK, F.lit(0)) / F.lit(float(_STRIDE))
+    ).cast("long")
+    sl = F.slice(
+        "tokens", (F.col("chunk_id") * _STRIDE + 1).cast("int"), _CHUNK
+    )
+    idx_small = small.select(
+        "doc_id",
+        "tokens",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks_m1)).alias(
+            "chunk_id"
+        ),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.size(sl).alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_md5"),
+    )
     chunk_arr = F.expr(
         f"transform(sequence(0L, cast(ceil(greatest(n_tok - {_CHUNK}, 0)"
         f" / {_STRIDE}.0) as long)),"
@@ -512,13 +540,15 @@ def pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'chunk_md5', md5(concat_ws(' ',"
         f" slice(tokens, cast(i * {_STRIDE} + 1 as int), {_CHUNK})))))"
     )
-    idx = toks.select("doc_id", F.posexplode(chunk_arr).alias("pos", "c"))
-    return idx.select(
+    idx_big = big.select(
+        "doc_id", F.posexplode(chunk_arr).alias("pos", "c")
+    ).select(
         "doc_id",
         F.col("pos").cast("long").alias("chunk_id"),
         F.col("c.chunk_tokens").alias("chunk_tokens"),
         F.col("c.chunk_md5").alias("chunk_md5"),
     )
+    return idx_small.unionByName(idx_big)
 
 
 # --------------------------------------- temperature-scaled mixture weights
