@@ -73,7 +73,10 @@ EXPECTATIONS = {
     # groupBys BOTH ride the _spread doc_id partitioning (subset-key
     # clustering — the tpch_q21 trick); mixture-temperature is one
     # source agg + the single-partition window over |sources| rows.
-    "dedup_lines": (3, False),
+    # round-6 adaptive split: small/big doc branches each fan out via
+    # _spread (a no-op exchange on a real many-file table), so the
+    # union carries one extra local exchange
+    "dedup_lines": (4, False),
     "text_entropy": (1, False),
     "pipeline_mixture_temperature": (2, False),
     # round-2 additions: xcorr is ONE fact scan (conditional daily agg)
@@ -127,7 +130,8 @@ EXPECTATIONS = {
     # exchange of raw docs when the scan is a single under-split file —
     # a no-op on any real many-file table)
     "text_pii_scrub": (1, False),
-    "pipeline_chunk": (1, False),
+    # round-6 adaptive split (see dedup_lines)
+    "pipeline_chunk": (2, False),
     "win_holt": (1, False),
     "win_holt_blas": (1, False),
     # gini: one exchange serves the segment window AND the aggregate;
