@@ -139,72 +139,39 @@ _DRIVER_VERIFIED_R5 = frozenset({
     "win_rolling_median", "win_rolling_quantile", "win_rolling_rank",
     "win_rolling_skew", "win_rolling_slope",
 })
+_DRIVER_VERIFIED_R6 = frozenset({
+    "agg_crosstab", "agg_gini", "agg_pivot", "agg_quantiles_approx",
+    "agg_sketch_rollup", "agg_skew_kurt", "ann_ivf", "ann_ivf_pq", "ann_lsh",
+    "ann_pq", "corr_matrix", "dedup_embedding", "dedup_embedding_blas",
+    "dedup_lines", "dedup_recall", "fn_array", "fn_array_lambda",
+    "fn_bin_qcut", "fn_json", "fn_map", "join_asof_directions", "knn_label",
+    "knn_label_blas", "multimodal_binary", "multimodal_cols",
+    "multimodal_frames", "multimodal_phash_dedup", "multimodal_resize",
+    "pipeline_chunk", "reshape_melt", "scan_parquet", "scan_schema",
+    "sim_pairs_threshold", "sim_topk", "sink_parquet",
+    "store_maintenance_roundtrip", "stream_source", "stream_stateful",
+    "stream_stateful_rocksdb", "text_tfidf", "vec_pca", "vec_quantize_int8",
+    "win_downsample_lttb", "win_ewm_time", "win_expanding", "win_holt_blas",
+    "win_rolling_corr", "win_rolling_rows", "win_seasonal_dow", "win_xcorr",
+})
 _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R1 | _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3
-    | _DRIVER_VERIFIED_R4 | _DRIVER_VERIFIED_R5
+    | _DRIVER_VERIFIED_R4 | _DRIVER_VERIFIED_R5 | _DRIVER_VERIFIED_R6
 )
 
 # Ops whose registered builder was rewritten AFTER their last driver row
 # (oracles unchanged or co-rewritten, local null-injection harness green,
 # but the driver's hash signal for the shipped code is stale — re-rank them
 # ahead of never-sampled extras so the next round re-verifies the shipped
-# implementation). Round-5 entries: the null-semantics hardening pass
-# (output-gated NaN→NULL emits in holt/macd/kalman; null-aware
-# max_by/min_by in the resample family and merge_ordered; latest-row CDC
-# in upsert_cdc, whose oracle changed too).
+# implementation). Repopulated each round as rewrites land; all 33 round-6
+# entries were re-attested in CORRECTNESS_r06 and moved to
+# _DRIVER_VERIFIED_R6.
 _REVERIFY: list[str] = [
-    # round-6 rewrites of driver-attested builders: the stateful cumsum
-    # kernel now carries the UNROUNDED accumulator across micro-batches
-    # (ADVICE fix — both registered streams share the kernel), and
-    # dedup_recall's exact-dup truth excludes null text (its in-band
-    # raise_error floor makes the rows-only run a real assertion).
-    "stream_stateful", "stream_stateful_rocksdb", "dedup_recall",
-    # round-6 core-table null sweep (tests/test_core_nulls.py): six
-    # driver-attested builders/oracles rewritten for null semantics —
-    # crosstab totals counting null-status rows, gini/qcut excluding
-    # null observations before ranking (NULLS FIRST/LAST rank shifts),
-    # skew/kurt oracle keeping the NULL group (IS NOT DISTINCT FROM)
-    # and counting non-null observations, melt keeping NULL values
-    # (pandas semantics; SQL UNPIVOT drops them), array-lambda NULL
-    # p_size → NULL outputs with '' only for empty-but-present lists.
-    "agg_crosstab", "agg_gini", "agg_skew_kurt", "fn_array_lambda",
-    "fn_bin_qcut", "reshape_melt",
-    # round-6 props sweep: lenient JSON extraction (try_cast — the
-    # plain ANSI cast is a hard job failure on the first wrong-typed
-    # value), json_valid-guarded oracles, null-field-preserving
-    # re-serialization
-    "fn_json", "fn_map",
-    # round-6 dirty-embeddings sweep: the vector surface now EXCLUDES
-    # invalid embeddings (NULL/empty/zero-norm) uniformly in builders
-    # and oracles; fn_array stays lenient (structural ops, NULL out,
-    # try_element_at against the ANSI out-of-bounds crash)
-    "sim_topk", "sim_pairs_threshold", "knn_label", "vec_quantize_int8",
-    "dedup_embedding", "multimodal_cols", "fn_array",
-    # round-6 duplicate-timestamp sweep: the asof-directions oracle's
-    # nearest arm is now DERIVED from the backward/forward arms (same
-    # row, backward on distance ties) instead of an independently-
-    # ordered lookup that could disagree with the other two columns on
-    # duplicate purchase timestamps
-    "join_asof_directions",
-    # round-6 IEEE-specials contract: text_tfidf corpus count now rides
-    # the plan as a broadcast 1-row aggregate (same values)
-    "text_tfidf",
-    # round-6 Unicode sweep: the four multimodal oracles rewritten to
-    # true BYTE semantics (hex(encode(text)) walked two chars per
-    # byte) — identical on the ASCII fixtures, correct on any text
-    "multimodal_binary", "multimodal_frames", "multimodal_resize",
-    "multimodal_phash_dedup",
-    # round-6 big-doc sweep: segment/chunk generators rebuilt as
-    # transform+posexplode (linear per doc; the old shape carried the
-    # whole token array per exploded row and hung on one 4 MB doc)
-    "dedup_lines", "pipeline_chunk",
-    # round-6 rounding-boundary sweep: window means via exact
-    # integer-cents sums; the corr family computed from exact integer
-    # moments (DuckDB's windowed corr crashes on zero-variance frames;
-    # the engines' native scale-rounding disagrees on repr-half values
-    # like 1.005 — see registry.round_emit_col)
-    "win_expanding", "win_rolling_rows", "win_seasonal_dow",
-    "win_rolling_corr", "win_xcorr", "corr_matrix", "agg_pivot",
+    # round-7 ADVICE fixes: the three ANN families gained a
+    # tiny-collection clamp (codebook/ADC-table sizes follow the REAL
+    # trained codebooks, probe fan-out clamped to cells that exist) —
+    # rows-only entries; a fresh driver run re-attests the shipped code.
+    "ann_ivf", "ann_pq", "ann_ivf_pq",
 ]
 
 
@@ -233,12 +200,12 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
     # than one on an extra that has sat green locally for prior rounds
     # (all of r3/r4/r5's new-op lists landed driver rows and moved to
     # _DRIVER_VERIFIED_R3/R4/R5; repopulate as round-6 ops land).
-    _NEW_R6: list[str] = ["store_maintenance_roundtrip"]
+    _NEW_R7: list[str] = []
     tier4_pool = [n for n in specs
                   if n not in seen and n not in _DRIVER_VERIFIED
                   and specs[n].oracle is not None]
-    tier4 = [n for n in _NEW_R6 if n in tier4_pool] + [
-        n for n in tier4_pool if n not in _NEW_R6
+    tier4 = [n for n in _NEW_R7 if n in tier4_pool] + [
+        n for n in tier4_pool if n not in _NEW_R7
     ]
     seen |= set(tier4)
     # never-sampled rows-only extras: a run-only driver row is still a

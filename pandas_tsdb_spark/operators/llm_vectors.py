@@ -659,6 +659,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n = np.linalg.norm(m)
                     if n > 0:
                         Cn[c] = m / n
+        # tiny-collection boundary (1..n_cells-1 valid vectors): the
+        # seeded codebook is only len(samp_rows) rows, so probing more
+        # cells than exist would make probe() emit fewer cell columns
+        # than vec_id.repeat(nprobe) rows (pandas length mismatch).
+        nprobe = min(nprobe, len(Cn))
     else:
         Cn = None
 
@@ -1263,7 +1268,9 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         # per-query ADC tables: T[q, m, k] = ||q_sub - centroid||^2
-        T = np.empty((len(Qn), _PQ_M, _PQ_K))
+        # (sized by the REAL codebook, which is shorter than _PQ_K on
+        # tiny collections — the Lloyd seed is capped by sample size)
+        T = np.empty((len(Qn), _PQ_M, B.shape[1]))
         for m in range(_PQ_M):
             Sq = Qn[:, m * sub : (m + 1) * sub]
             T[:, m, :] = ((Sq[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
@@ -1583,7 +1590,13 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if len(members):
                         C[c] = members.mean(axis=0)
             books.append(C)
-        B = np.stack(books)  # (M, K, sub)
+        B = np.stack(books)  # (M, k_eff, sub)
+        # tiny-collection boundary: with fewer valid vectors than
+        # n_cells (or _PQ_K) the seeded codebooks are short — the ADC
+        # table and the probe fan-out must be sized by the REAL
+        # codebook shapes, not the requested geometry.
+        n_cells = len(Cn)
+        nprobe = min(nprobe, n_cells)
     else:
         sub, Cn, B = 0, None, None
 
@@ -1622,7 +1635,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # centroid per subspace vs that subspace's codebook — 20x32x8x16
         # doubles, trivially closure-broadcastable; only probed cells read.
         Rq = Qn[:, None, :] - Cn[None, :, :]  # (nq, cells, dim)
-        T = np.empty((len(Qn), n_cells, _PQ_M, _PQ_K))
+        T = np.empty((len(Qn), n_cells, _PQ_M, B.shape[1]))
         for m in range(_PQ_M):
             Sq = Rq[:, :, m * sub : (m + 1) * sub]
             T[:, :, m, :] = (

@@ -493,7 +493,7 @@ def pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )  # per-chunk md5 is the CPU
     # ADAPTIVE chunk generation (round-6 big-doc probe; same split as
-    # dedup_lines, see llm_text._BIG_DOC_TOKENS): docs at or under the
+    # dedup_lines, see llm_text._BIG_DOC_CHARS): docs at or under the
     # cutoff take the codegen explode+slice path (the carried-array
     # quadratic term is capped and codegen is ~2x the interpreted
     # lambda on normal docs); bigger docs build per-chunk (size, md5)

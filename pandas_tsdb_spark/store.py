@@ -94,7 +94,10 @@ class _WriterLease:
         unlink+create pair is a TOCTOU hole: breaker B (which statted
         before breaker A re-created a FRESH lease) would unlink A's
         live lease. Here B's rename would move A's fresh lease, but the
-        inode check catches the swap and B restores it and backs off."""
+        inode check catches the swap and B restores it with a
+        NO-REPLACE link(2) — so if a third waiter C slipped an O_EXCL
+        lease into the briefly-empty-path window, B cannot clobber C's
+        lease (B leaves the tombstone and backs off instead)."""
         import time
 
         try:
@@ -125,8 +128,24 @@ class _WriterLease:
             # the exact file whose staleness we verified.
             if (moved.st_ino, moved.st_mtime_ns) != (st.st_ino, st.st_mtime_ns):
                 # we moved a lease CREATED AFTER our staleness check —
-                # a live holder's. Put it back and treat it as held.
-                os.rename(tomb, self.path)
+                # a live holder's. Put it back with a no-replace
+                # primitive: a clobbering rename could overwrite a
+                # lease a THIRD waiter O_EXCL-created into the empty
+                # window, leaving two writers both believing they hold
+                # it. link(2) fails with EEXIST instead; in that case
+                # the new holder keeps its lease and we leave the
+                # tombstone (swept as a plain stale file later — it is
+                # dot-prefixed and never read as the lock path).
+                try:
+                    os.link(tomb, self.path)
+                except FileExistsError:
+                    return
+                except OSError:
+                    return
+                try:
+                    os.unlink(tomb)
+                except OSError:
+                    pass
                 return
         except OSError:
             return
@@ -715,7 +734,16 @@ class TsStore:
         path = self.path(name)
         rewritten = 0
         self._recover_opt_journals(path)
-        # legacy leftovers from the pre-round-6 directory-swap layout
+        # leftover stage dirs. Two shapes: legacy pre-round-6
+        # directory-swap leftovers (".opt.old"/".opt.tmp" exact), and
+        # txn-infixed stage dirs (".{part}.opt.{txn}.tmp") orphaned by
+        # a crash OUTSIDE the journaled window — after write.parquet
+        # but before the journal commit (nothing references the stage
+        # yet), or after os.unlink(jpath) but before shutil.rmtree
+        # (transaction complete, stage is garbage). Journal recovery
+        # already ran above and removed every stage a journal still
+        # references, and optimize() is single-writer under the lease,
+        # so any ".opt." stage dir still present here is an orphan.
         for entry in os.listdir(path):
             leftover = os.path.join(path, entry)
             if not entry.startswith(".") or not os.path.isdir(leftover):
@@ -726,7 +754,7 @@ class TsStore:
                     shutil.rmtree(leftover)
                 else:
                     os.rename(leftover, orig)
-            elif entry.endswith(".opt.tmp"):
+            elif ".opt." in entry and entry.endswith(".tmp"):
                 shutil.rmtree(leftover)
         for entry in sorted(os.listdir(path)):
             part_dir = os.path.join(path, entry)

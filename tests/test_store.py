@@ -883,3 +883,98 @@ def test_verify_reports_corrupt_files_and_fetch_fails_fast(
 
     with pytest.raises(Exception):
         store.fetch("ev").count()  # fail-fast, never silent data loss
+
+
+def test_stale_break_cannot_clobber_third_waiter(monkeypatch, tmp_path):
+    """Round-7 ADVICE fix: breaker B moves what turns out to be a LIVE
+    lease (A's, created after B's staleness check) to its tombstone;
+    while the lock path is briefly empty, waiter C O_EXCL-creates its
+    own lease. B's restore must be a NO-REPLACE primitive — the old
+    clobbering rename would overwrite C's lease, leaving A and C both
+    believing they hold the writer lease."""
+    import json
+    import time
+
+    from pandas_tsdb_spark import store as store_mod
+
+    series = str(tmp_path / "s")
+    lease_b = store_mod._WriterLease(series, "compact")
+    # the stale lease B observes
+    with open(lease_b.path, "w") as f:
+        json.dump({"pid": 1, "op": "stale"}, f)
+    old = time.time() - 10 * store_mod._LEASE_STALE_SECS
+    os.utime(lease_b.path, (old, old))
+    observed = os.stat(lease_b.path)
+    # A breaks the stale lease and creates a FRESH one before B resumes
+    os.unlink(lease_b.path)
+    with open(lease_b.path, "w") as f:
+        json.dump({"pid": 2, "op": "A-fresh"}, f)
+
+    real_rename = os.rename
+
+    def racy_rename(src, dst):
+        real_rename(src, dst)
+        if ".tomb." in str(dst):
+            # C slips an O_EXCL lease into the empty-path window
+            fd = os.open(lease_b.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                json.dump({"pid": 3, "op": "C-waiter"}, fh)
+
+    monkeypatch.setattr(os, "rename", racy_rename)
+    lease_b._break_observed(observed)
+    monkeypatch.undo()
+    # C's lease survived B's restore attempt — exactly one holder
+    with open(lease_b.path) as f:
+        assert json.load(f)["pid"] == 3
+    # A's displaced lease is left as the tombstone (B backed off)
+    tombs = [p for p in os.listdir(tmp_path) if ".tomb." in p]
+    assert len(tombs) == 1
+    with open(os.path.join(tmp_path, tombs[0])) as f:
+        assert json.load(f)["pid"] == 2
+
+
+def test_stale_break_restore_succeeds_when_path_free(monkeypatch, tmp_path):
+    """Complement: when NO waiter races into the window, the no-replace
+    restore must put A's live lease back and remove the tombstone."""
+    import json
+    import time
+
+    from pandas_tsdb_spark import store as store_mod
+
+    series = str(tmp_path / "s")
+    lease_b = store_mod._WriterLease(series, "compact")
+    with open(lease_b.path, "w") as f:
+        json.dump({"pid": 1, "op": "stale"}, f)
+    old = time.time() - 10 * store_mod._LEASE_STALE_SECS
+    os.utime(lease_b.path, (old, old))
+    observed = os.stat(lease_b.path)
+    os.unlink(lease_b.path)
+    with open(lease_b.path, "w") as f:
+        json.dump({"pid": 2, "op": "A-fresh"}, f)
+    fresh_ino = os.stat(lease_b.path).st_ino
+    lease_b._break_observed(observed)
+    assert os.path.exists(lease_b.path)
+    assert os.stat(lease_b.path).st_ino == fresh_ino
+    assert [p for p in os.listdir(tmp_path) if ".tomb." in p] == []
+
+
+def test_optimize_sweeps_orphan_txn_stage_dirs(spark, store, events):
+    """Round-7 ADVICE fix: a crash between the journal unlink and the
+    stage rmtree (or between write.parquet and the journal commit)
+    orphans a txn-infixed '.{part}.opt.{txn}.tmp' stage dir that no
+    journal references. The leftover sweep must remove it — the old
+    pattern only matched the legacy exact '.opt.tmp' suffix, so these
+    accumulated forever."""
+    store.append("events", events)
+    store.append("events", events)
+    path = store.path("events")
+    parts = sorted(e for e in os.listdir(path) if e.startswith("_date="))
+    assert parts
+    orphan = os.path.join(path, f".{parts[0]}.opt.deadbeef01.tmp")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000-junk.parquet"), "w") as f:
+        f.write("junk")
+    n_before = store.fetch("events").count()
+    store.optimize("events", min_files=2)
+    assert not os.path.exists(orphan)
+    assert store.fetch("events").count() == n_before
