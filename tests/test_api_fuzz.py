@@ -37,6 +37,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+
+pytestmark = pytest.mark.sweep
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -31,6 +31,8 @@ import time
 
 import pytest
 
+pytestmark = pytest.mark.sweep
+
 from pyspark.sql import functions as F
 
 from pandas_tsdb_spark.registry import load_all

@@ -27,6 +27,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.sweep
+
 from pandas_tsdb_spark.catalog import TABLE_NAMES
 from pandas_tsdb_spark.registry import load_all
 

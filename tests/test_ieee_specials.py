@@ -32,6 +32,8 @@ import shutil
 
 import pytest
 
+pytestmark = pytest.mark.sweep
+
 from pyspark.sql import functions as F
 
 from pandas_tsdb_spark.catalog import _MEASURE_DOUBLES

@@ -35,6 +35,8 @@ import shutil
 
 import pytest
 
+pytestmark = pytest.mark.sweep
+
 from pyspark.sql import functions as F
 
 from pandas_tsdb_spark.registry import load_all

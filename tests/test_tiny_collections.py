@@ -21,6 +21,8 @@ import shutil
 
 import pytest
 
+pytestmark = pytest.mark.sweep
+
 from pandas_tsdb_spark.catalog import TABLE_NAMES
 from pandas_tsdb_spark.registry import load_all
 

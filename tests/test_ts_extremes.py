@@ -21,6 +21,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.sweep
+
 from pyspark.sql import functions as F
 
 from pandas_tsdb_spark.catalog import Tables
