@@ -172,6 +172,13 @@ _REVERIFY: list[str] = [
     # trained codebooks, probe fan-out clamped to cells that exist) —
     # rows-only entries; a fresh driver run re-attests the shipped code.
     "ann_ivf", "ann_pq", "ann_ivf_pq",
+    # round-7 layout sweep: stage_stream_dir (shared by every stream
+    # builder) rewritten as a recursive mirror so hive-partitioned
+    # sources stream with partition-column discovery intact; re-attest
+    # the oracled streaming family on the shipped plumbing.
+    "stream_source", "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_watermark", "stream_dedup", "stream_sink", "stream_enrich",
+    "stream_m4", "stream_stream_join",
 ]
 
 

@@ -74,36 +74,47 @@ _US_3H = 3 * _US_1H
 
 def stage_stream_dir(sf_dir: str, table: str = "events") -> str:
     """Symlink `{sf_dir}/{table}.parquet` into a directory the file
-    stream source can list (it refuses bare file paths). Handles both
-    fixture shapes: a single parquet FILE (driver testdata) and a
-    Spark-written DATASET DIRECTORY (the scaled 256x/1024x fixtures) —
-    for a directory, each part file is linked individually, because a
-    dir symlinked under a file-named path neither lists as data nor
-    parses as a partition (UNABLE_TO_INFER_SCHEMA; round-5 catch at
-    sf256full)."""
+    stream source can list (it refuses bare file paths). Handles all
+    three fixture shapes: a single parquet FILE (driver testdata), a
+    flat DATASET DIRECTORY (the scaled 256x/1024x fixtures), and a
+    HIVE-PARTITIONED directory (round-7 layout sweep) — the source
+    tree is mirrored recursively with per-file symlinks, preserving
+    `key=value` partition dirs so the stream's partition-column
+    discovery sees exactly what a batch scan of the same path sees.
+    Each part file must be linked individually because a dir symlinked
+    under a file-named path neither lists as data nor parses as a
+    partition (UNABLE_TO_INFER_SCHEMA; round-5 catch at sf256full)."""
     import shutil
 
     src = os.path.realpath(f"{sf_dir.rstrip('/')}/{table}.parquet")
     key = hashlib.md5(src.encode()).hexdigest()[:12]
     d = os.path.join(_STAGE_ROOT, key, table)
-    # a stale stage from before this fixture existed (or from the
-    # single-file code path pointed at a dataset dir) holds links that
-    # resolve to directories — wipe and rebuild rather than trust it
-    if os.path.isdir(d) and any(
-        os.path.isdir(os.path.join(d, e)) for e in os.listdir(d)
-    ):
-        shutil.rmtree(d)
+    src_is_dir = os.path.isdir(src)
+    src_has_parts = src_is_dir and any(
+        os.path.isdir(os.path.join(src, e)) for e in os.listdir(src)
+    )
+    # a stale stage whose SHAPE disagrees with the source (flat links
+    # where the source now has partition dirs, or links that resolve to
+    # directories from the old single-file code path) — wipe and rebuild
+    if os.path.isdir(d):
+        stage_has_dirs = any(
+            os.path.isdir(os.path.join(d, e)) for e in os.listdir(d)
+        )
+        if stage_has_dirs != src_has_parts:
+            shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
-    if os.path.isdir(src):
-        for i, f in enumerate(
-            sorted(
-                f for f in os.listdir(src)
+    if src_is_dir:
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            tgt = d if rel == "." else os.path.join(d, rel)
+            os.makedirs(tgt, exist_ok=True)
+            for f in sorted(
+                f for f in files
                 if f.endswith(".parquet") and not f.startswith(".")
-            )
-        ):
-            link = os.path.join(d, f"part-{i:05d}.parquet")
-            if not os.path.exists(link):
-                os.symlink(os.path.join(src, f), link)
+            ):
+                link = os.path.join(tgt, f)
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(root, f), link)
     else:
         link = os.path.join(d, "part-00000.parquet")
         if not os.path.exists(link):

@@ -17,6 +17,22 @@ import pandas as pd
 from pandas_tsdb_spark.catalog import TABLE_NAMES
 
 
+def _table_source(sf_dir: str, t: str) -> str:
+    """DuckDB source expression for a fixture table under ANY layout:
+    single file (the driver's TESTDATA shape), a directory of part
+    files (multi-file restage), or a hive-partitioned directory.
+    Spark's scan handles all three with the same path; DuckDB needs an
+    explicit glob + hive flag."""
+    import os
+
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.isdir(p):
+        if any("=" in e for e in os.listdir(p)):
+            return f"read_parquet('{p}/**/*.parquet', hive_partitioning=1)"
+        return f"read_parquet('{p}/*.parquet')"
+    return f"read_parquet('{p}')"
+
+
 def duck_connect(
     sf_dir: str, sanitize_specials: bool = False
 ) -> duckdb.DuckDBPyConnection:
@@ -39,7 +55,7 @@ def duck_connect(
             repl = f" REPLACE ({parts})"
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT *{repl} FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"SELECT *{repl} FROM {_table_source(sf_dir, t)}"
         )
     return con
 
