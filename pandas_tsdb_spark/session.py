@@ -60,6 +60,15 @@ def get_spark(app_name: str = "pandas-tsdb-spark") -> SparkSession:
     overhead; on a real cluster this knob is surfaced via
     SPARK_GRAFT_SHUFFLE_PARTITIONS and AQE coalesces at runtime anyway.
     """
+    # Make the vendored protobuf visible to this session's python
+    # workers (un-gates transformWithStateInPandas; see protobuf_shim).
+    # Must run BEFORE the JVM launches — workers inherit the JVM env.
+    try:
+        from pandas_tsdb_spark.protobuf_shim import ensure_env
+
+        ensure_env()
+    except Exception:
+        pass
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     builder = (
