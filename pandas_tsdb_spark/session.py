@@ -78,6 +78,18 @@ def get_spark(app_name: str = "pandas-tsdb-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # v2 file-output committer: task outputs move to the destination
+        # at TASK commit (one rename pass, no job-commit second pass) and
+        # no _SUCCESS marker. Interleaved A/B on the partitioned-write
+        # query (tools/ab_floor.py q20, 9 reps): v1 median 0.759 s vs v2
+        # 0.681 s. Safe here because every engine write path lands in a
+        # fresh or dot-prefixed staging dir swept/journaled by the
+        # caller (TsStore) or a throwaway tmp dir (sink ops), so v2's
+        # partial-visibility-on-job-failure caveat cannot corrupt a
+        # reader. Driver-owned sessions are NOT touched (ensure_conf
+        # leaves committer choice to the deployment).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
