@@ -746,7 +746,16 @@ class TsStore:
         # so any ".opt." stage dir still present here is an orphan.
         for entry in os.listdir(path):
             leftover = os.path.join(path, entry)
-            if not entry.startswith(".") or not os.path.isdir(leftover):
+            if not entry.startswith("."):
+                continue
+            # a crash between the journal-tmp write and its atomic
+            # os.replace leaves a '.{part}.opt.journal.tmp' FILE no
+            # recovery path reads — plain garbage (round-7 kill-point
+            # sweep)
+            if entry.endswith(".opt.journal.tmp") and os.path.isfile(leftover):
+                os.unlink(leftover)
+                continue
+            if not os.path.isdir(leftover):
                 continue
             if entry.endswith(".opt.old"):
                 orig = os.path.join(path, entry[1 : -len(".opt.old")])
