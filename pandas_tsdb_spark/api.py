@@ -84,7 +84,7 @@ _ANCHOR_DAYS = {
 }
 
 
-def _calendar_bucket(freq: str, ts_col: str) -> Column | None:
+def _calendar_bucket(freq: str, ts_col: str | Column) -> Column | None:
     """pandas calendar/anchored resample labels, or None for fixed-width
     frequencies.
 
@@ -104,7 +104,7 @@ def _calendar_bucket(freq: str, ts_col: str) -> Column | None:
     n = int(m.group(1) or 1)
     unit = m.group(2).lower()
     anchor = (m.group(3) or "").lower()
-    d = F.to_date(F.col(ts_col))
+    d = F.to_date(F.col(ts_col) if isinstance(ts_col, str) else ts_col)
     if unit == "w" or unit == "week":
         day = _ANCHOR_DAYS.get(anchor or "sun")
         if day is None:
@@ -149,6 +149,29 @@ class TsFrame:
     ``by`` (str | list[str] | None): the per-series partition key. When
     None, series ops run over ONE global series — correct, but a single
     partition at scale; prefer a key.
+
+    TIMEZONE CONTRACT. The engine pins ``spark.sql.session.timeZone``
+    to UTC (session.RUNTIME_CONFS) and treats every timestamp column as
+    a UTC instant — naive input (the fixtures, pandas naive frames) IS
+    UTC. ``tz`` (e.g. ``"America/New_York"``) opts the CALENDAR surface
+    into local wall-clock semantics, matching pandas on a tz-aware
+    DatetimeIndex:
+
+    - ``resample`` with day/calendar frequencies (D, W/W-MON.., M, Q,
+      Y, B) buckets rows by their LOCAL date — a DST spring-forward day
+      is a real 23-hour bucket, fall-back 25 — and labels each bucket
+      with the UTC INSTANT of its local label midnight (what pandas
+      shows after ``.tz_convert("UTC").tz_localize(None)``).
+    - Sub-day frequencies keep instant semantics with or without tz,
+      exactly like pandas: a tz-aware '1h' resample bins by absolute
+      hour, so DST neither merges nor splits sub-day buckets.
+    - ``rolling(window="...")`` over a time range is duration-based on
+      instants — tz-invariant by definition — and is deliberately NOT
+      affected by ``tz`` (pandas behaves the same).
+    - The densifying fill paths (``asfreq``/``ffill``/``interpolate``)
+      are UTC-only: their calendar grids step fixed widths, which a
+      23/25-hour day breaks. They raise under ``tz`` rather than emit
+      silently-shifted grids.
     """
 
     def __init__(
@@ -157,16 +180,18 @@ class TsFrame:
         ts_col: str = "ts",
         by: str | Sequence[str] | None = None,
         order_col: str | None = None,
+        tz: str | None = None,
     ):
         self.df = df
         self.ts_col = ts_col
         self.by = [by] if isinstance(by, str) else list(by or [])
         self.order_col = order_col
+        self.tz = tz
 
     # -- plumbing ---------------------------------------------------------
 
     def _wrap(self, df: DataFrame) -> "TsFrame":
-        return TsFrame(df, self.ts_col, self.by, self.order_col)
+        return TsFrame(df, self.ts_col, self.by, self.order_col, self.tz)
 
     def _order(self) -> list[Column]:
         keys = [F.col(self.ts_col)]
@@ -1037,20 +1062,49 @@ class Resampler:
         self.tf = tf
         self.freq = freq
         self._cal_kind: str | None = None
-        cal = _calendar_bucket(freq, tf.ts_col)
+        # tz wall-clock path (TsFrame docstring "TIMEZONE CONTRACT"):
+        # day/calendar buckets are computed on the LOCAL wall time and
+        # the label converted back to its UTC instant; sub-day buckets
+        # keep instant semantics (pandas parity on tz-aware indexes).
+        wall = (
+            F.from_utc_timestamp(
+                F.col(tf.ts_col).cast("timestamp"), tf.tz
+            )
+            if tf.tz
+            else None
+        )
+
+        def _label(expr: Column) -> Column:
+            return (
+                F.to_utc_timestamp(expr, tf.tz) if tf.tz is not None else expr
+            )
+
+        cal = _calendar_bucket(
+            freq, wall if wall is not None else tf.ts_col
+        )
         if cal is not None:
             # W/W-MON/M/Q/Y/B: pandas-labeled calendar periods
-            self.bucket = cal
+            self.bucket = _label(cal)
             m = re.fullmatch(
                 r"(\d*)\s*([A-Za-z]+)(?:-([A-Za-z]+))?", freq.strip()
             )
             self._cal_kind = self._CAL_KIND[m.group(2).lower()]
             return
         n, unit = _parse_freq(freq)
+        is_day = _TRUNC_UNIT.get(unit) == "day"
+        if tf.tz and is_day and n != 1:
+            raise ValueError(
+                "tz-aware resample supports calendar frequencies and "
+                f"'1D' only (got {freq!r}): multi-day bins over DST "
+                "transitions have no fixed width"
+            )
         if unit in _TRUNC_UNIT and n == 1:
-            self.bucket = F.date_trunc(_TRUNC_UNIT[unit], F.col(tf.ts_col))
+            src = wall if (wall is not None and is_day) else F.col(tf.ts_col)
+            bucket = F.date_trunc(_TRUNC_UNIT[unit], src)
+            self.bucket = _label(bucket) if is_day else bucket
         else:
             # n-unit buckets: floor epoch-µs to the bucket width
+            # (sub-day: instant semantics, tz-invariant by contract)
             span = _freq_us(freq)
             us = F.unix_micros(F.col(tf.ts_col))
             self.bucket = F.timestamp_micros((us - (us % span)))
@@ -1160,6 +1214,13 @@ class Resampler:
         null rows. One groupBy for the buckets, one for the bounds,
         both on the series key — no global broadcast."""
         tf = self.tf
+        if tf.tz:
+            raise ValueError(
+                "tz-aware fill paths (asfreq/ffill/interpolate) are not "
+                "supported: the densifying grid steps fixed widths, "
+                "which 23/25-hour DST days break — resample in UTC or "
+                "fill in pandas (TsFrame docstring, TIMEZONE CONTRACT)"
+            )
         # "last in bucket" is TIME order with the order_col only as the
         # tie-break for equal timestamps (fuzz matrix 6: ordering by
         # order_col alone lets a later-rid-but-earlier-ts row win where
@@ -1207,6 +1268,13 @@ class Resampler:
         LABEL instant (midnight of the label day), matching pandas
         asfreq on the resampled index."""
         tf = self.tf
+        if tf.tz:
+            raise ValueError(
+                "tz-aware fill paths (asfreq/ffill/interpolate) are not "
+                "supported: the densifying grid steps fixed widths, "
+                "which 23/25-hour DST days break — resample in UTC or "
+                "fill in pandas (TsFrame docstring, TIMEZONE CONTRACT)"
+            )
         ok = tf.order_col or tf.ts_col
         us = F.unix_micros(F.col(tf.ts_col))
         if self._cal_kind:
