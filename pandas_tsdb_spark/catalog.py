@@ -199,7 +199,10 @@ def artifact_memo(spark: SparkSession, sf_dir: str, table: str, tag: str, fn):
     reuse a feature-store serving layer implements. Bounded by contract:
     every memoized artifact is small (query blocks are <= _N_QUERIES
     rows, codebooks are fixed-shape, checkpointed candidate sets are
-    proportional to true duplication), and the map clears at 64 entries.
+    proportional to true duplication), with LRU eviction at 64 entries
+    (round-7: the old full clear dropped every HOT artifact the moment
+    a 65th fixture appeared — a test session cycling tmp fixtures would
+    evict the bench fixtures' codebooks for no reason).
     """
     path = f"{sf_dir.rstrip('/')}/{table}.parquet"
     try:
@@ -209,11 +212,13 @@ def artifact_memo(spark: SparkSession, sf_dir: str, table: str, tag: str, fn):
         return fn()
     cache = getattr(spark, "_pandas_tsdb_artifact_cache", None)
     if cache is None:
-        cache = {}
+        cache = {}  # dicts iterate in insertion order: LRU via re-insert
         spark._pandas_tsdb_artifact_cache = cache
-    if key not in cache:
-        if len(cache) > 64:
-            cache.clear()
+    if key in cache:
+        cache[key] = cache.pop(key)  # refresh recency
+    else:
+        while len(cache) >= 64:
+            cache.pop(next(iter(cache)))  # evict least-recently-used
         cache[key] = fn()
     return cache[key]
 
