@@ -102,6 +102,17 @@ def stage_stream_dir(sf_dir: str, table: str = "events") -> str:
         )
         if stage_has_dirs != src_has_parts:
             shutil.rmtree(d)
+        else:
+            # a source dataset REWRITTEN under the same path with new
+            # part names leaves symlinks to deleted files — the file
+            # stream source lists the dangling link and dies on read.
+            # islink+!exists is exactly "dangling"; live links follow
+            # content changes automatically.
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    link = os.path.join(root, f)
+                    if os.path.islink(link) and not os.path.exists(link):
+                        os.unlink(link)
     os.makedirs(d, exist_ok=True)
     if src_is_dir:
         for root, _dirs, files in os.walk(src):

@@ -179,3 +179,27 @@ def test_tz_invariant_surfaces_unchanged(spark):
         .collect()
     )
     assert a == b
+
+
+def test_tz_resample_plan_stays_single_exchange(spark):
+    # the wall-clock conversion is two scalar expressions
+    # (from_utc_timestamp for bucketing, to_utc_timestamp on the
+    # label) — it must not add an exchange or drop to Python
+    idx, vals = _hourly("2024-03-08", "2024-03-12")
+    pdf = pd.DataFrame(
+        {
+            "ts": idx.tz_convert("UTC").tz_localize(None),
+            "k": ["a", "b"] * (len(idx) // 2),
+            "v": vals,
+        }
+    )
+    tf = TsFrame(spark.createDataFrame(pdf), "ts", by="k", tz=TZ)
+    plan = (
+        tf.resample("D")
+        .agg(F.sum("v").alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -628,3 +628,33 @@ def test_cumsum_kernel_carries_unrounded_state():
     assert abs(st.get[0] - 0.00024) < 1e-12
     # last emitted row rounds the FULL-precision sum: round(0.00024,4)
     assert outs[-1]["cum_value"].iloc[-1] == 0.0002
+
+
+def test_stage_stream_dir_prunes_dangling_links(tmp_path, spark):
+    """A source dataset REWRITTEN under the same path with different
+    part names must not leave dangling symlinks in the stage (the file
+    stream source lists them and dies on read) — round-7 hardening of
+    the recursive mirror."""
+    import glob
+    import shutil
+
+    src_root = str(tmp_path / "fix")
+    os.makedirs(src_root)
+    ev = S.batch_events(spark, SMALL).limit(100)
+    d1 = str(tmp_path / "w1")
+    ev.coalesce(1).write.parquet(d1)
+    ds = os.path.join(src_root, "events.parquet")
+    os.makedirs(ds)
+    shutil.copy(glob.glob(f"{d1}/part-*.parquet")[0], f"{ds}/part-aaaa.parquet")
+    stage1 = S.stage_stream_dir(src_root)
+    assert os.listdir(stage1)
+    # rewrite the dataset: old part gone, new name
+    os.unlink(f"{ds}/part-aaaa.parquet")
+    shutil.copy(glob.glob(f"{d1}/part-*.parquet")[0], f"{ds}/part-bbbb.parquet")
+    stage2 = S.stage_stream_dir(src_root)
+    assert stage2 == stage1
+    links = [os.path.join(stage2, f) for f in os.listdir(stage2)]
+    assert all(os.path.exists(p) for p in links), "dangling link survived"
+    # and the staged content is exactly the rewritten dataset
+    got = spark.read.parquet(stage2).count()
+    assert got == 100
