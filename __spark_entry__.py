@@ -207,7 +207,7 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
     # than one on an extra that has sat green locally for prior rounds
     # (all of r3/r4/r5's new-op lists landed driver rows and moved to
     # _DRIVER_VERIFIED_R3/R4/R5; repopulate as round-6 ops land).
-    _NEW_R7: list[str] = []
+    _NEW_R7: list[str] = ["win_resample_tz"]
     tier4_pool = [n for n in specs
                   if n not in seen and n not in _DRIVER_VERIFIED
                   and specs[n].oracle is not None]

@@ -325,6 +325,47 @@ def win_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_resample_tz",
+    oracle="""
+    WITH w AS (
+      SELECT timezone('America/New_York', timezone('UTC', ts)) AS wall,
+             event_type, value
+      FROM events)
+    SELECT timezone('UTC', timezone('America/New_York',
+               date_trunc('day', wall))) AS bucket,
+           event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM w GROUP BY 1, 2
+    """,
+)
+def win_resample_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample under a NAMED TIMEZONE (round-7 tz contract,
+    TsFrame docstring "TIMEZONE CONTRACT"): rows bucket by their LOCAL
+    America/New_York date and each bucket labels at the UTC instant of
+    its local midnight — pandas tz-aware `resample('D')` semantics. The
+    oracle mirrors the conversion chain exactly in DuckDB (naive-UTC ->
+    instant -> wall via timezone(), truncate, wall -> instant -> naive
+    UTC), so the driver's hash gate covers the wall-clock path, not
+    just local tests. DST-transition days (23/25 h) are covered by the
+    pandas differentials + hypothesis matrix in tests/test_api_tz.py
+    (the fixture spans January only).
+
+    Plan shape: the conversions are scalar expressions folded into the
+    groupBy key — one exchange, no Python (pinned in test_api_tz)."""
+    from pandas_tsdb_spark.api import TsFrame
+
+    ev = _ev(spark, sf_dir)
+    tf = TsFrame(ev, "ts", by="event_type", tz="America/New_York")
+    return (
+        tf.resample("D")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select("bucket", "event_type", "n", "total")
+    )
+
+
+@query(
     "win_resample_hour",
     oracle="""
     SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,

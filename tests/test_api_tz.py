@@ -203,3 +203,69 @@ def test_tz_resample_plan_stays_single_exchange(spark):
     )
     assert plan.count("Exchange") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- hypothesis matrix: random zones x irregular timestamps x freqs ------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# zones chosen for distinct failure modes: classic US DST, UK (transition
+# at 01:00), Lord Howe (30-MINUTE DST shift), Kathmandu (+05:45, no DST),
+# and UTC as the identity case. Zones whose transition touches local
+# MIDNIGHT (e.g. America/Santiago) are excluded on purpose: pandas itself
+# raises NonExistentTimeError on such labels and there is no behavior to
+# mirror.
+_ZONES = [
+    "America/New_York",
+    "Europe/London",
+    "Australia/Lord_Howe",
+    "Asia/Kathmandu",
+    "UTC",
+]
+_FREQS = ["D", "W-MON", "W-SUN", "ME"]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    zone=st.sampled_from(_ZONES),
+    freq=st.sampled_from(_FREQS),
+    start_day=st.integers(min_value=0, max_value=360),
+    step_min=st.integers(min_value=37, max_value=360),
+    n=st.integers(min_value=3, max_value=200),
+)
+def test_tz_resample_fuzz_vs_pandas(spark, zone, freq, start_day, step_min, n):
+    """Any zone, any irregular spacing, any calendar freq: bucket labels
+    and aggregates must match pandas exactly (labels compared as UTC
+    instants). Spacing is prime-ish minutes so timestamps land at odd
+    wall times, including inside DST transitions."""
+    idx = pd.DatetimeIndex(
+        pd.Timestamp("2024-01-01", tz="UTC")
+        + pd.to_timedelta(np.arange(n) * step_min + start_day * 1440, "min")
+    )
+    vals = np.arange(n, dtype="float64")
+    s = pd.Series(vals, index=idx.tz_convert(zone))
+    r = s.resample(freq).agg(["count", "sum"])
+    r = r[r["count"] > 0]
+    want = list(
+        zip(
+            r.index.tz_convert("UTC").tz_localize(None),
+            r["count"].astype(int),
+            r["sum"],
+        )
+    )
+    pdf = pd.DataFrame(
+        {"ts": idx.tz_convert("UTC").tz_localize(None), "v": vals}
+    )
+    tf = TsFrame(spark.createDataFrame(pdf), "ts", tz=zone)
+    got = [
+        (pd.Timestamp(row.bucket), int(row.n), float(row.s))
+        for row in tf.resample(freq)
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"))
+        .orderBy("bucket")
+        .collect()
+    ]
+    assert got == want, (zone, freq, start_day, step_min, n)
