@@ -222,7 +222,7 @@ _ZONES = [
     "Asia/Kathmandu",
     "UTC",
 ]
-_FREQS = ["D", "W-MON", "W-SUN", "ME"]
+_FREQS = ["D", "W-MON", "W-SUN", "ME", "QE", "YE"]
 
 
 @settings(

@@ -217,3 +217,50 @@ def test_lease_breaker_dies_between_tomb_and_create(tmp_path):
     assert not os.path.exists(lease2.path)
     # the tombstone never became the lock
     assert os.path.exists(tomb)
+
+
+def test_lease_contention_across_real_processes(tmp_path, monkeypatch):
+    """True MULTI-PROCESS lease law (the in-file tests simulate races
+    in-process): a child process acquires and HOLDS the writer lease —
+    the parent must be rejected while the child lives, and after the
+    child is SIGKILLed (no __exit__, heartbeat dead) the parent must
+    break the stale lease and acquire."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from pandas_tsdb_spark import store as store_mod
+
+    series = str(tmp_path / "s")
+    child_src = f"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pandas_tsdb_spark import store as store_mod
+store_mod._LEASE_STALE_SECS = 1.0
+with store_mod._WriterLease({series!r}, "compact"):
+    print("HELD", flush=True)
+    time.sleep(60)
+"""
+    monkeypatch.setattr(store_mod, "_LEASE_STALE_SECS", 1.0)
+    child = subprocess.Popen(
+        [sys.executable, "-c", child_src], stdout=subprocess.PIPE, text=True
+    )
+    try:
+        assert child.stdout.readline().strip() == "HELD"
+        # live holder (heartbeat running): parent is rejected, even
+        # after sleeping past the (shrunk) staleness bound
+        time.sleep(2.0)
+        with pytest.raises(store_mod.WriterLeaseHeld):
+            with store_mod._WriterLease(series, "optimize"):
+                pass  # pragma: no cover
+        # crash the holder: no release, no heartbeat -> lease goes stale
+        child.send_signal(signal.SIGKILL)
+        child.wait()
+        time.sleep(1.5)  # let the last heartbeat's mtime age past stale
+        with store_mod._WriterLease(series, "optimize") as lease:
+            assert os.path.exists(lease.path)
+        assert not os.path.exists(lease.path)
+    finally:
+        if child.poll() is None:
+            child.kill()
