@@ -269,3 +269,35 @@ def test_tz_resample_fuzz_vs_pandas(spark, zone, freq, start_day, step_min, n):
         .collect()
     ]
     assert got == want, (zone, freq, start_day, step_min, n)
+
+
+def test_tz_resample_last_and_ohlc_across_dst(spark):
+    """The edge/ohlc paths share _group()'s bucket, so they must follow
+    the same wall-clock days; pandas differential on last()."""
+    idx, vals = _hourly("2024-11-01", "2024-11-06")
+    s = pd.Series(vals, index=idx.tz_convert(TZ))
+    r = s.resample("D").last().dropna()
+    want = {
+        lab: v
+        for lab, v in zip(
+            r.index.tz_convert("UTC").tz_localize(None), r.values
+        )
+    }
+    pdf = pd.DataFrame(
+        {"ts": idx.tz_convert("UTC").tz_localize(None), "v": vals}
+    )
+    tf = TsFrame(spark.createDataFrame(pdf), "ts", tz=TZ)
+    got = {
+        pd.Timestamp(row.bucket): row.v
+        for row in tf.resample("D").last("v").collect()
+    }
+    assert got == want
+    # ohlc over the same buckets: open=first hour, close=last hour of
+    # each LOCAL day (25 hours on 2024-11-03)
+    ohlc = {
+        pd.Timestamp(row.bucket): (row.open, row.close)
+        for row in tf.resample("D").ohlc("v").collect()
+    }
+    po = s.resample("D").ohlc().dropna()
+    for lab, row in zip(po.index.tz_convert("UTC").tz_localize(None), po.itertuples()):
+        assert ohlc[lab] == (row.open, row.close)
