@@ -1,0 +1,313 @@
+"""Compositional plan fuzzing: random operator PIPELINES vs DuckDB.
+
+The 222 oracled differentials each exercise ONE operator shape; real
+workloads compose them, and composition is where engines disagree in
+ways no per-op test sees (filter pushed through a join changing null
+semantics, partial aggregation after a projection that renamed the key,
+limit-after-sort interacting with a distinct upstream...). This fuzzer
+generates seeded random pipelines over the TPC-H core tables and
+renders each pipeline TWICE from the same AST: once as a Spark
+DataFrame chain (the engine's native construction path — the same API
+the registry builders use) and once as nested DuckDB SQL. Results must
+match exactly under the harness comparator.
+
+Determinism doctrine (same as the registry):
+- numeric aggregates are exact: count(*), integer-cents sums
+  (sum2_col / oracle_sum2), min/max of raw parquet values (bit-identical
+  in both engines, no accumulation);
+- LIMIT is always preceded by ORDER BY over ALL output columns with
+  explicit NULLS FIRST (matching Spark's asc default), so the selected
+  prefix is deterministic as a multiset (ties are identical rows);
+- only the ms-precision date tables (lineitem/orders/customer) are
+  used — events.ts ns-truncation is a scan-contract concern tested
+  elsewhere;
+- modulo predicates on integer keys give scale-independent selectivity
+  without hardcoding value domains.
+
+Seeds 0..11 run in the fast tier; 12..149 under -m sweep.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pandas_tsdb_spark.registry import oracle_sum2, sum2_col
+
+SF = "/root/testdata/sf0.01"
+
+# (name, kind) per base table; kind drives predicate/agg choice.
+# int: exact integer key/counter; cents: 2-decimal double (raw values
+# bit-identical in parquet); cat: low-cardinality string; date:
+# midnight-only timestamp[ms].
+COLS = {
+    "lineitem": [
+        ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+        ("l_linenumber", "int"), ("l_quantity", "cents"),
+        ("l_extendedprice", "cents"), ("l_discount", "cents"),
+        ("l_tax", "cents"), ("l_returnflag", "cat"), ("l_linestatus", "cat"),
+        ("l_shipdate", "date"),
+    ],
+    "orders": [
+        ("o_orderkey", "int"), ("o_custkey", "int"),
+        ("o_totalprice", "cents"), ("o_orderstatus", "cat"),
+        ("o_orderdate", "date"), ("o_orderpriority", "cat"),
+    ],
+    "customer": [
+        ("c_custkey", "int"), ("c_nationkey", "int"),
+        ("c_acctbal", "cents"), ("c_mktsegment", "cat"),
+    ],
+}
+CAT_DOMAIN = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["F", "O"],
+    "o_orderstatus": ["P", "O", "F"],
+    "o_orderpriority": [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ],
+    "c_mktsegment": [
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+    ],
+}
+DATE_PIVOTS = {
+    "l_shipdate": ("1996-03-01", "1998-09-01", "2000-06-01"),
+    "o_orderdate": ("1996-01-01", "1998-06-01", "2000-01-01"),
+}
+CENTS_PIVOTS = {
+    "l_quantity": (10.0, 25.0, 40.0),
+    "l_extendedprice": (20000.0, 50000.0),
+    "l_discount": (0.03, 0.06),
+    "l_tax": (0.02, 0.05),
+    "o_totalprice": (50000.0, 150000.0),
+    "c_acctbal": (0.0, 4500.0),
+}
+# one-hop FK joins available while the left key column survives
+JOIN_MAP = {
+    "lineitem": ("orders", "l_orderkey", "o_orderkey"),
+    "orders": ("customer", "o_custkey", "c_custkey"),
+}
+
+
+class Rel:
+    """One pipeline state: a Spark DataFrame, the equivalent SQL text,
+    and the live schema (name, kind) list."""
+
+    def __init__(self, df, sql, cols):
+        self.df, self.sql, self.cols = df, sql, list(cols)
+
+    def kinds(self, *wanted):
+        return [c for c, k in self.cols if k in wanted]
+
+
+def _base(spark, rng: random.Random) -> tuple[Rel, str]:
+    t = rng.choice(list(COLS))
+    df = spark.read.parquet(f"{SF}/{t}.parquet")
+    return Rel(df, f"SELECT * FROM read_parquet('{SF}/{t}.parquet')", COLS[t]), t
+
+
+def _op_filter(rel: Rel, rng: random.Random) -> Rel:
+    from pyspark.sql import functions as F
+
+    c, k = rng.choice(rel.cols)
+    if k == "int":
+        m, r = rng.randint(2, 13), 0
+        r = rng.randint(0, m - 1)
+        cond_df = (F.col(c) % m) <= r
+        cond_sql = f"(({c} % {m}) <= {r})"
+    elif k == "cat":
+        dom = CAT_DOMAIN[c]
+        sub = rng.sample(dom, rng.randint(1, len(dom)))
+        cond_df = F.col(c).isin(sub)
+        vals = ", ".join(f"'{v}'" for v in sub)
+        cond_sql = f"({c} IN ({vals}))"
+    elif k == "date":
+        # derived min_/max_ date columns share the source column's pivots
+        src = c.split("_", 1)[1] if c[:4] in ("min_", "max_") else c
+        p = rng.choice(DATE_PIVOTS.get(src) or DATE_PIVOTS["o_orderdate"])
+        if rng.random() < 0.5:
+            cond_df = F.col(c) >= F.lit(p).cast("timestamp")
+            cond_sql = f"({c} >= TIMESTAMP '{p} 00:00:00')"
+        else:
+            cond_df = F.col(c) < F.lit(p).cast("timestamp")
+            cond_sql = f"({c} < TIMESTAMP '{p} 00:00:00')"
+    else:  # cents
+        # derived columns (integer-cents sums) get generic thresholds
+        p = rng.choice(CENTS_PIVOTS.get(c, (0.0, 100.0, 10000.0)))
+        if rng.random() < 0.5:
+            cond_df, cond_sql = F.col(c) <= p, f"({c} <= {p})"
+        else:
+            cond_df, cond_sql = F.col(c) > p, f"({c} > {p})"
+    return Rel(
+        rel.df.filter(cond_df),
+        f"SELECT * FROM ({rel.sql}) t WHERE {cond_sql}",
+        rel.cols,
+    )
+
+
+def _op_project(rel: Rel, rng: random.Random, tag: int) -> Rel:
+    """``tag`` (the pipeline step index) makes computed-column names
+    unique: Spark tolerates duplicate output names (until a later
+    reference is ambiguous) while DuckDB silently renames the second
+    one to ``x_1`` — a renderer divergence, not an engine one."""
+    from pyspark.sql import functions as F
+
+    keep = rng.sample(rel.cols, rng.randint(1, len(rel.cols)))
+    exprs_df = [F.col(c) for c, _ in keep]
+    exprs_sql = [c for c, _ in keep]
+    cols = list(keep)
+    ints = rel.kinds("int")
+    if ints and rng.random() < 0.6:
+        a = rng.choice(ints)
+        m = rng.randint(3, 9)
+        exprs_df.append((F.col(a) % m).alias(f"x_mod{tag}"))
+        exprs_sql.append(f"({a} % {m}) AS x_mod{tag}")
+        cols.append((f"x_mod{tag}", "int"))
+    if len(ints) >= 2 and rng.random() < 0.4:
+        a, b = rng.sample(ints, 2)
+        exprs_df.append((F.col(a) + F.col(b)).alias(f"x_sum{tag}"))
+        exprs_sql.append(f"({a} + {b}) AS x_sum{tag}")
+        cols.append((f"x_sum{tag}", "int"))
+    return Rel(
+        rel.df.select(*exprs_df),
+        f"SELECT {', '.join(exprs_sql)} FROM ({rel.sql}) t",
+        cols,
+    )
+
+
+def _op_join(rel: Rel, spark, base: str, rng: random.Random) -> Rel | None:
+    from pyspark.sql import functions as F
+
+    hop = JOIN_MAP.get(base)
+    if hop is None:
+        return None
+    t2, lk, rk = hop
+    if lk not in [c for c, _ in rel.cols]:
+        return None  # key projected away
+    right = spark.read.parquet(f"{SF}/{t2}.parquet")
+    how = rng.choice(["inner", "left"])
+    joined = rel.df.join(right, F.col(lk) == F.col(rk), how)
+    sql_how = {"inner": "JOIN", "left": "LEFT JOIN"}[how]
+    sql = (
+        f"SELECT * FROM ({rel.sql}) a {sql_how} "
+        f"read_parquet('{SF}/{t2}.parquet') b ON a.{lk} = b.{rk}"
+    )
+    return Rel(joined, sql, rel.cols + COLS[t2])
+
+
+def _op_groupby(rel: Rel, rng: random.Random) -> Rel | None:
+    from pyspark.sql import functions as F
+
+    groupable = rel.kinds("cat", "date", "int")
+    numeric = rel.kinds("cents", "int")
+    if not groupable:
+        return None
+    keys = rng.sample(groupable, min(len(groupable), rng.randint(1, 2)))
+    kinds = dict(rel.cols)
+    aggs_df = [F.count(F.lit(1)).alias("cnt")]
+    aggs_sql = ["count(*) AS cnt"]
+    cols = [(k, kinds[k]) for k in keys] + [("cnt", "int")]
+    for c in rng.sample(numeric, min(len(numeric), 2)):
+        if kinds[c] == "cents":
+            aggs_df.append(sum2_col(c).alias(f"s_{c}"))
+            aggs_sql.append(f"{oracle_sum2(c)} AS s_{c}")
+            cols.append((f"s_{c}", "cents"))
+        else:
+            fn = rng.choice(["min", "max"])
+            aggs_df.append(getattr(F, fn)(c).alias(f"{fn}_{c}"))
+            aggs_sql.append(f"{fn}({c}) AS {fn}_{c}")
+            cols.append((f"{fn}_{c}", "int"))
+    return Rel(
+        rel.df.groupBy(*keys).agg(*aggs_df),
+        f"SELECT {', '.join(keys + aggs_sql)} FROM ({rel.sql}) t "
+        f"GROUP BY {', '.join(keys)}",
+        cols,
+    )
+
+
+def _op_distinct(rel: Rel, rng: random.Random) -> Rel | None:
+    from pyspark.sql import functions as F
+
+    low_card = rel.kinds("cat")
+    if not low_card:
+        return None
+    keep = rng.sample(low_card, rng.randint(1, len(low_card)))
+    kinds = dict(rel.cols)
+    return Rel(
+        rel.df.select(*[F.col(c) for c in keep]).distinct(),
+        f"SELECT DISTINCT {', '.join(keep)} FROM ({rel.sql}) t",
+        [(c, kinds[c]) for c in keep],
+    )
+
+
+def _op_sort_limit(rel: Rel, rng: random.Random) -> Rel:
+    from pyspark.sql import functions as F
+
+    n = rng.choice([7, 50, 300])
+    order_df, order_sql = [], []
+    for c, _ in rel.cols:
+        if rng.random() < 0.5:
+            order_df.append(F.col(c).asc_nulls_first())
+            order_sql.append(f"{c} ASC NULLS FIRST")
+        else:
+            order_df.append(F.col(c).desc_nulls_last())
+            order_sql.append(f"{c} DESC NULLS LAST")
+    return Rel(
+        rel.df.orderBy(*order_df).limit(n),
+        f"SELECT * FROM ({rel.sql}) t ORDER BY {', '.join(order_sql)} LIMIT {n}",
+        rel.cols,
+    )
+
+
+def build_pipeline(spark, seed: int) -> Rel:
+    rng = random.Random(seed)
+    rel, base = _base(spark, rng)
+    n_steps = rng.randint(1, 5)
+    grouped = False
+    joined = False
+    for step in range(n_steps):
+        roll = rng.random()
+        if roll < 0.35:
+            rel = _op_filter(rel, rng)
+        elif roll < 0.55:
+            rel = _op_project(rel, rng, step)
+        elif roll < 0.70 and not joined and not grouped:
+            nxt = _op_join(rel, spark, base, rng)
+            if nxt is not None:
+                rel, joined = nxt, True
+        elif roll < 0.90 and not grouped:
+            nxt = _op_groupby(rel, rng)
+            if nxt is not None:
+                rel, grouped = nxt, True
+        elif not grouped:
+            nxt = _op_distinct(rel, rng)
+            if nxt is not None:
+                rel, grouped = nxt, True
+    if rng.random() < 0.4:
+        rel = _op_sort_limit(rel, rng)
+    return rel
+
+
+def _run(spark, seed: int) -> None:
+    import duckdb
+
+    from tests.harness import compare
+
+    rel = build_pipeline(spark, seed)
+    sp = rel.df.toPandas()
+    du = duckdb.connect().execute(rel.sql).fetchdf()
+    errs = compare(sp, du, f"compose_seed{seed}")
+    assert not errs, (errs[:5], rel.sql)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_compose_smoke(spark, seed):
+    """Fast-tier subset: 12 seeded pipelines."""
+    _run(spark, seed)
+
+
+@pytest.mark.sweep
+@pytest.mark.parametrize("seed", range(12, 150))
+def test_compose_sweep(spark, seed):
+    """Sweep tier: 138 more seeded pipelines."""
+    _run(spark, seed)
