@@ -5,11 +5,13 @@ workloads compose them, and composition is where engines disagree in
 ways no per-op test sees (filter pushed through a join changing null
 semantics, partial aggregation after a projection that renamed the key,
 limit-after-sort interacting with a distinct upstream...). This fuzzer
-generates seeded random pipelines over the TPC-H core tables and
-renders each pipeline TWICE from the same AST: once as a Spark
-DataFrame chain (the engine's native construction path — the same API
-the registry builders use) and once as nested DuckDB SQL. Results must
-match exactly under the harness comparator.
+generates seeded random pipelines — filter / project / FK join /
+groupBy-agg / distinct / rank-window / union-intersect-except branches
+/ sort+limit — over the TPC-H core tables and renders each pipeline
+TWICE from the same AST: once as a Spark DataFrame chain (the engine's
+native construction path — the same API the registry builders use) and
+once as nested DuckDB SQL. Results must match exactly under the
+harness comparator.
 
 Determinism doctrine (same as the registry):
 - numeric aggregates are exact: count(*), integer-cents sums
@@ -240,6 +242,54 @@ def _op_distinct(rel: Rel, rng: random.Random) -> Rel | None:
     )
 
 
+def _op_window(rel: Rel, rng: random.Random, tag: int) -> Rel | None:
+    """rank()/dense_rank() over a categorical partition: unlike
+    row_number, both are TIE-STABLE (equal sort keys share a rank), so
+    the value is deterministic without a unique tie-break column.
+    Explicit null placement on both sides (Spark asc defaults nulls
+    first, DuckDB ASC defaults NULLS LAST — they disagree silently)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cats = rel.kinds("cat")
+    nums = rel.kinds("int", "cents")
+    if not cats or not nums:
+        return None
+    part, val = rng.choice(cats), rng.choice(nums)
+    fn = rng.choice(["rank", "dense_rank"])
+    name = f"w_{fn}{tag}"
+    if rng.random() < 0.5:
+        order_df, order_sql = F.col(val).asc_nulls_first(), "ASC NULLS FIRST"
+    else:
+        order_df, order_sql = F.col(val).desc_nulls_last(), "DESC NULLS LAST"
+    w = Window.partitionBy(part).orderBy(order_df)
+    return Rel(
+        rel.df.withColumn(name, getattr(F, fn)().over(w)),
+        f"SELECT *, {fn}() OVER (PARTITION BY {part} ORDER BY {val} "
+        f"{order_sql}) AS {name} FROM ({rel.sql}) t",
+        rel.cols + [(name, "int")],
+    )
+
+
+def _op_setop(rel: Rel, rng: random.Random) -> Rel:
+    """Two independently-filtered branches of the SAME relation,
+    recombined: UNION ALL (rows matching both appear twice), INTERSECT
+    (distinct semantics in both engines), or EXCEPT ALL (multiset
+    difference — Spark exceptAll)."""
+    b1, b2 = _op_filter(rel, rng), _op_filter(rel, rng)
+    kind = rng.choice(["union_all", "intersect", "except_all"])
+    if kind == "union_all":
+        df = b1.df.unionByName(b2.df)
+        sql = f"({b1.sql}) UNION ALL ({b2.sql})"
+    elif kind == "intersect":
+        df = b1.df.intersect(b2.df)
+        sql = f"({b1.sql}) INTERSECT ({b2.sql})"
+    else:
+        df = b1.df.exceptAll(b2.df)
+        sql = f"({b1.sql}) EXCEPT ALL ({b2.sql})"
+    return Rel(df, sql, rel.cols)
+
+
 def _op_sort_limit(rel: Rel, rng: random.Random) -> Rel:
     from pyspark.sql import functions as F
 
@@ -267,18 +317,24 @@ def build_pipeline(spark, seed: int) -> Rel:
     joined = False
     for step in range(n_steps):
         roll = rng.random()
-        if roll < 0.35:
+        if roll < 0.30:
             rel = _op_filter(rel, rng)
-        elif roll < 0.55:
+        elif roll < 0.45:
             rel = _op_project(rel, rng, step)
-        elif roll < 0.70 and not joined and not grouped:
+        elif roll < 0.58 and not joined and not grouped:
             nxt = _op_join(rel, spark, base, rng)
             if nxt is not None:
                 rel, joined = nxt, True
-        elif roll < 0.90 and not grouped:
+        elif roll < 0.72 and not grouped:
             nxt = _op_groupby(rel, rng)
             if nxt is not None:
                 rel, grouped = nxt, True
+        elif roll < 0.80:
+            nxt = _op_window(rel, rng, step)
+            if nxt is not None:
+                rel = nxt
+        elif roll < 0.88:
+            rel = _op_setop(rel, rng)
         elif not grouped:
             nxt = _op_distinct(rel, rng)
             if nxt is not None:

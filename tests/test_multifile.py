@@ -10,7 +10,7 @@ before array_sort, first/last without a full ordering, row_number ties,
 limit without a total order — stays green on one file and fires on
 every real layout.
 
-Two restaged variants of sf0.01, both byte-faithful (pyarrow rewrite,
+Four restaged variants of sf0.01, all byte-faithful (pyarrow rewrite,
 physical types preserved — verified by a per-table checksum test):
 
 - ``multifile``: every table becomes a DIRECTORY of 4 part files with
@@ -21,6 +21,18 @@ physical types preserved — verified by a per-table checksum test):
   embeddings/label, events/event_type); dims stay single-file. This
   also moves the partition column out of the data files and to the END
   of the read schema — the column-order/partition-inference surface.
+- ``shuffled``: single file per table, rows under a deterministic FULL
+  random permutation, written with small row groups (2048 rows). The
+  striped variant permutes order only ACROSS files (within-file
+  relative order survives); this one destroys it entirely and, with
+  ~30 row groups per big table of non-clustered data, exercises
+  row-group statistics (min/max spans widen to the full domain, so
+  predicate pushdown must filter rows, not skip groups) and Spark's
+  within-file split ordering.
+- ``codec``: single file per table, original row order, but zstd
+  compression + parquet DATA PAGE V2 + dictionary encoding OFF — the
+  decoder-path axis (the originals are snappy/v1/dictionary-on).
+  Values must survive any standard codec/encoding choice untouched.
 
 The differential runs Spark on the RESTAGED layout against DuckDB on
 the ORIGINAL single-file layout: every oracled query is contractually
@@ -65,7 +77,7 @@ def _stripe(table, n_files):
     return [table.take(pa.array(range(i, n, n_files))) for i in range(n_files)]
 
 
-@pytest.fixture(scope="module", params=["multifile", "hive"])
+@pytest.fixture(scope="module", params=["multifile", "hive", "shuffled", "codec"])
 def layout_stage(request, tmp_path_factory):
     import pyarrow.dataset as ds
     import pyarrow.parquet as pq
@@ -82,6 +94,26 @@ def layout_stage(request, tmp_path_factory):
             os.makedirs(d)
             for i, chunk in enumerate(_stripe(tb, 4)):
                 pq.write_table(chunk, f"{d}/part-{i:05d}.parquet")
+        elif layout == "shuffled":
+            import numpy as np
+            import pyarrow as pa
+
+            tb = pq.read_table(src)
+            perm = np.random.RandomState(7).permutation(tb.num_rows)
+            pq.write_table(
+                tb.take(pa.array(perm)),
+                f"{stage}/{t}.parquet",
+                row_group_size=2048,
+            )
+        elif layout == "codec":
+            tb = pq.read_table(src)
+            pq.write_table(
+                tb,
+                f"{stage}/{t}.parquet",
+                compression="zstd",
+                use_dictionary=False,
+                data_page_version="2.0",
+            )
         elif t in _HIVE_KEYS:
             import pyarrow as pa
 
