@@ -26,7 +26,8 @@ Determinism doctrine (same as the registry):
 - modulo predicates on integer keys give scale-independent selectivity
   without hardcoding value domains.
 
-Seeds 0..11 run in the fast tier; 12..149 under -m sweep.
+Seeds 0..11 run in the fast tier; 12..299 plus an sf0.1 tier under
+-m sweep.
 """
 
 from __future__ import annotations
@@ -102,10 +103,10 @@ class Rel:
         return [c for c, k in self.cols if k in wanted]
 
 
-def _base(spark, rng: random.Random) -> tuple[Rel, str]:
+def _base(spark, rng: random.Random, sf: str) -> tuple[Rel, str]:
     t = rng.choice(list(COLS))
-    df = spark.read.parquet(f"{SF}/{t}.parquet")
-    return Rel(df, f"SELECT * FROM read_parquet('{SF}/{t}.parquet')", COLS[t]), t
+    df = spark.read.parquet(f"{sf}/{t}.parquet")
+    return Rel(df, f"SELECT * FROM read_parquet('{sf}/{t}.parquet')", COLS[t]), t
 
 
 def _op_filter(rel: Rel, rng: random.Random) -> Rel:
@@ -177,7 +178,7 @@ def _op_project(rel: Rel, rng: random.Random, tag: int) -> Rel:
     )
 
 
-def _op_join(rel: Rel, spark, base: str, rng: random.Random) -> Rel | None:
+def _op_join(rel: Rel, spark, base: str, rng: random.Random, sf: str) -> Rel | None:
     from pyspark.sql import functions as F
 
     hop = JOIN_MAP.get(base)
@@ -186,13 +187,13 @@ def _op_join(rel: Rel, spark, base: str, rng: random.Random) -> Rel | None:
     t2, lk, rk = hop
     if lk not in [c for c, _ in rel.cols]:
         return None  # key projected away
-    right = spark.read.parquet(f"{SF}/{t2}.parquet")
+    right = spark.read.parquet(f"{sf}/{t2}.parquet")
     how = rng.choice(["inner", "left"])
     joined = rel.df.join(right, F.col(lk) == F.col(rk), how)
     sql_how = {"inner": "JOIN", "left": "LEFT JOIN"}[how]
     sql = (
         f"SELECT * FROM ({rel.sql}) a {sql_how} "
-        f"read_parquet('{SF}/{t2}.parquet') b ON a.{lk} = b.{rk}"
+        f"read_parquet('{sf}/{t2}.parquet') b ON a.{lk} = b.{rk}"
     )
     return Rel(joined, sql, rel.cols + COLS[t2])
 
@@ -309,9 +310,9 @@ def _op_sort_limit(rel: Rel, rng: random.Random) -> Rel:
     )
 
 
-def build_pipeline(spark, seed: int) -> Rel:
+def build_pipeline(spark, seed: int, sf: str = SF) -> Rel:
     rng = random.Random(seed)
-    rel, base = _base(spark, rng)
+    rel, base = _base(spark, rng, sf)
     n_steps = rng.randint(1, 5)
     grouped = False
     joined = False
@@ -322,7 +323,7 @@ def build_pipeline(spark, seed: int) -> Rel:
         elif roll < 0.45:
             rel = _op_project(rel, rng, step)
         elif roll < 0.58 and not joined and not grouped:
-            nxt = _op_join(rel, spark, base, rng)
+            nxt = _op_join(rel, spark, base, rng, sf)
             if nxt is not None:
                 rel, joined = nxt, True
         elif roll < 0.72 and not grouped:
@@ -344,12 +345,12 @@ def build_pipeline(spark, seed: int) -> Rel:
     return rel
 
 
-def _run(spark, seed: int) -> None:
+def _run(spark, seed: int, sf: str = SF) -> None:
     import duckdb
 
     from tests.harness import compare
 
-    rel = build_pipeline(spark, seed)
+    rel = build_pipeline(spark, seed, sf)
     sp = rel.df.toPandas()
     du = duckdb.connect().execute(rel.sql).fetchdf()
     errs = compare(sp, du, f"compose_seed{seed}")
@@ -363,7 +364,17 @@ def test_compose_smoke(spark, seed):
 
 
 @pytest.mark.sweep
-@pytest.mark.parametrize("seed", range(12, 150))
+@pytest.mark.parametrize("seed", range(12, 300))
 def test_compose_sweep(spark, seed):
-    """Sweep tier: 138 more seeded pipelines."""
+    """Sweep tier: 288 more seeded pipelines."""
     _run(spark, seed)
+
+
+@pytest.mark.sweep
+@pytest.mark.parametrize("seed", range(24))
+def test_compose_sf01(spark, seed):
+    """The same pipeline generator at sf0.1 — 10x the rows through
+    every generated plan, catching anything whose agreement with the
+    oracle was an artifact of small data (float accumulation spans,
+    single-row-group scans, broadcast-everything plans)."""
+    _run(spark, seed, "/root/testdata/sf0.1")

@@ -1,0 +1,139 @@
+"""Round-7 sweep #14: PHYSICAL-CONFIG invariance over the whole registry.
+
+Every driver differential runs under one physical configuration (AQE on,
+whole-stage codegen on, 32 shuffle partitions, auto-broadcast on). On a
+real cluster none of those are constants: AQE re-plans at runtime,
+codegen falls back to interpreted mode on expression-tree size limits,
+shuffle parallelism is sized to the data, and broadcast joins flip to
+sort-merge when the dim outgrows the threshold. A query whose RESULT
+depends on any of those knobs is broken in a way the fixed-config
+differential can never see — exactly the class the 614M-row layout A/B
+(BASELINE.md round-7) proved out for six queries; this sweep closes it
+for all 240.
+
+Three maximally-perturbed profiles, each replaying the full registry
+against the UNCHANGED DuckDB oracles:
+
+- ``interpreted``: AQE off + whole-stage codegen off — every operator
+  takes the interpreted (Volcano) evaluation path instead of generated
+  code, and the plan is the static one Catalyst picked with no runtime
+  re-planning. Distinct arithmetic/NULL-handling code paths end to end.
+- ``serial_smj``: ONE shuffle partition + auto-broadcast disabled (both
+  static and AQE thresholds) — every equi-join becomes sort-merge,
+  every aggregation funnels through a single reducer, so partial-agg
+  merge ORDER and join strategy both change. Float sums that only agree
+  with the oracle under one partial-merge order fire here.
+- ``spill``: window / sort-merge-join / session-window buffers forced
+  to spill every 128 rows and hash aggregation forced into its
+  sort-based fallback — the disk-backed operator implementations that
+  only engage under real memory pressure.
+
+Results must be bit-identical either way: the registry's determinism
+doctrine (integer-cents sums, engine-aligned rounding, total
+tie-breaks) claims independence from physical execution — this sweep
+is that claim, tested.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+pytestmark = pytest.mark.sweep
+
+from pandas_tsdb_spark.registry import load_all
+
+SF = "/root/testdata/sf0.01"
+SPECS = load_all()
+ALL_OPS = sorted(SPECS)
+
+PROFILES: dict[str, dict[str, str]] = {
+    "interpreted": {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.codegen.wholeStage": "false",
+    },
+    "serial_smj": {
+        "spark.sql.shuffle.partitions": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    },
+    # the 100 TB memory-pressure paths, forced at fixture scale: window
+    # and sort-merge-join buffers spill every 128 rows, hash aggregation
+    # falls back to sort-based after 7 distinct keys — the external
+    # (disk-backed) implementations of the three stateful operators,
+    # which NEVER fire on a 60k-row fixture under default thresholds
+    # and ALWAYS fire on a real cluster partition.
+    "spill": {
+        "spark.sql.windowExec.buffer.spill.threshold": "128",
+        "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "128",
+        "spark.sql.sessionWindow.buffer.spill.threshold": "128",
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "7",
+    },
+}
+
+
+@pytest.fixture(scope="module", params=list(PROFILES))
+def config_profile(request, spark):
+    """Apply one perturbed profile for the module, restore after."""
+    name = request.param
+    saved: dict[str, str | None] = {}
+    for k, v in PROFILES[name].items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    yield name
+    for k, old in saved.items():
+        if old is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, old)
+
+
+def _plan_str(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_profiles_have_teeth(spark, config_profile):
+    """Negative control: each profile must actually CHANGE the physical
+    execution, or a green differential proves nothing. interpreted:
+    whole-stage codegen absent from the plan; serial_smj: the FK join
+    that default-plans as broadcast becomes sort-merge; spill: the
+    forced thresholds are visible in the session conf (the spill itself
+    happens inside the external sorters at runtime)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    j = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+    plan = _plan_str(j)
+    if config_profile == "interpreted":
+        assert "WholeStageCodegen" not in plan, plan[:2000]
+        assert "AdaptiveSparkPlan" not in plan, plan[:2000]
+    elif config_profile == "serial_smj":
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "BroadcastHashJoin" not in plan, plan[:2000]
+    else:  # spill
+        assert spark.conf.get("spark.sql.windowExec.buffer.spill.threshold") == "128"
+        # and the default plan is UNCHANGED (spill thresholds alter
+        # runtime memory behavior, not plan choice)
+        assert "Join" in plan
+
+
+@pytest.mark.parametrize("name", ALL_OPS)
+def test_config_differential(spark, config_profile, name):
+    """Spark under a perturbed physical config vs DuckDB on the same
+    data: deterministic queries must not notice the physical config."""
+    from tests.harness import compare, duck_connect
+
+    spec = SPECS[name]
+    sp = spec.builder(spark, SF).toPandas()
+    if spec.oracle is None:
+        assert len(sp) >= 0  # run-only: materialized without crashing
+        return
+    con = duck_connect(SF)
+    du = con.execute(spec.oracle).fetchdf()
+    errs = compare(sp, du, name)
+    assert not errs, errs[:5]

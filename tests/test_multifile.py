@@ -161,6 +161,34 @@ def test_restage_is_byte_faithful(layout_stage):
         assert orig[0] == a[0]
 
 
+def test_shuffled_restage_has_teeth(layout_stage):
+    """Negative control: the adversary must be REAL. For the order-
+    perturbing layouts, an intentionally order-DEPENDENT query (list()
+    with no ORDER BY, DuckDB's scan order being file order) must come
+    back different from the original file — otherwise a green
+    differential would prove nothing about order independence. Runs
+    only for the order-perturbing layouts: codec preserves row order by
+    design, and hive preserves per-lang relative order (the probe
+    groups by lang, so it cannot see cross-partition permutation)."""
+    import os
+
+    from tests.harness import _table_source, duck_connect
+
+    layout = os.path.basename(os.path.dirname(layout_stage))
+    if not ("multifile" in layout or "shuffled" in layout):
+        pytest.skip("layout preserves the probe's within-group order")
+    con = duck_connect(SF)
+    q = "SELECT lang, list(doc_id) AS ids FROM {src} GROUP BY lang ORDER BY lang"
+    orig = con.execute(q.format(src="documents")).fetchall()
+    staged = con.execute(
+        q.format(src=_table_source(layout_stage, "documents"))
+    ).fetchall()
+    assert orig != staged, (
+        "order-dependent probe agreed with the original layout — the "
+        "restage did not actually perturb scan order"
+    )
+
+
 @pytest.mark.parametrize("name", ALL_OPS)
 def test_layout_differential(spark, layout_stage, name):
     """Spark on the restaged layout vs DuckDB on the ORIGINAL layout:
