@@ -20,9 +20,10 @@ Determinism doctrine (same as the registry):
 - LIMIT is always preceded by ORDER BY over ALL output columns with
   explicit NULLS FIRST (matching Spark's asc default), so the selected
   prefix is deterministic as a multiset (ties are identical rows);
-- only the ms-precision date tables (lineitem/orders/customer) are
-  used — events.ts ns-truncation is a scan-contract concern tested
-  elsewhere;
+- events participates through a day-bucketed projection (floor to a
+  whole-second boundary commutes with the ns->us scan truncation)
+  plus per-series window ops ordered on event_id — raw ns ts never
+  enters a comparison;
 - modulo predicates on integer keys give scale-independent selectivity
   without hardcoding value domains.
 
@@ -61,6 +62,16 @@ COLS = {
         ("c_custkey", "int"), ("c_nationkey", "int"),
         ("c_acctbal", "cents"), ("c_mktsegment", "cat"),
     ],
+    # events is the time-series table; raw ns-precision ts never enters
+    # a pipeline — the base projects it to a whole-day bucket (floor to
+    # a whole-second boundary commutes with Spark's ns->us scan
+    # truncation, so both engines bucket identically), and window order
+    # keys on event_id, which is strictly monotone with ts (verified:
+    # zero inversions under ORDER BY ts, event_id).
+    "events": [
+        ("event_id", "int"), ("user_id", "int"), ("event_type", "cat"),
+        ("value", "cents"), ("day", "date"),
+    ],
 }
 CAT_DOMAIN = {
     "l_returnflag": ["A", "N", "R"],
@@ -72,10 +83,12 @@ CAT_DOMAIN = {
     "c_mktsegment": [
         "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
     ],
+    "event_type": ["click", "error", "purchase", "signup", "view"],
 }
 DATE_PIVOTS = {
     "l_shipdate": ("1996-03-01", "1998-09-01", "2000-06-01"),
     "o_orderdate": ("1996-01-01", "1998-06-01", "2000-01-01"),
+    "day": ("2024-01-05", "2024-01-15", "2024-01-25"),
 }
 CENTS_PIVOTS = {
     "l_quantity": (10.0, 25.0, 40.0),
@@ -84,6 +97,7 @@ CENTS_PIVOTS = {
     "l_tax": (0.02, 0.05),
     "o_totalprice": (50000.0, 150000.0),
     "c_acctbal": (0.0, 4500.0),
+    "value": (50.0, 200.0),
 }
 # one-hop FK joins available while the left key column survives
 JOIN_MAP = {
@@ -104,8 +118,20 @@ class Rel:
 
 
 def _base(spark, rng: random.Random, sf: str) -> tuple[Rel, str]:
+    from pyspark.sql import functions as F
+
     t = rng.choice(list(COLS))
     df = spark.read.parquet(f"{sf}/{t}.parquet")
+    if t == "events":
+        df = df.select(
+            "event_id", "user_id", "event_type", "value",
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        sql = (
+            "SELECT event_id, user_id, event_type, value, "
+            f"date_trunc('day', ts) AS day FROM read_parquet('{sf}/{t}.parquet')"
+        )
+        return Rel(df, sql, COLS[t]), t
     return Rel(df, f"SELECT * FROM read_parquet('{sf}/{t}.parquet')", COLS[t]), t
 
 
@@ -272,6 +298,55 @@ def _op_window(rel: Rel, rng: random.Random, tag: int) -> Rel | None:
     )
 
 
+def _op_ts_window(rel: Rel, rng: random.Random, tag: int) -> Rel | None:
+    """The time-series window core, composed: running integer-cents sum,
+    lag/lead of the raw value, or row_number — each over
+    (PARTITION BY user_id ORDER BY event_id). event_id is a total order
+    per series (strictly monotone with ts), so every variant is exactly
+    deterministic; the cumsum accumulates bigint cents, which both
+    engines fold identically at any length."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    have = [c for c, _ in rel.cols]
+    if "user_id" not in have or "event_id" not in have:
+        return None
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    kind = rng.choice(
+        ["cumsum", "lag", "lead", "row_number"] if "value" in have
+        else ["row_number"]
+    )
+    over = "OVER (PARTITION BY user_id ORDER BY event_id"
+    if kind == "cumsum":
+        name = f"w_cum{tag}"
+        col = F.sum(F.round(F.col("value") * 100).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # CAST the outer sum: DuckDB's sum(BIGINT) widens to HUGEINT,
+        # which fetchdf() hands to pandas as float64 — a dtype-kind
+        # mismatch vs Spark's LongType, not a value difference.
+        frag = (
+            f"CAST(sum(CAST(round(value * 100) AS BIGINT)) {over} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+            f" AS {name}"
+        )
+    elif kind in ("lag", "lead"):
+        n = rng.randint(1, 3)
+        name = f"w_{kind}{tag}"
+        col = getattr(F, kind)("value", n).over(w)
+        frag = f"{kind}(value, {n}) {over}) AS {name}"
+    else:
+        name = f"w_rn{tag}"
+        col = F.row_number().over(w)
+        frag = f"row_number() {over}) AS {name}"
+    out_kind = "cents" if kind in ("lag", "lead") else "int"
+    return Rel(
+        rel.df.withColumn(name, col),
+        f"SELECT *, {frag} FROM ({rel.sql}) t",
+        rel.cols + [(name, out_kind)],
+    )
+
+
 def _op_setop(rel: Rel, rng: random.Random) -> Rel:
     """Two independently-filtered branches of the SAME relation,
     recombined: UNION ALL (rows matching both appear twice), INTERSECT
@@ -331,7 +406,9 @@ def build_pipeline(spark, seed: int, sf: str = SF) -> Rel:
             if nxt is not None:
                 rel, grouped = nxt, True
         elif roll < 0.80:
-            nxt = _op_window(rel, rng, step)
+            nxt = _op_ts_window(rel, rng, step) if base == "events" else None
+            if nxt is None:
+                nxt = _op_window(rel, rng, step)
             if nxt is not None:
                 rel = nxt
         elif roll < 0.88:
