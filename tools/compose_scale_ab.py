@@ -19,8 +19,9 @@ partial-agg merge orders, and plan choices. Because the digest is an
 aggregation, even ungrouped 150M-row pipeline outputs verify without
 materializing to the driver.
 
-Usage: python tools/compose_scale_ab.py [sf_dir] [n_seeds]
+Usage: python tools/compose_scale_ab.py [sf_dir] [n_seeds] [start]
 e.g.   python tools/compose_scale_ab.py /tmp/sf256full 12
+       python tools/compose_scale_ab.py /tmp/sf256full 12 12  # seeds 12..23
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ from tests.test_compose_fuzz import build_pipeline  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf256full"
 N_SEEDS = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+START = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
 LAYOUTS = {
     "A": {
@@ -71,7 +73,7 @@ def main() -> int:
     out = {}
     print("| seed | rows | digests equal | A s | B s |")
     print("| --- | --- | --- | --- | --- |")
-    for seed in range(N_SEEDS):
+    for seed in range(START, START + N_SEEDS):
         res = {}
         for lname, confs in LAYOUTS.items():
             for k, v in confs.items():
