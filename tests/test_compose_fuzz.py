@@ -455,3 +455,38 @@ def test_compose_sf01(spark, seed):
     oracle was an artifact of small data (float accumulation spans,
     single-row-group scans, broadcast-everything plans)."""
     _run(spark, seed, "/root/testdata/sf0.1")
+
+
+# md5(sql with the sf-dir normalized to {SF}) per seed — pinned so that
+# any generator change that silently re-maps seeds to different
+# pipelines is caught here: BASELINE.md's "composed pipelines at 256x"
+# A/B table is keyed by these seeds, so a drifted generator would make
+# that recorded evidence irreproducible. Deliberate generator changes
+# are fine — update the pins AND re-run tools/compose_scale_ab.py,
+# replacing the BASELINE table (as done when the events tier landed).
+_PINNED_SQL_MD5 = {
+    0: "f2a36486801f", 1: "4eaca53a4a5c", 2: "72a32aaf6f51",
+    3: "55c457f5b20f", 4: "3b2dcdbd4979", 5: "7610906d676f",
+    6: "cefc9fee001a", 7: "081ca1e571aa", 8: "b07204284746",
+    9: "6748d1929405", 10: "b0aa42b83ec4", 11: "43481fbc6595",
+    12: "ffd4700da66a", 13: "26d192e51eea", 14: "f69f1ec7856c",
+    15: "38f1614d60cf", 16: "c78f48265e8d", 17: "a438f51dd2d3",
+    18: "241d3abd6431", 19: "c4fc722aa174", 20: "f21beb53e10e",
+    21: "abec00158995", 22: "b3c5bd567b35", 23: "36ae6f1695d9",
+}
+
+
+def test_generator_is_stable(spark):
+    """Seed -> pipeline mapping must not drift silently (see pin note)."""
+    import hashlib
+
+    for seed, want in _PINNED_SQL_MD5.items():
+        rel = build_pipeline(spark, seed, SF)
+        got = hashlib.md5(
+            rel.sql.replace(SF, "{SF}").encode()
+        ).hexdigest()[:12]
+        assert got == want, (
+            f"seed {seed}: generator drifted ({got} != {want}) — update "
+            "_PINNED_SQL_MD5 and re-run tools/compose_scale_ab.py, "
+            "replacing BASELINE.md's composed-pipeline A/B table"
+        )
