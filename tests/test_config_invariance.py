@@ -11,7 +11,7 @@ differential can never see — exactly the class the 614M-row layout A/B
 (BASELINE.md round-7) proved out for six queries; this sweep closes it
 for all 240.
 
-Three maximally-perturbed profiles, each replaying the full registry
+Four maximally-perturbed profiles, each replaying the full registry
 against the UNCHANGED DuckDB oracles:
 
 - ``interpreted``: AQE off + whole-stage codegen off — every operator
@@ -27,6 +27,10 @@ against the UNCHANGED DuckDB oracles:
   to spill every 128 rows and hash aggregation forced into its
   sort-based fallback — the disk-backed operator implementations that
   only engage under real memory pressure.
+- ``arrow17``: Arrow transfer capped at 17 rows per batch — every
+  Python kernel sees its partition as dozens of tiny batches, firing
+  the cross-batch carry paths (the round-5 NaN-bug class) at every
+  seam instead of only at partition boundaries.
 
 Results must be bit-identical either way: the registry's determinism
 doctrine (integer-cents sums, engine-aligned rounding, total
@@ -67,6 +71,14 @@ PROFILES: dict[str, dict[str, str]] = {
         "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "128",
         "spark.sql.sessionWindow.buffer.spill.threshold": "128",
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "7",
+    },
+    # every Python kernel (mapInPandas / applyInPandas / pandas_udf)
+    # receives its partition as MANY tiny Arrow batches instead of one:
+    # the cross-batch carry contract every kernel docstring claims is
+    # exercised at every 17-row boundary. This is the r5 NaN-bug class
+    # (state dropped at an Arrow batch boundary) forced registry-wide.
+    "arrow17": {
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "17",
     },
 }
 
@@ -115,11 +127,25 @@ def test_profiles_have_teeth(spark, config_profile):
     elif config_profile == "serial_smj":
         assert "SortMergeJoin" in plan, plan[:2000]
         assert "BroadcastHashJoin" not in plan, plan[:2000]
-    else:  # spill
+    elif config_profile == "spill":
         assert spark.conf.get("spark.sql.windowExec.buffer.spill.threshold") == "128"
         # and the default plan is UNCHANGED (spill thresholds alter
         # runtime memory behavior, not plan choice)
         assert "Join" in plan
+    else:  # arrow17 — tiny batches must actually reach Python kernels
+        import pandas as pd
+
+        def count_batches(batches):
+            sizes = [len(b) for b in batches]
+            yield pd.DataFrame({"n_batches": [len(sizes)], "max_rows": [max(sizes or [0])]})
+
+        row = (
+            spark.range(100)
+            .coalesce(1)
+            .mapInPandas(count_batches, "n_batches long, max_rows long")
+            .collect()[0]
+        )
+        assert row.max_rows <= 17 and row.n_batches >= 5, row
 
 
 @pytest.mark.parametrize("name", ALL_OPS)
