@@ -207,12 +207,19 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
     # than one on an extra that has sat green locally for prior rounds
     # (all of r3/r4/r5's new-op lists landed driver rows and moved to
     # _DRIVER_VERIFIED_R3/R4/R5; repopulate as round-6 ops land).
-    _NEW_R7: list[str] = ["win_resample_tz"]
+    # round 8: the tz DST edges under the driver's hash gate — W-MON /
+    # month-end / daily resamples under America/New_York over a staged
+    # DST-spanning table (verdict item #4; 23-h and 25-h buckets are in
+    # the hashed answer via the n column).
+    _NEW_R8: list[str] = [
+        "win_resample_tz_wmon", "win_resample_tz_month",
+        "win_resample_tz_dst_day",
+    ]
     tier4_pool = [n for n in specs
                   if n not in seen and n not in _DRIVER_VERIFIED
                   and specs[n].oracle is not None]
-    tier4 = [n for n in _NEW_R7 if n in tier4_pool] + [
-        n for n in tier4_pool if n not in _NEW_R7
+    tier4 = [n for n in _NEW_R8 if n in tier4_pool] + [
+        n for n in tier4_pool if n not in _NEW_R8
     ]
     seen |= set(tier4)
     # never-sampled rows-only extras: a run-only driver row is still a

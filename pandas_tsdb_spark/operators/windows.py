@@ -365,6 +365,202 @@ def win_resample_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-8 verdict #4: the DST edges under the driver's hash gate ------
+#
+# The sf fixtures span January only, so the 23-hour (spring-forward) and
+# 25-hour (fall-back) local days were exercised solely by locally-built
+# frames in tests/test_api_tz.py. These ops stage a deterministic
+# DST-SPANNING events parquet (2024-03-08..12 + 2024-11-01..05, 30-min
+# grid — the way streaming ops stage sources) and mirror the generator
+# in self-contained DuckDB SQL (range() — no fixture view needed), so
+# the driver's rows+schema+hash gate covers both 2024 US transitions.
+
+# 2024-03-08 00:00:00 / 2024-11-01 00:00:00 UTC in epoch-µs
+_DST_MAR_US = 1_709_856_000_000_000
+_DST_NOV_US = 1_730_419_200_000_000
+_US_30MIN = 30 * 60 * 1_000_000
+
+# DuckDB twin of the staged generator (CTE reused by all three oracles)
+_DST_SRC_SQL = """
+    SELECT CASE WHEN i < 240
+                THEN TIMESTAMP '2024-03-08 00:00:00' + i * INTERVAL 30 MINUTE
+                ELSE TIMESTAMP '2024-11-01 00:00:00'
+                     + (i - 240) * INTERVAL 30 MINUTE END AS ts,
+           ['click','view','purchase'][CAST(i % 3 AS INTEGER) + 1]
+               AS event_type,
+           CAST(i * 7 % 1000 AS DOUBLE) / 100.0 AS value
+    FROM range(480) t(i)
+"""
+
+
+def _stage_dst_events(spark: SparkSession) -> str:
+    """Write the 480-row DST-spanning events table to a tmp parquet
+    once (atomic dir rename — concurrent builders race safely) and
+    return the directory. Reading it back makes the op exercise the
+    real scan path, not an in-memory LocalRelation."""
+    import os
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(), "pandas_tsdb_spark", "dst_events_v1"
+    )
+    if os.path.isdir(d):
+        return d
+    df = spark.range(480).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.when(
+                F.col("id") < 240,
+                F.lit(_DST_MAR_US) + F.col("id") * _US_30MIN,
+            ).otherwise(
+                F.lit(_DST_NOV_US) + (F.col("id") - 240) * _US_30MIN
+            )
+        ).alias("ts"),
+        F.element_at(
+            F.array(F.lit("click"), F.lit("view"), F.lit("purchase")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        ((F.col("id") * 7 % 1000).cast("double") / 100.0).alias("value"),
+    )
+    tmp = f"{d}.stage-{os.getpid()}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, d)
+    except OSError:  # lost the race: another builder staged it first
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def _dst_ev(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(_stage_dst_events(spark)).select(
+        "ts", "event_type", "value"
+    )
+
+
+# integer-cents sum (house determinism doctrine): both engines sum
+# exact BIGINT cents, divide once — no float accumulation order.
+# A function, not a module constant: Column construction needs an
+# active SparkContext, which plain `import registry` must not require.
+def _cents_sum():
+    return (
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+        / F.lit(100.0)
+    ).alias("total")
+
+
+_CENTS_SUM_SQL = (
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0"
+    " AS total"
+)
+
+
+@query(
+    "win_resample_tz_wmon",
+    oracle=f"""
+    WITH src AS ({_DST_SRC_SQL}),
+    w AS (
+      SELECT timezone('America/New_York', timezone('UTC', ts)) AS wall,
+             event_type, value
+      FROM src)
+    SELECT timezone('UTC', timezone('America/New_York',
+               CAST(CAST(wall AS DATE)
+                    + ((8 - isodow(CAST(wall AS DATE))) % 7)
+                      * INTERVAL 1 DAY AS TIMESTAMP))) AS bucket,
+           event_type, count(*) AS n, {_CENTS_SUM_SQL}
+    FROM w GROUP BY 1, 2
+    """,
+)
+def win_resample_tz_wmon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-MON resample under America/New_York over the staged
+    DST-spanning table: weeks label at their LOCAL Monday midnight's
+    UTC instant, so the week containing the spring-forward Sunday
+    (2024-03-10, 23 local hours -> label Mon 2024-03-11 00:00 EDT =
+    04:00 UTC) and the fall-back week (2024-11-03, 25 local hours ->
+    label Mon 2024-11-04 00:00 EST = 05:00 UTC) carry DIFFERENT UTC
+    label offsets — the exact asymmetry a wall-clock bug flattens.
+    Oracle mirrors the chain: naive-UTC -> instant -> NY wall via
+    timezone(), next-Monday-on-or-after (isodow arithmetic twin of
+    Spark's next_day(date_sub(d,1),'mon')), wall label -> UTC instant.
+
+    Plan shape: scalar conversions folded into the groupBy key — one
+    exchange, no Python; bucketing under tz stays a plain hash agg."""
+    from pandas_tsdb_spark.api import TsFrame
+
+    tf = TsFrame(_dst_ev(spark), "ts", by="event_type", tz="America/New_York")
+    return (
+        tf.resample("W-MON")
+        .agg(F.count("*").alias("n"), _cents_sum())
+        .select("bucket", "event_type", "n", "total")
+    )
+
+
+@query(
+    "win_resample_tz_month",
+    oracle=f"""
+    WITH src AS ({_DST_SRC_SQL}),
+    w AS (
+      SELECT timezone('America/New_York', timezone('UTC', ts)) AS wall,
+             event_type, value
+      FROM src)
+    SELECT timezone('UTC', timezone('America/New_York',
+               CAST(last_day(CAST(wall AS DATE)) AS TIMESTAMP))) AS bucket,
+           event_type, count(*) AS n, {_CENTS_SUM_SQL}
+    FROM w GROUP BY 1, 2
+    """,
+)
+def win_resample_tz_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ME resample under America/New_York over the staged DST-spanning
+    table. The 2024-11-01 00:00 UTC rows are 2024-10-31 20:00 EDT local
+    — they bucket into OCTOBER (label last_day Oct 31 00:00 EDT = 04:00
+    UTC) while later rows land in November (label Nov 30 00:00 EST =
+    05:00 UTC): a month SPLIT by wall-clock that instant-semantics
+    bucketing cannot produce, plus the EDT/EST label-offset contrast
+    across the fall-back transition. Oracle mirrors api.py's chain with
+    DuckDB last_day + the timezone() conversion pair."""
+    from pandas_tsdb_spark.api import TsFrame
+
+    tf = TsFrame(_dst_ev(spark), "ts", by="event_type", tz="America/New_York")
+    return (
+        tf.resample("ME")
+        .agg(F.count("*").alias("n"), _cents_sum())
+        .select("bucket", "event_type", "n", "total")
+    )
+
+
+@query(
+    "win_resample_tz_dst_day",
+    oracle=f"""
+    WITH src AS ({_DST_SRC_SQL}),
+    w AS (
+      SELECT timezone('America/New_York', timezone('UTC', ts)) AS wall,
+             value
+      FROM src)
+    SELECT timezone('UTC', timezone('America/New_York',
+               date_trunc('day', wall))) AS bucket,
+           count(*) AS n, {_CENTS_SUM_SQL}
+    FROM w GROUP BY 1
+    """,
+)
+def win_resample_tz_dst_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tz resample over the staged DST-spanning table — the
+    23-hour and 25-hour local days THEMSELVES under the driver's hash
+    gate (win_resample_tz covers the daily path on January-only fixture
+    data): local 2024-03-10 spans 05:00Z..04:00Z next day = 46 rows on
+    the 30-min grid where a normal day has 48; local 2024-11-03 spans
+    04:00Z..05:00Z = 50 rows. The n column makes the bucket WIDTHS part
+    of the hashed answer, not just the labels."""
+    from pandas_tsdb_spark.api import TsFrame
+
+    tf = TsFrame(_dst_ev(spark), "ts", tz="America/New_York")
+    return (
+        tf.resample("D")
+        .agg(F.count("*").alias("n"), _cents_sum())
+        .select("bucket", "n", "total")
+    )
+
+
 @query(
     "win_resample_hour",
     oracle="""

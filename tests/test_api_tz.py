@@ -301,3 +301,35 @@ def test_tz_resample_last_and_ohlc_across_dst(spark):
     po = s.resample("D").ohlc().dropna()
     for lab, row in zip(po.index.tz_convert("UTC").tz_localize(None), po.itertuples()):
         assert ohlc[lab] == (row.open, row.close)
+
+
+def test_dst_staged_ops_bucket_widths(spark):
+    """Round-8 driver ops (win_resample_tz_wmon / _month / _dst_day):
+    assert the staged DST table's SEMANTIC landmarks directly — the
+    23-hour local day is a 46-row bucket on the 30-min grid, the
+    25-hour day is 50, the 2024-11-01 00:00Z rows split into an
+    OCTOBER month bucket, and the week labels flip EDT(04:00Z) ->
+    EST(05:00Z) across fall-back. The registry differential checks
+    Spark==DuckDB; this checks both are RIGHT."""
+    from pandas_tsdb_spark.registry import load_all
+
+    specs = load_all()
+    day = {
+        pd.Timestamp(r.bucket): r.n
+        for r in specs["win_resample_tz_dst_day"].builder(spark, "").collect()
+    }
+    assert day[pd.Timestamp("2024-03-10 05:00:00")] == 46  # spring forward
+    assert day[pd.Timestamp("2024-11-03 04:00:00")] == 50  # fall back
+    assert day[pd.Timestamp("2024-03-09 05:00:00")] == 48  # normal EST day
+
+    mon = specs["win_resample_tz_month"].builder(spark, "").toPandas()
+    by_month = mon.groupby("bucket").n.sum()
+    assert by_month[pd.Timestamp("2024-10-31 04:00:00")] == 8  # EDT label
+    assert by_month[pd.Timestamp("2024-11-30 05:00:00")] == 232  # EST label
+    assert by_month[pd.Timestamp("2024-03-31 04:00:00")] == 240
+
+    wk = specs["win_resample_tz_wmon"].builder(spark, "").toPandas()
+    labels = set(pd.to_datetime(wk.bucket))
+    # Monday labels at local midnight's UTC instant: EDT week vs EST week
+    assert pd.Timestamp("2024-03-11 04:00:00") in labels  # EDT Monday
+    assert pd.Timestamp("2024-11-04 05:00:00") in labels  # EST Monday

@@ -24,9 +24,13 @@ against the UNCHANGED DuckDB oracles:
   merge ORDER and join strategy both change. Float sums that only agree
   with the oracle under one partial-merge order fire here.
 - ``spill``: window / sort-merge-join / session-window buffers forced
-  to spill every 128 rows and hash aggregation forced into its
-  sort-based fallback — the disk-backed operator implementations that
-  only engage under real memory pressure.
+  to spill every 128 rows (a RUNTIME spill — the teeth test asserts
+  WindowExec's spillSize metric > 0 on a probe), plus
+  ObjectHashAggregateExec (typed/collect-style aggs only, e.g.
+  collect_list — NOT the common HashAggregateExec) forced into its
+  sort-based fallback after 7 keys. The disk-backed window/SMJ/
+  session-window implementations only engage under real memory
+  pressure; this profile makes them mandatory at fixture scale.
 - ``arrow17``: Arrow transfer capped at 17 rows per batch — every
   Python kernel sees its partition as dozens of tiny batches, firing
   the cross-batch carry paths (the round-5 NaN-bug class) at every
@@ -85,16 +89,33 @@ PROFILES: dict[str, dict[str, str]] = {
 
 @pytest.fixture(scope="module", params=list(PROFILES))
 def config_profile(request, spark):
-    """Apply one perturbed profile for the module, restore after."""
+    """Apply one perturbed profile for the module, restore after.
+
+    Round-8 ADVICE fix: every registry builder constructs
+    catalog.Tables, whose __init__ calls session.ensure_conf — which
+    RE-PINS any perturbed key that is also in RUNTIME_CONFS (the r7
+    "interpreted" sweep actually ran with AQE back ON after the first
+    builder call). So the perturbed keys are also POPPED from
+    RUNTIME_CONFS for the module, making ensure_conf a no-op for them;
+    test_profiles_have_teeth asserts the conf still holds AFTER a
+    registry builder runs, so this class of silent un-perturbation
+    can't come back.
+    """
+    import pandas_tsdb_spark.session as session_mod
+
     name = request.param
     saved: dict[str, str | None] = {}
+    popped: dict[str, str] = {}
     for k, v in PROFILES[name].items():
         try:
             saved[k] = spark.conf.get(k)
         except Exception:
             saved[k] = None
         spark.conf.set(k, v)
+        if k in session_mod.RUNTIME_CONFS:
+            popped[k] = session_mod.RUNTIME_CONFS.pop(k)
     yield name
+    session_mod.RUNTIME_CONFS.update(popped)
     for k, old in saved.items():
         if old is None:
             spark.conf.unset(k)
@@ -110,13 +131,38 @@ def _plan_str(df) -> str:
     )
 
 
+def _iter_executed_nodes(node):
+    """Walk an executed SparkPlan through AQE / query-stage wrappers."""
+    yield node
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _iter_executed_nodes(node.executedPlan())
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _iter_executed_nodes(node.plan())
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _iter_executed_nodes(ch.apply(i))
+
+
 def test_profiles_have_teeth(spark, config_profile):
     """Negative control: each profile must actually CHANGE the physical
     execution, or a green differential proves nothing. interpreted:
     whole-stage codegen absent from the plan; serial_smj: the FK join
-    that default-plans as broadcast becomes sort-merge; spill: the
-    forced thresholds are visible in the session conf (the spill itself
-    happens inside the external sorters at runtime)."""
+    that default-plans as broadcast becomes sort-merge; spill: a window
+    probe's executed WindowExec reports spillSize > 0 — a RUNTIME spill
+    signal, not just a conf echo (the threshold confs are genuinely
+    threshold-forcing only for the window / sort-merge-join /
+    session-window external buffers; objectHashAggregate's fallback
+    touches ObjectHashAggregateExec ops only, e.g. collect_list).
+
+    Second tooth (round-8 ADVICE): the perturbation must SURVIVE a
+    registry builder call. catalog.Tables.__init__ calls
+    session.ensure_conf, which re-pins anything still present in
+    RUNTIME_CONFS — in round 7 that silently flipped AQE back ON under
+    the "interpreted" profile after the first builder ran. The fixture
+    now pops perturbed keys from RUNTIME_CONFS; this tooth proves it."""
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     o = spark.read.parquet(f"{SF}/orders.parquet")
     j = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
@@ -128,10 +174,26 @@ def test_profiles_have_teeth(spark, config_profile):
         assert "SortMergeJoin" in plan, plan[:2000]
         assert "BroadcastHashJoin" not in plan, plan[:2000]
     elif config_profile == "spill":
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
         assert spark.conf.get("spark.sql.windowExec.buffer.spill.threshold") == "128"
-        # and the default plan is UNCHANGED (spill thresholds alter
-        # runtime memory behavior, not plan choice)
-        assert "Join" in plan
+        # runtime spill signal: 60k rows over 3 partition keys with a
+        # 128-row buffer threshold MUST spill inside WindowExec
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy("l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        probe = li.select(F.sum("l_quantity").over(w).alias("s"))
+        probe.collect()
+        spilled = 0
+        for n in _iter_executed_nodes(probe._jdf.queryExecution().executedPlan()):
+            if n.getClass().getSimpleName() == "WindowExec":
+                m = n.metrics()
+                if m.contains("spillSize"):
+                    spilled += m.apply("spillSize").value()
+        assert spilled > 0, "WindowExec did not spill under threshold=128"
     else:  # arrow17 — tiny batches must actually reach Python kernels
         import pandas as pd
 
@@ -146,6 +208,16 @@ def test_profiles_have_teeth(spark, config_profile):
             .collect()[0]
         )
         assert row.max_rows <= 17 and row.n_batches >= 5, row
+
+    # the perturbation must survive ensure_conf (called by every
+    # registry builder via catalog.Tables) — build one real registry
+    # query, then re-assert every perturbed conf still holds
+    SPECS["agg_groupby"].builder(spark, SF)
+    for k, v in PROFILES[config_profile].items():
+        assert spark.conf.get(k) == v, (
+            f"profile conf {k} was reverted by a registry builder "
+            f"(ensure_conf re-pin): {spark.conf.get(k)!r} != {v!r}"
+        )
 
 
 @pytest.mark.parametrize("name", ALL_OPS)

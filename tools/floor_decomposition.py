@@ -59,15 +59,21 @@ def main() -> int:
         return time.perf_counter() - t0
 
     # one discarded warm-up pass over everything (parquet page cache,
-    # JIT, Python imports), then interleaved timed reps
+    # JIT, Python imports), then interleaved timed reps. Each engine's
+    # FIRST timed rep per query is also discarded (r7 judge finding:
+    # with reps=3 a single cold rep — page-cache / GC interference
+    # between interleaved reps — dominated the pandas median 9.46 s vs
+    # 0.81 s steady-state; +1 rep is cheap, a poisoned median is not).
     for label in labels:
         run_spark(label)
         run_pandas(label)
-    for _ in range(reps):
+    for rep in range(reps + 1):
         for label in labels:
             spark._jvm.System.gc()
-            sp[label].append(run_spark(label))
-            pd_[label].append(run_pandas(label))
+            s, p = run_spark(label), run_pandas(label)
+            if rep > 0:
+                sp[label].append(s)
+                pd_[label].append(p)
 
     rows = []
     for label in labels:
