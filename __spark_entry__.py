@@ -154,9 +154,29 @@ _DRIVER_VERIFIED_R6 = frozenset({
     "win_downsample_lttb", "win_ewm_time", "win_expanding", "win_holt_blas",
     "win_rolling_corr", "win_rolling_rows", "win_seasonal_dow", "win_xcorr",
 })
+# All 50 rows of CORRECTNESS_r07.json: 46 full rows+schema+hash passes
+# plus 4 run-only entries (ann_ivf/ann_pq/ann_ivf_pq/agg_approx_distinct,
+# err=no_oracle — ✗-oracle by design). Zero failures.
+_DRIVER_VERIFIED_R7 = frozenset({
+    "agg_approx_distinct", "agg_collect", "agg_conditional", "agg_distinct",
+    "agg_global", "agg_groupby", "agg_grouping_sets", "agg_pivot",
+    "agg_stats", "ann_ivf", "ann_ivf_pq", "ann_pq", "distinct_rows",
+    "filter_null", "filter_pred", "filter_time_range", "join_anti",
+    "join_asof", "join_broadcast", "join_cross", "join_inner", "join_left",
+    "join_outer", "join_range", "join_self_pairs", "join_semi", "project",
+    "scan_parquet", "scan_schema", "sink_parquet", "stream_dedup",
+    "stream_enrich", "stream_m4", "stream_session", "stream_sink",
+    "stream_sliding", "stream_source", "stream_stream_join",
+    "stream_tumbling", "stream_watermark", "win_cumsum", "win_diff",
+    "win_expanding", "win_lag_lead", "win_pct_change", "win_rank",
+    "win_resample_tz", "win_rolling_rows", "win_rolling_time",
+    "win_row_number",
+})
+
 _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R1 | _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3
     | _DRIVER_VERIFIED_R4 | _DRIVER_VERIFIED_R5 | _DRIVER_VERIFIED_R6
+    | _DRIVER_VERIFIED_R7
 )
 
 # Ops whose registered builder was rewritten AFTER their last driver row
@@ -167,18 +187,13 @@ _DRIVER_VERIFIED = (
 # entries were re-attested in CORRECTNESS_r06 and moved to
 # _DRIVER_VERIFIED_R6.
 _REVERIFY: list[str] = [
-    # round-7 ADVICE fixes: the three ANN families gained a
-    # tiny-collection clamp (codebook/ADC-table sizes follow the REAL
-    # trained codebooks, probe fan-out clamped to cells that exist) —
-    # rows-only entries; a fresh driver run re-attests the shipped code.
-    "ann_ivf", "ann_pq", "ann_ivf_pq",
-    # round-7 layout sweep: stage_stream_dir (shared by every stream
-    # builder) rewritten as a recursive mirror so hive-partitioned
-    # sources stream with partition-column discovery intact; re-attest
-    # the oracled streaming family on the shipped plumbing.
-    "stream_source", "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_watermark", "stream_dedup", "stream_sink", "stream_enrich",
-    "stream_m4", "stream_stream_join",
+    # round-8: TsStore rewritten to snapshot-isolated manifest-pointer
+    # maintenance (fetch reads through _manifest.json; compact/optimize/
+    # delete_keys commit via an atomic manifest flip). Re-attest every
+    # registry op whose builder drives the store's full read/maintain
+    # loop on the shipped protocol.
+    "store_maintenance_roundtrip", "rollup_continuous",
+    "stream_store_ingest", "upsert_cdc", "sink_partition_prune",
 ]
 
 
@@ -240,10 +255,23 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
         n for n in pool4b if n not in _ROWS_ONLY_FIRST
     ]
     seen |= set(tier4b)
+    # attestation-freshness rotation (round-8 verdict #8): the oldest
+    # driver rows in the contract are the r1/r2-stamped ops — surface
+    # them ahead of the recently-re-attested rest of the contract so
+    # the 50-slot window drops the oldest-row age each round.
+    _ROTATE_R8 = [
+        "dedup_exact", "dedup_near", "text_tokenize", "text_tfidf",
+        "text_stats", "sort_multi", "limit_n", "topk_per_group",
+        "set_union_all", "set_union", "set_intersect", "set_except",
+        "fn_string", "fn_date", "fn_math", "fn_cond", "fn_cast",
+        "win_first_last", "win_resample",
+    ]
+    tier4c = [n for n in _ROTATE_R8 if n in specs and n not in seen]
+    seen |= set(tier4c)
     tier5 = [n for n in contract if n in _DRIVER_VERIFIED and n not in seen]
     seen |= set(tier5)
     tail = [n for n in specs if n not in seen]
-    head = tier1 + tier2 + tier3 + tier4 + tier4b + tier5
+    head = tier1 + tier2 + tier3 + tier4 + tier4b + tier4c + tier5
     return {n: specs[n] for n in head + tail}
 
 

@@ -21,6 +21,20 @@ Spark-first design, sized for 100 TB:
   ingest embarrassingly parallel.
 - ``compact`` rewrites a series keep-latest-per-key (the upsert_cdc
   plan shape) and coalesces small append files per partition.
+- SNAPSHOT-ISOLATED maintenance (round-8): every file-replacing op
+  (compact/optimize/delete_keys) commits through a per-series MANIFEST
+  (``_manifest.json``, atomically replaced) naming the live rewritten
+  files per partition. Rewritten files land dot-free but INVISIBLE
+  (the ``sealed-`` name prefix is visible only when manifest-listed);
+  the single atomic manifest replace is the commit point, after which
+  the inputs are invisible (append-class inputs via the manifest's
+  ``retired`` tombstones) though still on disk until deleted. A reader
+  therefore sees EXACT row counts at every instant of maintenance —
+  never a transient duplicate, never a gap — the same read protocol as
+  a table format's manifest, without vendoring one. Blind appends stay
+  manifest-FREE (visible by presence, so ingest remains lock-free);
+  a series never maintained has no manifest and reads as a plain
+  hive-partitioned dir.
 
 Usage:
     store = TsStore(spark, "/data/tsdb")
@@ -39,10 +53,15 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["TsStore", "WriterLeaseHeld"]
+__all__ = ["ManifestContention", "TsStore", "WriterLeaseHeld"]
 
 _PART = "_date"
 _INGEST = "_ingest_ts"
+_MANIFEST = "_manifest.json"  # underscore: invisible to Spark scans
+# maintenance outputs: dot-free (so legacy tools see real parquet) but
+# visible ONLY when listed in the manifest — the invisibility that lets
+# a rewrite land files first and commit them atomically afterwards
+_SEALED = "sealed-"
 
 # A crashed maintenance writer must not brick the series forever: a lease
 # older than this is presumed dead and taken over. Live holders refresh
@@ -56,6 +75,14 @@ _LEASE_STALE_SECS = 900.0
 
 class WriterLeaseHeld(RuntimeError):
     """Another process holds the series' maintenance-writer lease."""
+
+
+class ManifestContention(RuntimeError):
+    """A reader could not pin a stable (manifest, listing) snapshot:
+    maintenance commits kept landing during every listing attempt.
+    RETRYABLE — the same class as the documented stale-plan
+    FileNotFound: re-fetch. Raised instead of silently reading an
+    inconsistent pair (which could under- or over-count)."""
 
 
 class _WriterLease:
@@ -342,6 +369,250 @@ class TsStore:
                 return self.spark.createDataFrame([], schema)
         return None
 
+    # -- manifest (snapshot-isolated maintenance commits) ------------------
+
+    def _manifest_file(self, name: str) -> str:
+        return os.path.join(self.path(name), _MANIFEST)
+
+    def _read_manifest(self, name: str) -> dict | None:
+        """The series manifest, or None for a never-maintained series.
+        Shape: {"gen": N, "sealed": {partition: [file, ...]},
+        "retired": {partition: [file, ...]}}. ``sealed`` is the
+        authoritative live list for sealed- files; ``retired``
+        tombstones append-class files whose rows were rewritten but
+        whose physical delete may still be pending. A corrupt manifest
+        is FAIL-FAST (visibility would be undefined — same doctrine as
+        never setting ignoreCorruptFiles)."""
+        p = self._manifest_file(name)
+        try:
+            with open(p) as f:
+                raw = f.read()
+        except OSError:
+            return None
+        try:
+            return json.loads(raw)
+        except ValueError as e:
+            raise RuntimeError(
+                f"corrupt series manifest {p!r}: {e} — restore it or "
+                "delete it to fall back to visible-by-presence reads "
+                "(only safe if no retired/sealed debris is on disk)"
+            ) from e
+
+    def _write_manifest(self, name: str, man: dict) -> None:
+        """Atomic manifest replace (tmp + os.replace) — THE commit
+        point of every maintenance transaction. Empty lists are pruned
+        so the manifest stays proportional to maintained partitions."""
+        import uuid
+
+        man = {
+            "gen": int(man.get("gen", 0)) + 1,
+            "sealed": {k: sorted(v) for k, v in man.get("sealed", {}).items() if v},
+            "retired": {k: sorted(v) for k, v in man.get("retired", {}).items() if v},
+        }
+        p = self._manifest_file(name)
+        tmp = f"{p}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, sort_keys=True)
+        os.replace(tmp, p)
+
+    @staticmethod
+    def _visible_in_partition(
+        man: dict, entry: str, on_disk: Sequence[str]
+    ) -> list[str]:
+        """The visible file names of one partition under a manifest:
+        sealed- files iff listed (a LISTED-but-missing sealed file is
+        kept so the read fails fast on external damage instead of
+        silently returning less data), everything else by presence
+        unless tombstoned in ``retired``."""
+        sealed = set(man.get("sealed", {}).get(entry, ()))
+        retired = set(man.get("retired", {}).get(entry, ()))
+        vis = []
+        for f in on_disk:
+            if f.startswith(_SEALED):
+                if f in sealed:
+                    vis.append(f)
+            elif f not in retired:
+                vis.append(f)
+        vis.extend(sorted(sealed.difference(on_disk)))  # fail-fast probes
+        return vis
+
+    def _part_entries(self, name: str) -> list[str]:
+        path = self.path(name)
+        return sorted(
+            e
+            for e in os.listdir(path)
+            if e.startswith(f"{_PART}=")
+            and os.path.isdir(os.path.join(path, e))
+        )
+
+    def _list_parquet(self, name: str, entry: str) -> list[str]:
+        part_dir = os.path.join(self.path(name), entry)
+        return sorted(
+            f
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+
+    def _visible_files(
+        self, name: str, man: dict, partitions: Sequence[str] | None = None
+    ) -> list[str]:
+        """Manifest-resolved visible data files (absolute paths) under
+        a GIVEN manifest snapshot. ``partitions`` limits the listing
+        (driver-side partition pruning for fetch ranges — untouched day
+        dirs are never even listed)."""
+        path = self.path(name)
+        out: list[str] = []
+        for entry in self._part_entries(name):
+            if partitions is not None and entry not in partitions:
+                continue
+            for f in self._visible_in_partition(
+                man, entry, self._list_parquet(name, entry)
+            ):
+                out.append(os.path.join(path, entry, f))
+        return out
+
+    def _read_visible(
+        self,
+        name: str,
+        merge_schema: bool = False,
+        partitions: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Read the series' VISIBLE data: explicit manifest-resolved
+        file list when a manifest exists (so a maintenance commit is
+        atomic to readers), else the whole partitioned dir. The
+        explicit-list path passes basePath so ``_date`` still resolves
+        as a partition column and prunes/pushes identically.
+
+        OPTIMISTIC SNAPSHOT LOOP: the manifest is re-read after the
+        directory listing and the pair is retried until the generation
+        is unchanged across it — without this, a reader could pair an
+        OLD manifest (which doesn't list a just-committed rewrite's
+        sealed files) with a NEW listing (whose inputs are already
+        deleted) and silently see an empty partition. With a stable
+        pair, visibility is exact: commits only flip at the manifest
+        replace, and post-commit physical deletes only touch files the
+        stable manifest already hides. The residual race — a file
+        deleted between listing and Spark opening it — surfaces as
+        FileNotFound (the documented re-fetch case), never as a wrong
+        count.
+
+        Scale note: the listing is driver-side metadata, the same
+        O(files-in-touched-partitions) walk Spark's own file index
+        does; at cluster scale the JSON manifest would shard
+        Iceberg-style, but the read protocol is unchanged."""
+        path = self.path(name)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        import time as _time
+
+        files: list[str] | None = None
+        for attempt in range(12):
+            man = self._read_manifest(name)
+            if man is None:
+                df = reader.parquet(path)  # Spark lists the dir HERE
+                if self._read_manifest(name) is None:
+                    return df  # no commit raced the listing
+            else:
+                files = self._visible_files(name, man, partitions=partitions)
+                man2 = self._read_manifest(name)
+                if man2 is not None and man2.get("gen") == man.get("gen"):
+                    break
+            files = None
+            _time.sleep(0.02 * attempt)  # let the commit burst pass
+        if files is None:
+            raise ManifestContention(
+                f"series {name!r}: maintenance commits landed during all "
+                "12 listing attempts — retry the fetch"
+            )
+        if not files:
+            # every file in range is retired/unsealed (e.g. delete_keys
+            # emptied the slice): typed empty via the schema sidecar
+            from pyspark.sql import types as T
+
+            with open(os.path.join(path, "_schema.json")) as f:
+                schema = T.StructType.fromJson(json.load(f))
+            return self.spark.createDataFrame([], schema)
+        return reader.option("basePath", path).parquet(*files)
+
+    def _sweep_manifest_debris(self, name: str) -> None:
+        """Finish any manifest-committed transaction a crash cut short
+        and remove pre-commit litter. Runs ONLY under the maintenance
+        lease (fetch never sweeps — another process may be mid-commit).
+        Invariants restored: (a) retired-but-present files are deleted
+        and their tombstones pruned; (b) sealed- files NOT listed in
+        the manifest (outputs of a rewrite that died before its commit)
+        are deleted; (c) manifest entries for partitions whose dir is
+        gone (retention) are pruned. All three states are invisible to
+        readers, so sweeping changes no answer — afterwards every
+        on-disk non-dotted parquet file is visible, which is the
+        precondition the maintenance snapshot listings rely on."""
+        man = self._read_manifest(name)
+        if man is None:
+            return
+        path = self.path(name)
+        changed = False
+        entries = set(self._part_entries(name))
+        for entry in sorted(
+            entries | set(man.get("sealed", {})) | set(man.get("retired", {}))
+        ):
+            if entry not in entries:  # partition dropped by retention
+                if man.get("sealed", {}).pop(entry, None) is not None:
+                    changed = True
+                if man.get("retired", {}).pop(entry, None) is not None:
+                    changed = True
+                continue
+            on_disk = set(self._list_parquet(name, entry))
+            sealed = set(man.get("sealed", {}).get(entry, ()))
+            retired = man.get("retired", {}).get(entry, ())
+            for f in retired:
+                try:
+                    os.remove(os.path.join(path, entry, f))
+                except FileNotFoundError:
+                    pass
+            if retired:
+                del man["retired"][entry]
+                changed = True
+            for f in on_disk:
+                if f.startswith(_SEALED) and f not in sealed:
+                    os.remove(os.path.join(path, entry, f))
+        if changed:
+            self._write_manifest(name, man)
+
+    def _ensure_manifest(self, name: str) -> None:
+        """Create an EMPTY manifest before any sealed- file lands: the
+        plain-directory fast path (used only when NO manifest exists)
+        reads every non-dotted file by presence, so a first-ever
+        rewrite crashing pre-commit would otherwise expose its sealed
+        outputs beside their inputs. With the empty manifest in place
+        first, 'no manifest' truly implies 'no sealed files ever'."""
+        if self._read_manifest(name) is None:
+            self._write_manifest(name, {"gen": 0, "sealed": {}, "retired": {}})
+
+    def _move_staged_sealed(
+        self, stage: str, name: str, txn: str
+    ) -> dict[str, list[str]]:
+        """Move a staged rewrite into the partition dirs under sealed-
+        names — present but INVISIBLE until the manifest commit lists
+        them. Returns {partition: [sealed file names]} for that commit."""
+        path = self.path(name)
+        out: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(stage)):
+            if not entry.startswith(f"{_PART}="):
+                continue
+            src_dir = os.path.join(stage, entry)
+            dst_dir = os.path.join(path, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            names: list[str] = []
+            for i, f in enumerate(sorted(os.listdir(src_dir))):
+                if not f.endswith(".parquet") or f.startswith("."):
+                    continue
+                dst = f"{_SEALED}{txn}-{i:05d}.parquet"
+                os.rename(os.path.join(src_dir, f), os.path.join(dst_dir, dst))
+                names.append(dst)
+            out[entry] = names
+        return out
+
     def append(self, name: str, df: DataFrame, ingest_ts=None) -> None:
         """Blind parallel append — safe under CONCURRENT appenders.
 
@@ -403,10 +674,45 @@ class TsStore:
         meaningful merge order) — unlike append(), this writes straight
         through Spark's committer; don't run it while appenders are
         live."""
+        # physically drop manifest-invisible debris first: under
+        # dynamic partitionOverwriteMode untouched partitions survive
+        # the write, and removing the manifest below would otherwise
+        # resurrect their retired/unsealed files
+        self._sweep_manifest_debris(name)
         stamped = self._with_part(self._with_ingest(df, ingest_ts))
         stamped.write.mode("overwrite").partitionBy(_PART).parquet(
             self.path(name)
         )
+        # reconcile the manifest with what survived the write: static
+        # overwrite deleted it with the dir (nothing to do); dynamic
+        # mode replaced only the written partitions, so prune sealed
+        # entries whose files are gone (their partitions were replaced;
+        # the new files are visible by presence) while UNTOUCHED
+        # partitions keep their sealed listings — removing the manifest
+        # wholesale would turn their sealed- files invisible.
+        man = self._read_manifest(name)
+        if man is not None:
+            entries = set(self._part_entries(name))
+            for kind in ("sealed", "retired"):
+                kept_kind = {}
+                for entry, fs in man.get(kind, {}).items():
+                    if entry not in entries:
+                        continue
+                    part_dir = os.path.join(self.path(name), entry)
+                    live = [
+                        f for f in fs
+                        if os.path.exists(os.path.join(part_dir, f))
+                    ]
+                    if live:
+                        kept_kind[entry] = live
+                man[kind] = kept_kind
+            if man["sealed"] or man["retired"]:
+                self._write_manifest(name, man)
+            else:
+                try:
+                    os.remove(self._manifest_file(name))
+                except FileNotFoundError:
+                    pass
         self._save_schema(name, stamped, union=False)
 
     # -- read -------------------------------------------------------------
@@ -440,13 +746,28 @@ class TsStore:
         filter is a row-level predicate pushed to the scan; event-time
         partition pruning applies unchanged."""
         self._sweep_compact_leftovers(name)
-        reader = self.spark.read
-        if as_of is not None:
-            # schema union across files: old appends may lack _ingest_ts
-            reader = reader.option("mergeSchema", "true")
         df = self._empty_if_no_parts(name)
         if df is None:
-            df = reader.parquet(self.path(name))
+            # driver-side partition pruning for the manifest path: only
+            # day dirs inside [start, end] are listed (the plain-dir
+            # path gets the same pruning from Catalyst's PartitionFilters)
+            partitions = None
+            if start is not None or end is not None:
+                import datetime as _dt
+
+                import pandas as _pd
+
+                lo = _pd.Timestamp(start).date() if start is not None else _dt.date.min
+                hi = _pd.Timestamp(end).date() if end is not None else _dt.date.max
+                partitions = [
+                    e
+                    for e in self._part_entries(name)
+                    if lo <= _dt.date.fromisoformat(e.split("=", 1)[1]) <= hi
+                ]
+            # mergeSchema under as_of: old appends may lack _ingest_ts
+            df = self._read_visible(
+                name, merge_schema=as_of is not None, partitions=partitions
+            )
         if as_of is not None and _INGEST in df.columns:
             df = df.filter(
                 F.col(_INGEST).isNull()
@@ -583,24 +904,23 @@ class TsStore:
         20.2 s -> 10.6 s at 6.4M rows just from this).
 
         CONCURRENCY: compaction replaces exactly the input files it
-        READ (snapshot listing -> dedup -> move compacted files in ->
-        delete the snapshot files), the LSM rule. A whole-directory
-        swap — the previous design — silently DISCARDS any file a
-        concurrent appender lands between compact's read and its swap
-        (caught by the threading law in tests/test_store.py). Files
-        appended mid-compact are simply not part of the snapshot and
-        survive untouched; no instant loses a row or tears a file.
-        Reader caveats (the honest limits of a manifest-less store): a
-        PLAN created before compaction holds the old file listing and
-        can hit FileNotFound if executed after the input deletion —
-        re-fetch on that error (a table format/manifest is the
-        production fix); a fetch run DURING the in-place phase can
-        transiently see a compacted row beside its pre-compact
-        versions — the same duplicate class blind appends already
-        create, resolved by fetch(latest_by=...). Compaction assumes a
-        single maintenance owner per series (two simultaneous compacts
-        of one series may fail; they cannot lose data — inputs are
-        removed only after replacements are in).
+        READ (snapshot listing -> dedup -> land sealed outputs ->
+        MANIFEST FLIP -> delete the snapshot files), the LSM rule plus
+        a manifest-pointer commit (round-8). Outputs land under
+        ``sealed-`` names, INVISIBLE until the single atomic manifest
+        replace lists them and simultaneously tombstones every
+        snapshot input — so a reader sees the pre-compact rows or the
+        post-compact rows, EXACTLY, at every instant; the transient
+        duplicate the pre-manifest design allowed is gone. Files
+        appended mid-compact are not part of the snapshot and survive
+        untouched (appends stay manifest-free and lock-free). Remaining
+        caveat: a PLAN created before compaction holds the old file
+        listing and can hit FileNotFound if executed after the input
+        deletion — re-fetch on that error (at cluster scale, deferring
+        the physical deletes by one maintenance cycle widens the grace
+        window; the manifest already supports it — deletes are pure
+        hygiene once tombstoned). Compaction assumes a single
+        maintenance owner per series (the writer lease enforces it).
 
         SCHEMA EVOLUTION: the snapshot is read with mergeSchema — the
         store allows appends to widen the schema, and inferring from
@@ -611,17 +931,14 @@ class TsStore:
         import uuid
 
         self._sweep_compact_leftovers(name, deep=True)
+        # heal any crashed manifest transaction first: afterwards every
+        # on-disk non-dotted file is visible, so the plain listing below
+        # IS the visible snapshot
+        self._sweep_manifest_debris(name)
         path = self.path(name)
         snapshot: dict[str, list[str]] = {}
-        for entry in sorted(os.listdir(path)):
-            part_dir = os.path.join(path, entry)
-            if not entry.startswith(f"{_PART}=") or not os.path.isdir(part_dir):
-                continue
-            files = [
-                f
-                for f in os.listdir(part_dir)
-                if f.endswith(".parquet") and not f.startswith(".")
-            ]
+        for entry in self._part_entries(name):
+            files = self._list_parquet(name, entry)
             if files:
                 snapshot[entry] = files
         if not snapshot:
@@ -644,18 +961,33 @@ class TsStore:
             .repartition(F.col(_PART))
         )
         parent, base = os.path.split(path)
-        stage = os.path.join(parent, f".{base}.compact.{uuid.uuid4().hex}.tmp")
+        txn = uuid.uuid4().hex
+        stage = os.path.join(parent, f".{base}.compact.{txn}.tmp")
         compacted.write.partitionBy(_PART).parquet(stage)
-        # move compacted files in FIRST (transient duplicates, never a
-        # gap), then delete exactly the snapshot inputs
-        self._move_staged_parts(stage, path)
+        # land outputs sealed (present, invisible), then COMMIT: one
+        # atomic manifest replace makes the outputs the only visible
+        # files of their partitions and tombstones every append-class
+        # input — readers flip from old rows to new rows in one instant
+        self._ensure_manifest(name)
+        new_sealed = self._move_staged_sealed(stage, name, txn)
+        man = self._read_manifest(name)
+        for entry, files in snapshot.items():
+            man["sealed"][entry] = new_sealed.get(entry, [])
+            man["retired"][entry] = sorted(
+                set(man["retired"].get(entry, ()))
+                | {f for f in files if not f.startswith(_SEALED)}
+            )
+        self._write_manifest(name, man)
+        # physical cleanup — every deleted file is already invisible
         for entry, files in snapshot.items():
             for f in files:
                 try:
                     os.remove(os.path.join(path, entry, f))
                 except FileNotFoundError:
-                    pass  # an interleaved compact already replaced it
+                    pass
         shutil.rmtree(stage)
+        # prune the tombstones now that their files are gone
+        self._sweep_manifest_debris(name)
 
     def _recover_opt_journals(self, path: str) -> None:
         """Complete any optimize() transaction a crash interrupted.
@@ -714,25 +1046,32 @@ class TsStore:
         to the debt, not the store. Returns the number of partitions
         rewritten.
 
-        CONCURRENCY (round-6 rewrite; the old directory-swap had a
-        visible GAP between its two renames, and rewrote the whole dir
-        so a file appended mid-optimize was silently dropped): each
-        partition now follows compact()'s snapshot discipline — read
-        EXACTLY the snapshot files, stage the rewrite dot-prefixed
-        (invisible), journal the transaction, move replacements in
-        (atomic per-file renames), then delete exactly the snapshot
-        inputs. A reader never sees a gap at any instant; mid-swap it
-        can transiently see a row twice (the same duplicate class blind
-        appends create, resolved by fetch(latest_by=...)); a file a
+        CONCURRENCY (round-8 manifest rewrite; the round-6 journal
+        protocol moved replacements in while the inputs were still
+        visible, so a reader mid-swap could transiently count a row
+        twice): each partition follows compact()'s snapshot-and-seal
+        discipline — read EXACTLY the snapshot files, stage the rewrite
+        dot-prefixed (invisible), land the outputs under sealed- names
+        (still invisible), then COMMIT with one atomic manifest replace
+        that lists the outputs and tombstones the inputs. A reader sees
+        the old layout or the new layout, exactly, at every instant —
+        optimize is layout-only, so plain fetch().count() is invariant
+        THROUGH the swap, not just fetch(latest_by=...). A file a
         concurrent appender lands survives untouched. A crash at any
-        point is completed by the journal recovery on the next
-        optimize()."""
+        point either never committed (sealed orphans swept, inputs
+        still visible) or committed (tombstoned inputs swept) — healed
+        by _sweep_manifest_debris at the next maintenance entry;
+        legacy journal states from pre-round-8 stores are still
+        recovered by _recover_opt_journals first."""
         import math
         import shutil
         import uuid
 
         path = self.path(name)
         rewritten = 0
+        # (entry, sealed names, snapshot inputs, stage dir) per rewritten
+        # partition — committed in ONE manifest flip after the loop
+        done: list[tuple[str, list[str], list[str], str]] = []
         self._recover_opt_journals(path)
         # leftover stage dirs. Two shapes: legacy pre-round-6
         # directory-swap leftovers (".opt.old"/".opt.tmp" exact), and
@@ -765,15 +1104,14 @@ class TsStore:
                     os.rename(leftover, orig)
             elif ".opt." in entry and entry.endswith(".tmp"):
                 shutil.rmtree(leftover)
-        for entry in sorted(os.listdir(path)):
+        # heal crashed manifest transactions: afterwards every on-disk
+        # non-dotted file is visible, so the listings below are the
+        # visible snapshots
+        self._sweep_manifest_debris(name)
+        self._ensure_manifest(name)
+        for entry in self._part_entries(name):
             part_dir = os.path.join(path, entry)
-            if not entry.startswith(f"{_PART}=") or not os.path.isdir(part_dir):
-                continue
-            files = sorted(
-                f
-                for f in os.listdir(part_dir)
-                if f.endswith(".parquet") and not f.startswith(".")
-            )
+            files = self._list_parquet(name, entry)
             if len(files) < min_files:
                 continue
             n_bytes = sum(
@@ -796,52 +1134,65 @@ class TsStore:
                 for f in os.listdir(stage)
                 if f.endswith(".parquet") and not f.startswith(".")
             )
-            moves = [
-                (os.path.join(stage, f), f"opt-{txn}-{i:05d}.parquet")
-                for i, f in enumerate(staged)
-            ]
-            jpath = os.path.join(path, f".{entry}.opt.journal")
-            jtmp = jpath + ".tmp"
-            with open(jtmp, "w") as f:
-                json.dump(
-                    {
-                        "partition": entry,
-                        "stage": stage,
-                        "moves": moves,
-                        "old": files,
-                    },
-                    f,
-                )
-            os.replace(jtmp, jpath)  # journal commit point (atomic)
-            for src, dst in moves:
-                os.rename(src, os.path.join(part_dir, dst))
-            for f in files:
-                try:
-                    os.remove(os.path.join(part_dir, f))
-                except FileNotFoundError:
-                    pass
-            os.unlink(jpath)
-            shutil.rmtree(stage)
+            # land sealed (invisible); the COMMIT happens once for the
+            # whole pass below — one manifest flip per optimize() keeps
+            # reader-side snapshot retries rare (a per-partition flip
+            # bumped the generation dozens of times per pass and could
+            # starve a concurrent reader's stable-pair loop)
+            new_names: list[str] = []
+            for i, f in enumerate(staged):
+                dst = f"{_SEALED}{txn}-{i:05d}.parquet"
+                os.rename(os.path.join(stage, f), os.path.join(part_dir, dst))
+                new_names.append(dst)
+            done.append((entry, new_names, files, stage))
             rewritten += 1
+        if done:
+            # single atomic commit: every rewritten partition's outputs
+            # go live and its inputs tombstone in one manifest replace
+            man = self._read_manifest(name) or {
+                "gen": 0, "sealed": {}, "retired": {},
+            }
+            for entry, new_names, files, _stage in done:
+                man["sealed"][entry] = new_names
+                man["retired"][entry] = sorted(
+                    set(man["retired"].get(entry, ()))
+                    | {f for f in files if not f.startswith(_SEALED)}
+                )
+            self._write_manifest(name, man)
+            for entry, _new, files, stage in done:
+                part_dir = os.path.join(path, entry)
+                for f in files:
+                    try:
+                        os.remove(os.path.join(part_dir, f))
+                    except FileNotFoundError:
+                        pass
+                shutil.rmtree(stage)
+            # prune the tombstones now that their files are gone
+            self._sweep_manifest_debris(name)
         return rewritten
 
     # -- continuous aggregates --------------------------------------------
 
     def _day_fingerprints(self, name: str) -> dict[str, str]:
-        """day -> md5 over the sorted (file, size) listing of its
-        partition dir — changes iff the day's data files changed."""
+        """day -> md5 over the sorted (file, size) listing of the day's
+        VISIBLE files — changes iff the day's logical layout changed.
+        Manifest-aware: maintenance debris (retired/unsealed files) must
+        not perturb the fingerprint, or a crashed compact would churn
+        rollup refreshes for days whose data never changed."""
         import hashlib
 
         path = self.path(name)
+        man = self._read_manifest(name)
         out: dict[str, str] = {}
-        for entry in os.listdir(path):
+        for entry in self._part_entries(name):
             part_dir = os.path.join(path, entry)
-            if not entry.startswith(f"{_PART}=") or not os.path.isdir(part_dir):
-                continue
+            names = self._list_parquet(name, entry)
+            if man is not None:
+                names = self._visible_in_partition(man, entry, names)
             files = sorted(
                 (f, os.path.getsize(os.path.join(part_dir, f)))
-                for f in os.listdir(part_dir)
-                if f.endswith(".parquet") and not f.startswith(".")
+                for f in names
+                if os.path.exists(os.path.join(part_dir, f))
             )
             sig = hashlib.md5(repr(files).encode()).hexdigest()
             out[entry.split("=", 1)[1]] = sig
@@ -978,7 +1329,7 @@ class TsStore:
         partition column."""
         df = self._empty_if_no_parts(name)
         if df is None:
-            df = self.spark.read.parquet(self.path(name))
+            df = self._read_visible(name)
         if start is not None:
             df = df.filter(F.col(_PART) >= F.to_date(F.lit(start)))
         if end is not None:
@@ -998,9 +1349,7 @@ class TsStore:
         stamping never appear (they predate any watermark).
         Half-open (since, until] so consecutive feeds with
         until=watermark compose without overlap."""
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            self.path(name)
-        )
+        df = self._read_visible(name, merge_schema=True)
         if _INGEST not in df.columns:
             return df.filter(F.lit(False)).drop(_PART)
         out = df.filter(F.col(_INGEST) > F.lit(since).cast("timestamp"))
@@ -1043,19 +1392,26 @@ class TsStore:
         subject's footprint, not the store size. Returns the number of
         rows deleted.
 
-        Crash safety (round-3 hardening): each day swaps via
-        rename(day -> .{day}.del.old) -> rename(new -> day) ->
-        rmtree(.del.old) — the original rmtree-then-rename order lost
-        the whole day if the crash hit between the two. Leftover
-        '.del.old' dirs sweep on the next delete_keys/optimize-style
-        entry: restored when the day is missing, discarded otherwise.
-        Reads with mergeSchema so an evolved store's rewritten days
-        keep their later-added columns (the compact() lesson)."""
+        Crash safety (round-8 manifest rewrite; the round-3 directory
+        swap had a transient whole-day GAP between its two renames):
+        the touched days rewrite through the same snapshot-and-seal
+        protocol as compact/optimize — stage the kept rows, land them
+        sealed (invisible), COMMIT with one atomic manifest replace
+        (kept rows live, every snapshot input tombstoned), then delete
+        the inputs. A reader sees the pre-delete rows or the post-delete
+        rows, exactly, at every instant. Files a concurrent appender
+        lands after the snapshot survive untouched (though rows for the
+        deleted keys arriving DURING the takedown naturally need the
+        next delete_keys pass — takedown pipelines re-run by design).
+        Legacy '.del.old' crash states from pre-round-8 stores still
+        sweep (restore-or-discard) at entry. Reads with mergeSchema so
+        an evolved store's rewritten days keep their later-added
+        columns (the compact() lesson)."""
         import shutil as _shutil
+        import uuid as _uuid
 
         path = self.path(name)
-        # sweep a crashed prior delete: same restore-or-discard rule as
-        # optimize's per-partition swap
+        # sweep a crashed pre-round-8 delete: restore-or-discard
         for entry in os.listdir(path):
             leftover = os.path.join(path, entry)
             if not entry.startswith(".") or not os.path.isdir(leftover):
@@ -1066,7 +1422,23 @@ class TsStore:
                     _shutil.rmtree(leftover)
                 else:
                     os.rename(leftover, orig)
-        df = self.spark.read.option("mergeSchema", "true").parquet(path)
+        # heal crashed manifest txns, then SNAPSHOT the exact input
+        # files — discovery and rewrite read only the snapshot, so a
+        # concurrent append is never retired without its rows kept
+        self._sweep_manifest_debris(name)
+        snapshot = {
+            e: self._list_parquet(name, e) for e in self._part_entries(name)
+        }
+        in_files = [
+            os.path.join(path, e, f) for e, fs in snapshot.items() for f in fs
+        ]
+        if not in_files:
+            return 0
+        df = (
+            self.spark.read.option("basePath", path)
+            .option("mergeSchema", "true")
+            .parquet(*in_files)
+        )
         hit = F.col(key_col).isin(list(keys))
         days = [
             r[0]
@@ -1074,24 +1446,39 @@ class TsStore:
         ]
         if not days:
             return 0
+        touched = {f"{_PART}={day}" for day in days}
         sub = df.filter(F.col(_PART).isin(days))
         deleted = sub.filter(hit).count()
         kept = sub.filter(~hit).repartition(F.col(_PART))
         # dot-prefixed like every swap sibling: a non-dotted tmp in the
         # store root would show up in series() as a bogus series
         parent, base = os.path.split(path)
-        tmp = os.path.join(parent, f".{base}.delete.tmp")
-        kept.write.mode("overwrite").partitionBy(_PART).parquet(tmp)
-        for day in days:
-            part = f"{_PART}={day}"
-            old = os.path.join(path, part)
-            new = os.path.join(tmp, part)
-            aside = os.path.join(path, f".{part}.del.old")
-            os.rename(old, aside)
-            if os.path.exists(new):  # day may become empty
-                os.rename(new, old)
-            _shutil.rmtree(aside)
-        _shutil.rmtree(tmp, ignore_errors=True)
+        txn = _uuid.uuid4().hex
+        stage = os.path.join(parent, f".{base}.delete.{txn}.tmp")
+        kept.write.partitionBy(_PART).parquet(stage)
+        self._ensure_manifest(name)
+        new_sealed = self._move_staged_sealed(stage, name, txn)
+        man = self._read_manifest(name)
+        for entry in sorted(touched):
+            man["sealed"][entry] = new_sealed.get(entry, [])  # [] = emptied day
+            man["retired"][entry] = sorted(
+                set(man["retired"].get(entry, ()))
+                | {f for f in snapshot.get(entry, ()) if not f.startswith(_SEALED)}
+            )
+        self._write_manifest(name, man)  # the commit point
+        for entry in sorted(touched):
+            part_dir = os.path.join(path, entry)
+            for f in snapshot.get(entry, ()):
+                try:
+                    os.remove(os.path.join(part_dir, f))
+                except FileNotFoundError:
+                    pass
+            try:
+                os.rmdir(part_dir)  # emptied day: drop the empty dir
+            except OSError:
+                pass  # still holds kept/appended files — normal
+        _shutil.rmtree(stage, ignore_errors=True)
+        self._sweep_manifest_debris(name)
         return deleted
 
     # -- lifecycle --------------------------------------------------------
@@ -1112,14 +1499,29 @@ class TsStore:
         elif isinstance(cutoff, _dt.datetime):
             cutoff = cutoff.date()
         root = self.path(name)
+        to_drop = [
+            e
+            for e in sorted(os.listdir(root))
+            if e.startswith(f"{_PART}=")
+            and _dt.date.fromisoformat(e.split("=", 1)[1]) < cutoff
+        ]
+        # prune the manifest FIRST: a sealed file's rmtree mid-flight
+        # must never leave a live manifest entry pointing at a deleted
+        # file (readers would fail fast on a file we removed on purpose)
+        man = self._read_manifest(name)
+        if man is not None and to_drop:
+            changed = False
+            for entry in to_drop:
+                if man.get("sealed", {}).pop(entry, None) is not None:
+                    changed = True
+                if man.get("retired", {}).pop(entry, None) is not None:
+                    changed = True
+            if changed:
+                self._write_manifest(name, man)
         dropped = 0
-        for entry in sorted(os.listdir(root)):
-            if not entry.startswith(f"{_PART}="):
-                continue
-            day = _dt.date.fromisoformat(entry.split("=", 1)[1])
-            if day < cutoff:
-                _shutil.rmtree(os.path.join(root, entry))
-                dropped += 1
+        for entry in to_drop:
+            _shutil.rmtree(os.path.join(root, entry))
+            dropped += 1
         return dropped
 
     def verify(self, name: str) -> DataFrame:

@@ -459,7 +459,8 @@ def test_concurrent_appends_and_compact(spark, store, events):
     assert got.count() == 3 * n  # no lost rows from either writer
     path = store.path("events")
     assert all(
-        e.startswith(("_date=", "_schema", ".")) or e.startswith("_SUCCESS")
+        e.startswith(("_date=", "_schema", "_manifest", "."))
+        or e.startswith("_SUCCESS")
         for e in os.listdir(path)
     ), os.listdir(path)
 
@@ -836,8 +837,9 @@ def test_reader_never_sees_gap_during_maintenance(spark, store, events):
                 "FileNotFound" in msg
                 or "does not exist" in msg
                 or "FAILED_READ_FILE" in msg
+                or "ManifestContention" in type(e).__name__
             ):
-                continue  # stale plan listing: documented, re-fetch
+                continue  # stale plan / hot-commit window: documented, re-fetch
             errors.append(f"reader: {msg[:500]}")
             break
         if got != n_logical:

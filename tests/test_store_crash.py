@@ -17,18 +17,23 @@ own IO is never affected), then assert the healing contract:
   3. no maintenance litter remains (no stage dirs, no journals, no
      tombstones) — a store healed N times does not leak disk.
 
-Kill points per op (matching the code's phase order in store.py):
+Kill points per op (matching the round-8 MANIFEST protocol's phase
+order in store.py — ensure-manifest flip, seal moves, manifest
+commit, input deletes, stage rmtree, tombstone-prune flip):
 
-optimize: K1 stage written / journal-tmp not yet committed (os.replace)
-          K2 journal committed / nothing moved (1st os.rename)
-          K3 mid-move (2nd os.rename)
-          K4 moved / snapshot inputs not deleted (1st os.remove)
-          K5 inputs deleted / journal not unlinked (os.unlink)
-          K6 journal unlinked / stage not removed (shutil.rmtree)
-compact:  C1 stage written / first move (os.rename in _move_staged_parts)
-          C2 mid-delete of snapshot inputs (os.remove)
-          C3 inputs deleted / stage not removed (shutil.rmtree)
+optimize: K0 ensure-manifest flip killed (os.replace #1)
+          K1 first seal move / K2 mid-seal (os.rename #1/#17)
+          K3 manifest commit killed (os.replace #2 — uncommitted)
+          K4 first input delete / K5 mid-delete (os.remove #1/#41)
+          K6 stage rmtree (shutil.rmtree #1)
+          K7 tombstone-prune flip (os.replace #3)
+compact:  C0..C7 — the same eight boundaries of the same protocol
 lease:    L1 breaker dies between tombstone rename and O_EXCL create
+
+The law at every kill point is EXACTNESS, not merely no-loss: a plain
+fetch().count() equals the pre-commit store before the manifest flip
+and the post-commit store after it — the transient duplicate the
+pre-round-8 protocol documented is structurally impossible now.
 """
 
 from __future__ import annotations
@@ -98,13 +103,44 @@ def _fragment(store, events, copies=3):
         store.append("events", events)
 
 
+def _manifest_consistent(store, name: str) -> list[str]:
+    """After a completed maintenance op the manifest state must be
+    clean: every sealed- file on disk is listed (no unlisted orphans)
+    and no retired tombstones remain (their files were deleted and the
+    tombstones pruned)."""
+    man = store._read_manifest(name)
+    path = store.path(name)
+    bad = []
+    for entry in os.listdir(path):
+        part_dir = os.path.join(path, entry)
+        if not entry.startswith("_date=") or not os.path.isdir(part_dir):
+            continue
+        listed = set((man or {}).get("sealed", {}).get(entry, ()))
+        for f in os.listdir(part_dir):
+            if f.startswith("sealed-") and f not in listed:
+                bad.append(f"unlisted sealed orphan {entry}/{f}")
+    if man and man.get("retired"):
+        bad.append(f"retired tombstones remain: {man['retired']}")
+    return bad
+
+
+# Kill points follow the round-8 manifest protocol's python-level
+# mutation order in optimize(): seal moves (os.rename, one per
+# partition) -> manifest COMMIT (os.replace #1) -> input deletes
+# (os.remove) -> stage rmtrees (shutil.rmtree) -> tombstone-prune flip
+# (os.replace #2). The committed/uncommitted flag states which side of
+# the commit the kill lands on — the exactness law is checked against
+# it (optimize is layout-only, so the visible physical count is the
+# SAME on both sides; the flag still documents the phase).
 OPT_KILLS = [
-    ("K1_journal_commit", "os", "replace", 1),
-    ("K2_first_move", "os", "rename", 1),
-    ("K3_second_move", "os", "rename", 2),
-    ("K4_first_delete", "os", "remove", 1),
-    ("K5_journal_unlink", "os", "unlink", 1),
-    ("K6_stage_rmtree", "shutil", "rmtree", 1),
+    ("K0_ensure_flip", "os", "replace", 1, False),
+    ("K1_first_seal_move", "os", "rename", 1, False),
+    ("K2_mid_seal_move", "os", "rename", 17, False),
+    ("K3_manifest_commit", "os", "replace", 2, False),
+    ("K4_first_delete", "os", "remove", 1, True),
+    ("K5_mid_delete", "os", "remove", 41, True),
+    ("K6_stage_rmtree", "shutil", "rmtree", 1, True),
+    ("K7_prune_flip", "os", "replace", 3, True),
 ]
 
 
@@ -114,9 +150,10 @@ def test_optimize_killed_then_restarted_heals(
 ):
     import shutil as shutil_mod
 
-    _, mod_name, attr, n = kill
+    _, mod_name, attr, n, _committed = kill
     _fragment(store, events)
     n_physical = store.fetch("events").count()
+    logical = events.select("event_id").distinct().count()
     path = store.path("events")
 
     # store.py resolves the primitives as module attributes at call
@@ -128,17 +165,19 @@ def test_optimize_killed_then_restarted_heals(
     assert state["count"] == n  # the kill actually fired mid-phase
     monkeypatch.undo()
 
-    # crashed state must not lose rows for a latest_by reader: optimize
-    # is layout-only, and the only transient anomaly allowed mid-swap
-    # is a duplicate (never a gap)
-    seen = store.fetch("events", latest_by=["event_id"]).count()
-    logical = events.select("event_id").distinct().count()
-    assert seen == logical
+    # THE round-8 exactness law: a plain fetch on the crashed state
+    # sees EXACTLY the physical rows — no transient duplicate (the
+    # pre-manifest protocol's documented anomaly), no gap — because
+    # uncommitted sealed outputs are invisible and committed inputs
+    # are tombstoned whether or not their deletes ran
+    assert store.fetch("events").count() == n_physical
+    assert store.fetch("events", latest_by=["event_id"]).count() == logical
 
     # restart heals and completes
     store.optimize("events", min_files=2)
     assert store.fetch("events").count() == n_physical
     assert _no_litter(path) == []
+    assert _manifest_consistent(store, "events") == []
     # after healing, every partition is compacted to a single file
     for entry in os.listdir(path):
         pd_ = os.path.join(path, entry)
@@ -150,10 +189,21 @@ def test_optimize_killed_then_restarted_heals(
             assert len(files) == 1, (entry, files)
 
 
+# compact(): seal moves (os.rename, after makedirs) -> manifest COMMIT
+# (os.replace #1) -> input deletes (os.remove) -> stage rmtree ->
+# tombstone-prune flip (os.replace #2). committed=False kills must read
+# as the PRE-compact store (physical count), committed=True as the
+# POST-compact store (logical count) — exactly one of the two, at
+# every instant.
 COMPACT_KILLS = [
-    ("C1_first_move", "os", "rename", 1),
-    ("C2_mid_delete", "os", "remove", 2),
-    ("C3_stage_rmtree", "shutil", "rmtree", 1),
+    ("C0_ensure_flip", "os", "replace", 1, False),
+    ("C1_first_seal_move", "os", "rename", 1, False),
+    ("C2_mid_seal_move", "os", "rename", 17, False),
+    ("C3_manifest_commit", "os", "replace", 2, False),
+    ("C4_first_delete", "os", "remove", 1, True),
+    ("C5_mid_delete", "os", "remove", 41, True),
+    ("C6_stage_rmtree", "shutil", "rmtree", 1, True),
+    ("C7_prune_flip", "os", "replace", 3, True),
 ]
 
 
@@ -165,8 +215,9 @@ def test_compact_killed_then_restarted_heals(
 ):
     import shutil as shutil_mod
 
-    _, mod_name, attr, n = kill
+    _, mod_name, attr, n, committed = kill
     _fragment(store, events)
+    n_physical = store.fetch("events").count()
     logical = events.select("event_id").distinct().count()
     path = store.path("events")
     parent = os.path.dirname(path)
@@ -180,14 +231,19 @@ def test_compact_killed_then_restarted_heals(
     assert state["count"] == n
     monkeypatch.undo()
 
-    # at EVERY kill point a keep-latest reader sees exactly the logical
-    # rows (compact may leave transient duplicates, never a gap)
+    # THE round-8 exactness law: the crashed state reads as EXACTLY the
+    # pre-compact store (kill before the manifest flip) or EXACTLY the
+    # post-compact store (kill after it) — never a transient duplicate,
+    # never a gap, at any instant
+    expected = logical if committed else n_physical
+    assert store.fetch("events").count() == expected
     assert store.fetch("events", latest_by=["event_id"]).count() == logical
 
     # restart heals: discards/readopts debris, re-compacts
     store.compact("events", key_cols=["event_id"])
     assert store.fetch("events").count() == logical
     assert _no_litter(path) == []
+    assert _manifest_consistent(store, "events") == []
 
 
 def test_lease_breaker_dies_between_tomb_and_create(tmp_path):
