@@ -980,3 +980,95 @@ def test_optimize_sweeps_orphan_txn_stage_dirs(spark, store, events):
     store.optimize("events", min_files=2)
     assert not os.path.exists(orphan)
     assert store.fetch("events").count() == n_before
+
+
+def test_fetch_range_prunes_partitions_with_manifest(spark, store, events):
+    """The manifest read path (post-compact) must keep fetch's
+    partition pruning: the explicit file list is pruned DRIVER-SIDE to
+    the touched day dirs before Spark ever sees it — inputFiles()
+    contains only in-range partitions, matching the plain-dir path's
+    PartitionFilters behavior."""
+    store.append("events", events)
+    store.compact("events", key_cols=["event_id"])
+    assert store._read_manifest("events") is not None  # manifest path active
+    sliced = store.fetch("events", "2024-01-05", "2024-01-10 23:59:59")
+    want = events.filter(
+        F.col("ts").between("2024-01-05", "2024-01-10 23:59:59")
+    ).count()
+    assert sliced.count() == want
+    days = {
+        f.split("_date=")[1].split("/")[0]
+        for f in sliced._jdf.inputFiles()
+        if "_date=" in f
+    }
+    assert days, "explicit-list read lost the partition dirs"
+    assert all("2024-01-05" <= d <= "2024-01-10" for d in days), days
+
+
+def test_delete_keys_exact_counts_at_kill_points(monkeypatch, spark, store, events):
+    """delete_keys follows the same seal-commit protocol as compact
+    (round-8): kill it at the pre-commit boundary (first seal move) and
+    the post-commit boundary (first input delete) and assert EXACT
+    reader counts on the crashed state — the old directory-swap had a
+    transient whole-day GAP between its two renames."""
+    import os as os_mod
+
+    class Kill(Exception):
+        pass
+
+    # two independent series: the second kill must land in the DELETE
+    # phase of a fresh run, not in the entry sweep healing the first
+    # kill's debris
+    store.append("ev_pre", events)
+    store.append("ev_post", events)
+    n_before = store.fetch("ev_pre").count()
+    victims = [r[0] for r in events.select("user_id").distinct().limit(2).collect()]
+    n_victim = events.filter(F.col("user_id").isin(victims)).count()
+    parent = store.root
+
+    def inject(attr, n):
+        real = getattr(os_mod, attr)
+        state = {"count": 0}
+
+        def wrapper(*args, **kwargs):
+            p = str(args[0]) if args else ""
+            if p.startswith(parent):
+                state["count"] += 1
+                if state["count"] == n:
+                    raise Kill(f"{attr} #{n}")
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(os_mod, attr, wrapper)
+        return state
+
+    import pytest as _pytest
+
+    # pre-commit kill: first seal move — store must read as UNCHANGED
+    inject("rename", 1)
+    with _pytest.raises(Kill):
+        store.delete_keys("ev_pre", "user_id", victims)
+    monkeypatch.undo()
+    assert store.fetch("ev_pre").count() == n_before
+    assert (
+        store.fetch("ev_pre").filter(F.col("user_id").isin(victims)).count()
+        == n_victim
+    )
+    # restart completes and heals
+    assert store.delete_keys("ev_pre", "user_id", victims) == n_victim
+    assert store.fetch("ev_pre").count() == n_before - n_victim
+
+    # post-commit kill: first input delete — store must read as DELETED
+    inject("remove", 1)
+    with _pytest.raises(Kill):
+        store.delete_keys("ev_post", "user_id", victims)
+    monkeypatch.undo()
+    assert store.fetch("ev_post").count() == n_before - n_victim
+    assert (
+        store.fetch("ev_post").filter(F.col("user_id").isin(victims)).count() == 0
+    )
+    # restart is an idempotent no-op (keys already gone) that heals the
+    # tombstones via the entry sweep
+    assert store.delete_keys("ev_post", "user_id", victims) == 0
+    assert store.fetch("ev_post").count() == n_before - n_victim
+    man = store._read_manifest("ev_post")
+    assert not (man or {}).get("retired"), man

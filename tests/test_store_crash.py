@@ -125,13 +125,14 @@ def _manifest_consistent(store, name: str) -> list[str]:
 
 
 # Kill points follow the round-8 manifest protocol's python-level
-# mutation order in optimize(): seal moves (os.rename, one per
-# partition) -> manifest COMMIT (os.replace #1) -> input deletes
-# (os.remove) -> stage rmtrees (shutil.rmtree) -> tombstone-prune flip
-# (os.replace #2). The committed/uncommitted flag states which side of
-# the commit the kill lands on — the exactness law is checked against
-# it (optimize is layout-only, so the visible physical count is the
-# SAME on both sides; the flag still documents the phase).
+# mutation order in optimize(): ensure-manifest flip (os.replace #1) ->
+# seal moves (os.rename, one per partition) -> manifest COMMIT
+# (os.replace #2) -> input deletes (os.remove) -> stage rmtrees
+# (shutil.rmtree) -> tombstone-prune flip (os.replace #3). The
+# committed/uncommitted flag states which side of the commit the kill
+# lands on — the exactness law is checked against it (optimize is
+# layout-only, so the visible physical count is the SAME on both
+# sides; the flag still documents the phase).
 OPT_KILLS = [
     ("K0_ensure_flip", "os", "replace", 1, False),
     ("K1_first_seal_move", "os", "rename", 1, False),
