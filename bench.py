@@ -235,6 +235,26 @@ def bench_spark() -> dict:
         con.execute(sql).fetchall()
         return time.perf_counter() - t0
 
+    # LONG-SESSION FENCE (round-8 verdict #2, probe-established at
+    # 256x): a hot session's FIRST encounter with a string-heavy query
+    # can stall 10-30x for several consecutive runs (q17_curate 52 s
+    # median vs 1.75 s on the second pass; q13/q22/q29 similar) — JVM
+    # memory churn from millions of long strings, NOT monotone aging
+    # (the second full pass measured 43% FASTER than the first).
+    # Mitigation: at scale factors >= ~64x (fixture > 1 GB), run one
+    # full DISCARDED warm pass over every query before measuring — the
+    # per-query warm-up below does not fence it (the stalls survive 4
+    # consecutive runs of the same query). Evidence + 3-pass validation
+    # in BASELINE.md "Long-session degradation".
+    fixture_bytes = 0
+    for dirpath, _d, fnames in os.walk(SF_DIR):
+        for f in fnames:
+            fixture_bytes += os.path.getsize(os.path.join(dirpath, f))
+    if fixture_bytes > 1 << 30:
+        for label in HEADLINE:
+            spark._jvm.System.gc()
+            run_spark(label)
+
     # interleaved per query: 1 warm-up pass over all engines, then
     # 1 discarded first timed rep + RUNS timed reps, engines alternating
     # WITHIN each rep so ambient drift cancels in the ratios. JVM GC
