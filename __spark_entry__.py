@@ -194,6 +194,13 @@ _REVERIFY: list[str] = [
     # loop on the shipped protocol.
     "store_maintenance_roundtrip", "rollup_continuous",
     "stream_store_ingest", "upsert_cdc", "sink_partition_prune",
+    # round-8 verdict #5: residual-codebook refinement (kmpp+16-iter
+    # Lloyd) + 0.4% shortlist in ann_ivf_pq, shared trainer refactor in
+    # ann_pq, ivf_pq floor raised to 0.80 / pq to 0.75 (ann_recall's
+    # in-band raise_error makes a completed rows-only run a real
+    # recall>=floor assertion on driver infra; engine-measured at 512k:
+    # ivf_pq 0.85, pq 0.91).
+    "ann_ivf_pq", "ann_pq", "ann_recall",
 ]
 
 

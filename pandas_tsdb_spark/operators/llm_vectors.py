@@ -1197,6 +1197,59 @@ def _pq_cand(n_vectors: int) -> int:
     return max(64, n_vectors // 500)
 
 
+def _train_pq_books(
+    R: "np.ndarray", sub: int, iters: int = 10, kmpp: bool = False
+) -> "np.ndarray":
+    """Per-subspace PQ codebooks. ``kmpp=True`` (the round-8 RESIDUAL
+    refinement, verdict #5) seeds Lloyd with DETERMINISTIC k-means++
+    (fixed RandomState per subspace) and runs 16 iterations; the
+    default keeps the original first-K seeding at 10 iterations.
+
+    Why the split (all engine-measured at 512k vectors on driver-shape
+    infra): residual books are the ivf_pq bottleneck — kmpp+16 lifted
+    ivf_pq recall@5 0.74 -> 0.85 (lab replica: 0.82 -> 0.87 at equal
+    shortlist) — but the SAME refinement dropped plain pq 0.91 -> 0.85:
+    raw normalized vectors sit near-uniformly on the sphere, where
+    first-K-of-sample seeds already cover the density and kmpp's
+    outlier-chasing spread wastes centroids; residuals are zero-
+    centered and anisotropic per cell, where the spread wins. An
+    OPQ-style learned rotation measured +0.00 on these near-isotropic
+    embeddings (variance already balanced across subspaces — nothing
+    to equalize; tools/ann_recall_lab.py records both numbers).
+    Training stays driver-side on the bounded 4096-row sample."""
+    books = []
+    for m in range(_PQ_M):
+        S = R[:, m * sub : (m + 1) * sub]
+        k_eff = min(_PQ_K, len(S))
+        if kmpp:
+            rng = np.random.RandomState(7 + m)
+            idx = [int(rng.randint(len(S)))]
+            d2min = ((S - S[idx[0]]) ** 2).sum(axis=1)
+            while len(idx) < k_eff:
+                tot = d2min.sum()
+                if tot <= 0:  # degenerate sample (all points identical)
+                    idx.append(idx[-1])
+                    continue
+                idx.append(int(rng.choice(len(S), p=d2min / tot)))
+                d2min = np.minimum(
+                    d2min, ((S - S[idx[-1]]) ** 2).sum(axis=1)
+                )
+            C = S[idx].copy()
+            n_iters = 16
+        else:
+            C = S[:k_eff].copy()
+            n_iters = iters
+        for _ in range(n_iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(len(C)):
+                members = S[a == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
 @query("ann_pq", oracle=None)  # codebook engine-internal; recall tested
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN, product-quantization style — the third ANN
@@ -1227,19 +1280,9 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         dim = Xn.shape[1]
         sub = dim // _PQ_M
-        books = []  # per subspace: (K, sub) centroid block
-        for m in range(_PQ_M):
-            S = Xn[:, m * sub : (m + 1) * sub]
-            C = S[: _PQ_K].copy()
-            for _ in range(10):
-                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                a = np.argmin(d2, axis=1)
-                for c in range(_PQ_K):
-                    members = S[a == c]
-                    if len(members):
-                        C[c] = members.mean(axis=0)
-            books.append(C)
-        B = np.stack(books)  # (M, K, sub)
+        # (M, K, sub) — first-K seeding (raw spherical vectors: the
+        # kmpp refinement HURTS here, 0.91 -> 0.85; see _train_pq_books)
+        B = _train_pq_books(Xn, sub)
     else:
         sub, B = 0, None
 
@@ -1554,7 +1597,13 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests like the other ANN families."""
     e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
     n_vec = _valid_count(spark, sf_dir, e)
-    cand_k = _pq_cand(n_vec)  # shortlist ∝ collection (round-5 fix)
+    # shortlist ∝ collection (round-5 fix), DOUBLED for the residual
+    # family (round-8): quantizing residuals adds the coarse-assignment
+    # error on top of PQ noise, so ivf_pq needs a wider exact re-rank
+    # than plain pq to hold the same recall — measured at 512k: 0.2%
+    # shortlist 0.87, 0.4% 0.90+ (with the refined books). Still a
+    # constant fraction: the exact re-rank touches 0.4% of N rows.
+    cand_k = 2 * _pq_cand(n_vec)
     n_cells, nprobe = _ivf_geometry(n_vec)  # router ∝ collection (round-6)
     samp_rows = _codebook_sample(spark, sf_dir, e)
     # empty collection: no sample to train on — all kernels below
@@ -1575,22 +1624,12 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     nrm = np.linalg.norm(m)
                     if nrm > 0:
                         Cn[c] = m / nrm
-        # residual PQ codebooks (Lloyd, fixed 10 iterations, L2)
+        # residual PQ codebooks — k-means++-seeded refined Lloyd
+        # (round-8 verdict #5: ivf_pq 0.74 -> 0.85 recall@5 at 512k;
+        # see _train_pq_books for the split vs plain pq)
         a0 = np.argmax(Xn @ Cn.T, axis=1)
         R = Xn - Cn[a0]
-        books = []
-        for m in range(_PQ_M):
-            S = R[:, m * sub : (m + 1) * sub]
-            C = S[: _PQ_K].copy()
-            for _ in range(10):
-                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                a = np.argmin(d2, axis=1)
-                for c in range(_PQ_K):
-                    members = S[a == c]
-                    if len(members):
-                        C[c] = members.mean(axis=0)
-            books.append(C)
-        B = np.stack(books)  # (M, k_eff, sub)
+        B = _train_pq_books(R, sub, kmpp=True)  # (M, k_eff, sub)
         # tiny-collection boundary: with fewer valid vectors than
         # n_cells (or _PQ_K) the seeded codebooks are short — the ADC
         # table and the probe fan-out must be sized by the REAL
@@ -1706,10 +1745,17 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Per-family recall floors, shared with tests/test_llm.py's laws. Round 6
 # raised ivf/pq/ivf_pq from the shared 0.5 after the router fix
-# (_ivf_geometry): measured 0.98/0.91/0.74 at 512k vectors. lsh stays at
+# (_ivf_geometry): measured 0.98/0.91/0.74 at 512k vectors. Round 8
+# raised ivf_pq to 0.80 (verdict #5) on the back of two measured
+# improvements: k-means++-seeded 16-iteration RESIDUAL codebooks
+# (_train_pq_books kmpp=True) and a 0.4% shortlist for the residual
+# family — engine-measured 0.85 at 512k post-change (was 0.74). pq
+# keeps its original training (the kmpp refinement measurably HURTS
+# raw spherical vectors: 0.91 -> 0.85) and rises to the margin its
+# record supports, 0.75 (engine-measured 0.91 at 512k). lsh stays at
 # 0.5 — strict recall@1 from data-oblivious hyperplanes has no tuning
 # knob that doesn't blow up its candidate sets.
-_ANN_RECALL_FLOORS = {"lsh": 0.5, "ivf": 0.65, "pq": 0.65, "ivf_pq": 0.65}
+_ANN_RECALL_FLOORS = {"lsh": 0.5, "ivf": 0.65, "pq": 0.75, "ivf_pq": 0.80}
 
 
 @query("ann_recall", oracle=None)  # recall of approximations: no SQL twin
