@@ -206,7 +206,15 @@ def bench_spark() -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     _size_shuffle_to_data(spark)
     specs = load_all()
-    con = _duck_connect()
+    fixture_bytes = 0
+    for dirpath, _d, fnames in os.walk(SF_DIR):
+        for f in fnames:
+            fixture_bytes += os.path.getsize(os.path.join(dirpath, f))
+    at_scale = fixture_bytes > 1 << 30
+    # the single-node columns only exist off-scale (see the paired-loop
+    # note); scaled fixtures are also directory-backed parquet, which
+    # the flat read_parquet view binding here would reject anyway
+    con = _duck_connect() if not at_scale else None
 
     cal_pre = _calibrate(spark)
 
@@ -246,11 +254,7 @@ def bench_spark() -> dict:
     # per-query warm-up below does not fence it (the stalls survive 4
     # consecutive runs of the same query). Evidence + 3-pass validation
     # in BASELINE.md "Long-session degradation".
-    fixture_bytes = 0
-    for dirpath, _d, fnames in os.walk(SF_DIR):
-        for f in fnames:
-            fixture_bytes += os.path.getsize(os.path.join(dirpath, f))
-    if fixture_bytes > 1 << 30:
+    if at_scale:
         for label in HEADLINE:
             spark._jvm.System.gc()
             run_spark(label)
@@ -261,15 +265,21 @@ def bench_spark() -> dict:
     # before each spark rep: accumulated broadcast/shuffle garbage from
     # earlier queries otherwise degrades later sort-heavy ones (measured
     # at 64x: join_asof 11.1 s dirty vs 2.3 s clean).
+    # the paired single-node columns only run on sub-GB fixtures: at
+    # 256x a single pandas pass is ~20 minutes (BASELINE.md: 1,182.8 s
+    # total), so the at-scale artifact is spark + calibration only —
+    # cross-session comparability at scale comes from the null-job
+    # normalization and the fresh-session re-measure rule.
     for label in HEADLINE:
         run_spark(label)
-        run_pandas(label)
-        run_duck(label)
+        if not at_scale:
+            run_pandas(label)
+            run_duck(label)
         for rep in range(RUNS + 1):
             spark._jvm.System.gc()
             s = run_spark(label)
-            p = run_pandas(label)
-            d = run_duck(label)
+            p = run_pandas(label) if not at_scale else None
+            d = run_duck(label) if not at_scale else None
             if rep == 0:
                 continue
             sp[label].append(s)
@@ -318,6 +328,7 @@ def bench_spark() -> dict:
         "queries": q_sp,
         "sf": _sf(SF_DIR),
         "protocol": "interleaved_v2",
+        "at_scale": at_scale,
         "calibration": calibration,
         "paired": paired,
         "regression_rule": (
