@@ -406,6 +406,13 @@ class TsStore:
 
         man = {
             "gen": int(man.get("gen", 0)) + 1,
+            # per-write random token: overwrite() may DELETE an emptied
+            # manifest and _ensure_manifest restarts gen at 1, so gen
+            # alone can ABA a reader (old manifest paired with a new
+            # listing across a delete/recreate cycle). The stable-pair
+            # check in _read_visible requires gen AND token to match,
+            # which no delete/recreate cycle can reproduce.
+            "token": uuid.uuid4().hex,
             "sealed": {k: sorted(v) for k, v in man.get("sealed", {}).items() if v},
             "retired": {k: sorted(v) for k, v in man.get("retired", {}).items() if v},
         }
@@ -516,7 +523,15 @@ class TsStore:
             else:
                 files = self._visible_files(name, man, partitions=partitions)
                 man2 = self._read_manifest(name)
-                if man2 is not None and man2.get("gen") == man.get("gen"):
+                # gen AND token: a delete/recreate cycle restarts gen
+                # at 1, so gen alone is ABA-able; the random per-write
+                # token (legacy manifests: both None, still equal) is
+                # not (see _write_manifest)
+                if (
+                    man2 is not None
+                    and man2.get("gen") == man.get("gen")
+                    and man2.get("token") == man.get("token")
+                ):
                     break
             files = None
             _time.sleep(0.02 * attempt)  # let the commit burst pass
@@ -759,10 +774,26 @@ class TsStore:
 
                 lo = _pd.Timestamp(start).date() if start is not None else _dt.date.min
                 hi = _pd.Timestamp(end).date() if end is not None else _dt.date.max
+
+                def _in_range(entry: str) -> bool:
+                    # a null event ts at append lands in the Hive
+                    # default partition (_date=__HIVE_DEFAULT_PARTITION__);
+                    # keep such dirs in the listing so the row-level
+                    # range filter below decides — exactly what Catalyst
+                    # does on the plain-dir path (a null partition value
+                    # fails `_date >= lit(start)` per-row, it does not
+                    # brick the scan)
+                    try:
+                        return (
+                            lo
+                            <= _dt.date.fromisoformat(entry.split("=", 1)[1])
+                            <= hi
+                        )
+                    except ValueError:
+                        return True
+
                 partitions = [
-                    e
-                    for e in self._part_entries(name)
-                    if lo <= _dt.date.fromisoformat(e.split("=", 1)[1]) <= hi
+                    e for e in self._part_entries(name) if _in_range(e)
                 ]
             # mergeSchema under as_of: old appends may lack _ingest_ts
             df = self._read_visible(
@@ -876,7 +907,17 @@ class TsStore:
                 if not entry.startswith(f".{base}.") or not os.path.isdir(p):
                     continue
                 try:
-                    if entry.endswith(".tmp") and ".compact." in entry:
+                    # '.delete.' stages (delete_keys) discard exactly
+                    # like compact stages: their kept-rows copies move
+                    # OUT of the stage before the manifest commit, and
+                    # the inputs are deleted only after it — a stage
+                    # left behind by a crash is never the only copy.
+                    # Sweeping here (under the lease) fixes the leak
+                    # where a delete_keys crash before its rmtree left
+                    # '.{series}.delete.{txn}.tmp' forever.
+                    if entry.endswith(".tmp") and (
+                        ".compact." in entry or ".delete." in entry
+                    ):
                         shutil.rmtree(p)
                     elif entry.startswith(f".{base}.append.") and (
                         newest_mtime(p) < cutoff
@@ -1422,9 +1463,13 @@ class TsStore:
                     _shutil.rmtree(leftover)
                 else:
                     os.rename(leftover, orig)
-        # heal crashed manifest txns, then SNAPSHOT the exact input
-        # files — discovery and rewrite read only the snapshot, so a
-        # concurrent append is never retired without its rows kept
+        # heal crashed manifest txns and stranded stage dirs (incl. a
+        # prior delete_keys' own '.delete.{txn}.tmp' — we hold the
+        # lease, so no sibling maintenance is mid-stage), then SNAPSHOT
+        # the exact input files — discovery and rewrite read only the
+        # snapshot, so a concurrent append is never retired without its
+        # rows kept
+        self._sweep_compact_leftovers(name, deep=True)
         self._sweep_manifest_debris(name)
         snapshot = {
             e: self._list_parquet(name, e) for e in self._part_entries(name)

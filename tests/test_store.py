@@ -1072,3 +1072,72 @@ def test_delete_keys_exact_counts_at_kill_points(monkeypatch, spark, store, even
     assert store.fetch("ev_post").count() == n_before - n_victim
     man = store._read_manifest("ev_post")
     assert not (man or {}).get("retired"), man
+
+
+def test_fetch_range_tolerates_null_date_partition(spark, store, events):
+    """ADVICE r8 (medium): a null event ts at append lands in
+    _date=__HIVE_DEFAULT_PARTITION__; the driver-side partition
+    pruning in fetch() must skip-or-pass such dirs to the row filter
+    (as Catalyst does on the plain-dir path), not raise ValueError on
+    date.fromisoformat and brick every ranged read."""
+    import pandas as pd
+
+    store.append("events", events)
+    null_row = events.limit(1).withColumn("ts", F.lit(None).cast("timestamp"))
+    store.append("events", null_row)
+    path = store.path("events")
+    assert any(
+        e.startswith("_date=__HIVE") for e in os.listdir(path)
+    ), "fixture did not create the Hive default partition"
+
+    lo = events.agg(F.min("ts")).collect()[0][0]
+    hi = events.agg(F.max("ts")).collect()[0][0]
+    # ranged fetch must not raise, and range semantics (null ts fails
+    # ts >= start) must exclude the null row — identical to Catalyst
+    got = store.fetch("events", start=pd.Timestamp(lo), end=pd.Timestamp(hi))
+    assert got.count() == events.count()
+
+    # same law on the manifest path (maintenance creates the manifest)
+    store.compact("events", key_cols=["event_id"])
+    got2 = store.fetch("events", start=pd.Timestamp(lo), end=pd.Timestamp(hi))
+    assert got2.count() == events.count()
+
+
+def test_delete_keys_stage_leftover_swept(spark, store, events):
+    """ADVICE r8 (low): a delete_keys crash before its stage rmtree
+    used to leave '.{series}.delete.{txn}.tmp' forever (the deep sweep
+    matched only '.compact.'/'.append.' stages). Any later maintenance
+    entry must clear it."""
+    store.append("events", events)
+    parent, base = os.path.split(store.path("events"))
+    stranded = os.path.join(parent, f".{base}.delete.deadbeef.tmp")
+    os.makedirs(os.path.join(stranded, "_date=2024-01-01"))
+    with open(
+        os.path.join(stranded, "_date=2024-01-01", "part-0.parquet"), "wb"
+    ) as f:
+        f.write(b"junk")
+    n = store.fetch("events").count()
+    assert store.delete_keys("events", "event_id", [-1]) == 0
+    assert not os.path.isdir(stranded), "stage dir leaked"
+    assert store.fetch("events").count() == n
+
+
+def test_manifest_token_defeats_gen_aba(spark, store, events):
+    """ADVICE r8 (low): overwrite() deletes an emptied manifest and
+    _ensure_manifest restarts gen at 1, so a delete/recreate cycle can
+    reproduce an old gen. The per-write random token cannot — the
+    stable-pair check in _read_visible requires both."""
+    store.append("events", events)
+    store.compact("events", key_cols=["event_id"])
+    man1 = store._read_manifest("events")
+    assert man1 is not None and man1.get("token"), "manifest lacks token"
+
+    # delete/recreate to the SAME gen: token must differ
+    os.remove(store._manifest_file("events"))
+    cur = {"gen": 0, "sealed": {}, "retired": {}}
+    for _ in range(int(man1["gen"])):
+        store._write_manifest("events", cur)
+        cur = store._read_manifest("events")
+    man2 = store._read_manifest("events")
+    assert man2["gen"] == man1["gen"]
+    assert man2["token"] != man1["token"]
