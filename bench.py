@@ -103,6 +103,15 @@ HEADLINE = {
 
 WARMUP, RUNS = 1, 3
 
+# At-scale paired column (round-9 verdict #3): the >=1 GB artifact used
+# to carry spark + calibration only (a full pandas pass is ~20 min at
+# 256x), leaving the at-scale gate resting on the noisy null-job
+# quotient alone. This fixed subset is seconds in DuckDB even at 256x
+# (pure scan+agg over lineitem/events), so it runs interleaved with its
+# Spark twins and gives the at-scale record an ambient-cancelling
+# ratio_vs_duckdb.
+AT_SCALE_DUCK = ("q1_lineitem_agg", "q6_resample", "q16_tpch_q6", "q18_ohlc")
+
 
 def _sf(sf_dir: str) -> float:
     tail = os.path.basename(sf_dir.rstrip("/"))
@@ -160,9 +169,12 @@ def _duck_connect():
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     ):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+        p = f"{SF_DIR}/{t}.parquet"
+        # scaled fixtures are directory-backed parquet datasets
+        # (part-files under <table>.parquet/): bind via recursive glob
+        # so the at-scale paired subset (round-9 verdict #3) can run
+        src = f"'{p}/**/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     return con
 
 
@@ -211,10 +223,11 @@ def bench_spark() -> dict:
         for f in fnames:
             fixture_bytes += os.path.getsize(os.path.join(dirpath, f))
     at_scale = fixture_bytes > 1 << 30
-    # the single-node columns only exist off-scale (see the paired-loop
-    # note); scaled fixtures are also directory-backed parquet, which
-    # the flat read_parquet view binding here would reject anyway
-    con = _duck_connect() if not at_scale else None
+    # the pandas column only exists off-scale (a 256x pandas pass is
+    # ~20 min); DuckDB now binds at every scale (directory-backed
+    # fixtures via recursive glob) so the AT_SCALE_DUCK subset can give
+    # the scaled record a paired column too
+    con = _duck_connect()
 
     cal_pre = _calibrate(spark)
 
@@ -270,16 +283,27 @@ def bench_spark() -> dict:
     # total), so the at-scale artifact is spark + calibration only —
     # cross-session comparability at scale comes from the null-job
     # normalization and the fresh-session re-measure rule.
+    # interspersed null-job probes (round-9 verdict #2): the pre/post
+    # probe pair measured 5x apart within one session (0.289 vs 0.059)
+    # because the scheduling floor itself drifts with JVM state; one
+    # probe per query slot, median with the first discarded, tracks the
+    # floor the headline queries actually paid.
+    null_probes: list[float] = []
     for label in HEADLINE:
+        t0 = time.perf_counter()
+        _noop(spark.range(1))
+        null_probes.append(time.perf_counter() - t0)
+        duck_here = (not at_scale) or label in AT_SCALE_DUCK
         run_spark(label)
         if not at_scale:
             run_pandas(label)
+        if duck_here:
             run_duck(label)
         for rep in range(RUNS + 1):
             spark._jvm.System.gc()
             s = run_spark(label)
             p = run_pandas(label) if not at_scale else None
-            d = run_duck(label) if not at_scale else None
+            d = run_duck(label) if duck_here else None
             if rep == 0:
                 continue
             sp[label].append(s)
@@ -300,15 +324,20 @@ def bench_spark() -> dict:
     tot_pd = round(sum(q_pd.values()), 3)
     tot_dk = round(sum(q_dk.values()), 3)
 
-    # normalize by the MEAN of the pre/post probes: a transient
-    # contention spike on either single probe would otherwise skew the
-    # constant (observed during development: pre 0.16 s under a
-    # concurrent sweep vs post 0.03 s after it drained)
-    null_const = (cal_pre["null_job_sec"] + cal_post["null_job_sec"]) / 2
+    # normalize by the MEDIAN of the interspersed probes (first
+    # discarded): the pre/post pair proved 5x apart within a single r8
+    # session, so any constant built from endpoint probes inherits that
+    # noise; the interspersed median samples the floor 29 times AT the
+    # moments the queries paid it. The quotient is DIAGNOSTIC-ONLY
+    # (BASELINE.md §M7 r9): cross-session regression claims use the
+    # paired ratios, never this number.
+    null_const = statistics.median(null_probes[1:])
     calibration = {
         **cal_pre,
         "null_job_sec_post": cal_post["null_job_sec"],
         "jvm_probe_sec_post": cal_post["jvm_probe_sec"],
+        "null_job_interspersed_sec": round(null_const, 4),
+        "null_job_interspersed_n": len(null_probes) - 1,
         "spark_total_over_null_job": round(tot_sp / null_const, 1),
     }
     paired = {
@@ -333,9 +362,11 @@ def bench_spark() -> dict:
         "paired": paired,
         "regression_rule": (
             "cross-session claims use paired.ratio_vs_pandas / "
-            "paired.ratio_vs_duckdb and calibration.spark_total_over_"
-            "null_job; raw value is a point sample in a ±25-30% "
-            "container band (BASELINE.md §M7)"
+            "paired.ratio_vs_duckdb ONLY; calibration.* (incl. "
+            "spark_total_over_null_job) is diagnostic, not a gate — "
+            "the probe floor itself drifts 2-5x across sessions; raw "
+            "value is a point sample in a ±25-30% container band "
+            "(BASELINE.md §M7)"
         ),
     }
 
@@ -389,6 +420,31 @@ def bench_pandas() -> dict:
     }
 
 
+def compact_line(payload: dict, full_name: str) -> str:
+    """The driver-facing final line. The driver captures the LAST 2000
+    chars of stdout and json-parses them; r8's full payload (per-query
+    pandas/duckdb maps) outgrew that and arrived truncated
+    (BENCH_r08.json parsed:null — round-9 verdict #1). The printed line
+    keeps the contract fields (metric/value/unit/queries/sf) plus
+    calibration and the paired TOTALS+RATIOS; the per-query single-node
+    maps live in the full record file named by ``full_record``."""
+    compact = {k: v for k, v in payload.items() if k != "regression_rule"}
+    if isinstance(compact.get("paired"), dict):
+        compact["paired"] = {
+            k: v
+            for k, v in compact["paired"].items()
+            if k not in ("pandas", "duckdb")
+        }
+    compact["full_record"] = full_name
+    line = json.dumps(compact)
+    if len(line) > 1900:  # hard-fail HERE, not as parsed:null in the artifact
+        raise AssertionError(
+            f"driver line {len(line)} chars exceeds the 2000-char stdout "
+            "tail capture budget — trim the payload"
+        )
+    return line
+
+
 def main() -> None:
     engine = "spark"
     if "--duckdb" in sys.argv:
@@ -398,7 +454,15 @@ def main() -> None:
     payload = {"spark": bench_spark, "duckdb": bench_duckdb, "pandas": bench_pandas}[
         engine
     ]()
-    print(json.dumps(payload))
+    if engine != "spark":
+        print(json.dumps(payload))
+        return
+    # name by the fixture dir tail (sf0.1, sf256full, ...): the scaled
+    # fixtures don't parse to a float sf
+    full_name = f"BENCH_full_{os.path.basename(SF_DIR.rstrip('/'))}.json"
+    with open(os.path.join(REPO, full_name), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(compact_line(payload, full_name))
 
 
 if __name__ == "__main__":
