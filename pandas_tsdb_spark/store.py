@@ -58,6 +58,7 @@ __all__ = ["ManifestContention", "TsStore", "WriterLeaseHeld"]
 _PART = "_date"
 _INGEST = "_ingest_ts"
 _MANIFEST = "_manifest.json"  # underscore: invisible to Spark scans
+_MANIFEST_DIR = "_manifest.d"  # per-partition shard files (same invisibility)
 # maintenance outputs: dot-free (so legacy tools see real parquet) but
 # visible ONLY when listed in the manifest — the invisibility that lets
 # a rewrite land files first and commit them atomically afterwards
@@ -259,10 +260,29 @@ def _leased(op: str):
 
 
 class TsStore:
-    def __init__(self, spark: SparkSession, root: str, ts_col: str = "ts"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        ts_col: str = "ts",
+        manifest_shard_after: int = 64,
+    ):
         self.spark = spark
         self.root = root
         self.ts_col = ts_col
+        # Inline -> sharded manifest cutover (round-9 verdict #4, the
+        # metadata-scale seam): a series whose manifest tracks at most
+        # this many partitions keeps the single inline _manifest.json
+        # (one read, one atomic replace — the protocol every kill-matrix
+        # boundary pins); beyond it, per-partition shard files carry the
+        # file lists (the bulk) and the root holds only
+        # {partition: shard-filename} pointers, Iceberg's
+        # manifest-list/manifest split in miniature. Shards are
+        # content-addressed and immutable, so a commit writes only the
+        # TOUCHED partitions' shards plus the root pointer — O(touched)
+        # data, not O(store) — and a reader resolving a pruned fetch
+        # range opens only the shards inside the range.
+        self.manifest_shard_after = int(manifest_shard_after)
 
     # -- paths ------------------------------------------------------------
 
@@ -374,15 +394,15 @@ class TsStore:
     def _manifest_file(self, name: str) -> str:
         return os.path.join(self.path(name), _MANIFEST)
 
-    def _read_manifest(self, name: str) -> dict | None:
-        """The series manifest, or None for a never-maintained series.
-        Shape: {"gen": N, "sealed": {partition: [file, ...]},
-        "retired": {partition: [file, ...]}}. ``sealed`` is the
-        authoritative live list for sealed- files; ``retired``
-        tombstones append-class files whose rows were rewritten but
-        whose physical delete may still be pending. A corrupt manifest
-        is FAIL-FAST (visibility would be undefined — same doctrine as
-        never setting ignoreCorruptFiles)."""
+    def _shard_dir(self, name: str) -> str:
+        return os.path.join(self.path(name), _MANIFEST_DIR)
+
+    def _read_root(self, name: str) -> dict | None:
+        """The raw manifest ROOT (shards unresolved), or None for a
+        never-maintained series. Cheap — one small-file read — so the
+        reader's stable-pair check uses it. A corrupt root is FAIL-FAST
+        (visibility would be undefined — same doctrine as never setting
+        ignoreCorruptFiles)."""
         p = self._manifest_file(name)
         try:
             with open(p) as f:
@@ -398,10 +418,94 @@ class TsStore:
                 "(only safe if no retired/sealed debris is on disk)"
             ) from e
 
+    def _read_manifest(
+        self, name: str, partitions: Sequence[str] | None = None
+    ) -> dict | None:
+        """The series manifest RESOLVED to its in-memory shape, or None
+        for a never-maintained series:
+        {"gen": N, "token": hex, "sealed": {partition: [file, ...]},
+        "retired": {partition: [file, ...]}}. ``sealed`` is the
+        authoritative live list for sealed- files; ``retired``
+        tombstones append-class files whose rows were rewritten but
+        whose physical delete may still be pending.
+
+        Small series store sealed/retired INLINE in the root; sharded
+        roots (see __init__) carry {partition: shard-file} pointers and
+        this resolves them. ``partitions`` limits resolution to those
+        partition entries (the pruned-fetch fast path: only shards in
+        the range are even opened) — pruned resolution is READ-ONLY;
+        every mutate-and-write-back caller resolves in full.
+
+        A MISSING shard file is ManifestContention (retryable): the
+        only way a root can name an absent shard is a maintenance
+        shard-GC racing this read, because shards are content-addressed,
+        written before the root that references them, and deleted only
+        under the lease once unreferenced. A CORRUPT shard is fail-fast
+        like a corrupt root."""
+        root = self._read_root(name)
+        if root is None or "shards" not in root:
+            return root
+        sealed: dict[str, list[str]] = {}
+        retired: dict[str, list[str]] = {}
+        sd = self._shard_dir(name)
+        for entry, fname in root["shards"].items():
+            if partitions is not None and entry not in partitions:
+                continue
+            fp = os.path.join(sd, fname)
+            try:
+                with open(fp) as f:
+                    sh = json.loads(f.read())
+            except OSError as e:
+                raise ManifestContention(
+                    f"series {name!r}: manifest shard {fname!r} vanished "
+                    "under the root that names it — a maintenance "
+                    "shard-GC raced this read; re-fetch"
+                ) from e
+            except ValueError as e:
+                raise RuntimeError(
+                    f"corrupt manifest shard {fp!r}: {e} — restore it "
+                    "(content-addressed: its name is the sha1 of its "
+                    "canonical JSON) or rebuild the manifest"
+                ) from e
+            if sh.get("partition") not in (None, entry):
+                raise RuntimeError(
+                    f"manifest shard {fp!r} claims partition "
+                    f"{sh.get('partition')!r} but the root points it at "
+                    f"{entry!r} — manifest damaged externally"
+                )
+            if sh.get("sealed"):
+                sealed[entry] = sh["sealed"]
+            if sh.get("retired"):
+                retired[entry] = sh["retired"]
+        return {
+            "gen": root.get("gen"),
+            "token": root.get("token"),
+            "sealed": sealed,
+            "retired": retired,
+        }
+
     def _write_manifest(self, name: str, man: dict) -> None:
-        """Atomic manifest replace (tmp + os.replace) — THE commit
+        """Atomic manifest-ROOT replace (tmp + os.replace) — THE commit
         point of every maintenance transaction. Empty lists are pruned
-        so the manifest stays proportional to maintained partitions."""
+        so the manifest stays proportional to maintained partitions.
+
+        Above ``manifest_shard_after`` partitions the file lists move
+        to per-partition shard files (written BEFORE the root that
+        names them) and the root holds only pointers. Shards are
+        content-addressed (name = sha1 of canonical JSON): an untouched
+        partition's shard content is unchanged, so its file already
+        exists and is skipped — a commit writes O(touched partitions)
+        shard bytes plus one root whose entries are ~50-byte pointers.
+        Content addressing also makes the exists-check crash-safe: a
+        shard reaches its final name only via os.replace of a fully
+        written tmp, so 'exists' implies 'complete'. Unreferenced
+        shards (crashed pre-commit writers, superseded generations) are
+        GC'd by _sweep_manifest_debris under the lease; a reader racing
+        that GC gets ManifestContention and retries (see
+        _read_manifest). The commit point is the root replace in every
+        case — kill anywhere before it and the old generation is intact,
+        after it and the new one is."""
+        import hashlib
         import uuid
 
         man = {
@@ -416,6 +520,38 @@ class TsStore:
             "sealed": {k: sorted(v) for k, v in man.get("sealed", {}).items() if v},
             "retired": {k: sorted(v) for k, v in man.get("retired", {}).items() if v},
         }
+        entries = sorted(set(man["sealed"]) | set(man["retired"]))
+        if len(entries) > self.manifest_shard_after:
+            sd = self._shard_dir(name)
+            os.makedirs(sd, exist_ok=True)
+            shards: dict[str, str] = {}
+            for entry in entries:
+                # the partition name is part of the content: sealed
+                # file names repeat across partitions (sealed-{txn}-i),
+                # so without it every partition of one commit would
+                # collapse into a single shared shard file — and a
+                # corruption of that one file would take out the whole
+                # store instead of one partition. Embedding it also
+                # gives readers a pointer/content cross-check.
+                content = json.dumps(
+                    {
+                        "partition": entry,
+                        "sealed": man["sealed"].get(entry, []),
+                        "retired": man["retired"].get(entry, []),
+                    },
+                    sort_keys=True,
+                )
+                fname = (
+                    f"shard-{hashlib.sha1(content.encode()).hexdigest()}.json"
+                )
+                fp = os.path.join(sd, fname)
+                if not os.path.exists(fp):
+                    stmp = f"{fp}.{uuid.uuid4().hex}.tmp"
+                    with open(stmp, "w") as f:
+                        f.write(content)
+                    os.replace(stmp, fp)
+                shards[entry] = fname
+            man = {"gen": man["gen"], "token": man["token"], "shards": shards}
         p = self._manifest_file(name)
         tmp = f"{p}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
@@ -515,22 +651,34 @@ class TsStore:
 
         files: list[str] | None = None
         for attempt in range(12):
-            man = self._read_manifest(name)
+            try:
+                # pruned resolution: only shards inside the fetch range
+                # are opened (sharded roots; inline roots are one read)
+                man = self._read_manifest(name, partitions=partitions)
+            except ManifestContention:
+                # a shard named by the root we read was GC'd mid-read:
+                # a commit+sweep raced us — same retry as a gen flip
+                man = None
+                _time.sleep(0.02 * attempt)
+                continue
             if man is None:
                 df = reader.parquet(path)  # Spark lists the dir HERE
-                if self._read_manifest(name) is None:
+                if self._read_root(name) is None:
                     return df  # no commit raced the listing
             else:
                 files = self._visible_files(name, man, partitions=partitions)
-                man2 = self._read_manifest(name)
+                root2 = self._read_root(name)
                 # gen AND token: a delete/recreate cycle restarts gen
                 # at 1, so gen alone is ABA-able; the random per-write
                 # token (legacy manifests: both None, still equal) is
-                # not (see _write_manifest)
+                # not (see _write_manifest). Comparing the ROOT suffices
+                # for sharded manifests too: shard files are immutable
+                # content-addressed values, so an unchanged root implies
+                # an unchanged resolved manifest.
                 if (
-                    man2 is not None
-                    and man2.get("gen") == man.get("gen")
-                    and man2.get("token") == man.get("token")
+                    root2 is not None
+                    and root2.get("gen") == man.get("gen")
+                    and root2.get("token") == man.get("token")
                 ):
                     break
             files = None
@@ -593,6 +741,26 @@ class TsStore:
                     os.remove(os.path.join(path, entry, f))
         if changed:
             self._write_manifest(name, man)
+        # (d) GC shard files the CURRENT root no longer references —
+        # crashed pre-commit writers and superseded generations (plus
+        # their .tmp litter). Lease-only, like every destructive sweep:
+        # a reader racing this GC with an older root in hand retries as
+        # ManifestContention (see _read_manifest).
+        sd = self._shard_dir(name)
+        if os.path.isdir(sd):
+            root = self._read_root(name) or {}
+            live = set((root.get("shards") or {}).values())
+            for f in os.listdir(sd):
+                if f not in live:
+                    try:
+                        os.remove(os.path.join(sd, f))
+                    except FileNotFoundError:
+                        pass
+            if not live:
+                try:
+                    os.rmdir(sd)
+                except OSError:
+                    pass
 
     def _ensure_manifest(self, name: str) -> None:
         """Create an EMPTY manifest before any sealed- file lands: the
@@ -728,6 +896,9 @@ class TsStore:
                     os.remove(self._manifest_file(name))
                 except FileNotFoundError:
                     pass
+                import shutil as _shutil
+
+                _shutil.rmtree(self._shard_dir(name), ignore_errors=True)
         self._save_schema(name, stamped, union=False)
 
     # -- read -------------------------------------------------------------
