@@ -173,10 +173,30 @@ _DRIVER_VERIFIED_R7 = frozenset({
     "win_row_number",
 })
 
+# All 50 rows of CORRECTNESS_r08.json: 47 full rows+schema+hash passes
+# plus 3 run-only entries (ann_ivf_pq/ann_pq/ann_recall, err=no_oracle —
+# ✗-oracle by design, each carrying an in-band raise_error recall floor).
+# Zero failures.
+_DRIVER_VERIFIED_R8 = frozenset({
+    "agg_global", "ann_ivf_pq", "ann_pq", "ann_recall", "dedup_exact",
+    "dedup_near", "distinct_rows", "filter_null", "filter_pred",
+    "filter_time_range", "fn_cast", "fn_cond", "fn_date", "fn_math",
+    "fn_string", "join_anti", "join_asof", "join_broadcast", "join_cross",
+    "join_inner", "join_left", "join_outer", "join_range",
+    "join_self_pairs", "join_semi", "limit_n", "project",
+    "rollup_continuous", "scan_parquet", "scan_schema", "set_except",
+    "set_intersect", "set_union", "set_union_all", "sink_parquet",
+    "sink_partition_prune", "sort_multi", "store_maintenance_roundtrip",
+    "stream_source", "stream_store_ingest", "text_stats", "text_tfidf",
+    "text_tokenize", "topk_per_group", "upsert_cdc", "win_first_last",
+    "win_resample", "win_resample_tz_dst_day", "win_resample_tz_month",
+    "win_resample_tz_wmon",
+})
+
 _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R1 | _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3
     | _DRIVER_VERIFIED_R4 | _DRIVER_VERIFIED_R5 | _DRIVER_VERIFIED_R6
-    | _DRIVER_VERIFIED_R7
+    | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8
 )
 
 # Ops whose registered builder was rewritten AFTER their last driver row
@@ -187,20 +207,14 @@ _DRIVER_VERIFIED = (
 # entries were re-attested in CORRECTNESS_r06 and moved to
 # _DRIVER_VERIFIED_R6.
 _REVERIFY: list[str] = [
-    # round-8: TsStore rewritten to snapshot-isolated manifest-pointer
-    # maintenance (fetch reads through _manifest.json; compact/optimize/
-    # delete_keys commit via an atomic manifest flip). Re-attest every
-    # registry op whose builder drives the store's full read/maintain
-    # loop on the shipped protocol.
+    # round-9: the manifest layer gained size-capped Iceberg-style
+    # sharding (store.py: content-addressed per-partition shard files +
+    # root pointer, lease-held shard GC), the fetch() range pruning
+    # changed (null-date partitions degrade gracefully), and the
+    # stable-pair check now compares gen+token. Re-attest every op
+    # whose builder drives the store read/maintain loop.
     "store_maintenance_roundtrip", "rollup_continuous",
     "stream_store_ingest", "upsert_cdc", "sink_partition_prune",
-    # round-8 verdict #5: residual-codebook refinement (kmpp+16-iter
-    # Lloyd) + 0.4% shortlist in ann_ivf_pq, shared trainer refactor in
-    # ann_pq, ivf_pq floor raised to 0.80 / pq to 0.75 (ann_recall's
-    # in-band raise_error makes a completed rows-only run a real
-    # recall>=floor assertion on driver infra; engine-measured at 512k:
-    # ivf_pq 0.85, pq 0.91).
-    "ann_ivf_pq", "ann_pq", "ann_recall",
 ]
 
 
@@ -229,19 +243,20 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
     # than one on an extra that has sat green locally for prior rounds
     # (all of r3/r4/r5's new-op lists landed driver rows and moved to
     # _DRIVER_VERIFIED_R3/R4/R5; repopulate as round-6 ops land).
-    # round 8: the tz DST edges under the driver's hash gate — W-MON /
-    # month-end / daily resamples under America/New_York over a staged
-    # DST-spanning table (verdict item #4; 23-h and 25-h buckets are in
-    # the hashed answer via the n column).
-    _NEW_R8: list[str] = [
-        "win_resample_tz_wmon", "win_resample_tz_month",
-        "win_resample_tz_dst_day",
+    # round 9: the remaining tz surface under the driver's hash gate —
+    # southern-hemisphere DST (Australia/Sydney: April falls BACK,
+    # October springs FORWARD, opposite the US) and the quarter/year
+    # anchors over the staged US DST table (verdict item #5; bucket
+    # widths and label offsets inside the hashed answer via n).
+    _NEW_R9: list[str] = [
+        "win_resample_tz_sydney", "win_resample_tz_quarter",
+        "win_resample_tz_year",
     ]
     tier4_pool = [n for n in specs
                   if n not in seen and n not in _DRIVER_VERIFIED
                   and specs[n].oracle is not None]
-    tier4 = [n for n in _NEW_R8 if n in tier4_pool] + [
-        n for n in tier4_pool if n not in _NEW_R8
+    tier4 = [n for n in _NEW_R9 if n in tier4_pool] + [
+        n for n in tier4_pool if n not in _NEW_R9
     ]
     seen |= set(tier4)
     # never-sampled rows-only extras: a run-only driver row is still a
@@ -262,18 +277,22 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
         n for n in pool4b if n not in _ROWS_ONLY_FIRST
     ]
     seen |= set(tier4b)
-    # attestation-freshness rotation (round-8 verdict #8): the oldest
-    # driver rows in the contract are the r1/r2-stamped ops — surface
-    # them ahead of the recently-re-attested rest of the contract so
-    # the 50-slot window drops the oldest-row age each round.
-    _ROTATE_R8 = [
-        "dedup_exact", "dedup_near", "text_tokenize", "text_tfidf",
-        "text_stats", "sort_multi", "limit_n", "topk_per_group",
-        "set_union_all", "set_union", "set_intersect", "set_except",
-        "fn_string", "fn_date", "fn_math", "fn_cond", "fn_cast",
-        "win_first_last", "win_resample",
+    # attestation-freshness rotation (standing, round-9 cohort): after
+    # the r8 rotation re-stamped the r1/r2 block, the oldest contract
+    # rows are the r3 cohort (win_ewm, udaf_grouped, udtf_table,
+    # join_asof_cogroup) and the r5/r6 stragglers (win_resample_ffill,
+    # udf_scalar, fn_array/map/json, the sim family, multimodal_cols,
+    # vec_quantize_int8, dedup_embedding/lines, knn_label) — surface
+    # them so the 50-slot window drops the oldest-row age to r5+.
+    _ROTATE_R9 = [
+        "win_ewm", "udaf_grouped", "udtf_table", "join_asof_cogroup",
+        "win_resample_ffill", "udf_scalar", "fn_array", "fn_map",
+        "fn_json", "sim_topk", "sim_pairs_threshold", "knn_label",
+        "multimodal_cols", "vec_quantize_int8", "dedup_embedding",
+        "dedup_lines", "win_expanding", "win_rolling_rows",
+        "agg_pivot", "agg_grouping_sets",
     ]
-    tier4c = [n for n in _ROTATE_R8 if n in specs and n not in seen]
+    tier4c = [n for n in _ROTATE_R9 if n in specs and n not in seen]
     seen |= set(tier4c)
     tier5 = [n for n in contract if n in _DRIVER_VERIFIED and n not in seen]
     seen |= set(tier5)

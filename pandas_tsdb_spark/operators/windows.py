@@ -561,6 +561,165 @@ def win_resample_tz_dst_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Southern-hemisphere twin of the staged US table (round-9 verdict #5):
+# Australia/Sydney transitions OPPOSITE the northern direction — the
+# April transition is fall-BACK (UTC+11 -> +10, a 25-hour local day on
+# 2024-04-07) and the October one spring-FORWARD (+10 -> +11, 23 hours
+# on 2024-10-06). A wall-clock implementation hard-wired to "spring is
+# forward" flattens exactly this.
+_DST_APR_AU = 1_712_275_200_000_000  # 2024-04-05 00:00:00 UTC
+_DST_OCT_AU = 1_728_000_000_000_000  # 2024-10-04 00:00:00 UTC
+
+_DST_SRC_SQL_AU = """
+    SELECT CASE WHEN i < 240
+                THEN TIMESTAMP '2024-04-05 00:00:00' + i * INTERVAL 30 MINUTE
+                ELSE TIMESTAMP '2024-10-04 00:00:00'
+                     + (i - 240) * INTERVAL 30 MINUTE END AS ts,
+           CAST(i * 7 % 1000 AS DOUBLE) / 100.0 AS value
+    FROM range(480) t(i)
+"""
+
+
+def _stage_dst_events_au(spark: SparkSession) -> str:
+    """AU twin of _stage_dst_events: 480 rows on a 30-min grid across
+    the two 2024 Sydney transitions, staged once to tmp parquet
+    (atomic dir rename) so the op exercises the real scan path."""
+    import os
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(), "pandas_tsdb_spark", "dst_events_au_v1"
+    )
+    if os.path.isdir(d):
+        return d
+    df = spark.range(480).select(
+        F.timestamp_micros(
+            F.when(
+                F.col("id") < 240,
+                F.lit(_DST_APR_AU) + F.col("id") * _US_30MIN,
+            ).otherwise(
+                F.lit(_DST_OCT_AU) + (F.col("id") - 240) * _US_30MIN
+            )
+        ).alias("ts"),
+        ((F.col("id") * 7 % 1000).cast("double") / 100.0).alias("value"),
+    )
+    tmp = f"{d}.stage-{os.getpid()}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, d)
+    except OSError:  # lost the race: another builder staged it first
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+@query(
+    "win_resample_tz_sydney",
+    oracle=f"""
+    WITH src AS ({_DST_SRC_SQL_AU}),
+    w AS (
+      SELECT timezone('Australia/Sydney', timezone('UTC', ts)) AS wall,
+             value
+      FROM src)
+    SELECT timezone('UTC', timezone('Australia/Sydney',
+               date_trunc('day', wall))) AS bucket,
+           count(*) AS n, {_CENTS_SUM_SQL}
+    FROM w GROUP BY 1
+    """,
+)
+def win_resample_tz_sydney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample under Australia/Sydney over the staged AU
+    DST-spanning table — opposite-direction DST under the driver hash
+    gate: local 2024-04-07 (fall-back, UTC+11 -> +10) is a 25-hour day
+    = 50 rows on the 30-min grid, local 2024-10-06 (spring-forward) is
+    23 hours = 46 rows, and the bucket labels flip UTC offset the
+    OPPOSITE way to the US trio (11h before April's fall-back, 10h
+    after). The n column puts both widths inside the hashed answer.
+
+    Plan shape identical to the US trio: the wall-clock conversion
+    folds into the groupBy key — one exchange, no Python."""
+    from pandas_tsdb_spark.api import TsFrame
+
+    df = spark.read.parquet(_stage_dst_events_au(spark)).select("ts", "value")
+    tf = TsFrame(df, "ts", tz="Australia/Sydney")
+    return (
+        tf.resample("D")
+        .agg(F.count("*").alias("n"), _cents_sum())
+        .select("bucket", "n", "total")
+    )
+
+
+@query(
+    "win_resample_tz_quarter",
+    oracle=f"""
+    WITH src AS ({_DST_SRC_SQL}),
+    w AS (
+      SELECT timezone('America/New_York', timezone('UTC', ts)) AS wall,
+             event_type, value
+      FROM src)
+    SELECT timezone('UTC', timezone('America/New_York',
+               CAST(last_day(CAST(date_trunc('quarter', wall)
+                                  + INTERVAL 2 MONTH AS DATE))
+                    AS TIMESTAMP))) AS bucket,
+           event_type, count(*) AS n, {_CENTS_SUM_SQL}
+    FROM w GROUP BY 1, 2
+    """,
+)
+def win_resample_tz_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QE resample under America/New_York over the staged DST table —
+    the quarter anchor under tz, under the hash gate (round-9 verdict
+    #5). The March rows label at local Q1-end midnight 2024-03-31 00:00
+    EDT = 04:00 UTC while the Oct31-local/Nov rows label at Q4-end
+    2024-12-31 00:00 EST = 05:00 UTC — quarter labels with DIFFERENT
+    UTC offsets because the label instants fall on opposite sides of
+    the DST boundary, plus the Nov-1-UTC rows bucketing into Q4 via
+    their Oct-31 LOCAL date. Oracle mirrors api.py's
+    last_day(add_months(trunc(d,'quarter'),2)) with DuckDB's
+    date_trunc + INTERVAL arithmetic."""
+    from pandas_tsdb_spark.api import TsFrame
+
+    tf = TsFrame(_dst_ev(spark), "ts", by="event_type", tz="America/New_York")
+    return (
+        tf.resample("QE")
+        .agg(F.count("*").alias("n"), _cents_sum())
+        .select("bucket", "event_type", "n", "total")
+    )
+
+
+@query(
+    "win_resample_tz_year",
+    oracle=f"""
+    WITH src AS ({_DST_SRC_SQL}),
+    w AS (
+      SELECT timezone('America/New_York', timezone('UTC', ts)) AS wall,
+             value
+      FROM src)
+    SELECT timezone('UTC', timezone('America/New_York',
+               CAST(last_day(CAST(date_trunc('year', wall)
+                                  + INTERVAL 11 MONTH AS DATE))
+                    AS TIMESTAMP))) AS bucket,
+           count(*) AS n, {_CENTS_SUM_SQL}
+    FROM w GROUP BY 1
+    """,
+)
+def win_resample_tz_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YE resample under America/New_York over the staged DST table —
+    the year anchor under tz. Every row labels at local year-end
+    midnight 2024-12-31 00:00 EST = 05:00 UTC (an EST instant even for
+    the EDT March rows — the label's OWN local offset decides, not the
+    row's), and n=480 proves no row leaked to a neighboring year via
+    instant-semantics bucketing of the Nov-1-UTC/Oct-31-local edge."""
+    from pandas_tsdb_spark.api import TsFrame
+
+    tf = TsFrame(_dst_ev(spark), "ts", tz="America/New_York")
+    return (
+        tf.resample("YE")
+        .agg(F.count("*").alias("n"), _cents_sum())
+        .select("bucket", "n", "total")
+    )
+
+
 @query(
     "win_resample_hour",
     oracle="""

@@ -333,3 +333,72 @@ def test_dst_staged_ops_bucket_widths(spark):
     # Monday labels at local midnight's UTC instant: EDT week vs EST week
     assert pd.Timestamp("2024-03-11 04:00:00") in labels  # EDT Monday
     assert pd.Timestamp("2024-11-04 05:00:00") in labels  # EST Monday
+
+
+def test_sydney_opposite_direction_dst(spark):
+    """Southern hemisphere (round-9 verdict #5): Australia/Sydney's
+    April transition is fall-BACK (25-hour local day 2024-04-07) and
+    October's spring-FORWARD (23 hours on 2024-10-06) — opposite the
+    US direction. Differential vs pandas AND semantic landmarks on the
+    staged AU driver op."""
+    idx, vals = _hourly("2024-04-05", "2024-04-10")
+    s = pd.Series(vals, index=idx.tz_convert("Australia/Sydney"))
+    r = s.resample("D").agg(["count", "sum"])
+    r = r[r["count"] > 0]
+    want = list(
+        zip(
+            r.index.tz_convert("UTC").tz_localize(None),
+            r["count"].astype(int),
+            r["sum"],
+        )
+    )
+    pdf = pd.DataFrame({"ts": idx.tz_convert("UTC").tz_localize(None), "v": vals})
+    tf = TsFrame(spark.createDataFrame(pdf), "ts", tz="Australia/Sydney")
+    got = [
+        (pd.Timestamp(r2.bucket), int(r2.n), float(r2.s))
+        for r2 in tf.resample("D")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"))
+        .orderBy("bucket")
+        .collect()
+    ]
+    assert got == want
+    assert 25 in [n for _, n, _ in want]  # April IS the fall-back
+
+    from pandas_tsdb_spark.registry import load_all
+
+    specs = load_all()
+    day = {
+        pd.Timestamp(r3.bucket): r3.n
+        for r3 in specs["win_resample_tz_sydney"].builder(spark, "").collect()
+    }
+    # local 2024-04-07 starts at 2024-04-06 13:00 UTC (AEDT, +11) and
+    # is 25 h wide = 50 rows on the 30-min grid; local 2024-10-06
+    # starts at 2024-10-05 14:00 UTC (AEST, +10) and is 23 h = 46 rows
+    assert day[pd.Timestamp("2024-04-06 13:00:00")] == 50
+    assert day[pd.Timestamp("2024-10-05 14:00:00")] == 46
+    # label offsets flip the OPPOSITE way to the US: +11 before April's
+    # transition, +10 after
+    assert day[pd.Timestamp("2024-04-07 14:00:00")] == 48  # AEST day
+
+
+def test_quarter_year_anchors_under_tz(spark):
+    """Q/Y anchors under tz (round-9 verdict #5), differential vs
+    pandas plus the staged-op landmarks: Q1 labels 2024-03-31 00:00
+    EDT = 04:00Z, Q4 labels 2024-12-31 00:00 EST = 05:00Z, and the
+    2024-11-01 00:00Z rows (local Oct 31) land in Q4."""
+    idx, vals = _hourly("2024-03-01", "2024-04-10")
+    for freq in ("QE", "YE"):
+        want = _pandas_resample(idx, vals, freq)
+        got = _spark_resample(spark, idx, vals, freq)
+        assert got == want, freq
+
+    from pandas_tsdb_spark.registry import load_all
+
+    specs = load_all()
+    q4 = specs["win_resample_tz_quarter"].builder(spark, "").toPandas()
+    by_q = q4.groupby("bucket").n.sum()
+    assert by_q[pd.Timestamp("2024-03-31 04:00:00")] == 240  # Q1, EDT label
+    assert by_q[pd.Timestamp("2024-12-31 05:00:00")] == 240  # Q4, EST label
+    yr = specs["win_resample_tz_year"].builder(spark, "").toPandas()
+    assert list(pd.to_datetime(yr.bucket)) == [pd.Timestamp("2024-12-31 05:00:00")]
+    assert int(yr.n.iloc[0]) == 480

@@ -288,6 +288,17 @@ EXPECTATIONS = {
     # orientation joins + wedge self-join; small dims (deg) broadcast
     # under AQE. Budget is the static-plan exchange count.
     "graph_triangles": (12, False),
+    # round 9: tz calendar buckets over the staged DST tables — the
+    # wall-clock conversion chain (UTC instant -> local date -> anchor
+    # -> local-midnight UTC instant) folds entirely into the groupBy
+    # key, so every tz resample stays a single-exchange hash agg with
+    # no Python.
+    "win_resample_tz_wmon": (1, False),
+    "win_resample_tz_month": (1, False),
+    "win_resample_tz_dst_day": (1, False),
+    "win_resample_tz_sydney": (1, False),
+    "win_resample_tz_quarter": (1, False),
+    "win_resample_tz_year": (1, False),
 }
 
 
