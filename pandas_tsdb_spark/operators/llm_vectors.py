@@ -447,46 +447,114 @@ def knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_TABLES = 8  # L independent hash tables...
-_N_PLANES = 4  # ...of 4 hyperplanes each (16 buckets/table)
+_N_TABLES = 16  # L independent hash tables (r9: 8 -> 16; lab-measured
+# the L/P/probe surface at 512k — at equal candidate budget more
+# tables beat more probes: L16/P12/8-mask 0.85 recall @4.4% vs
+# L8/P12/11-probe 0.50 @2.9%)
 _LSH_SEED = 42
+
+
+def _lsh_geometry(n: int) -> int:
+    """Planes per table, adapted to the corpus so the expected bucket
+    size stays ~128 vectors at ANY scale: P = round(log2(n/128)),
+    clamped to [4, 20]. Round-9 lab finding (tools/lsh_probe_lab.py):
+    the old FIXED 4-plane geometry left only 16 buckets per table, so
+    at 512k vectors a query's candidate set was 41.6% OF THE CORPUS —
+    recall@1 0.90, but by near-brute-force scanning. With P adapted
+    (P=12 at 512k) buckets hold ~125 vectors and the 8-mask multi-probe
+    below restores recall to 0.85 at 4.35% candidates — ~10x less
+    re-scoring work, and the per-query candidate budget (L x 8 probes x
+    ~128/bucket ≈ 16k) is CONSTANT in n, so total work for the
+    all-vectors top-1 contract is O(n), not O(n^2 x 0.42)."""
+    import math
+
+    return max(4, min(20, round(math.log2(max(n, 128) / 128))))
+
+
+_LSH_PROBE_BITS = 3  # masks from the 3 lowest-|projection| planes
 
 
 @query("ann_lsh", oracle=None)  # bucketing is engine-internal; recall tested
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN: multi-table random-hyperplane LSH (seeded numpy in
-    mapInPandas, Arrow-batched). A true neighbor is a candidate if it
-    collides in ANY of the L tables; exact cosine re-scoring runs only on
-    candidates. The scale path for sim_topk: candidate count, not n²,
-    bounds the work."""
+    """Approximate NN: multi-table random-hyperplane LSH with
+    query-directed MULTI-PROBE (Lv et al., VLDB'07, adapted to sign
+    LSH), seeded numpy in mapInPandas, Arrow-batched.
+
+    Two membership streams from one plane set: STORED (each vector's
+    exact bucket per table, L rows/vector) and PROBE (the exact bucket
+    plus the 7 buckets reached by flipping subsets of the 3
+    lowest-|projection| bits — a near neighbor that lands one bucket
+    over is usually separated by the hyperplane its projection sits
+    closest to zero on, so those are the flips that matter). A true
+    neighbor is a candidate if any PROBE bucket of the query equals any
+    STORED bucket of the neighbor; exact cosine re-scoring runs only on
+    candidates. The probe side fans out x8 while the stored side stays
+    x1, so the index itself doesn't grow.
+
+    Geometry adapts to the corpus (_lsh_geometry): ~128 vectors per
+    bucket at any n, measured at 512k as recall@1 0.85 with 4.35%
+    candidates vs the old fixed geometry's 0.90 at 41.6% — the floor
+    rises 0.5 -> 0.65 on a 10x cheaper plan (lab:
+    tools/lsh_probe_lab.py; floors: _ANN_RECALL_FLOORS)."""
     e = _clean_embeddings(Tables(spark, sf_dir).embeddings)
+    n_planes = _lsh_geometry(_valid_count(spark, sf_dir, e))
 
-    def bucketize(batches):
-        rng = np.random.RandomState(_LSH_SEED)
-        planes = rng.standard_normal((_N_TABLES, _N_PLANES, 64))
-        weights = 1 << np.arange(_N_PLANES)
-        for pdf in batches:
-            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            # bucket id per table, offset so buckets are globally unique
-            buckets = [
-                (t << 32) | int(b)
-                for row in ((emb @ planes.reshape(-1, 64).T) > 0)
-                .reshape(len(emb), _N_TABLES, _N_PLANES)
-                .dot(weights)
-                for t, b in enumerate(row)
-            ]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].repeat(_N_TABLES),
-                    "bucket": np.array(buckets, dtype=np.int64),
-                }
-            )
+    def bucketize(probe: bool):
+        def gen(batches):
+            rng = np.random.RandomState(_LSH_SEED)
+            planes = rng.standard_normal((_N_TABLES, n_planes, 64))
+            weights = (1 << np.arange(n_planes)).astype(np.int64)
+            toffs = np.arange(_N_TABLES, dtype=np.int64) << 32
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                emb = np.stack(pdf["embedding"].to_numpy()).astype(
+                    np.float64
+                )
+                proj = np.einsum("nd,tpd->ntp", emb, planes)
+                codes = (proj > 0).astype(np.int64) @ weights  # (b, L)
+                if not probe:
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy().repeat(
+                                _N_TABLES
+                            ),
+                            "bucket": (codes + toffs[None, :]).ravel(),
+                        }
+                    )
+                    continue
+                o = np.argsort(np.abs(proj), axis=2, kind="stable")[
+                    :, :, :_LSH_PROBE_BITS
+                ]
+                m = np.take(weights, o)  # (b, L, 3) flip masks
+                m1, m2, m3 = m[:, :, 0], m[:, :, 1], m[:, :, 2]
+                masks = np.stack(
+                    [
+                        np.zeros_like(m1), m1, m2, m1 ^ m2,
+                        m3, m1 ^ m3, m2 ^ m3, m1 ^ m2 ^ m3,
+                    ],
+                    axis=2,
+                )  # (b, L, 8): the multi-probe sequence, exact first
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy().repeat(
+                            _N_TABLES * 8
+                        ),
+                        "bucket": (
+                            (codes[:, :, None] ^ masks)
+                            + toffs[None, :, None]
+                        ).ravel(),
+                    }
+                )
 
-    memberships = e.mapInPandas(bucketize, "vec_id long, bucket long")
+        return gen
+
+    stored = e.mapInPandas(bucketize(False), "vec_id long, bucket long")
+    probes = e.mapInPandas(bucketize(True), "vec_id long, bucket long")
     cand = (
-        memberships.alias("a")
+        probes.alias("a")
         .join(
-            memberships.alias("b"),
+            stored.alias("b"),
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
@@ -1752,10 +1820,12 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # family — engine-measured 0.85 at 512k post-change (was 0.74). pq
 # keeps its original training (the kmpp refinement measurably HURTS
 # raw spherical vectors: 0.91 -> 0.85) and rises to the margin its
-# record supports, 0.75 (engine-measured 0.91 at 512k). lsh stays at
-# 0.5 — strict recall@1 from data-oblivious hyperplanes has no tuning
-# knob that doesn't blow up its candidate sets.
-_ANN_RECALL_FLOORS = {"lsh": 0.5, "ivf": 0.65, "pq": 0.75, "ivf_pq": 0.80}
+# record supports, 0.75 (engine-measured 0.91 at 512k). Round 9 raised
+# lsh 0.5 -> 0.65 (verdict #6): adaptive planes (~128 vectors/bucket at
+# any n) + 16 tables + 8-mask query-directed multi-probe measured
+# recall@1 0.85 at 512k with 4.35% candidates — vs the old fixed
+# geometry's 0.90 at a near-brute-force 41.6% (tools/lsh_probe_lab.py).
+_ANN_RECALL_FLOORS = {"lsh": 0.65, "ivf": 0.65, "pq": 0.75, "ivf_pq": 0.80}
 
 
 @query("ann_recall", oracle=None)  # recall of approximations: no SQL twin
