@@ -283,3 +283,43 @@ def test_sustained_contention_reader_p99_bounded(spark, store, events):
     p50 = statistics.median(lat)
     p99 = lat[int(len(lat) * 0.99) - 1] if len(lat) >= 100 else lat[-1]
     assert p99 <= max(10.0, 25 * p50), (p50, p99, len(lat))
+
+
+def test_commit_write_cost_proportional_to_touched(spark, store, events):
+    """The metadata-scale claim itself: a delete_keys touching ONE day
+    of a sharded store writes exactly the touched partitions' shard
+    files (content-addressing reuses every untouched shard) plus the
+    root pointer — O(touched), not O(store)."""
+    from pyspark.sql import functions as F
+
+    ev = events.limit(4000)
+    store.append("events", ev)
+    store.compact("events", key_cols=["event_id"])
+    root1 = _root(store, "events")
+    assert len(root1["shards"]) >= 3, "need a multi-day store"
+    before = set(os.listdir(store._shard_dir("events")))
+
+    # pick the victim spanning the FEWEST days (must leave untouched
+    # partitions for the claim to have teeth)
+    days_of = ev.select(F.date_format("ts", "yyyy-MM-dd").alias("d"), "user_id")
+    per_user = days_of.groupBy("user_id").agg(
+        F.countDistinct("d").alias("nd"), F.collect_set("d").alias("days")
+    )
+    victim_row = per_user.orderBy("nd", "user_id").limit(1).collect()[0]
+    victim, touched = victim_row.user_id, {
+        f"_date={d}" for d in victim_row.days
+    }
+    assert len(touched) < len(root1["shards"]), "victim touches every day"
+
+    assert store.delete_keys("events", "user_id", [victim]) > 0
+    root2 = _root(store, "events")
+    after = set(os.listdir(store._shard_dir("events")))
+    # every untouched partition kept its exact shard file (pointer
+    # unchanged => content-addressing skipped the write)
+    for entry, fname in root1["shards"].items():
+        if entry not in touched:
+            assert root2["shards"].get(entry) == fname, entry
+    # new files on disk <= touched partitions' new shards (the GC at
+    # the next maintenance entry clears the superseded ones)
+    new_files = after - before
+    assert len(new_files) <= len(touched), (new_files, touched)
