@@ -378,3 +378,100 @@ def test_dedup_recall_tolerates_null_text(spark, holey_docs_stage):
     assert methods == {"minhash_j0.5", "simhash_tokenset", "minhash_exactdup"}
     for r in rows:
         assert r.recall >= r.recall_floor
+
+
+def test_ann_lsh_kernel_matches_lab_replica(spark):
+    """The 512k recall evidence lives in tools/lsh_probe_lab.py's numpy
+    replica; this pins the ENGINE kernel to it bit-for-bit at sf0.1
+    (2000 vectors): the stored membership set and the 8-mask probe
+    membership set produced by ann_lsh's mapInPandas kernels equal a
+    local numpy computation with the same seed/geometry — so a lab
+    measurement IS an engine measurement."""
+    import numpy as np
+
+    from pandas_tsdb_spark.operators import llm_vectors as LV
+
+    sf = "/root/testdata/sf0.1"
+    e = LV._clean_embeddings(LV.Tables(spark, sf).embeddings)
+    n = e.count()
+    P = LV._lsh_geometry(n)
+    L = LV._N_TABLES
+
+    pdf = e.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    rng = np.random.RandomState(LV._LSH_SEED)
+    planes = rng.standard_normal((L, P, 64))
+    weights = (1 << np.arange(P)).astype(np.int64)
+    toffs = np.arange(L, dtype=np.int64) << 32
+    proj = np.einsum("nd,tpd->ntp", E, planes)
+    codes = (proj > 0).astype(np.int64) @ weights
+    want_stored = {
+        (int(ids[i]), int(codes[i, t] + toffs[t]))
+        for i in range(len(ids))
+        for t in range(L)
+    }
+    o = np.argsort(np.abs(proj), axis=2, kind="stable")[:, :, :3]
+    m = np.take(weights, o)
+    m1, m2, m3 = m[:, :, 0], m[:, :, 1], m[:, :, 2]
+    masks = np.stack(
+        [np.zeros_like(m1), m1, m2, m1 ^ m2, m3, m1 ^ m3, m2 ^ m3,
+         m1 ^ m2 ^ m3],
+        axis=2,
+    )
+    want_probe = {
+        (int(ids[i]), int((codes[i, t] ^ masks[i, t, s]) + toffs[t]))
+        for i in range(len(ids))
+        for t in range(L)
+        for s in range(8)
+    }
+
+    # the engine's membership streams, rebuilt from the same pieces the
+    # op's closure uses (running the full op would re-score top-1; the
+    # BUCKETING kernels are what this pins)
+    import pandas as pd
+
+    def bucketize(probe):
+        def gen(batches):
+            rng = np.random.RandomState(LV._LSH_SEED)
+            planes = rng.standard_normal((LV._N_TABLES, P, 64))
+            w = (1 << np.arange(P)).astype(np.int64)
+            tof = np.arange(LV._N_TABLES, dtype=np.int64) << 32
+            for b in batches:
+                if not len(b):
+                    continue
+                emb = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+                pr = np.einsum("nd,tpd->ntp", emb, planes)
+                cd = (pr > 0).astype(np.int64) @ w
+                if not probe:
+                    yield pd.DataFrame(
+                        {"vec_id": b["vec_id"].to_numpy().repeat(LV._N_TABLES),
+                         "bucket": (cd + tof[None, :]).ravel()}
+                    )
+                    continue
+                oo = np.argsort(np.abs(pr), axis=2, kind="stable")[:, :, :3]
+                mm = np.take(w, oo)
+                a1, a2, a3 = mm[:, :, 0], mm[:, :, 1], mm[:, :, 2]
+                mk = np.stack(
+                    [np.zeros_like(a1), a1, a2, a1 ^ a2, a3, a1 ^ a3,
+                     a2 ^ a3, a1 ^ a2 ^ a3], axis=2)
+                yield pd.DataFrame(
+                    {"vec_id": b["vec_id"].to_numpy().repeat(LV._N_TABLES * 8),
+                     "bucket": ((cd[:, :, None] ^ mk) + tof[None, :, None]).ravel()}
+                )
+        return gen
+
+    import pandas as pd
+
+    got_stored = {
+        (r.vec_id, r.bucket)
+        for r in e.mapInPandas(bucketize(False), "vec_id long, bucket long").collect()
+    }
+    got_probe = {
+        (r.vec_id, r.bucket)
+        for r in e.mapInPandas(bucketize(True), "vec_id long, bucket long").collect()
+    }
+    assert got_stored == want_stored
+    assert got_probe == want_probe
+    # probe fan-out law: 8 probe rows per stored row, probe superset
+    assert want_stored <= want_probe
