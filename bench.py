@@ -19,22 +19,32 @@ can normalize without re-measuring:
   ambient drift hits all three identically — the only protocol
   BASELINE.md's floor decomposition found trustworthy on this box.
   1 warm-up pass + 1 discarded first timed rep + median of 3.
-- ``calibration.null_job_sec``: median noop-sink job on range(1) —
-  the pure scheduling/DAG/task-launch floor every query pays at least
-  once. Measured BEFORE and AFTER the query loop so within-run drift
-  is itself visible.
+- ``calibration.null_job_interspersed_sec`` (r9): the median of one
+  noop-sink probe per query slot (first discarded) — the scheduling
+  floor sampled AT the moments the queries paid it. The endpoint
+  pre/post probes remain as diagnostics only (r8 judge measured them
+  5x apart within one session; this session 59x at 256x).
 - ``calibration.jvm_probe_sec``: a fixed pure-JVM codegen loop
   (2e8-row range -> hash -> sum through the noop sink; no I/O, no
   Python, no shuffle) — the container's JVM compute throughput at
   measurement time.
 
-REGRESSION RULE (the number claims must use — also stated in
-BASELINE.md §M7 and NOTES.md): cross-session "regression" claims must
-use (a) ``paired.ratio_vs_pandas`` / ``paired.ratio_vs_duckdb``
-(interleaved, ambient-cancelling) and (b) the normalized
-``calibration.spark_total_over_null_job``; the raw ``value`` is a
+REGRESSION RULE (r9 revision — also stated in BASELINE.md §M7 and
+NOTES.md): cross-session "regression" claims use
+``paired.ratio_vs_pandas`` / ``paired.ratio_vs_duckdb`` ONLY
+(interleaved, ambient-cancelling; at >=1 GB fixtures the duckdb ratio
+comes from the fixed AT_SCALE_DUCK subset). Every ``calibration.*``
+number, including ``spark_total_over_null_job``, is diagnostic — the
+probe floor itself drifts across sessions. The raw ``value`` is a
 point sample inside a documented ±25-30 % container band and is NOT
 comparable across sessions on its own.
+
+ARTIFACT DELIVERY (r9): the final stdout line is compact (contract
+fields + calibration + paired totals/ratios; hard-asserted <=1900
+chars against the driver's 2000-char tail capture that truncated the
+r8 record); the full payload, including the per-query pandas/duckdb
+maps, is written to ``BENCH_full_<fixture>.json`` and named on the
+line as ``full_record``.
 
 `--duckdb` / `--pandas` still emit standalone single-engine artifacts
 (consecutive protocol, kept for tooling compatibility).
