@@ -56,10 +56,19 @@ class VecRel:
         return [c for c, _ in self.cols]
 
 
+def _emb_glob(sf: str) -> str:
+    """Scaled fixtures are directory-backed parquet; DuckDB needs the
+    recursive glob there (same binding rule as bench._duck_connect)."""
+    import os
+
+    p = f"{sf}/embeddings.parquet"
+    return f"{p}/**/*.parquet" if os.path.isdir(p) else p
+
+
 def _base_sql(sf: str) -> str:
     return (
         "SELECT vec_id, label, embedding::DOUBLE[] AS v "
-        f"FROM read_parquet('{sf}/embeddings.parquet') "
+        f"FROM read_parquet('{_emb_glob(sf)}') "
         "WHERE embedding IS NOT NULL AND len(embedding) = 64 "
         "AND coalesce(list_aggregate(list_transform(embedding, "
         "x -> x <> 0), 'bool_or'), false)"
@@ -124,7 +133,7 @@ def _op_query_dot(rel: VecRel, rng: random.Random, sf: str) -> VecRel | None:
         "sqrt(list_dot_product(q.qv, q.qv))), 6) AS qcos "
         f"FROM ({rel.sql}) t CROSS JOIN "
         f"(SELECT embedding::DOUBLE[] AS qv FROM "
-        f"read_parquet('{sf}/embeddings.parquet') WHERE vec_id = {qid}) q"
+        f"read_parquet('{_emb_glob(sf)}') WHERE vec_id = {qid}) q"
     )
     return VecRel(df, sql, rel.cols + [("qcos", "f6")], rel.granularity)
 
