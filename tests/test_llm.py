@@ -475,3 +475,52 @@ def test_ann_lsh_kernel_matches_lab_replica(spark):
     assert got_probe == want_probe
     # probe fan-out law: 8 probe rows per stored row, probe superset
     assert want_stored <= want_probe
+
+
+@pytest.mark.sweep
+def test_ann_lsh_engine_recall_at_adaptive_regime(spark):
+    """Engine-side recall in the ADAPTIVE bucket regime (P>4): a 16x
+    key-shifted union of sf0.1 embeddings (32k vectors -> P=8) driven
+    through the real ann_lsh plan end-to-end — bucketing kernels, the
+    probe-x-stored join, cosine re-scoring, top-1 window. Complements
+    the 512k numpy-lab measurement (recall 0.85 @4.35% candidates)
+    with the Spark path itself; measured 20/20 on the query block in
+    ~9 s."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = "/tmp/pandas_tsdb_spark_emb16x"
+    if not os.path.isdir(f"{out}/embeddings.parquet"):
+        os.makedirs(out, exist_ok=True)
+        e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        parts = [e] + [
+            e.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+            for i in range(1, 16)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        tmp = f"{out}/embeddings.parquet.stage-{os.getpid()}"
+        u.repartition(8).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, f"{out}/embeddings.parquet")
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    from pandas_tsdb_spark.operators.llm_vectors import _lsh_geometry
+
+    assert _lsh_geometry(32000) == 8  # the regime this test exists for
+
+    ann = SPECS["ann_lsh"].builder(spark, out)
+    got = {
+        r.vec_id: r.nn_id for r in ann.filter(F.col("vec_id") < 20).collect()
+    }
+    brute = SPECS["sim_topk"].builder(spark, out).filter(F.col("rk") == 1)
+    truth = {r.query_id: r.neighbor_id for r in brute.collect()}
+    hits = sum(1 for k, v in truth.items() if got.get(k) == v)
+    # lab floor is 0.65; engine measured 20/20 here — assert the floor
+    # with margin so ambient never flakes a true regression signal
+    assert hits / len(truth) >= 0.65, f"recall {hits}/{len(truth)}"
