@@ -323,3 +323,68 @@ def test_commit_write_cost_proportional_to_touched(spark, store, events):
     # the next maintenance entry clears the superseded ones)
     new_files = after - before
     assert len(new_files) <= len(touched), (new_files, touched)
+
+
+@pytest.mark.parametrize("boundary", ["first_shard", "root_commit", "post_commit"])
+def test_sharded_delete_keys_kill_boundaries(
+    spark, store, events, monkeypatch, boundary
+):
+    """Kill the SHARDED delete_keys commit at its boundaries. Law:
+    before the root replace a fetch sees the full pre-delete store;
+    after it the keys are gone, exactly; a restarted delete_keys is an
+    idempotent no-op that heals tombstones and stage debris."""
+    ev = events.limit(3000)
+    store.append("events", ev)
+    n_before = store.fetch("events").count()
+    victims = [r[0] for r in ev.select("user_id").distinct().limit(2).collect()]
+    n_victim = ev.filter(F.col("user_id").isin(victims)).count()
+    touched = (
+        ev.filter(F.col("user_id").isin(victims))
+        .select(F.date_format("ts", "yyyy-MM-dd"))
+        .distinct()
+        .count()
+    )
+    path = store.path("events")
+
+    # delete_keys' os.replace sequence on a fresh sharded store:
+    # ensure-manifest flip (#1, inline empty root), then the commit =
+    # T touched-day shard replaces (#2..#T+1) + root replace (#T+2).
+    target = {
+        "first_shard": ("replace", 2),
+        "root_commit": ("replace", touched + 2),
+        "post_commit": ("remove", 1),
+    }[boundary]
+    mod = __import__("os")
+    _inject(monkeypatch, mod, target[0], path, target[1])
+
+    with pytest.raises(KillPoint):
+        store.delete_keys("events", "user_id", victims)
+    monkeypatch.undo()
+
+    if boundary == "post_commit":
+        assert store.fetch("events").count() == n_before - n_victim
+        assert (
+            store.fetch("events")
+            .filter(F.col("user_id").isin(victims))
+            .count()
+            == 0
+        )
+        # restart: idempotent no-op that heals tombstones
+        assert store.delete_keys("events", "user_id", victims) == 0
+    else:
+        # uncommitted: the pre-delete store, exactly
+        assert store.fetch("events").count() == n_before
+        # restart completes the takedown
+        assert store.delete_keys("events", "user_id", victims) == n_victim
+    assert store.fetch("events").count() == n_before - n_victim
+    man = store._read_manifest("events")
+    assert not (man or {}).get("retired"), man
+    # no stage debris, shard dir exactly the live set
+    parent, base = os.path.split(path)
+    assert not [
+        e for e in os.listdir(parent) if e.startswith(f".{base}.delete.")
+    ]
+    root = _root(store, "events")
+    assert set(root["shards"].values()) == set(
+        os.listdir(store._shard_dir("events"))
+    )
