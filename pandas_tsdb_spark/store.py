@@ -504,7 +504,14 @@ class TsStore:
         that GC gets ManifestContention and retries (see
         _read_manifest). The commit point is the root replace in every
         case — kill anywhere before it and the old generation is intact,
-        after it and the new one is."""
+        after it and the new one is.
+
+        Root ceiling: ~75 bytes/partition (measured,
+        tools/manifest_scale_probe.py), so even 30 years of daily
+        partitions is a <1 MB root and 10 years of HOURLY partitions
+        ~6.5 MB — milliseconds to rewrite. Beyond that an Iceberg-style
+        manifest-list (range-keyed groups of shard pointers) is the
+        next split; the read/commit protocol would be unchanged."""
         import hashlib
         import uuid
 
