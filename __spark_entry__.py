@@ -254,9 +254,14 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
     # October springs FORWARD, opposite the US) and the quarter/year
     # anchors over the staged US DST table (verdict item #5; bucket
     # widths and label offsets inside the hashed answer via n).
+    # second r9 block: the cluster-curation family (fixed-iteration
+    # Lloyd's k-means with exact micro-unit centroid algebra, SemDedup
+    # cluster-bucketed drop, per-language token-budget selection) — all
+    # three full-oracled, so each lands under the hash gate.
     _NEW_R9: list[str] = [
         "win_resample_tz_sydney", "win_resample_tz_quarter",
         "win_resample_tz_year",
+        "vec_kmeans", "vec_semdedup", "pipeline_token_budget",
     ]
     tier4_pool = [n for n in specs
                   if n not in seen and n not in _DRIVER_VERIFIED

@@ -1917,3 +1917,277 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         guarded.alias("recall"),
         floor.alias("recall_floor"),
     )
+
+
+# --------------------------------------------------------------- k-means
+
+_KM_K = 8            # clusters; seeds = the K lowest vec_ids (deterministic)
+_KM_ITERS = 2        # Lloyd iterations, unrolled identically in the oracle
+_KM_Q = 1_000_000    # micro-unit quantizer for exact cross-engine sums
+
+_KM_VALID_DUCK = (
+    "embedding IS NOT NULL AND len(embedding) = 64 AND "
+    "coalesce(list_aggregate(list_transform(embedding, x -> x <> 0), "
+    "'bool_or'), false)"
+)
+
+
+def _km_duck_assign(src: str) -> str:
+    """One assignment pass in the oracle: squared distance expanded as
+    dot(x,x) - 2*dot(x,c) + dot(c,c) — three sequential folds that are
+    bit-identical to the Spark HOF twin — argmin via row_number with the
+    cid tie-break (same lexicographic order as Spark's struct min)."""
+    return f"""
+    SELECT e.vec_id, {src}.cid,
+           list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, {src}.c)
+             + list_dot_product({src}.c, {src}.c) AS d2
+    FROM e CROSS JOIN {src}
+    QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY d2, {src}.cid) = 1
+    """
+
+
+def _km_duck_update(a: str) -> str:
+    """One centroid update in the oracle: per-dimension EXACT integer
+    accumulation (oracle_sum2 doctrine at 1e-6 grain) — sum of
+    round(coord*1e6) bigints, divided once by (1e6 * n) as doubles. Both
+    engines land on the identical IEEE quotient, so iteration i+1 sees
+    bit-identical centroids regardless of each engine's sum order."""
+    return f"""
+    SELECT {a}.cid, r.d AS d,
+           CAST(sum(CAST(round(e.v[CAST(r.d AS INT) + 1] * {_KM_Q}) AS BIGINT))
+                AS DOUBLE) / ({_KM_Q}.0 * count(*)) AS cv
+    FROM {a} JOIN e USING (vec_id) CROSS JOIN range(64) AS r(d)
+    GROUP BY {a}.cid, r.d
+    """
+
+
+_KMEANS_ORACLE = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE {_KM_VALID_DUCK}
+),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {_KM_K}),
+a1 AS ({_km_duck_assign('c0')}),
+u1 AS ({_km_duck_update('a1')}),
+c1 AS (SELECT cid, list(cv ORDER BY d) AS c FROM u1 GROUP BY cid),
+a2 AS ({_km_duck_assign('c1')}),
+u2 AS ({_km_duck_update('a2')}),
+c2 AS (SELECT cid, list(cv ORDER BY d) AS c FROM u2 GROUP BY cid),
+a3 AS ({_km_duck_assign('c2')})
+SELECT cid AS cluster, count(*) AS n,
+       CAST(sum(CAST(round(d2 * {_KM_Q}) AS BIGINT)) AS BIGINT) AS inertia_u
+FROM a3 GROUP BY cid ORDER BY cluster
+"""
+
+
+def _km_seq_sqnorm(c) -> float:
+    """Driver-side twin of the sequential dot(c,c) fold: acc starts at
+    0.0 and adds c[d]*c[d] left to right — the exact IEEE order of both
+    list_dot_product and the Spark HOF fold."""
+    acc = 0.0
+    for v in c:
+        acc += v * v
+    return acc
+
+
+def _km_assign(df: DataFrame, cents) -> DataFrame:
+    """Zero-shuffle assignment: centroids are a driver-side list (k is
+    tiny by construction), so argmin is a pure codegen expression —
+    array_min over k (d2, cid) structs (lexicographic struct order = the
+    oracle's ORDER BY d2, cid) with dot(x,x) hoisted to one column so
+    the fold runs once per row, not once per centroid."""
+    x = F.col("embedding")
+    structs = []
+    for cid, c in cents:
+        clit = F.array(*[F.lit(float(v)) for v in c])
+        d2 = F.col("dxx") - 2.0 * _dot(x, clit) + F.lit(_km_seq_sqnorm(c))
+        structs.append(F.struct(d2.alias("d2"), F.lit(int(cid)).alias("cid")))
+    best = F.array_min(F.array(*structs))
+    # cid emitted NON-NULLABLE (coalesce with a sentinel that can never
+    # fire — the struct array is a non-empty literal): a nullable cid
+    # used as a join key makes InferFiltersFromConstraints add
+    # isnotnull(cid), and pushdown re-substitutes the WHOLE k-centroid
+    # assignment expression into a Filter below the project — the exact
+    # re-evaluation trap tools/plan_audit.py exists to catch (it did).
+    return (
+        df.withColumn("dxx", _dot(x, x))
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            "embedding",
+            F.coalesce(F.col("best.cid"), F.lit(-1)).alias("cid"),
+            F.col("best.d2").alias("d2"),
+        )
+    )
+
+
+def _km_centroids(spark: SparkSession, sf_dir: str, e: DataFrame):
+    """Train the k=_KM_K, _KM_ITERS-iteration Lloyd centroids; memoized
+    per fixture file (artifact_memo) so a session re-running the cluster
+    family pays the two update jobs once. Each update is posexplode ->
+    groupBy(cid, d): the shuffle carries only k*64 partial sums per map
+    task (partial aggregation), and the collect is k*64 rows — metadata
+    scale at any corpus size."""
+
+    def train():
+        seeds = (
+            e.filter(F.col("vec_id") < _KM_K)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        cents = sorted(
+            (int(r.vec_id), [float(v) for v in r.embedding]) for r in seeds
+        )
+        for _ in range(_KM_ITERS):
+            rows = (
+                _km_assign(e, cents)
+                .select("cid", F.posexplode("embedding").alias("d", "val"))
+                .groupBy("cid", "d")
+                .agg(
+                    F.sum(
+                        F.round(F.col("val").cast("double") * _KM_Q).cast("long")
+                    ).alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
+            byc: dict[int, dict[int, float]] = {}
+            for r in rows:
+                byc.setdefault(int(r.cid), {})[int(r.d)] = r.s / (
+                    float(_KM_Q) * r.n
+                )
+            cents = sorted(
+                (cid, [m[d] for d in range(_EMB_DIM)]) for cid, m in byc.items()
+            )
+        return cents
+
+    return artifact_memo(
+        spark, sf_dir, "embeddings", f"kmeans:{_KM_K}x{_KM_ITERS}", train
+    )
+
+
+@query("vec_kmeans", oracle=_KMEANS_ORACLE, tags=("vectors", "llm-pipeline"))
+def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd's k-means over the embedding
+    corpus — the clustering pass a curation pipeline runs before
+    cluster-balanced sampling or SemDedup. k seeds = the k lowest
+    vec_ids; _KM_ITERS unrolled iterations; output is per-cluster size +
+    exact micro-unit inertia.
+
+    Exactness: every cross-engine float is pinned. Distances are three
+    sequential double folds combined in one fixed expression order;
+    centroid updates accumulate round(coord*1e6) BIGINTs (the
+    oracle_sum2 doctrine) and divide once, so iteration i+1's centroids
+    are bit-identical doubles in both engines; inertia is emitted as the
+    integer micro-unit sum. Ties in argmin break on cid in both
+    (struct-min ORDER = ORDER BY d2, cid).
+
+    Scale: assignment is zero-shuffle pure codegen (centroids are k
+    driver-side literals); each update shuffles only k*64 partial sums
+    per map task and collects k*64 rows; the final pass is one partial-
+    aggregated groupBy(cid). At 100 TB the cost is _KM_ITERS+1 linear
+    scans — the standard distributed-Lloyd layout (broadcast centroids,
+    map-side partial sums), with the k x dim "model" deliberately tiny
+    next to the data."""
+    e = _clean_embeddings(Tables(spark, sf_dir).embeddings).select(
+        "vec_id", "embedding"
+    )
+    cents = _km_centroids(spark, sf_dir, e)
+    return (
+        _km_assign(e, cents)
+        .groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("d2") * _KM_Q).cast("long")).alias("inertia_u"),
+        )
+        .orderBy("cluster")
+    )
+
+
+_SEMDEDUP_TAU = 0.35  # fixture-calibrated: the synthetic embeddings are
+# near-isotropic (max pairwise cos ~0.51, within-cluster q99.9 ~0.41 —
+# FIXTURES.md corpus notes), so a production tau of ~0.9 would make the
+# drop path vacuous here; 0.35 exercises it at every fixture SF.
+
+
+@query(
+    "vec_semdedup",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE {_KM_VALID_DUCK}
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {_KM_K}),
+    a AS ({_km_duck_assign('c0')}),
+    m AS (SELECT a.vec_id, a.cid, e.v FROM a JOIN e USING (vec_id)),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_DUCK_COS} >= {_SEMDEDUP_TAU}
+    )
+    SELECT m.vec_id, m.cid AS cluster
+    FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+    WHERE dup.vec_id IS NULL
+    """,
+    tags=("vectors", "llm-pipeline"),
+)
+def vec_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023, public):
+    bucket the corpus by nearest seed centroid, then inside each bucket
+    drop any vector whose cosine to a LOWER-vec_id bucket-mate reaches
+    tau — the keep-the-earliest rule that makes the survivor set a pure
+    function of the data (no iteration order, no RNG).
+
+    Exactness: assignment reuses vec_kmeans' pinned distance algebra;
+    cosines are the proven _dot/_DUCK_COS twins rounded to 6dp BEFORE
+    the threshold, so the drop decision compares identical doubles.
+
+    Scale: the quadratic term is bounded per cluster (the
+    sim_pairs_threshold argument — any coarse bucket caps the pair
+    space; with balanced k-means buckets it's n^2/k per bucket, and k
+    grows with the corpus in production). The dup set join is a
+    broadcast-size anti-join at fixture scale and a shuffle anti-join on
+    vec_id at 100 TB — both skew-free (unique key)."""
+    e = _clean_embeddings(Tables(spark, sf_dir).embeddings).select(
+        "vec_id", "embedding"
+    )
+    seeds = artifact_memo(
+        spark,
+        sf_dir,
+        "embeddings",
+        f"kmeans:{_KM_K}:seeds",
+        lambda: sorted(
+            (int(r.vec_id), [float(v) for v in r.embedding])
+            for r in e.filter(F.col("vec_id") < _KM_K)
+            .select("vec_id", "embedding")
+            .collect()
+        ),
+    )
+    m = _with_norm(_km_assign(e, seeds)).select(
+        "vec_id", "cid", "embedding", "norm"
+    )
+    b = m.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("cid").alias("cid_b"),
+        F.col("embedding").alias("embedding_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("embedding_b"))
+        / (F.col("norm") * F.col("norm_b")),
+        6,
+    )
+    dup = (
+        m.join(
+            b,
+            (F.col("cid") == F.col("cid_b"))
+            & (F.col("vec_id") < F.col("vec_id_b")),
+        )
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select(F.col("vec_id_b").alias("vec_id"))
+        .distinct()
+    )
+    return m.join(dup, "vec_id", "left_anti").select(
+        "vec_id", F.col("cid").alias("cluster")
+    )

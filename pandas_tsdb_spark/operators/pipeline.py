@@ -604,3 +604,92 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tweight, 6).alias("temp_weight"),
         F.round(tweight / F.col("raw_share"), 6).alias("epochs"),
     )
+
+
+# ------------------------------------------------------ token budgeting
+
+_BUDGET_TOKENS = 2_000  # per-language token budget (fixture-sized: keeps
+# ~17-50% of each language at sf0.01, ~5% at sf0.1, so the cut line is
+# exercised at every fixture SF; in production this is the per-language
+# allocation of the training run's total token budget).
+
+_TB_TOKS = "string_split(lower(text), ' ')"
+_TB_QUALITY = f"""round(0.4 * least(len({_TB_TOKS}) / 50.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct({_TB_TOKS})) AS DOUBLE) / len({_TB_TOKS}))
+               + 0.3 * (1.0 - CAST(len(list_filter({_TB_TOKS}, x -> x IN ('a', 'the')))
+                               AS DOUBLE) / len({_TB_TOKS})), 6)"""
+
+
+@query(
+    "pipeline_token_budget",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len({_TB_TOKS}) AS BIGINT) AS n_tokens,
+             {_TB_QUALITY} AS quality
+      FROM documents
+      WHERE text IS NOT NULL AND len({_TB_TOKS}) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens, quality,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY quality DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, quality, cum_tokens
+    FROM ranked WHERE cum_tokens <= {_BUDGET_TOKENS}
+    """,
+    tags=("llm-pipeline",),
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-first selection under a per-language token budget —
+    the step that turns "we can afford B tokens of French" into a
+    concrete document set: rank by quality (text_quality's exact
+    formula) descending, admit documents while the running token count
+    stays within budget.
+
+    Exactness: quality is rounded to 6dp BEFORE ordering on both sides
+    and ties break on doc_id, so the admission order is a pure function
+    of the data; the running sum is a BIGINT cumsum over that order —
+    no float accumulation anywhere near the cut line.
+
+    Scale: one shuffle — the per-language ordered window. A language is
+    a coarse partition (the win_cumsum caveat: per-key sequential
+    prefix), which is inherent to the greedy-ordered SEMANTICS; the
+    production layout shards the budget per (lang, shard) with B/shards
+    each — identical code over a finer key — or two-phases it
+    (range-partition by (quality desc, doc_id), per-partition token
+    sums, driver-side offsets: the classic distributed prefix sum).
+    Quality scoring itself is map-side, evaluated during the scan."""
+    from pandas_tsdb_spark.operators.llm_text import STOPWORDS, _spread
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_tok = F.size(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+    quality = F.round(
+        0.4 * F.least(n_tok / 50.0, F.lit(1.0))
+        + 0.3 * (n_uniq / n_tok)
+        + 0.3 * (1.0 - n_stop / n_tok),
+        6,
+    )
+    scored = (
+        _spread(Tables(spark, sf_dir).documents)
+        .filter(F.col("text").isNotNull() & (F.size(toks) > 0))
+        .select(
+            "doc_id",
+            "lang",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            quality.alias("quality"),
+        )
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+    )

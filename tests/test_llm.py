@@ -322,6 +322,9 @@ _NULL_TEXT_OPS = [
     "text_tfidf", "text_stats", "text_quality", "text_fingerprint",
     "text_normalize", "lang_id", "pipeline_curate", "pipeline_split",
     "pipeline_pack", "text_lm_score", "text_lm_bigram",
+    # round-9 additions: the budget selector must skip null-text docs
+    # on BOTH sides (they carry no tokens and no quality rank).
+    "pipeline_token_budget",
 ]
 
 
@@ -524,3 +527,88 @@ def test_ann_lsh_engine_recall_at_adaptive_regime(spark):
     # lab floor is 0.65; engine measured 20/20 here — assert the floor
     # with margin so ambient never flakes a true regression signal
     assert hits / len(truth) >= 0.65, f"recall {hits}/{len(truth)}"
+
+
+def test_kmeans_partitions_corpus_and_iterations_improve(spark, sf_dir):
+    """Lloyd's laws the hash gate can't see: (a) the clusters partition
+    the valid corpus exactly, (b) the trained centroids achieve lower
+    total inertia than the raw seeds (each Lloyd step is non-increasing
+    in exact arithmetic; on this fixture the drop is strict), (c) the
+    memoized training is deterministic across calls."""
+    from pandas_tsdb_spark.operators.llm_vectors import (
+        _clean_embeddings,
+        _km_assign,
+        _km_centroids,
+        _KM_K,
+        _KM_Q,
+    )
+    from pandas_tsdb_spark.catalog import Tables
+
+    e = _clean_embeddings(Tables(spark, sf_dir).embeddings).select(
+        "vec_id", "embedding"
+    )
+    out = SPECS["vec_kmeans"].builder(spark, sf_dir).toPandas()
+    assert out.n.sum() == e.count()
+    assert set(out.cluster) <= set(range(_KM_K))
+
+    seeds = sorted(
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in e.filter(F.col("vec_id") < _KM_K).collect()
+    )
+    seed_inertia = (
+        _km_assign(e, seeds)
+        .agg(F.sum(F.round(F.col("d2") * _KM_Q).cast("long")).alias("i"))
+        .collect()[0]["i"]
+    )
+    assert out.inertia_u.sum() < seed_inertia
+
+    c1 = _km_centroids(spark, sf_dir, e)
+    c2 = _km_centroids(spark, sf_dir, e)
+    assert c1 == c2  # memoized AND bit-deterministic
+
+
+def test_semdedup_drop_set_is_exactly_the_lower_id_rule(spark, sf_dir):
+    """Survivor-set law: a vector is dropped iff some LOWER-vec_id
+    member of ITS cluster is tau-similar. Recomputed from the exact
+    cosine pairs (numpy, rounded 6dp like both engines) and compared
+    set-for-set against the op's output."""
+    import numpy as np
+
+    from pandas_tsdb_spark.operators.llm_vectors import (
+        _clean_embeddings,
+        _km_assign,
+        _SEMDEDUP_TAU,
+        _KM_K,
+    )
+    from pandas_tsdb_spark.catalog import Tables
+
+    e = _clean_embeddings(Tables(spark, sf_dir).embeddings).select(
+        "vec_id", "embedding"
+    )
+    seeds = sorted(
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in e.filter(F.col("vec_id") < _KM_K).collect()
+    )
+    rows = _km_assign(e, seeds).select("vec_id", "cid", "embedding").collect()
+    kept_expected = set()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(int(r.cid), []).append(
+            (int(r.vec_id), np.asarray(r.embedding, dtype=np.float64))
+        )
+    for members in by_cluster.values():
+        members.sort()
+        for i, (vid, v) in enumerate(members):
+            dup = False
+            for uid, u in members[:i]:
+                cos = round(
+                    float(u @ v) / (np.linalg.norm(u) * np.linalg.norm(v)), 6
+                )
+                if cos >= _SEMDEDUP_TAU:
+                    dup = True
+                    break
+            if not dup:
+                kept_expected.add(vid)
+    out = SPECS["vec_semdedup"].builder(spark, sf_dir).toPandas()
+    assert set(out.vec_id) == kept_expected
+    assert len(out) < len(rows)  # the drop path is exercised

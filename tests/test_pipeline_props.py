@@ -88,3 +88,37 @@ def test_curate_output_is_deduped_quality_gated(spark, sf_dir):
     assert not merged.text.duplicated().any()
     winners = qual.groupby("text").doc_id.min()
     assert set(merged.doc_id) <= set(winners)
+
+
+def test_token_budget_is_maximal_quality_prefix(spark, sf_dir):
+    """The selection is (a) within budget per language, (b) MAXIMAL —
+    the next-ranked document would overshoot, (c) exactly the prefix of
+    the (quality desc, doc_id) order, and (d) deterministic across
+    reruns. These are the greedy-selection laws the value hash can't
+    see (it only fixes the final set)."""
+    from pandas_tsdb_spark.operators.pipeline import _BUDGET_TOKENS
+
+    out = _run("pipeline_token_budget", spark, sf_dir)
+    assert out.doc_id.is_unique
+    scored = (
+        SPECS["text_quality"].builder(spark, sf_dir).toPandas()
+        .merge(
+            SPECS["text_stats"].builder(spark, sf_dir).toPandas()[
+                ["doc_id", "n_tokens"]
+            ],
+            on="doc_id",
+        )
+    )
+    for lang, sel in out.groupby("lang"):
+        assert sel.cum_tokens.max() <= _BUDGET_TOKENS
+        pool = scored[scored.lang == lang].sort_values(
+            ["quality", "doc_id"], ascending=[False, True]
+        )
+        k = len(sel)
+        prefix = pool.head(k)
+        assert set(prefix.doc_id) == set(sel.doc_id)  # (c) exact prefix
+        if k < len(pool):  # (b) maximality
+            nxt = pool.iloc[k]
+            assert sel.cum_tokens.max() + nxt.n_tokens > _BUDGET_TOKENS
+    again = _run("pipeline_token_budget", spark, sf_dir)
+    assert sorted(out.doc_id) == sorted(again.doc_id)

@@ -299,6 +299,16 @@ EXPECTATIONS = {
     "win_resample_tz_sydney": (1, False),
     "win_resample_tz_quarter": (1, False),
     "win_resample_tz_year": (1, False),
+    # round 9 cluster-curation family: kmeans assignment is zero-shuffle
+    # codegen (centroids are driver-side literals), so the registered
+    # plan pays only the final groupBy(cid) + the 8-row orderBy; semdedup
+    # is the cid-bucketed pair join (broadcast-picked at fixture size,
+    # SMJ at scale — want_bcast False so the scale plan doesn't flag)
+    # plus the vec_id anti-join; token_budget is _spread + the per-lang
+    # ordered window.
+    "vec_kmeans": (2, False),
+    "vec_semdedup": (2, False),
+    "pipeline_token_budget": (2, False),
 }
 
 
