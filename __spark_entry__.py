@@ -262,6 +262,7 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
         "win_resample_tz_sydney", "win_resample_tz_quarter",
         "win_resample_tz_year",
         "vec_kmeans", "vec_semdedup", "pipeline_token_budget",
+        "text_dup_ngrams", "pipeline_cluster_balance",
     ]
     tier4_pool = [n for n in specs
                   if n not in seen and n not in _DRIVER_VERIFIED

@@ -1421,3 +1421,85 @@ def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         guarded.alias("recall"),
         F.lit(_DEDUP_RECALL_FLOOR).alias("recall_floor"),
     )
+
+
+_DNG_N = 3  # shingle width shared with dedup_minhash (FIXTURES: the
+# 31-word fixture vocabulary saturates UNIGRAM overlap; 3-shingles keep
+# a real spread — dup_frac spans 0.33..1.0 at sf0.01).
+
+
+@query(
+    "text_dup_ngrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE text IS NOT NULL AND len({_TOKS}) >= {_DNG_N}
+    ),
+    s AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - {_DNG_N - 1}),
+                 i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS sh
+      FROM t
+    ),
+    d AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM s GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_frac
+    FROM s JOIN d USING (sh)
+    GROUP BY s.doc_id
+    """,
+    tags=("llm-pipeline", "dedup"),
+)
+def text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction — the span-level dedup
+    SIGNAL (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", public): for each document, the fraction
+    of its 3-token shingle positions whose shingle also occurs in at
+    least one OTHER document. Downstream curation thresholds on it
+    instead of dropping whole near-dup docs.
+
+    Exactness: the shingle key is md5 of the space-joined window
+    (text_fingerprint's cross-engine-stable key — NOT the xxhash64
+    fast path, whose 64-bit collisions would be engine-internal);
+    counts are integers and the one emitted float divides two exact
+    BIGINTs, rounded 6dp on both sides.
+
+    Scale: explode -> groupBy(md5 shingle) -> join back on the SAME
+    key -> groupBy(doc_id). The shingle key is uniform (md5), so both
+    shuffles are skew-free and linear; Catalyst reuses the shingle
+    exchange for the agg and the join side. The n_dup >= 2 predicate
+    cannot be pushed below the global count by definition — this op is
+    irreducibly two-pass, same as any corpus-frequency statistic."""
+    d = _spread(_docs(spark, sf_dir))
+    s = (
+        d.filter(
+            F.col("text").isNotNull() & (F.size(_tokens_col()) >= _DNG_N)
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(_shingles_col(_DNG_N), lambda sh: F.md5(sh))
+            ).alias("sh"),
+        )
+    )
+    nd = s.groupBy("sh").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        s.join(nd, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_shingles"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -2191,3 +2191,68 @@ def vec_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.join(dup, "vec_id", "left_anti").select(
         "vec_id", F.col("cid").alias("cluster")
     )
+
+
+_CB_M = 40  # per-cluster sample size (sf0.01 clusters hold 50-70 valid
+# vectors, sf0.1 ~600 — the cap binds at every fixture SF).
+
+
+@query(
+    "pipeline_cluster_balance",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE {_KM_VALID_DUCK}
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {_KM_K}),
+    a AS ({_km_duck_assign('c0')})
+    SELECT vec_id, cid AS cluster, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (
+               PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM a
+    ) WHERE rk <= {_CB_M}
+    """,
+    tags=("vectors", "llm-pipeline"),
+)
+def pipeline_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling — vec_kmeans' downstream consumer: keep
+    at most m vectors per cluster, chosen by md5(vec_id) order, so the
+    curated corpus covers every region of embedding space instead of
+    mirroring the raw density (the diversity half of SemDedup-style
+    curation). md5 order = a deterministic uniform draw (sample_det
+    doctrine): rerun or backfill selects the same rows, and the oracle
+    reproduces the choice bit-for-bit.
+
+    Scale: assignment is the zero-shuffle codegen expression; the
+    window sees only (vec_id, cid) pairs — the embedding column is
+    pruned before the exchange — and WindowGroupLimit prunes each
+    partition to its top-m before the shuffle (the sample_stratified
+    plan shape), so the exchange carries O(k*m) rows plus partial
+    ranks, not the corpus."""
+    e = _clean_embeddings(Tables(spark, sf_dir).embeddings).select(
+        "vec_id", "embedding"
+    )
+    seeds = artifact_memo(
+        spark,
+        sf_dir,
+        "embeddings",
+        f"kmeans:{_KM_K}:seeds",
+        lambda: sorted(
+            (int(r.vec_id), [float(v) for v in r.embedding])
+            for r in e.filter(F.col("vec_id") < _KM_K)
+            .select("vec_id", "embedding")
+            .collect()
+        ),
+    )
+    w = W.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        _km_assign(e, seeds)
+        .select("vec_id", "cid")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _CB_M)
+        .select("vec_id", F.col("cid").alias("cluster"), "rk")
+    )

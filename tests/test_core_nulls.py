@@ -212,7 +212,7 @@ _DIRTY_EMB_OPS = [
     "vec_quantize_int8", "dedup_embedding", "pipeline_curate", "fn_array",
     # round-9 cluster family: seeds are the k lowest CLEAN vec_ids, so a
     # dirty row in the seed range shrinks k identically in both engines.
-    "vec_kmeans", "vec_semdedup",
+    "vec_kmeans", "vec_semdedup", "pipeline_cluster_balance",
 ]
 
 

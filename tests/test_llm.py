@@ -323,8 +323,10 @@ _NULL_TEXT_OPS = [
     "text_normalize", "lang_id", "pipeline_curate", "pipeline_split",
     "pipeline_pack", "text_lm_score", "text_lm_bigram",
     # round-9 additions: the budget selector must skip null-text docs
-    # on BOTH sides (they carry no tokens and no quality rank).
-    "pipeline_token_budget",
+    # on BOTH sides (they carry no tokens and no quality rank); the
+    # dup-ngram signal must not let NULL texts form a fake shared
+    # shingle group.
+    "pipeline_token_budget", "text_dup_ngrams",
 ]
 
 
@@ -612,3 +614,65 @@ def test_semdedup_drop_set_is_exactly_the_lower_id_rule(spark, sf_dir):
     out = SPECS["vec_semdedup"].builder(spark, sf_dir).toPandas()
     assert set(out.vec_id) == kept_expected
     assert len(out) < len(rows)  # the drop path is exercised
+
+
+def test_dup_ngrams_exact_duplicates_score_one(spark):
+    """A document whose full text also exists under another doc_id
+    shares EVERY shingle -> dup_frac must be exactly 1.0. sf0.1 is the
+    fixture scale with exact-text duplicates (8 pairs)."""
+    from pandas_tsdb_spark.catalog import Tables
+
+    sf_dir = "/root/testdata/sf0.1"
+    d = Tables(spark, sf_dir).documents.select("doc_id", "text")
+    dup_ids = {
+        r.doc_id
+        for r in d.alias("a")
+        .join(d.alias("b"), (F.col("a.text") == F.col("b.text"))
+              & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .collect()
+    }
+    assert dup_ids, "fixture should contain exact-duplicate texts"
+    out = SPECS["text_dup_ngrams"].builder(spark, sf_dir).toPandas()
+    scored = out[out.doc_id.isin(dup_ids)]
+    assert len(scored) == len(dup_ids)
+    assert (scored.dup_frac == 1.0).all()
+    assert (scored.n_dup == scored.n_shingles).all()
+
+
+def test_cluster_balance_caps_every_cluster(spark, sf_dir):
+    """Sampling laws: at most m rows per cluster, exactly min(m, size)
+    where size is the true cluster population, ranks are a 1..n prefix,
+    and the draw is deterministic across reruns."""
+    from pandas_tsdb_spark.operators.llm_vectors import _CB_M
+
+    out = SPECS["pipeline_cluster_balance"].builder(spark, sf_dir).toPandas()
+    sizes = (
+        SPECS["vec_kmeans"].builder(spark, sf_dir).toPandas()
+        .set_index("cluster")["n"]
+    )
+    # vec_kmeans sizes are AFTER 2 Lloyd iterations; cluster_balance
+    # uses the seed assignment — recompute seed-assignment sizes.
+    from pandas_tsdb_spark.catalog import Tables
+    from pandas_tsdb_spark.operators.llm_vectors import (
+        _clean_embeddings, _km_assign, _KM_K,
+    )
+
+    e = _clean_embeddings(Tables(spark, sf_dir).embeddings).select(
+        "vec_id", "embedding"
+    )
+    seeds = sorted(
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in e.filter(F.col("vec_id") < _KM_K).collect()
+    )
+    seed_sizes = (
+        _km_assign(e, seeds).groupBy("cid").count().toPandas()
+        .set_index("cid")["count"]
+    )
+    got = out.groupby("cluster").size()
+    for cid, size in seed_sizes.items():
+        assert got.get(cid, 0) == min(_CB_M, size)
+        ranks = sorted(out[out.cluster == cid].rk)
+        assert ranks == list(range(1, min(_CB_M, size) + 1))
+    again = SPECS["pipeline_cluster_balance"].builder(spark, sf_dir).toPandas()
+    assert sorted(again.vec_id) == sorted(out.vec_id)

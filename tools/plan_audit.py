@@ -309,6 +309,13 @@ EXPECTATIONS = {
     "vec_kmeans": (2, False),
     "vec_semdedup": (2, False),
     "pipeline_token_budget": (2, False),
+    # dup_ngrams: spread + ONE md5-shingle exchange (reused by the
+    # frequency agg and the join back) + the per-doc agg; irreducibly
+    # two-pass (corpus-frequency statistic). cluster_balance: pruned
+    # (vec_id, cid) pairs through one cid window exchange with
+    # WindowGroupLimit pre-pruning (asserted in test_plans).
+    "text_dup_ngrams": (3, False),
+    "pipeline_cluster_balance": (1, False),
 }
 
 
