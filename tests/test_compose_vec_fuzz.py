@@ -241,7 +241,7 @@ def _op_dedup_window(rel: VecRel, rng: random.Random) -> VecRel | None:
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    keys = [c for c in ("label", "sbucket") if c in rel.names()]
+    keys = [c for c in ("label", "sbucket", "cbucket") if c in rel.names()]
     if not keys or "vec_id" not in rel.names() or rel.granularity == "agg":
         return None
     keys = keys[: rng.randint(1, len(keys))]
@@ -292,12 +292,77 @@ def _op_topk_window(rel: VecRel, rng: random.Random) -> VecRel | None:
     return VecRel(df, sql, rel.cols + [("rk", "int")], rel.granularity)
 
 
+_SEED_CACHE: dict[str, list] = {}
+
+
+def _op_cluster_assign(rel: VecRel, rng: random.Random, sf: str) -> VecRel | None:
+    """Nearest-seed-centroid bucket (vec_kmeans' assignment kernel,
+    generation-2 stage): adds `cbucket` via the pinned distance algebra
+    (three sequential folds, argmin tie-broken on cid) against the k=8
+    lowest GLOBAL vec_ids — so the bucket is stable under upstream
+    filters, like a production cluster id computed at ingest."""
+    from pyspark.sql import functions as F
+
+    from pandas_tsdb_spark.operators.llm_vectors import (
+        _clean_embeddings,
+        _dot,
+        _km_seq_sqnorm,
+        _KM_K,
+    )
+
+    if (
+        "embedding" not in rel.names()
+        or "vec_id" not in rel.names()
+        or "cbucket" in rel.names()
+        or rel.granularity == "agg"
+    ):
+        return None
+    if sf not in _SEED_CACHE:
+        _SEED_CACHE[sf] = sorted(
+            (int(r.vec_id), [float(v) for v in r.embedding])
+            for r in _clean_embeddings(
+                rel.df.sparkSession.read.parquet(f"{sf}/embeddings.parquet")
+            )
+            .filter(F.col("vec_id") < _KM_K)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+    x = F.col("embedding")
+    dxx = _dot(x, x)
+    structs = [
+        F.struct(
+            (
+                dxx
+                - 2.0 * _dot(x, F.array(*[F.lit(v) for v in c]))
+                + F.lit(_km_seq_sqnorm(c))
+            ).alias("d2"),
+            F.lit(int(cid)).alias("cid"),
+        )
+        for cid, c in _SEED_CACHE[sf]
+    ]
+    df = rel.df.withColumn(
+        "cbucket",
+        F.coalesce(F.array_min(F.array(*structs)).getField("cid"), F.lit(-1)),
+    )
+    sql = (
+        f"SELECT * EXCLUDE (_rk, c) FROM ("
+        f"SELECT t.*, c0.cid AS cbucket, c0.c, row_number() OVER ("
+        f"PARTITION BY t.vec_id ORDER BY "
+        f"list_dot_product(t.v, t.v) - 2*list_dot_product(t.v, c0.c) "
+        f"+ list_dot_product(c0.c, c0.c), c0.cid) AS _rk "
+        f"FROM ({rel.sql}) t CROSS JOIN ("
+        f"SELECT vec_id AS cid, v AS c FROM ({_base_sql(sf)}) e "
+        f"WHERE vec_id < {_KM_K}) c0) WHERE _rk = 1"
+    )
+    return VecRel(df, sql, rel.cols + [("cbucket", "cat")], rel.granularity)
+
+
 def _op_groupby(rel: VecRel, rng: random.Random) -> VecRel | None:
     """Aggregate: exact counts and int sums; floats only via min/max
     of already-6dp-rounded values."""
     from pyspark.sql import functions as F
 
-    keyable = [c for c in ("label", "sbucket") if c in rel.names()]
+    keyable = [c for c in ("label", "sbucket", "cbucket") if c in rel.names()]
     if not keyable or rel.granularity == "agg":
         return None
     keys = rng.sample(keyable, rng.randint(1, len(keyable)))
@@ -356,11 +421,17 @@ def _op_sort_limit(rel: VecRel, rng: random.Random) -> VecRel:
 def build_vec_pipeline(spark, seed: int, sf: str = SF) -> VecRel:
     rng = random.Random(10_000 + seed)
     rel = _base(spark, sf)
+    # generation-2 pipelines (seeds >= 100) may draw the cluster-assign
+    # stage; seeds < 100 keep their exact original op mapping (the
+    # at-scale records replay those pipelines verbatim).
+    gen2 = seed >= 100
     n_steps = rng.randint(2, 6)
     for _step in range(n_steps):
         roll = rng.random()
         nxt = None
-        if roll < 0.14:
+        if gen2 and roll < 0.10:
+            nxt = _op_cluster_assign(rel, rng, sf)
+        elif roll < 0.14:
             nxt = _op_norm(rel, rng)
         elif roll < 0.30:
             nxt = _op_query_dot(rel, rng, sf)
@@ -418,3 +489,15 @@ def test_vec_compose_sf01(spark, seed):
     """The same generator at sf0.1 (50k vectors) — 10x the vectors
     through every generated plan."""
     _run(spark, seed, "/root/testdata/sf0.1")
+
+@pytest.mark.parametrize("seed", range(100, 104))
+def test_vec_compose_gen2_smoke(spark, seed):
+    """Fast tier: generation-2 pipelines (cluster-assign stage live)."""
+    _run(spark, seed)
+
+
+@pytest.mark.sweep
+@pytest.mark.parametrize("seed", range(104, 140))
+def test_vec_compose_gen2_sweep(spark, seed):
+    """Sweep tier: 36 more generation-2 vector pipelines."""
+    _run(spark, seed)
