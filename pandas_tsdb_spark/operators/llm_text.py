@@ -1464,14 +1464,27 @@ def text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text_fingerprint's cross-engine-stable key — NOT the xxhash64
     fast path, whose 64-bit collisions would be engine-internal);
     counts are integers and the one emitted float divides two exact
-    BIGINTs, rounded 6dp on both sides.
+    BIGINTs, rounded 6dp on both sides. "Occurs in >= 2 distinct
+    documents" is computed as min(doc_id) != max(doc_id) over the
+    DEDUPED (sh, doc_id) pairs — exactly the oracle's nd >= 2 without
+    materializing the count (min/max skip NULL doc_ids just as
+    count(DISTINCT doc_id) does; the coalesce covers the all-NULL
+    shingle, where the oracle's nd = 0).
 
-    Scale: explode -> groupBy(md5 shingle) -> join back on the SAME
-    key -> groupBy(doc_id). The shingle key is uniform (md5), so both
-    shuffles are skew-free and linear; Catalyst reuses the shingle
-    exchange for the agg and the join side. The n_dup >= 2 predicate
-    cannot be pushed below the global count by definition — this op is
-    irreducibly two-pass, same as any corpus-frequency statistic."""
+    Scale: ONE scan -> groupBy(sh, doc_id) [uniform composite key,
+    instances collapsed map-side] -> min/max window over the deduped
+    pairs keyed by sh -> groupBy(doc_id). Three skew-bounded shuffles,
+    no self-join, no broadcast anywhere. The original shape joined a
+    per-shingle frequency agg back to the instance table; measured at
+    the 256x fixture (1.28M docs), AQE re-planned that join into a
+    broadcast whose BUILD side was the 40M-row pair set — a 9.5 GiB
+    hashed relation collected through the driver (maxResultSize abort
+    at default confs, cannotBroadcastTableOverMaxTableBytes at raised
+    ones), while AQE-off ran it fine. The window shape removes the
+    hazard class instead of pinning a join hint, and drops the second
+    corpus scan + shingle explode the join shape paid. The n_dup >= 2
+    predicate cannot be pushed below the corpus-wide statistic by
+    definition — irreducibly two-pass."""
     d = _spread(_docs(spark, sf_dir))
     s = (
         d.filter(
@@ -1484,15 +1497,19 @@ def text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
     )
-    nd = s.groupBy("sh").agg(F.count_distinct("doc_id").alias("nd"))
+    pairs = s.groupBy("sh", "doc_id").agg(F.count("*").alias("cnt"))
+    wsh = W.partitionBy("sh")
+    dup = F.coalesce(
+        (F.min("doc_id").over(wsh) != F.max("doc_id").over(wsh))
+        .cast("long"),
+        F.lit(0),
+    )
     return (
-        s.join(nd, "sh")
+        pairs.withColumn("dup", dup)
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_dup"),
+            F.sum("cnt").cast("bigint").alias("n_shingles"),
+            F.sum(F.col("cnt") * F.col("dup")).cast("bigint").alias("n_dup"),
         )
         .select(
             "doc_id",
