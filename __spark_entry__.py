@@ -258,11 +258,18 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
     # Lloyd's k-means with exact micro-unit centroid algebra, SemDedup
     # cluster-bucketed drop, per-language token-budget selection) — all
     # three full-oracled, so each lands under the hash gate.
+    # third r9 block: the end-to-end curation recipe (semdedup ->
+    # cluster-balance -> broadcast doc attach -> per-lang token
+    # budget as ONE hashed plan); text_dup_ngrams stays listed — its
+    # builder was REWRITTEN late in the round (join-back -> min/max
+    # window over deduped pairs) after the 256x probe caught AQE
+    # broadcasting the 40M-row pair set through the driver.
     _NEW_R9: list[str] = [
         "win_resample_tz_sydney", "win_resample_tz_quarter",
         "win_resample_tz_year",
         "vec_kmeans", "vec_semdedup", "pipeline_token_budget",
         "text_dup_ngrams", "pipeline_cluster_balance",
+        "pipeline_curate_semantic",
     ]
     tier4_pool = [n for n in specs
                   if n not in seen and n not in _DRIVER_VERIFIED

@@ -2256,3 +2256,132 @@ def pipeline_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _CB_M)
         .select("vec_id", F.col("cid").alias("cluster"), "rk")
     )
+
+
+# ------------------------------------------- end-to-end curation recipe
+
+def _curate_semantic_oracle() -> str:
+    """Built lazily at import via the function call below so the oracle
+    can splice pipeline.py's token-budget constants without a module-
+    level import cycle risk (pipeline imports nothing from here)."""
+    from pandas_tsdb_spark.operators.pipeline import (
+        _BUDGET_TOKENS,
+        _TB_QUALITY,
+        _TB_TOKS,
+    )
+
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE {_KM_VALID_DUCK}
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {_KM_K}),
+    a AS ({_km_duck_assign('c0')}),
+    m AS (SELECT a.vec_id, a.cid, e.v FROM a JOIN e USING (vec_id)),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_DUCK_COS} >= {_SEMDEDUP_TAU}
+    ),
+    keep AS (
+      SELECT m.vec_id, m.cid FROM m
+      LEFT JOIN dup ON m.vec_id = dup.vec_id WHERE dup.vec_id IS NULL
+    ),
+    sel AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                 PARTITION BY cid
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        FROM keep
+      ) WHERE rk <= {_CB_M}
+    ),
+    scored AS (
+      SELECT d.doc_id, sel.cid AS cluster, d.lang,
+             CAST(len({_TB_TOKS}) AS BIGINT) AS n_tokens,
+             {_TB_QUALITY} AS quality
+      FROM documents d JOIN sel ON d.doc_id = sel.vec_id
+      WHERE d.text IS NOT NULL AND len({_TB_TOKS}) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, cluster, lang, n_tokens, quality,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY quality DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, cluster, lang, n_tokens, quality, cum_tokens
+    FROM ranked WHERE cum_tokens <= {_BUDGET_TOKENS}
+    """
+
+
+@query(
+    "pipeline_curate_semantic",
+    oracle=_curate_semantic_oracle(),
+    tags=("vectors", "llm-pipeline"),
+)
+def pipeline_curate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full semantic-curation recipe as ONE declarative plan —
+    cluster (seed assignment), SemDedup within clusters, cluster-
+    balanced diversity sampling, then per-language best-first token
+    budgeting over the surviving documents. This is the composition a
+    curation run actually executes, registered end-to-end so the driver
+    hashes the WHOLE recipe, not just its stages.
+
+    Stage reuse is literal: the survivor set IS vec_semdedup's
+    registered builder (same seeds via artifact_memo, same pinned
+    cosine algebra), the balance window is pipeline_cluster_balance's
+    md5-order rank applied to survivors, and the quality/budget columns
+    come from pipeline._doc_token_quality — the one definition the
+    token-budget oracle string mirrors. Exactness therefore inherits
+    from the three already-proven blocks; the only new algebra is the
+    doc_id = vec_id equi-join.
+
+    Scale: the selection that reaches the documents table is <= k*m
+    rows at ANY corpus size (the balance cap binds before the join), so
+    the join is an explicit broadcast — the 100 TB documents scan never
+    shuffles; it streams past a tiny hash relation and only surviving
+    rows pay tokenization. The budget window then sees <= k*m rows.
+    The quadratic term lives entirely inside vec_semdedup's bounded
+    per-cluster pair space (see its docstring for the n^2/k law and
+    the measured doubling exponents in tools/curation_scale_probe.py)."""
+    from pandas_tsdb_spark.operators.pipeline import (
+        _BUDGET_TOKENS,
+        _doc_token_quality,
+    )
+
+    keep = vec_semdedup(spark, sf_dir)
+    w = W.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    sel = (
+        keep.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CB_M)
+        .select("vec_id", "cluster")
+    )
+    toks, quality = _doc_token_quality()
+    # NOTE: deliberately NOT _spread() — the broadcast join cuts the
+    # corpus to <= k*m rows BEFORE any tokenization, so fanning the raw
+    # documents out first would be a full-corpus exchange for nothing
+    # (the inverse of token_budget, whose scoring is corpus-wide).
+    scored = (
+        Tables(spark, sf_dir).documents
+        .join(F.broadcast(sel), F.col("doc_id") == F.col("vec_id"))
+        .filter(F.col("text").isNotNull() & (F.size(toks) > 0))
+        .select(
+            "doc_id",
+            "cluster",
+            "lang",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            quality.alias("quality"),
+        )
+    )
+    wb = (
+        W.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(wb))
+        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+    )

@@ -620,6 +620,26 @@ _TB_QUALITY = f"""round(0.4 * least(len({_TB_TOKS}) / 50.0, 1.0)
                                AS DOUBLE) / len({_TB_TOKS})), 6)"""
 
 
+def _doc_token_quality():
+    """(toks, quality) column pair shared by the token-budget ops — the
+    Spark twin of the _TB_QUALITY oracle string. Kept in one place so
+    pipeline_token_budget and the end-to-end curation recipe
+    (llm_vectors.pipeline_curate_semantic) cannot drift apart."""
+    from pandas_tsdb_spark.operators.llm_text import STOPWORDS
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_tok = F.size(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+    quality = F.round(
+        0.4 * F.least(n_tok / 50.0, F.lit(1.0))
+        + 0.3 * (n_uniq / n_tok)
+        + 0.3 * (1.0 - n_stop / n_tok),
+        6,
+    )
+    return toks, quality
+
+
 @query(
     "pipeline_token_budget",
     oracle=f"""
@@ -662,18 +682,9 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     (range-partition by (quality desc, doc_id), per-partition token
     sums, driver-side offsets: the classic distributed prefix sum).
     Quality scoring itself is map-side, evaluated during the scan."""
-    from pandas_tsdb_spark.operators.llm_text import STOPWORDS, _spread
+    from pandas_tsdb_spark.operators.llm_text import _spread
 
-    toks = F.split(F.lower(F.col("text")), " ")
-    n_tok = F.size(toks).cast("double")
-    n_uniq = F.size(F.array_distinct(toks)).cast("double")
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
-    quality = F.round(
-        0.4 * F.least(n_tok / 50.0, F.lit(1.0))
-        + 0.3 * (n_uniq / n_tok)
-        + 0.3 * (1.0 - n_stop / n_tok),
-        6,
-    )
+    toks, quality = _doc_token_quality()
     scored = (
         _spread(Tables(spark, sf_dir).documents)
         .filter(F.col("text").isNotNull() & (F.size(toks) > 0))

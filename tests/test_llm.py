@@ -676,3 +676,44 @@ def test_cluster_balance_caps_every_cluster(spark, sf_dir):
         assert ranks == list(range(1, min(_CB_M, size) + 1))
     again = SPECS["pipeline_cluster_balance"].builder(spark, sf_dir).toPandas()
     assert sorted(again.vec_id) == sorted(out.vec_id)
+
+
+def test_curate_semantic_composes_its_stages(spark, sf_dir):
+    """The end-to-end recipe must equal its stage composition exactly:
+    selection = md5-rank <= m over vec_semdedup's survivors, budget =
+    greedy per-lang prefix over that selection — and each stage must
+    BITE (survivors < corpus, cap binds, budget cuts, and the curated
+    budget picks a different doc set than budgeting the raw corpus)."""
+    from pandas_tsdb_spark.operators.llm_vectors import _CB_M
+    from pandas_tsdb_spark.operators.pipeline import _BUDGET_TOKENS
+
+    out = SPECS["pipeline_curate_semantic"].builder(spark, sf_dir).toPandas()
+    keep = SPECS["vec_semdedup"].builder(spark, sf_dir).toPandas()
+    assert set(out.doc_id) <= set(keep.vec_id)
+    # the balance cap binds and is never exceeded
+    per_cluster = out.groupby("cluster").size()
+    assert (per_cluster <= _CB_M).all()
+    # per-lang budget law: every admitted prefix fits, and the FIRST
+    # excluded candidate (by the same quality-desc, doc_id order) would
+    # overflow — greedy maximality, not just feasibility
+    import hashlib
+
+    sel = keep.copy()
+    sel["rk"] = (
+        sel.assign(
+            h=sel.vec_id.map(
+                lambda v: hashlib.md5(str(v).encode()).hexdigest()
+            )
+        )
+        .sort_values(["h", "vec_id"])
+        .groupby("cluster")
+        .cumcount()
+        + 1
+    )
+    chosen = set(sel[sel.rk <= _CB_M].vec_id)
+    assert set(out.doc_id) <= chosen
+    for lang, grp in out.groupby("lang"):
+        assert grp.cum_tokens.max() <= _BUDGET_TOKENS
+    # non-vacuous vs budgeting the raw corpus
+    raw = SPECS["pipeline_token_budget"].builder(spark, sf_dir).toPandas()
+    assert set(out.doc_id) != set(raw.doc_id)

@@ -40,3 +40,30 @@ def test_partition_prune_reaches_scan(spark, sf_dir):
     assert any("event_date" in ln and "2024" in ln for ln in m), m
     # the pruned scan must not carry a post-scan Filter on event_date
     assert df.count() > 0
+
+
+def test_curate_semantic_doc_join_broadcasts(spark, sf_dir):
+    """The curation recipe's one load-bearing plan property: the
+    <= k*m selected vec_ids reach the documents table as a BROADCAST
+    hash join (the 100 TB corpus never shuffles for the attach), and
+    the documents scan reads only the columns the recipe needs. The
+    blanket audit pin can't assert this (semdedup's interior anti-join
+    is legitimately SortMergeJoin), so it's asserted surgically here."""
+    df = SPECS["pipeline_curate_semantic"].builder(spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    tree = plan.split("\n\n")[0]
+    # the doc attach is the TOP join in the plan tree: first join node
+    # above the documents scan must be a BroadcastHashJoin
+    joins = [
+        ln for ln in tree.splitlines()
+        if "Join" in ln and "BroadcastExchange" not in ln
+    ]
+    assert joins and "BroadcastHashJoin" in joins[0], joins
+    # column pruning: the documents scan must not read `source`
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "text" in ln
+    ]
+    assert doc_scans and all("source" not in ln for ln in doc_scans), (
+        doc_scans
+    )

@@ -309,13 +309,26 @@ EXPECTATIONS = {
     "vec_kmeans": (2, False),
     "vec_semdedup": (2, False),
     "pipeline_token_budget": (2, False),
-    # dup_ngrams: spread + ONE md5-shingle exchange (reused by the
-    # frequency agg and the join back) + the per-doc agg; irreducibly
-    # two-pass (corpus-frequency statistic). cluster_balance: pruned
-    # (vec_id, cid) pairs through one cid window exchange with
-    # WindowGroupLimit pre-pruning (asserted in test_plans).
+    # dup_ngrams: ONE scan -> (sh, doc_id) pair agg -> min/max window
+    # by sh over the deduped pairs -> per-doc agg; three exchanges, no
+    # join, ZERO broadcasts. The prior join-back shape was rewritten
+    # after AQE re-planned it at 256x into a broadcast that collected
+    # the 40M-row PAIR SET through the driver (9.5 GiB hashed
+    # relation); a broadcast appearing in this plan again is that
+    # regression. cluster_balance: pruned (vec_id, cid) pairs through
+    # one cid window exchange with WindowGroupLimit pre-pruning
+    # (asserted in test_plans).
     "text_dup_ngrams": (3, False),
     "pipeline_cluster_balance": (1, False),
+    # end-to-end curation recipe: semdedup's two exchanges + the
+    # balance window exchange + the per-lang budget window exchange.
+    # want_bcast stays False because semdedup's interior anti-join is
+    # legitimately SMJ-able and the blanket no-SMJ check would flag
+    # it; the property that MATTERS — the <= k*m selection reaching
+    # documents as an explicit broadcast so the corpus never shuffles
+    # — is asserted surgically in
+    # tests/test_plans.py::test_curate_semantic_doc_join_broadcasts.
+    "pipeline_curate_semantic": (4, False),
 }
 
 
