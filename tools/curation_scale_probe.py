@@ -23,10 +23,16 @@ Two claims need numbers, not docstrings:
    paired differentials at 8k/16k vector subsets, a Spark-only pass at
    32k, and the fitted doubling exponent printed alongside. A future
    regression that silently makes it all-pairs (k collapsing to 1)
-   shows up as the exponent leaving the ~2 band.
+   shows up as the exponent leaving the ~2 band. dedup_embedding runs
+   the SAME ladder as the refined-bucket contrast (640 buckets vs 8
+   clusters): its exponent staying far below semdedup's is the
+   measured argument that bucket refinement, not hardware, is what
+   buys semantic dedup its scale.
 
-Usage: python tools/curation_scale_probe.py [sf_dir]
+Usage: python tools/curation_scale_probe.py [sf_dir] [--ladder-only]
 e.g.   python tools/curation_scale_probe.py /tmp/sf256full
+`--ladder-only` skips the linear-op differentials (already recorded)
+and runs just the subset ladders.
 """
 
 from __future__ import annotations
@@ -39,7 +45,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf256full"
+_ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _ARGS[0] if _ARGS else "/tmp/sf256full"
+LADDER_ONLY = "--ladder-only" in sys.argv
 LINEAR_OPS = [
     "vec_kmeans",
     "pipeline_cluster_balance",
@@ -132,11 +140,11 @@ def main() -> int:
     spark = get_spark("curation-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
-    out: dict = {"sf_dir": SF_DIR, "linear": {}, "semdedup": []}
+    out: dict = {"sf_dir": SF_DIR, "linear": {}}
     fails = 0
 
     con = duck_connect(SF_DIR)
-    for name in LINEAR_OPS:
+    for name in [] if LADDER_ONLY else LINEAR_OPS:
         spec = specs[name]
         digested = name == "text_dup_ngrams"
         t0 = time.perf_counter()
@@ -163,52 +171,62 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    sem = specs["vec_semdedup"]
-    times = []
-    for n in SEMDEDUP_SUBSETS:
-        stage = _stage_subset(spark, n)
-        scon = duck_connect(stage)
+    # Two semantic-dedup shapes on the SAME rank-subset ladder:
+    # vec_semdedup is deliberately n^2/k with k FIXED at 8 (expect the
+    # doubling exponent to sit near 2); dedup_embedding refines its
+    # buckets 640-fold (10 labels x 64 sign patterns), so at these n it
+    # should stay overhead-dominated (exponent near 0-1) — the measured
+    # contrast IS the scale argument for bucket refinement.
+    ladder_ops = ["vec_semdedup", "dedup_embedding"]
+    stages = {n: _stage_subset(spark, n) for n in
+              SEMDEDUP_SUBSETS + [SEMDEDUP_SPARK_ONLY]}
+    for opname in ladder_ops:
+        sem = specs[opname]
+        times = []
+        rows = []
+        for n in SEMDEDUP_SUBSETS:
+            stage = stages[n]
+            scon = duck_connect(stage)
+            t0 = time.perf_counter()
+            sp = sem.builder(spark, stage).toPandas()
+            t_spark = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            du = scon.execute(sem.oracle).fetchdf()
+            t_duck = round(time.perf_counter() - t0, 2)
+            errs = compare(sp, du, f"{opname}@{n}")
+            ok = not errs
+            fails += not ok
+            times.append((n, t_spark))
+            rows.append(
+                {"n": n, "ok": ok, "kept": len(sp), "spark_sec": t_spark,
+                 "duck_sec": t_duck}
+            )
+            print(
+                f"{opname}@{n}: {'ok' if ok else 'FAIL ' + str(errs[:2])} "
+                f"kept={len(sp)} spark={t_spark}s duck={t_duck}s",
+                file=sys.stderr,
+            )
         t0 = time.perf_counter()
-        sp = sem.builder(spark, stage).toPandas()
+        kept = sem.builder(spark, stages[SEMDEDUP_SPARK_ONLY]).count()
         t_spark = round(time.perf_counter() - t0, 2)
-        t0 = time.perf_counter()
-        du = scon.execute(sem.oracle).fetchdf()
-        t_duck = round(time.perf_counter() - t0, 2)
-        errs = compare(sp, du, f"vec_semdedup@{n}")
-        ok = not errs
-        fails += not ok
-        times.append((n, t_spark))
-        out["semdedup"].append(
-            {"n": n, "ok": ok, "kept": len(sp), "spark_sec": t_spark,
-             "duck_sec": t_duck}
+        times.append((SEMDEDUP_SPARK_ONLY, t_spark))
+        rows.append(
+            {"n": SEMDEDUP_SPARK_ONLY, "ok": None, "kept": kept,
+             "spark_sec": t_spark, "duck_sec": None}
         )
         print(
-            f"vec_semdedup@{n}: {'ok' if ok else 'FAIL ' + str(errs[:2])} "
-            f"kept={len(sp)} spark={t_spark}s duck={t_duck}s",
+            f"{opname}@{SEMDEDUP_SPARK_ONLY}: spark-only kept={kept} "
+            f"{t_spark}s",
             file=sys.stderr,
         )
-    stage = _stage_subset(spark, SEMDEDUP_SPARK_ONLY)
-    t0 = time.perf_counter()
-    kept = sem.builder(spark, stage).count()
-    t_spark = round(time.perf_counter() - t0, 2)
-    times.append((SEMDEDUP_SPARK_ONLY, t_spark))
-    out["semdedup"].append(
-        {"n": SEMDEDUP_SPARK_ONLY, "ok": None, "kept": kept,
-         "spark_sec": t_spark, "duck_sec": None}
-    )
-    print(
-        f"vec_semdedup@{SEMDEDUP_SPARK_ONLY}: spark-only kept={kept} "
-        f"{t_spark}s",
-        file=sys.stderr,
-    )
-    # fitted doubling exponent over the last two doublings (pair space
-    # is n^2/k, so pure pair cost doubles 4x; fixed costs damp it)
-    exps = [
-        round(math.log(t2 / t1, 2), 2)
-        for (n1, t1), (n2, t2) in zip(times, times[1:])
-    ]
-    out["semdedup_doubling_exponents"] = exps
-    print(f"semdedup doubling exponents: {exps}", file=sys.stderr)
+        # fitted doubling exponent (pair space is n^2/k, so pure pair
+        # cost doubles 4x; fixed costs damp it)
+        exps = [
+            round(math.log(t2 / t1, 2), 2)
+            for (n1, t1), (n2, t2) in zip(times, times[1:])
+        ]
+        out[opname] = {"ladder": rows, "doubling_exponents": exps}
+        print(f"{opname} doubling exponents: {exps}", file=sys.stderr)
 
     print(json.dumps(out))
     return 1 if fails else 0
