@@ -269,7 +269,7 @@ def _ordered_specs() -> dict[str, "QuerySpec"]:
         "win_resample_tz_year",
         "vec_kmeans", "vec_semdedup", "pipeline_token_budget",
         "text_dup_ngrams", "pipeline_cluster_balance",
-        "pipeline_curate_semantic",
+        "pipeline_curate_semantic", "pipeline_curate_embedding",
     ]
     tier4_pool = [n for n in specs
                   if n not in seen and n not in _DRIVER_VERIFIED

@@ -628,6 +628,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard LSH recall trade-off, here deterministic and mirrored
     bit-for-bit in the oracle (raw parquet floats compare identically
     in both engines). Anti-join keeps survivors."""
+    return _embedding_survivors(spark, sf_dir).select("vec_id")
+
+
+def _embedding_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embedding's interior, shared with the linear curation
+    recipe (pipeline_curate_embedding): (vec_id, label, sbucket) of
+    every vector that survives the greedy within-bucket cosine drop."""
     e = _with_norm(_clean_embeddings(Tables(spark, sf_dir).embeddings))
     sbucket = sum(
         (F.when(F.element_at("embedding", d) >= 0, 1 << j).otherwise(0))
@@ -658,7 +665,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .distinct()
     )
-    return a.join(dropped, "vec_id", "left_anti").select("vec_id")
+    return a.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", "label", "sbucket"
+    )
 
 
 def _ivf_geometry(n_vectors: int) -> tuple[int, int]:
@@ -2371,6 +2380,131 @@ def pipeline_curate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "cluster",
+            "lang",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            quality.alias("quality"),
+        )
+    )
+    wb = (
+        W.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(wb))
+        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+    )
+
+
+_CEB_M = 1  # representatives kept per (label, sign-bucket): the bucket
+# space is 10 labels x 64 sign patterns = 640 buckets at ANY corpus
+# size, so the curated selection is bounded by 640*m rows forever; m=1
+# makes the cap bind at every fixture SF (sf0.01 buckets hold 1-5
+# vectors, sf0.1 ~8).
+
+
+def _curate_embedding_oracle() -> str:
+    from pandas_tsdb_spark.operators.pipeline import (
+        _BUDGET_TOKENS,
+        _TB_QUALITY,
+        _TB_TOKS,
+    )
+
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             {_SIGN_SQL} AS sbucket
+      FROM embeddings
+      WHERE {_KM_VALID_DUCK}
+    ),
+    keep AS (
+      SELECT vec_id, label, sbucket FROM e a
+      WHERE NOT EXISTS (
+          SELECT 1 FROM e b
+          WHERE b.label = a.label AND b.sbucket = a.sbucket
+            AND b.vec_id < a.vec_id
+            AND {_DUCK_COS} >= {_DEDUP_TAU}
+      )
+    ),
+    sel AS (
+      SELECT vec_id, label, sbucket FROM (
+        SELECT vec_id, label, sbucket,
+               row_number() OVER (
+                 PARTITION BY label, sbucket
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        FROM keep
+      ) WHERE rk <= {_CEB_M}
+    ),
+    scored AS (
+      SELECT d.doc_id, sel.label, sel.sbucket, d.lang,
+             CAST(len({_TB_TOKS}) AS BIGINT) AS n_tokens,
+             {_TB_QUALITY} AS quality
+      FROM documents d JOIN sel ON d.doc_id = sel.vec_id
+      WHERE d.text IS NOT NULL AND len({_TB_TOKS}) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, label, sbucket, lang, n_tokens, quality,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY quality DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, label, sbucket, lang, n_tokens, quality, cum_tokens
+    FROM ranked WHERE cum_tokens <= {_BUDGET_TOKENS}
+    """
+
+
+@query(
+    "pipeline_curate_embedding",
+    oracle=_curate_embedding_oracle(),
+    tags=("vectors", "llm-pipeline"),
+)
+def pipeline_curate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR-interior twin of pipeline_curate_semantic — the
+    recipe shape a production corpus actually runs: sign-bucketed
+    cosine dedup (dedup_embedding's interior, pair space bounded per
+    640-fold-refined bucket) -> one md5-order representative per
+    (label, sign-bucket) -> broadcast doc attach -> per-language token
+    budget. Where curate_semantic's SemDedup stage is deliberately
+    n^2/k with k pinned for oracle exactness (and therefore subsetted
+    in the 256x probe), every stage here is linear or bounded, so THIS
+    variant runs at the scaled fixture end-to-end and sits in
+    tools/driver_collect_audit.py's tight-cap list.
+
+    Exactness: inherits dedup_embedding's proven drop algebra (raw
+    parquet floats, 6dp-rounded cosines), cluster_balance's md5-order
+    draw doctrine, and the shared _doc_token_quality columns; the
+    oracle nests the same blocks.
+
+    Scale: the selection reaching documents is <= 640*m rows at ANY
+    corpus size (the bucket space is fixed by construction, not by
+    data volume), so the doc attach broadcasts and the corpus never
+    shuffles; the budget window then sees <= 640*m rows. Driver
+    traffic is O(1) in the corpus — asserted per-round by the 256m
+    maxResultSize audit at the 256x fixture."""
+    from pandas_tsdb_spark.operators.pipeline import (
+        _BUDGET_TOKENS,
+        _doc_token_quality,
+    )
+
+    keep = _embedding_survivors(spark, sf_dir)
+    w = W.partitionBy("label", "sbucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    sel = (
+        keep.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CEB_M)
+        .select("vec_id", "label", "sbucket")
+    )
+    toks, quality = _doc_token_quality()
+    scored = (
+        Tables(spark, sf_dir).documents
+        .join(F.broadcast(sel), F.col("doc_id") == F.col("vec_id"))
+        .filter(F.col("text").isNotNull() & (F.size(toks) > 0))
+        .select(
+            "doc_id",
+            "label",
+            "sbucket",
             "lang",
             F.size(toks).cast("bigint").alias("n_tokens"),
             quality.alias("quality"),

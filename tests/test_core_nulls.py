@@ -213,7 +213,7 @@ _DIRTY_EMB_OPS = [
     # round-9 cluster family: seeds are the k lowest CLEAN vec_ids, so a
     # dirty row in the seed range shrinks k identically in both engines.
     "vec_kmeans", "vec_semdedup", "pipeline_cluster_balance",
-    "pipeline_curate_semantic",
+    "pipeline_curate_semantic", "pipeline_curate_embedding",
 ]
 
 

@@ -717,3 +717,39 @@ def test_curate_semantic_composes_its_stages(spark, sf_dir):
     # non-vacuous vs budgeting the raw corpus
     raw = SPECS["pipeline_token_budget"].builder(spark, sf_dir).toPandas()
     assert set(out.doc_id) != set(raw.doc_id)
+
+
+def test_curate_embedding_composes_its_stages(spark, sf_dir):
+    """The linear recipe equals its stage composition: selection = one
+    md5-order representative per (label, sign-bucket) among
+    dedup_embedding's survivors; per-lang budget law holds; and the
+    bucket-space bound (selection <= 640*m) is structural."""
+    import hashlib
+
+    from pandas_tsdb_spark.operators.llm_vectors import (
+        _CEB_M, _embedding_survivors,
+    )
+    from pandas_tsdb_spark.operators.pipeline import _BUDGET_TOKENS
+
+    out = SPECS["pipeline_curate_embedding"].builder(spark, sf_dir).toPandas()
+    keep = _embedding_survivors(spark, sf_dir).toPandas()
+    assert set(out.doc_id) <= set(keep.vec_id)
+    per_bucket = out.groupby(["label", "sbucket"]).size()
+    assert (per_bucket <= _CEB_M).all()
+    assert len(out) <= 640 * _CEB_M
+    sel = keep.copy()
+    sel["rk"] = (
+        sel.assign(
+            h=sel.vec_id.map(
+                lambda v: hashlib.md5(str(v).encode()).hexdigest()
+            )
+        )
+        .sort_values(["h", "vec_id"])
+        .groupby(["label", "sbucket"])
+        .cumcount()
+        + 1
+    )
+    chosen = set(sel[sel.rk <= _CEB_M].vec_id)
+    assert set(out.doc_id) <= chosen
+    for lang, grp in out.groupby("lang"):
+        assert grp.cum_tokens.max() <= _BUDGET_TOKENS

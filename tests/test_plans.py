@@ -42,14 +42,21 @@ def test_partition_prune_reaches_scan(spark, sf_dir):
     assert df.count() > 0
 
 
-def test_curate_semantic_doc_join_broadcasts(spark, sf_dir):
-    """The curation recipe's one load-bearing plan property: the
-    <= k*m selected vec_ids reach the documents table as a BROADCAST
-    hash join (the 100 TB corpus never shuffles for the attach), and
-    the documents scan reads only the columns the recipe needs. The
-    blanket audit pin can't assert this (semdedup's interior anti-join
-    is legitimately SortMergeJoin), so it's asserted surgically here."""
-    df = SPECS["pipeline_curate_semantic"].builder(spark, sf_dir)
+import pytest
+
+
+@pytest.mark.parametrize(
+    "recipe", ["pipeline_curate_semantic", "pipeline_curate_embedding"]
+)
+def test_curate_semantic_doc_join_broadcasts(recipe, spark, sf_dir):
+    """Each curation recipe's one load-bearing plan property: the
+    bounded selection (<= k*m clusters / <= 640*m sign-buckets) reaches
+    the documents table as a BROADCAST hash join (the 100 TB corpus
+    never shuffles for the attach), and the documents scan reads only
+    the columns the recipe needs. The blanket audit pin can't assert
+    this (the dedup interiors legitimately contain SortMergeJoin), so
+    it's asserted surgically here."""
+    df = SPECS[recipe].builder(spark, sf_dir)
     plan = _formatted_plan(spark, df)
     tree = plan.split("\n\n")[0]
     # the doc attach is the TOP join in the plan tree: first join node

@@ -62,6 +62,8 @@ AUDITED = {
     "pipeline_token_budget": "per-lang ordered window over the corpus",
     "pipeline_cluster_balance": "bounded-collect seeds + corpus window",
     "vec_kmeans": "k*64 centroid sums are the ONLY sanctioned collect",
+    "pipeline_curate_embedding":
+        "full linear recipe: bounded broadcast attach must stay <= 640*m",
     # pipeline_curate_semantic is NOT audited at the scaled fixture:
     # its interior vec_semdedup is quadratic-within-cluster with k
     # pinned at 8 for oracle determinism, so a full-corpus 512k run is

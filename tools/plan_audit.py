@@ -329,6 +329,12 @@ EXPECTATIONS = {
     # — is asserted surgically in
     # tests/test_plans.py::test_curate_semantic_doc_join_broadcasts.
     "pipeline_curate_semantic": (4, False),
+    # linear-interior twin: dedup_embedding's 3 exchanges + the
+    # (label, sbucket) balance window + the per-lang budget window
+    # collapse to 4 because the balance window reuses the anti-join's
+    # distribution; doc attach is the explicit broadcast (surgical
+    # test, same as the semantic recipe).
+    "pipeline_curate_embedding": (4, False),
 }
 
 
