@@ -209,22 +209,29 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = d.filter(
         (F.col("n_chars") >= 50) & (F.size(F.split("text", " ")) >= 10)
     )
-    keep = qual.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    # n_tokens is computed BEFORE the winner re-join, so the join (and
-    # any exchange under it) carries four narrow columns — never the
-    # text payload. Both `keep` and `narrow` hang off the same spread
-    # subtree (exchange reused): the corpus text moves at most once.
-    narrow = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.size(F.split("text", " ")).alias("n_tokens"),
+    # The winner row's attributes ride THROUGH the dedup aggregation:
+    # min(struct(doc_id, ...)) compares lexicographically and doc_id —
+    # unique — leads, so the min struct IS the min-doc_id row, attrs
+    # attached. The old shape re-joined winners back to a second
+    # `narrow` corpus branch; the r9 final-plan capture showed that
+    # branch as a SECOND full documents scan + spread exchange at
+    # runtime (per-branch filter/column pruning makes the subtrees
+    # canonically unequal, so AQE exchange reuse cannot fire). One
+    # struct per group replaces a corpus scan, a corpus-wide exchange
+    # and a join; the agg exchange carries (md5, 4 narrow fields) —
+    # never text.
+    win = qual.groupBy(F.md5("text").alias("h")).agg(
+        F.min(
+            F.struct(
+                "doc_id",
+                "lang",
+                "source",
+                F.size(F.split("text", " ")).alias("n_tokens"),
+            )
+        ).alias("w")
     )
     return (
-        keep.select("doc_id")
-        .join(narrow, "doc_id")
+        win.select("w.doc_id", "w.lang", "w.source", "w.n_tokens")
         .join(
             t.embeddings.select(
                 F.col("vec_id").alias("doc_id"), "label"

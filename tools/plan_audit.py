@@ -172,10 +172,12 @@ EXPECTATIONS = {
     "pipeline_mixture": (0, True),
     "pipeline_split": (0, False),
     "pipeline_pack": (1, False),
-    # curate since continuation-5: scan fan-out (+1, no-op on many-file
-    # sources) + md5 dedup agg + the narrow winner re-join's exchange;
-    # joins broadcast at runtime via AQE, text never crosses a join.
-    "pipeline_curate": (3, True),
+    # curate since r9-opt: scan fan-out (+1, no-op on many-file sources)
+    # + the md5 dedup agg whose min(struct) carries the winner's attrs —
+    # the old narrow winner re-join (a SECOND corpus scan + spread
+    # exchange at runtime; pruning divergence defeated reuse) is gone.
+    # Embeddings attach broadcasts via AQE; text never crosses a join.
+    "pipeline_curate": (2, True),
     # bucketed co-located join: ZERO exchanges is the whole point;
     # normalize is a narrow map; mode is agg + same-key argmax window.
     "join_bucketed": (0, False),
