@@ -771,25 +771,50 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason."""
     d = _docs(spark, sf_dir)
     tok = _spread(d).select("doc_id", F.explode(_tokens_col()).alias("tok"))
+    # r9-opt: aggregate the token stream to (doc_id, tok, k) PAIRS once
+    # and share that exchange between the vocab build and the scoring
+    # side. The old shape consumed `tok` twice, and the post-execution
+    # final plan showed the explode running twice at runtime (AQE
+    # reused only the raw-text spread stage). Per-pair scoring is also
+    # strictly less probe work: k * ln(p) per DISTINCT (doc, tok)
+    # instead of ln(p) per token instance. Float discipline: the
+    # per-doc sum reorders (k-weighted adds vs repeated adds), which
+    # moves sum_lp by ~1e-13 — absorbed by the existing round-6 exactly
+    # like engine-order noise (exact result equality verified at
+    # sf0.001/0.01/0.1 AND the 256x fixture, 1.28M docs); n_tokens =
+    # sum(k) is integer-exact. 256x interleaved A/B: 9.09 s -> 8.52 s
+    # median (6 reps, warm discards).
+    pairs = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("k"))
+        .repartition("doc_id", "tok")
+    )
+    # sum(when(k >= 1, k)) == sum(k) (k = count(*) >= 1): the guard is
+    # not foldable, so the k column stays referenced and the vocab
+    # subtree canonicalizes equal to the scoring side's — pruning k
+    # here would kill the stage reuse (the text_tfidf lesson).
     # Corpus token total = sum(cnt) attached to the ALREADY-BUILT vocab
     # agg via an unpartitioned window (round 2: replaces the eager
     # .collect() scalar, which cost a second full-corpus scan + a
     # driver sync). The window's single-partition exchange moves only
     # the |vocab|-bounded agg output, never corpus rows.
     vocab = (
-        tok.groupBy("tok")
-        .agg(F.count("*").alias("cnt"))
+        pairs.groupBy("tok")
+        .agg(F.sum(F.when(F.col("k") >= 1, F.col("k"))).alias("cnt"))
         .withColumn(
             "n_total", F.sum("cnt").over(W.partitionBy()).cast("double")
         )
     )
     sum_lp = F.round(
-        F.sum(F.log(F.col("cnt").cast("double") / F.col("n_total"))), 6
+        F.sum(
+            F.col("k") * F.log(F.col("cnt").cast("double") / F.col("n_total"))
+        ),
+        6,
     )
     scored = (
-        tok.join(F.broadcast(vocab), "tok")
+        pairs.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_tokens"), sum_lp.alias("sum_lp"))
+        .agg(F.sum("k").alias("n_tokens"), sum_lp.alias("sum_lp"))
     )
     nll = -(F.col("sum_lp") / F.col("n_tokens"))
     return scored.select(

@@ -40,7 +40,12 @@ EXPECTATIONS = {
     # round 6: +1 SinglePartition exchange for the in-plan 1-row corpus
     # count (replaces the eager driver-blocking d.count() job); the
     # extra exchange carries exactly one row.
-    "text_tfidf": (4, True),
+    # r9-opt: the (doc_id, tok, tf) pairs repartition is the shared
+    # boundary between the tf and df consumers — statically the pairs
+    # subtree prints once per consumer (ReusedExchange at runtime, the
+    # tpch_q11 precedent), so 6 static = 4 executed: spread, pairs,
+    # df partial, the 1-row n exchange.
+    "text_tfidf": (6, True),
     "join_range": (3, False),
     "join_skew_salted": (4, False),
     "win_resample_ffill": (4, True),
@@ -257,10 +262,13 @@ EXPECTATIONS = {
     # before the CPU-heavy per-doc stage (no-op on many-file tables).
     "lang_id": (4, True),
     "pipeline_decontaminate": (3, True),
-    # lm_score r2: +1 single-partition window exchange over the
-    # |V|-bounded vocab agg (replaced the eager corpus-total collect;
-    # one fewer corpus scan).
-    "text_lm_score": (4, True),
+    # lm_score r9-opt: the (doc_id, tok, k) pairs repartition is the
+    # shared boundary between the vocab build and the scoring side —
+    # statically the pairs subtree (spread + pairs exchanges) prints
+    # once per consumer (like tpch_q11's byp), ReusedExchange at
+    # runtime, so 7 static = 5 executed: spread, pairs, vocab partial,
+    # vocab window (single-partition over |V| rows), per-doc agg.
+    "text_lm_score": (7, True),
     # derived-partsupp TPC-H trio: one lineitem aggregation each, dims
     # broadcast; q11's 5 counts the statically-duplicated byp subtree
     # (scalar-subquery total), reused at runtime under AQE.
