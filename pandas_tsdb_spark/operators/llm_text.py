@@ -44,6 +44,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Tables(spark, sf_dir).documents
 
 
+def _spread_hint(df: DataFrame, key: str = "doc_id") -> str:
+    """SQL-hint twin of _spread for monolithic-SQL builders (see
+    catalog.Tables.sql_views): same decision inputs, same
+    RepartitionByExpression exchange via the REPARTITION hint, or the
+    empty string when the source is already genuinely parallel."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = target
+    if n_files >= target and df.rdd.getNumPartitions() >= target:
+        return ""
+    return f"/*+ REPARTITION({target}, {key}) */"
+
+
 def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Fan an UNDER-SPLIT source out to the cluster before a CPU-heavy
     per-row stage (shingling, n-gram scoring): one narrow exchange of
@@ -91,6 +107,19 @@ def _shingles_col(n: int = 3) -> F.Column:
     out = parts[0]
     for p in parts[1:]:
         out = F.zip_with(out, p, lambda a, b: F.concat_ws(" ", a, b))
+    return out
+
+
+def _shingle_hashes_sql(n: int = 3) -> str:
+    """SQL-text twin of _shingle_hashes_col for monolithic-SQL builders
+    (catalog.Tables.sql_views): the identical token-hash fold — the
+    repeated token-array subexpression collapses under codegen CSE
+    exactly as the Column form's shared subtree does."""
+    th = "transform(split(lower(text), ' '), s -> xxhash64(s))"
+    m = f"greatest(size({th}) - {n - 1}, 0)"
+    out = f"slice({th}, 1, {m})"
+    for i in range(1, n):
+        out = f"zip_with({out}, slice({th}, {i + 1}, {m}), (a, b) -> xxhash64(a, b))"
     return out
 
 
@@ -415,48 +444,54 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per task before its exchange. The document-frequency side is tiny
     (vocabulary) -> broadcast; the corpus size joins as a broadcast
     1-row literal."""
-    d = _docs(spark, sf_dir)
-    tok = _spread(d).select("doc_id", F.explode(_tokens_col()).alias("tok"))
-    # r9-opt: repartition AFTER the tf aggregate. The spread exchange
-    # partitions by doc_id, so groupBy(doc_id, tok) aggregates WITHOUT
-    # a shuffle — which left no shared boundary between the tf and df
-    # branches, and the post-execution final plan showed the full
-    # explode + three HashAggregates running TWICE (AQE reused only the
-    # raw-text spread stage). This explicit exchange of the (doc_id,
-    # tok, tf) PAIRS — narrow rows, far fewer than token instances, no
-    # hot-key skew (doc_id leads the hash) — is the boundary both
-    # consumers reuse: one corpus tokenize pass at any scale.
-    # Interleaved A/B at sf0.1: 1.34 s -> 0.76 s median (7 reps, exact
-    # result equality on all 116,231 rows).
-    tf = (
-        tok.groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-        .repartition("doc_id", "tok")
-    )
-    # count(when(tf >= 1, true)) == count(*): tf = count(1) >= 1 by
-    # construction. The predicate is not foldable, so this KEEPS the tf
-    # column referenced in the df branch — a plain count(*) (or even
-    # count(tf), which Catalyst simplifies to count(1) and then prunes
-    # tf, collapsing the inner agg to a distinct) would make the two
-    # subtrees canonically unequal and kill the stage reuse above.
-    df = tf.groupBy("tok").agg(
-        F.count(F.when(F.col("tf") >= 1, True)).alias("df")
-    )
+    # r9-opt, two moves (A/B + final-plan evidence in
+    # OPTIMIZATION_r09.md):
+    # (1) PAIRS SHARING: repartition AFTER the tf aggregate. The spread
+    #     exchange partitions by doc_id, so groupBy(doc_id, tok)
+    #     aggregates WITHOUT a shuffle — which left no shared boundary
+    #     between the tf and df branches, and the post-execution final
+    #     plan showed the full explode + three HashAggregates running
+    #     TWICE (AQE reused only the raw-text spread stage). The
+    #     explicit exchange of the (doc_id, tok, tf) PAIRS — narrow
+    #     rows, far fewer than token instances, no hot-key skew
+    #     (doc_id leads the hash) — is the boundary both consumers
+    #     reuse: one corpus tokenize pass at any scale. Interleaved A/B
+    #     at sf0.1 under load: 1.34 -> 0.76 s median (idle: wash);
+    #     256x: 10.1 -> 9.6 s.
+    #     count(CASE WHEN tf >= 1 THEN true END) == count(*) (tf >= 1
+    #     by construction): the non-foldable predicate keeps tf
+    #     referenced in the df branch — a plain count gets simplified
+    #     to count(1), tf pruned, the inner agg collapses to a distinct
+    #     and the subtrees no longer canonicalize equal (reuse dies).
+    # (2) ONE spark.sql() call (catalog.Tables.sql_views): 149 ms of
+    #     per-call plan construction -> ~70 ms.
     # corpus size joins as a broadcast 1-row aggregate (the oracle's
     # CROSS JOIN n), NOT an eager d.count() at plan-build time: the
-    # eager count was a full extra driver-blocking job per run
-    # (~0.1 s at sf0.1), and a blocking action inside a plan builder
-    # is the wrong shape for a shared-cluster driver anyway. Double
-    # math is identical either way (same (N+1)/(df+1) values).
-    n = d.agg(F.count("*").alias("n_docs"))
-    tfidf = F.col("tf") * (
-        F.log((F.col("n_docs") + 1.0) / (F.col("df") + F.lit(1.0))) + 1.0
-    )
-    return (
-        tf.join(F.broadcast(df), "tok")
-        .crossJoin(F.broadcast(n))  # 1-row corpus total
-        .select("doc_id", "tok", "tf", "df", F.round(tfidf, 6).alias("tfidf"))
-    )
+    # eager count was a full extra driver-blocking job per run (~0.1 s
+    # at sf0.1), and a blocking action inside a plan builder is the
+    # wrong shape for a shared-cluster driver anyway. Float literals
+    # carry the D suffix (bare SQL floats parse as DECIMAL); the
+    # (N+1)/(df+1) doubles are identical either way.
+    t = Tables(spark, sf_dir)
+    v = t.sql_views()
+    spread = _spread_hint(t.documents)
+    return spark.sql(f"""
+    WITH spread AS (SELECT {spread} doc_id, text FROM {v}documents),
+    tok AS (SELECT doc_id, explode(split(lower(text), ' ')) AS tok
+            FROM spread),
+    tf0 AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+            GROUP BY doc_id, tok),
+    tf AS (SELECT /*+ REPARTITION(doc_id, tok) */ doc_id, tok, tf
+           FROM tf0),
+    df AS (SELECT tok, count(CASE WHEN tf >= 1 THEN true END) AS df
+           FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM {v}documents)
+    SELECT /*+ BROADCAST(df), BROADCAST(n) */ tf.doc_id, tf.tok, tf.tf,
+           df.df,
+           round(tf.tf * (ln((n.n_docs + 1.0D) / (df.df + 1.0D)) + 1.0D),
+                 6) AS tfidf
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+    """)
 
 
 @query(
@@ -647,52 +682,50 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row with split(text) inlined. Measured: 65 s vs 1 s at sf0.1.
     The scoring branch no longer has a Generate at all.
     """
-    d = _spread(_docs(spark, sf_dir))
+    # ONE spark.sql() call (r9-opt, see catalog.Tables.sql_views):
+    # 226 ms of per-call driver-side plan construction -> ~90 ms; the
+    # CTE tree parses and analyzes once, every expression below is the
+    # identical Catalyst tree the Column chain produced (asserted by
+    # oracle equality at all SFs and unchanged plan shape).
+    t = Tables(spark, sf_dir)
+    v = t.sql_views()
+    spread = _spread_hint(t.documents)
     # split to a char array ONCE: substring(text, i, 3) per position is
     # O(len) UTF-8 re-traversal each call => O(len^2) per doc;
-    # element_at on the array is O(1).
-    tgs = F.expr(
+    # element_at on the array is O(1). The transform EXPRESSION goes
+    # inside the explode (the InferFiltersFromGenerate trap, docstring).
+    tgs = (
         "transform(sequence(1, length(text) - 2), i -> "
         "concat(element_at(cs, i), element_at(cs, i + 1), "
         "element_at(cs, i + 2)))"
     )
-    samp = d.filter(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "1"
-    ).withColumn("cs", F.split("text", ""))
-    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "tg")
-    profile = (
-        samp.select("lang", F.explode(tgs).alias("tg"))
-        .groupBy("lang", "tg")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select(F.col("lang").alias("cand_lang"), "tg")
-    )
-    prof_arr = profile.groupBy("cand_lang").agg(
-        F.sort_array(F.collect_list("tg")).alias("ptgs")
-    )
-    scores = (
-        d.select("doc_id", F.col("lang").alias("true_lang"), "text")
-        .crossJoin(F.broadcast(prof_arr))
-        .select(
-            "doc_id",
-            "true_lang",
-            "cand_lang",
-            F.size(F.expr("filter(ptgs, t -> contains(text, t))"))
-            .cast("bigint")
-            .alias("score"),
-        )
-    )
-    w2 = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
     # score > 0 after the argmax (not before): identical result — a
     # zero row never outranks a positive one — and the filter runs on
     # |docs| rows instead of becoming a join condition that
     # double-evaluates the scoring lambda.
-    return (
-        scores.withColumn("rk", F.row_number().over(w2))
-        .filter((F.col("rk") == 1) & (F.col("score") > 0))
-        .select("doc_id", "true_lang", F.col("cand_lang").alias("pred_lang"), "score")
-    )
+    return spark.sql(f"""
+    WITH spread AS (SELECT {spread} doc_id, text, lang FROM {v}documents),
+    samp AS (SELECT lang, text, split(text, '') AS cs FROM spread
+             WHERE substring(md5(cast(doc_id as string)), 1, 1) <= '1'),
+    tg AS (SELECT lang, explode({tgs}) AS tg FROM samp),
+    pr0 AS (SELECT lang, tg, count(*) AS cnt FROM tg GROUP BY lang, tg),
+    profile AS (SELECT lang AS cand_lang, tg FROM (
+                  SELECT lang, tg, row_number() OVER (
+                    PARTITION BY lang ORDER BY cnt DESC, tg) AS rk
+                  FROM pr0) WHERE rk <= 20),
+    prof_arr AS (SELECT cand_lang, sort_array(collect_list(tg)) AS ptgs
+                 FROM profile GROUP BY cand_lang),
+    scores AS (SELECT /*+ BROADCAST(p) */ d.doc_id, d.lang AS true_lang,
+                      p.cand_lang,
+                      cast(size(filter(p.ptgs, t -> contains(d.text, t)))
+                           as bigint) AS score
+               FROM spread d CROSS JOIN prof_arr p)
+    SELECT doc_id, true_lang, cand_lang AS pred_lang, score
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rk
+          FROM scores)
+    WHERE rk = 1 AND score > 0
+    """)
 
 
 # ---------------------------------------------------------------- normalize
@@ -769,57 +802,57 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (noise ~1e-13 << 5e-7) and the division by the integer token count
     is then bit-identical; ppl re-rounds after exp() for the same
     reason."""
-    d = _docs(spark, sf_dir)
-    tok = _spread(d).select("doc_id", F.explode(_tokens_col()).alias("tok"))
-    # r9-opt: aggregate the token stream to (doc_id, tok, k) PAIRS once
-    # and share that exchange between the vocab build and the scoring
-    # side. The old shape consumed `tok` twice, and the post-execution
-    # final plan showed the explode running twice at runtime (AQE
-    # reused only the raw-text spread stage). Per-pair scoring is also
-    # strictly less probe work: k * ln(p) per DISTINCT (doc, tok)
-    # instead of ln(p) per token instance. Float discipline: the
-    # per-doc sum reorders (k-weighted adds vs repeated adds), which
-    # moves sum_lp by ~1e-13 — absorbed by the existing round-6 exactly
-    # like engine-order noise (exact result equality verified at
-    # sf0.001/0.01/0.1 AND the 256x fixture, 1.28M docs); n_tokens =
-    # sum(k) is integer-exact. 256x interleaved A/B: 9.09 s -> 8.52 s
-    # median (6 reps, warm discards).
-    pairs = (
-        tok.groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("k"))
-        .repartition("doc_id", "tok")
-    )
-    # sum(when(k >= 1, k)) == sum(k) (k = count(*) >= 1): the guard is
-    # not foldable, so the k column stays referenced and the vocab
-    # subtree canonicalizes equal to the scoring side's — pruning k
-    # here would kill the stage reuse (the text_tfidf lesson).
+    # r9-opt, two moves (A/B + final-plan evidence in
+    # OPTIMIZATION_r09.md):
+    # (1) PAIRS SHARING: aggregate the token stream to (doc_id, tok, k)
+    #     pairs once and share that exchange (REPARTITION hint) between
+    #     the vocab build and the scoring side. The old shape consumed
+    #     `tok` twice and the post-execution final plan showed the
+    #     explode running twice at runtime (AQE reused only the
+    #     raw-text spread stage). Per-pair scoring is strictly less
+    #     probe work: k * ln(p) per DISTINCT (doc, tok) instead of
+    #     ln(p) per token instance. Float discipline: the per-doc sum
+    #     reorders (k-weighted adds vs repeated adds), moving sum_lp by
+    #     ~1e-13 — absorbed by the round-6 exactly like engine-order
+    #     noise (exact equality verified at sf0.001/0.01/0.1 AND 256x,
+    #     1.28M docs); n_tokens = sum(k) is integer-exact. 256x A/B:
+    #     9.09 -> 8.52 s median.
+    #     sum(CASE WHEN k >= 1 THEN k END) == sum(k) (k >= 1 always):
+    #     the non-foldable guard keeps k referenced so the vocab
+    #     subtree canonicalizes equal to the scoring side's — a plain
+    #     aggregate lets pruning diverge the subtrees and kills the
+    #     stage reuse (the text_tfidf lesson).
+    # (2) ONE spark.sql() call (catalog.Tables.sql_views): 185 ms of
+    #     per-call plan construction -> ~80 ms.
     # Corpus token total = sum(cnt) attached to the ALREADY-BUILT vocab
     # agg via an unpartitioned window (round 2: replaces the eager
-    # .collect() scalar, which cost a second full-corpus scan + a
-    # driver sync). The window's single-partition exchange moves only
-    # the |vocab|-bounded agg output, never corpus rows.
-    vocab = (
-        pairs.groupBy("tok")
-        .agg(F.sum(F.when(F.col("k") >= 1, F.col("k"))).alias("cnt"))
-        .withColumn(
-            "n_total", F.sum("cnt").over(W.partitionBy()).cast("double")
-        )
-    )
-    sum_lp = F.round(
-        F.sum(
-            F.col("k") * F.log(F.col("cnt").cast("double") / F.col("n_total"))
-        ),
-        6,
-    )
-    scored = (
-        pairs.join(F.broadcast(vocab), "tok")
-        .groupBy("doc_id")
-        .agg(F.sum("k").alias("n_tokens"), sum_lp.alias("sum_lp"))
-    )
-    nll = -(F.col("sum_lp") / F.col("n_tokens"))
-    return scored.select(
-        "doc_id", "n_tokens", nll.alias("nll"), F.round(F.exp(nll), 6).alias("ppl")
-    )
+    # .collect() scalar and its extra corpus scan); the window's
+    # single-partition exchange moves only |vocab| rows.
+    t = Tables(spark, sf_dir)
+    v = t.sql_views()
+    spread = _spread_hint(t.documents)
+    return spark.sql(f"""
+    WITH spread AS (SELECT {spread} doc_id, text FROM {v}documents),
+    tok AS (SELECT doc_id, explode(split(lower(text), ' ')) AS tok
+            FROM spread),
+    pairs0 AS (SELECT doc_id, tok, count(*) AS k FROM tok
+               GROUP BY doc_id, tok),
+    pairs AS (SELECT /*+ REPARTITION(doc_id, tok) */ doc_id, tok, k
+              FROM pairs0),
+    voc0 AS (SELECT tok, sum(CASE WHEN k >= 1 THEN k END) AS cnt
+             FROM pairs GROUP BY tok),
+    vocab AS (SELECT tok, cnt, cast(sum(cnt) over () as double) AS n_total
+              FROM voc0),
+    scored AS (SELECT /*+ BROADCAST(v) */ p.doc_id,
+                      sum(p.k) AS n_tokens,
+                      round(sum(p.k * ln(cast(v.cnt as double)
+                                         / v.n_total)), 6) AS sum_lp
+               FROM pairs p JOIN vocab v USING (tok)
+               GROUP BY p.doc_id)
+    SELECT doc_id, n_tokens, -(sum_lp / n_tokens) AS nll,
+           round(exp(-(sum_lp / n_tokens)), 6) AS ppl
+    FROM scored
+    """)
 
 
 # ------------------------------------------------- corpus n-gram statistics
@@ -1015,56 +1048,46 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregation partial-combines before its one exchange. The
     probability is assembled once per DISTINCT bigram (tiny table),
     never per corpus position."""
-    d = _docs(spark, sf_dir)
-    toks = _tokens_col()
-    n = F.size(toks)
-    bigram_col = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+    # ONE spark.sql() call (r9-opt): this builder was the most
+    # construction-expensive of the headline set — 552 ms of pure
+    # driver-side work per call, dominated by the eager re-analysis
+    # every DataFrame transformation pays (~28-46 ms/op as the tree
+    # grows; see catalog.Tables.sql_views). The monolithic SQL parses
+    # and analyzes the complete tree once: 552 -> 104 ms, bit-identical
+    # result (values AND dtypes asserted), same physical plan (6
+    # BroadcastHashJoin, 0 SortMergeJoin, same exchange count). Float
+    # literals carry the D suffix so they stay doubles (bare SQL floats
+    # parse as DECIMAL).
+    t = Tables(spark, sf_dir)
+    v = t.sql_views()
+    spread = _spread_hint(t.documents)
+    toks = "split(lower(text), ' ')"
+    bigrams = (
+        f"zip_with(slice({toks}, 1, size({toks}) - 1),"
+        f" slice({toks}, 2, size({toks}) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
     )
-    spread = _spread(d)
-    tok = spread.select("doc_id", F.explode(toks).alias("tok"))
     # Corpus total = sum(c1) attached to the unigram agg via an
     # unpartitioned window over the |V|-bounded agg output (round 2:
     # replaces the eager scalar .collect() and its extra corpus scan).
-    uni = (
-        tok.groupBy("tok")
-        .agg(F.count("*").alias("c1"))
-        .withColumn("n_total", F.sum("c1").over(W.partitionBy()).cast("double"))
-    )
-    db = spread.select("doc_id", F.explode(bigram_col).alias("bigram"))
-    big = db.groupBy("bigram").agg(F.count("*").alias("c2"))
-    w = F.split(F.col("bigram"), " ")
-    bprob = (
-        big.join(
-            F.broadcast(
-                uni.drop("n_total")
-                .withColumnRenamed("c1", "c1_w1")
-                .withColumnRenamed("tok", "w1")
-            ),
-            w.getItem(0) == F.col("w1"),
-        )
-        .join(
-            F.broadcast(uni.withColumnRenamed("c1", "c1_w2").withColumnRenamed("tok", "w2")),
-            w.getItem(1) == F.col("w2"),
-        )
-        .select(
-            "bigram",
-            (
-                0.75 * (F.col("c2").cast("double") / F.col("c1_w1"))
-                + 0.25 * (F.col("c1_w2").cast("double") / F.col("n_total"))
-            ).alias("p"),
-        )
-    )
-    return (
-        db.join(F.broadcast(bprob), "bigram")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            (-(F.round(F.sum(F.log("p")), 6) / F.count("*"))).alias("nll2"),
-        )
-    )
+    return spark.sql(f"""
+    WITH spread AS (SELECT {spread} doc_id, text FROM {v}documents),
+    tok AS (SELECT doc_id, explode({toks}) AS tok FROM spread),
+    uni0 AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
+    uni AS (SELECT tok, c1, cast(sum(c1) over () as double) AS n_total
+            FROM uni0),
+    db AS (SELECT doc_id, explode({bigrams}) AS bigram FROM spread),
+    big AS (SELECT bigram, count(*) AS c2 FROM db GROUP BY bigram),
+    bprob AS (SELECT /*+ BROADCAST(u1), BROADCAST(u2) */ b.bigram,
+                     0.75D * (cast(b.c2 as double) / u1.c1)
+                   + 0.25D * (cast(u2.c1 as double) / u2.n_total) AS p
+              FROM big b JOIN uni u1 ON split(b.bigram, ' ')[0] = u1.tok
+                         JOIN uni u2 ON split(b.bigram, ' ')[1] = u2.tok)
+    SELECT /*+ BROADCAST(p) */ d.doc_id, count(*) AS n_bigrams,
+           -(round(sum(ln(p.p)), 6) / count(*)) AS nll2
+    FROM db d JOIN bprob p ON d.bigram = p.bigram
+    GROUP BY d.doc_id
+    """)
 
 
 @query(
@@ -1217,52 +1240,49 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2.2 s codegen floor at 256x. Chars bound tokens from above
     # (tokens <= chars/2 + 1), so the char cutoff keeps the carried
     # array capped; which PATH a doc takes never changes its output.
-    small = d.filter(F.length("text") <= _BIG_DOC_CHARS).select(
-        "doc_id", _tokens_col().alias("toks")
-    )
-    big = d.filter(F.length("text") > _BIG_DOC_CHARS).select(
-        "doc_id", _tokens_col().alias("toks")
-    )
-    n_seg_m1 = F.ceil(F.size("toks") / F.lit(float(_SEG))).cast("long") - 1
-    segs_small = small.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_seg_m1)).alias(
-            "seg_idx"
-        ),
-    ).select(
-        "doc_id",
-        "seg_idx",
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.slice("toks", (F.col("seg_idx") * _SEG + 1).cast("int"), _SEG),
-            )
-        ).alias("seg_h"),
-    )
-    seg_arr = F.expr(
-        f"transform(sequence(0L, cast(ceil(size(toks) / {_SEG}.0) as long) - 1),"
-        f" i -> md5(concat_ws(' ',"
+    # ONE spark.sql() call (r9-opt, catalog.Tables.sql_views): 231 ms
+    # of per-call plan construction -> ~80 ms; branch expressions are
+    # verbatim the Column forms' trees (small branch divides by a
+    # DOUBLE literal, big branch keeps the original F.expr's decimal
+    # literal — both ceil to the same count; oracle-equal at all SFs).
+    t = Tables(spark, sf_dir)
+    v = t.sql_views()
+    spread = _spread_hint(t.documents)
+    seg_arr = (
+        f"transform(sequence(0L, cast(ceil(size(toks) / {_SEG}.0) as long)"
+        f" - 1), i -> md5(concat_ws(' ',"
         f" slice(toks, cast(i * {_SEG} + 1 as int), {_SEG}))))"
     )
-    segs_big = big.select(
-        "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg_h")
-    )
-    segs = segs_small.unionByName(segs_big)
-    w = W.partitionBy("seg_h").orderBy("doc_id", "seg_idx")
-    return (
-        segs.withColumn("rn", F.row_number().over(w))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_segs"),
-            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
-            F.round(
-                F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
-                / F.count("*"),
-                6,
-            ).alias("kept_frac"),
-        )
-    )
+    return spark.sql(f"""
+    WITH spread AS (SELECT {spread} doc_id, text FROM {v}documents),
+    small AS (SELECT doc_id, split(lower(text), ' ') AS toks FROM spread
+              WHERE length(text) <= {_BIG_DOC_CHARS}),
+    big AS (SELECT doc_id, split(lower(text), ' ') AS toks FROM spread
+            WHERE length(text) > {_BIG_DOC_CHARS}),
+    segs_small AS (
+      SELECT doc_id, seg_idx,
+             md5(concat_ws(' ',
+                 slice(toks, cast(seg_idx * {_SEG} + 1 as int), {_SEG})))
+               AS seg_h
+      FROM (SELECT doc_id, toks,
+                   explode(sequence(cast(0 as bigint),
+                     cast(ceil(size(toks) / {float(_SEG)}D) as bigint) - 1))
+                     AS seg_idx
+            FROM small)),
+    segs_big AS (
+      SELECT doc_id, seg_idx, seg_h
+      FROM big LATERAL VIEW posexplode({seg_arr}) g AS seg_idx, seg_h),
+    segs AS (SELECT * FROM segs_small UNION ALL SELECT * FROM segs_big),
+    w AS (SELECT doc_id,
+                 row_number() OVER (PARTITION BY seg_h
+                                    ORDER BY doc_id, seg_idx) AS rn
+          FROM segs)
+    SELECT doc_id, count(*) AS n_segs,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / count(*), 6)
+             AS kept_frac
+    FROM w GROUP BY doc_id
+    """)
 
 
 @query(

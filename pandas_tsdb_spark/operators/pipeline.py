@@ -332,21 +332,22 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1). The oracle works over the actual n-gram strings; results
     are identical unless two distinct n-grams collide in 64 bits
     (p ~ 2^-64 per pair; verified bit-identical at every fixture SF)."""
-    from pandas_tsdb_spark.operators.llm_text import _shingle_hashes_col, _spread
+    from pandas_tsdb_spark.operators.llm_text import (
+        _shingle_hashes_sql,
+        _spread_hint,
+    )
 
-    d = _spread(Tables(spark, sf_dir).documents)
-    is_eval = F.col("doc_id") % 50 == 0
+    # ONE spark.sql() call (r9-opt, catalog.Tables.sql_views): 221 ms
+    # of per-call plan construction -> ~80 ms; identical expression
+    # trees, asserted by oracle equality at all SFs.
+    t = Tables(spark, sf_dir)
+    v = t.sql_views()
+    spread = _spread_hint(t.documents)
     # explode the EXPRESSION inside the Generate (never a materialized
     # array column): the InferFiltersFromGenerate trap re-evaluates the
     # whole shingle pipeline inside an inferred Filter otherwise
     # (NOTES.md, measured 65x on lang_id).
-    ngs = F.array_distinct(_shingle_hashes_col(4))
-    eval_ngrams = (
-        d.filter(is_eval)
-        .select(F.explode(ngs).alias("ng"))
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
+    ngs = f"array_distinct({_shingle_hashes_sql(4)})"
     # ONE pass over the training corpus: the broadcast LEFT probe tags
     # each exploded n-gram, and a single per-doc aggregation yields both
     # the distinct-n-gram count and the hit count. (A first draft ran
@@ -356,23 +357,23 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured at all SFs; a <4-token doc would drop from the output,
     # which the oracle's full LEFT JOIN would catch as a row-count
     # mismatch).
-    # explode_OUTER + count(ng): a null-text doc yields no n-grams but
-    # must SURVIVE decontamination (trivially uncontaminated, n_ngrams
-    # 0) — plain explode dropped it from the output entirely (round-5
-    # null-text sweep); count(ng) ignores the outer-join's null row.
-    return (
-        d.filter(~is_eval)
-        .select("doc_id", F.explode_outer(ngs).alias("ng"))
-        .join(F.broadcast(eval_ngrams), "ng", "left")
-        .groupBy("doc_id")
-        .agg(F.count("ng").alias("n_ngrams"), F.count("hit").alias("n_hits"))
-        .select(
-            "doc_id",
-            "n_ngrams",
-            "n_hits",
-            (F.col("n_hits") > 0).alias("contaminated"),
-        )
-    )
+    # LATERAL VIEW OUTER + count(ng): a null-text doc yields no n-grams
+    # but must SURVIVE decontamination (trivially uncontaminated,
+    # n_ngrams 0) — plain explode dropped it from the output entirely
+    # (round-5 null-text sweep); count(ng) ignores the outer row.
+    return spark.sql(f"""
+    WITH spread AS (SELECT {spread} doc_id, text FROM {v}documents),
+    e0 AS (SELECT explode({ngs}) AS ng FROM spread WHERE doc_id % 50 = 0),
+    ev AS (SELECT DISTINCT ng, 1 AS hit FROM e0),
+    tr AS (SELECT doc_id, ng
+           FROM (SELECT doc_id, text FROM spread WHERE doc_id % 50 <> 0)
+           LATERAL VIEW OUTER explode({ngs}) g AS ng)
+    SELECT /*+ BROADCAST(ev) */ doc_id,
+           count(ng) AS n_ngrams, count(hit) AS n_hits,
+           count(hit) > 0 AS contaminated
+    FROM tr LEFT JOIN ev USING (ng)
+    GROUP BY doc_id
+    """)
 
 
 # ------------------------------------------------------- epoch upsampling

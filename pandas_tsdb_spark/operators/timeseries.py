@@ -1240,40 +1240,37 @@ def win_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |series| x buckets regardless of input rows — the whole point
     of the operator. Values emitted raw (selection, not arithmetic:
     min/max/first/last are exact row values on both engines)."""
-    ev = Tables(spark, sf_dir).events.select(
-        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
-    )
-    ext = ev.groupBy("user_id").agg(
-        F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1")
-    )
+    # ONE spark.sql() call (r9-opt, catalog.Tables.sql_views): 190 ms
+    # of per-call plan construction -> ~70 ms; identical trees.
     # bucket index via pure INTEGER division on both engines: a
     # double-quotient cast differs cross-engine (Spark truncates,
-    # DuckDB rounds) — `div`/`//` sidestep the tie entirely
-    b = ev.join(ext, "user_id").withColumn(
-        "bucket",
-        F.least(
-            F.lit(_M4_BUCKETS - 1).cast("long"),
-            F.expr(
-                f"(ts_us - t0) * {_M4_BUCKETS} div (t1 - t0 + 1)"
-            ),
-        ),
-    )
-    wa = W.partitionBy("user_id", "bucket").orderBy("ts_us", "event_id")
-    wz = W.partitionBy("user_id", "bucket").orderBy(
-        F.col("ts_us").desc(), F.col("event_id").desc()
-    )
-    w = b.withColumn("rn_a", F.row_number().over(wa)).withColumn(
-        "rn_z", F.row_number().over(wz)
-    )
-    return w.groupBy("user_id", "bucket").agg(
-        F.count("*").alias("n"),
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
-        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("vfirst"),
-        F.min(F.when(F.col("rn_z") == 1, F.col("value"))).alias("vlast"),
-        F.min("ts_us").alias("t_start_us"),
-        F.max("ts_us").alias("t_end_us"),
-    )
+    # DuckDB rounds) — `div`/`//` sidestep the tie entirely.
+    t = Tables(spark, sf_dir)
+    v = t.sql_views()
+    return spark.sql(f"""
+    WITH ev AS (SELECT user_id, event_id, value, unix_micros(ts) AS ts_us
+                FROM {v}events),
+    ext AS (SELECT user_id, min(ts_us) AS t0, max(ts_us) AS t1
+            FROM ev GROUP BY user_id),
+    b AS (SELECT ev.user_id, ev.event_id, ev.value, ev.ts_us,
+                 least(cast({_M4_BUCKETS - 1} as bigint),
+                       (ts_us - t0) * {_M4_BUCKETS} div (t1 - t0 + 1))
+                   AS bucket
+          FROM ev JOIN ext USING (user_id)),
+    w AS (SELECT *,
+                 row_number() OVER (PARTITION BY user_id, bucket
+                                    ORDER BY ts_us, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY user_id, bucket
+                                    ORDER BY ts_us DESC, event_id DESC)
+                   AS rn_z
+          FROM b)
+    SELECT user_id, bucket, count(*) AS n,
+           min(value) AS vmin, max(value) AS vmax,
+           min(CASE WHEN rn_a = 1 THEN value END) AS vfirst,
+           min(CASE WHEN rn_z = 1 THEN value END) AS vlast,
+           min(ts_us) AS t_start_us, max(ts_us) AS t_end_us
+    FROM w GROUP BY user_id, bucket
+    """)
 
 
 @query("win_downsample_lttb", oracle=None)  # sequential selection: rows-only
