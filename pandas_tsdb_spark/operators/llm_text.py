@@ -802,28 +802,19 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (noise ~1e-13 << 5e-7) and the division by the integer token count
     is then bit-identical; ppl re-rounds after exp() for the same
     reason."""
-    # r9-opt, two moves (A/B + final-plan evidence in
-    # OPTIMIZATION_r09.md):
-    # (1) PAIRS SHARING: aggregate the token stream to (doc_id, tok, k)
-    #     pairs once and share that exchange (REPARTITION hint) between
-    #     the vocab build and the scoring side. The old shape consumed
-    #     `tok` twice and the post-execution final plan showed the
-    #     explode running twice at runtime (AQE reused only the
-    #     raw-text spread stage). Per-pair scoring is strictly less
-    #     probe work: k * ln(p) per DISTINCT (doc, tok) instead of
-    #     ln(p) per token instance. Float discipline: the per-doc sum
-    #     reorders (k-weighted adds vs repeated adds), moving sum_lp by
-    #     ~1e-13 — absorbed by the round-6 exactly like engine-order
-    #     noise (exact equality verified at sf0.001/0.01/0.1 AND 256x,
-    #     1.28M docs); n_tokens = sum(k) is integer-exact. 256x A/B:
-    #     9.09 -> 8.52 s median.
-    #     sum(CASE WHEN k >= 1 THEN k END) == sum(k) (k >= 1 always):
-    #     the non-foldable guard keeps k referenced so the vocab
-    #     subtree canonicalizes equal to the scoring side's — a plain
-    #     aggregate lets pruning diverge the subtrees and kills the
-    #     stage reuse (the text_tfidf lesson).
-    # (2) ONE spark.sql() call (catalog.Tables.sql_views): 185 ms of
-    #     per-call plan construction -> ~80 ms.
+    # r9-opt: ONE spark.sql() call (catalog.Tables.sql_views): 185 ms
+    # of per-call plan construction -> ~80 ms. The tfidf-style PAIRS
+    # SHARING rewrite was tried here and REVERTED after a full
+    # three-variant A/B (OPTIMIZATION_r09.md): the shared
+    # (doc_id, tok, k) exchange costs two extra AQE stage floors and
+    # measured 0.98 s vs this shape's 0.56-0.62 s at sf0.1, and its
+    # apparent 256x win did not replicate in a three-way interleaved
+    # rematch (no-pairs median 10.5 s vs pairs-share 15.3 s, pairs
+    # without sharing 13.7 s) — the duplicate explode rides free in
+    # parallel slack while extra exchanges always pay. The vocab
+    # branch's duplicated token pass remains the documented cheaper
+    # trade (the text_tfidf case differs: there BOTH consumers need
+    # the pairs table, so its shared exchange replaces real work).
     # Corpus token total = sum(cnt) attached to the ALREADY-BUILT vocab
     # agg via an unpartitioned window (round 2: replaces the eager
     # .collect() scalar and its extra corpus scan); the window's
@@ -835,20 +826,15 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH spread AS (SELECT {spread} doc_id, text FROM {v}documents),
     tok AS (SELECT doc_id, explode(split(lower(text), ' ')) AS tok
             FROM spread),
-    pairs0 AS (SELECT doc_id, tok, count(*) AS k FROM tok
-               GROUP BY doc_id, tok),
-    pairs AS (SELECT /*+ REPARTITION(doc_id, tok) */ doc_id, tok, k
-              FROM pairs0),
-    voc0 AS (SELECT tok, sum(CASE WHEN k >= 1 THEN k END) AS cnt
-             FROM pairs GROUP BY tok),
+    voc0 AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
     vocab AS (SELECT tok, cnt, cast(sum(cnt) over () as double) AS n_total
               FROM voc0),
-    scored AS (SELECT /*+ BROADCAST(v) */ p.doc_id,
-                      sum(p.k) AS n_tokens,
-                      round(sum(p.k * ln(cast(v.cnt as double)
-                                         / v.n_total)), 6) AS sum_lp
-               FROM pairs p JOIN vocab v USING (tok)
-               GROUP BY p.doc_id)
+    scored AS (SELECT /*+ BROADCAST(v) */ t.doc_id,
+                      count(*) AS n_tokens,
+                      round(sum(ln(cast(v.cnt as double) / v.n_total)), 6)
+                        AS sum_lp
+               FROM tok t JOIN vocab v USING (tok)
+               GROUP BY t.doc_id)
     SELECT doc_id, n_tokens, -(sum_lp / n_tokens) AS nll,
            round(exp(-(sum_lp / n_tokens)), 6) AS ppl
     FROM scored

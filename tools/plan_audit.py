@@ -262,13 +262,12 @@ EXPECTATIONS = {
     # before the CPU-heavy per-doc stage (no-op on many-file tables).
     "lang_id": (4, True),
     "pipeline_decontaminate": (3, True),
-    # lm_score r9-opt: the (doc_id, tok, k) pairs repartition is the
-    # shared boundary between the vocab build and the scoring side —
-    # statically the pairs subtree (spread + pairs exchanges) prints
-    # once per consumer (like tpch_q11's byp), ReusedExchange at
-    # runtime, so 7 static = 5 executed: spread, pairs, vocab partial,
-    # vocab window (single-partition over |V| rows), per-doc agg.
-    "text_lm_score": (7, True),
+    # lm_score r2: +1 single-partition window exchange over the
+    # |V|-bounded vocab agg (replaced the eager corpus-total collect;
+    # one fewer corpus scan). r9-opt: monolithic SQL, same shape (the
+    # pairs-sharing rewrite was tried and reverted — A/B in
+    # OPTIMIZATION_r09.md).
+    "text_lm_score": (4, True),
     # derived-partsupp TPC-H trio: one lineitem aggregation each, dims
     # broadcast; q11's 5 counts the statically-duplicated byp subtree
     # (scalar-subquery total), reused at runtime under AQE.
