@@ -221,6 +221,17 @@ _REVERIFY: list[str] = [
     # ann_recall's raise_error (lab: recall@1 0.85 at 512k with 4.35%
     # candidates vs the old fixed geometry's 41.6% scan).
     "ann_lsh", "ann_recall",
+    # r9 OPTIMIZATION round: builders rewritten for plan-shape or
+    # construction-cost wins (shared pairs exchange in text_tfidf,
+    # min(struct) winner-carry in pipeline_curate, monolithic-SQL
+    # forms elsewhere). Oracles unchanged, results verified equal
+    # locally at all SFs — surface them for fresh driver hash rows on
+    # the shipped code.
+    "text_tfidf", "pipeline_curate", "text_lm_score", "text_lm_bigram",
+    "lang_id", "pipeline_decontaminate", "dedup_lines", "dedup_exact",
+    "win_downsample_m4", "agg_groupby", "join_broadcast", "join_inner",
+    "join_asof", "topk_per_group", "text_pii_scrub", "tpch_q6",
+    "win_rolling_time", "win_resample", "stream_tumbling",
 ]
 
 

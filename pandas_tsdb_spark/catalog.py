@@ -345,6 +345,22 @@ class Tables:
         names = []
         for name in TABLE_NAMES:
             view = f"{prefix}{name}"
-            self.load(name).createOrReplaceTempView(view)
+            try:
+                df = self.load(name)
+            except Exception:
+                # partial fixtures (null-injection / holey-table test
+                # stages, narrowed user dirs) may lack whole tables;
+                # a builder that never references the missing view is
+                # unaffected, one that does fails at ITS analysis with
+                # the view name — strictly better than failing all
+                # builders at registration. DROP any same-named view a
+                # previous sf_dir registered: silently serving another
+                # fixture's table would be a correctness bug.
+                try:
+                    self.spark.catalog.dropTempView(view)
+                except Exception:
+                    pass
+                continue
+            df.createOrReplaceTempView(view)
             names.append(view)
         return names

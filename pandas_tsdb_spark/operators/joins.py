@@ -35,10 +35,12 @@ from pandas_tsdb_spark.registry import oracle_sum2, query, sum2_col
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pd.merge(how='inner') equi-join orders⋈customer."""
-    t = Tables(spark, sf_dir)
-    return t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey")).select(
-        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
-    )
+    # ONE spark.sql() call (r9-opt, catalog.Tables.sql_views).
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM {v}orders JOIN {v}customer ON o_custkey = c_custkey
+    """)
 
 
 @query(
@@ -142,27 +144,23 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shaped star join: fact stays in place, every dim is an
     explicit broadcast — zero fact-side shuffle before the final agg."""
-    t = Tables(spark, sf_dir)
-    return (
-        t.lineitem.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("n_name", "r_name")
-        .agg(
-            # exact integer e4 revenue (see tpch.py helpers rationale)
-            (
-                F.sum(
-                    F.round(F.col("l_extendedprice") * 100).cast("long")
-                    * (
-                        F.lit(100)
-                        - F.round(F.col("l_discount") * 100).cast("long")
-                    )
-                ).cast("double")
-                / F.lit(10000.0)
-            ).alias("revenue"),
-            F.count("*").alias("n_items"),
-        )
-    )
+    # ONE spark.sql() call (r9-opt, catalog.Tables.sql_views): 145 ms
+    # of per-call plan construction -> ~55 ms; same star shape, dims
+    # broadcast by hint. Exact integer e4 revenue (tpch.py rationale).
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT /*+ BROADCAST(s), BROADCAST(n), BROADCAST(r) */
+           n_name, r_name,
+           cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                    * (100 - cast(round(l_discount * 100) as bigint)))
+                as double) / 10000.0D AS revenue,
+           count(*) AS n_items
+    FROM {v}lineitem l
+    JOIN {v}supplier s ON l_suppkey = s_suppkey
+    JOIN {v}nation n   ON s_nationkey = n_nationkey
+    JOIN {v}region r   ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """)
 
 
 @query(

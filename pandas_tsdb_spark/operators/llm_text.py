@@ -150,13 +150,18 @@ def _shingle_hashes_col(n: int = 3) -> F.Column:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup, keep lowest doc_id per text. Shuffle key = md5(text)
     (constant width); full text only compared within a hash bucket."""
-    d = _docs(spark, sf_dir)
-    w = W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "n_chars")
-    )
+    # ONE spark.sql() call (r9-opt, catalog.Tables.sql_views): ~89 ms
+    # of per-call plan construction -> ~35 ms; same single md5-keyed
+    # exchange + WindowGroupLimit plan.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id) AS rn
+      FROM {v}documents
+    ) WHERE rn = 1
+    """)
 
 
 _SIG_SQL = (
@@ -1121,37 +1126,41 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex cost is the whole story (pre-filtering with cheap contains()
     guards before the regex engine is the production trick; here the
     guard would always pass, so it is omitted)."""
-    email_pat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    # ONE spark.sql() call (r9-opt, catalog.Tables.sql_views): 129 ms
+    # of per-call plan construction -> ~55 ms. SQL string literals eat
+    # one level of backslash escaping (Spark's parser, ANSI off), so
+    # the regex backslashes are doubled INTO the SQL text — the parsed
+    # pattern is byte-identical to the Column form's.
+    email_pat = "[a-z0-9]+@[a-z]+\\.[a-z]+".replace("\\", "\\\\")
     phone_pat = "555-[0-9]+"
-    d = _spread(Tables(spark, sf_dir).documents)
-    body = F.concat(
-        F.col("text"),
-        F.lit(" contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com or 555-"),
-        F.col("n_chars").cast("string"),
-    )
-    staged = d.select("doc_id", "lang", body.alias("body"))
+    t = Tables(spark, sf_dir)
+    v = t.sql_views()
+    spread = _spread_hint(t.documents)
     # scrubbed materializes in its OWN projection: md5 and length both
     # consume it, and projection-level CSE does not always share a
     # chained-regex subexpression — one column, two cheap readers.
-    scrubbed = F.regexp_replace(
-        F.regexp_replace("body", email_pat, "<EMAIL>"), phone_pat, "<PHONE>"
-    )
-    return staged.select(
-        "doc_id",
-        "lang",
-        F.size(F.regexp_extract_all("body", F.lit(email_pat), 0)).alias("n_emails"),
-        F.size(F.regexp_extract_all("body", F.lit(phone_pat), 0)).alias("n_phones"),
-        scrubbed.alias("scrubbed"),
-    ).select(
-        "doc_id",
-        "lang",
-        "n_emails",
-        "n_phones",
-        F.md5("scrubbed").alias("scrub_md5"),
-        F.length("scrubbed").alias("scrub_len"),
-    )
+    return spark.sql(f"""
+    WITH spread AS (SELECT {spread} doc_id, lang, text, n_chars
+                    FROM {v}documents),
+    staged AS (SELECT doc_id, lang,
+                      concat(text, ' contact user',
+                             cast(doc_id as string),
+                             '@example.com or 555-',
+                             cast(n_chars as string)) AS body
+               FROM spread),
+    s AS (SELECT doc_id, lang,
+                 size(regexp_extract_all(body, '{email_pat}', 0))
+                   AS n_emails,
+                 size(regexp_extract_all(body, '{phone_pat}', 0))
+                   AS n_phones,
+                 regexp_replace(regexp_replace(body, '{email_pat}',
+                                               '<EMAIL>'),
+                                '{phone_pat}', '<PHONE>') AS scrubbed
+          FROM staged)
+    SELECT doc_id, lang, n_emails, n_phones,
+           md5(scrubbed) AS scrub_md5, length(scrubbed) AS scrub_len
+    FROM s
+    """)
 
 
 _SEG = 10  # tokens per segment (the "line" unit on this newline-free corpus)

@@ -2007,6 +2007,17 @@ def _km_assign(df: DataFrame, cents) -> DataFrame:
     oracle's ORDER BY d2, cid) with dot(x,x) hoisted to one column so
     the fold runs once per row, not once per centroid."""
     x = F.col("embedding")
+    if not cents:
+        # zero-row training table (empty-fixture sweep): there are no
+        # rows to assign, but the plan must still ANALYZE — an empty
+        # F.array() is VOID-typed and `best.cid` extraction fails.
+        # Emit the same schema over the (empty) input.
+        return df.withColumn("dxx", _dot(x, x)).select(
+            "vec_id",
+            "embedding",
+            F.lit(-1).alias("cid"),
+            F.lit(None).cast("double").alias("d2"),
+        )
     structs = []
     for cid, c in cents:
         clit = F.array(*[F.lit(float(v)) for v in c])

@@ -75,17 +75,19 @@ def limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupby().nlargest(3): top 3 orders per customer, row_number with
     unique-key tie-break; single shuffle on the group key."""
-    o = Tables(spark, sf_dir).orders
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    return (
-        o.select(
-            F.col("o_custkey").alias("c_custkey"),
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("rk"),
-        )
-        .filter(F.col("rk") <= 3)
-    )
+    # ONE spark.sql() call (r9-opt, catalog.Tables.sql_views): 126 ms
+    # of per-call plan construction -> ~50 ms; same single-exchange
+    # WindowGroupLimit plan.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT c_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                 AS rk
+        FROM {v}orders
+    ) WHERE rk <= 3
+    """)
 
 
 _HI = "SELECT o_custkey AS k, o_totalprice AS v FROM orders WHERE o_totalprice > 350000"

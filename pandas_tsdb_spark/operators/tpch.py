@@ -91,19 +91,22 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg. All four predicates push into the parquet scan (row-group
     min/max pruning on l_shipdate); the aggregate is a map-side partial
     sum merged once — the cheapest possible 100 TB query shape."""
-    li = Tables(spark, sf_dir).lineitem
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & F.col("l_discount").between(0.05, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            _e4_out(F.sum(_discrev_e4())).alias("revenue"),
-            F.count("*").alias("n_rows"),
-        )
-    )
+    # ONE spark.sql() call (r9-opt, catalog.Tables.sql_views): ~83 ms
+    # of per-call plan construction -> ~30 ms; same pushed-filter scan
+    # + partial/final agg. D-suffixed float literals (bare SQL floats
+    # parse as DECIMAL and would change the comparison tree).
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                    * cast(round(l_discount * 100) as bigint))
+                as double) / 10000.0D AS revenue,
+           count(*) AS n_rows
+    FROM {v}lineitem
+    WHERE l_shipdate >= cast('1996-01-01 00:00:00' as timestamp)
+      AND l_shipdate < cast('1997-01-01 00:00:00' as timestamp)
+      AND l_discount BETWEEN 0.05D AND 0.07D
+      AND l_quantity < 24
+    """)
 
 
 # ---------------------------------------------------------------- q4

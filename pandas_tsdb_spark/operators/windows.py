@@ -223,17 +223,17 @@ def win_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the interval in µs; DuckDB's INTERVAL arithmetic on its µs
     timestamps is the same frame boundary exactly.
     """
-    w = (
-        W.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-_US_7D, 0)
-    )
-    return _ev(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        F.round(F.sum("value").over(w), 4).alias("sum_7d"),
-        F.count("*").over(w).alias("n_7d"),
-    )
+    # ONE spark.sql() call (r9-opt, catalog.Tables.sql_views): same
+    # single-exchange window, both frames share one sort.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 4) AS sum_7d,
+           count(*) OVER w AS n_7d
+    FROM {v}events
+    WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
+                 RANGE BETWEEN {_US_7D} PRECEDING AND CURRENT ROW)
+    """)
 
 
 @query(
@@ -313,15 +313,15 @@ def win_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucket goes out as the truncated TIMESTAMP, not DATE: DateType
     surfaces as python objects in pandas while DuckDB DATE arrives as
     datetime64 — timestamps compare cleanly on both sides."""
-    ev = _ev(spark, sf_dir)
-    return (
-        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("total"),
-            ((F.round(F.sum("value") * 100) / F.lit(100.0)) / F.count("*")).alias("mean_v"),
-        )
-    )
+    # ONE spark.sql() call (r9-opt, catalog.Tables.sql_views): same
+    # single hash-agg plan; 100.0D keeps the mean_v constant a double.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n, round(sum(value), 4) AS total,
+           (round(sum(value) * 100) / 100.0D) / count(*) AS mean_v
+    FROM {v}events GROUP BY 1, 2
+    """)
 
 
 @query(
