@@ -53,6 +53,7 @@ line as ``full_record``.
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import sys
@@ -350,6 +351,17 @@ def bench_spark() -> dict:
         "null_job_interspersed_n": len(null_probes) - 1,
         "spark_total_over_null_job": round(tot_sp / null_const, 1),
     }
+    # r10 (round-9 verdict #4): the totals ratio is hostage to ONE
+    # unstable denominator query (DuckDB q7_ewm swung 1.5 s vs 10.9 s
+    # across driver sessions — a 9 s denominator move on a ~10-16 s
+    # total). The GEOMEAN of per-query ratios is robust to a single
+    # blowup (one 7x outlier moves a 29-query geomean ~7%, not ~2x),
+    # so cross-session gates use the geomean first, totals as backup.
+    def _geomean(ratios: list[float]) -> float | None:
+        if not ratios:
+            return None
+        return round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3)
+
     paired = {
         "pandas_total": tot_pd,
         "duckdb_total": tot_dk,
@@ -357,6 +369,12 @@ def bench_spark() -> dict:
         "spark_total_on_duckdb_subset": sub_dk,
         "ratio_vs_pandas": round(sub_pd / tot_pd, 3) if tot_pd else None,
         "ratio_vs_duckdb": round(sub_dk / tot_dk, 3) if tot_dk else None,
+        "ratio_geomean_vs_pandas": _geomean(
+            [q_sp[k] / v for k, v in q_pd.items() if v > 0]
+        ),
+        "ratio_geomean_vs_duckdb": _geomean(
+            [q_sp[k] / v for k, v in q_dk.items() if v > 0]
+        ),
         "pandas": q_pd,
         "duckdb": q_dk,
     }
@@ -467,9 +485,15 @@ def main() -> None:
     if engine != "spark":
         print(json.dumps(payload))
         return
-    # name by the fixture dir tail (sf0.1, sf256full, ...): the scaled
-    # fixtures don't parse to a float sf
-    full_name = f"BENCH_full_{os.path.basename(SF_DIR.rstrip('/'))}.json"
+    # name by the fixture dir tail (sf0.1, sf256full, ...) AND the core
+    # count (round-9 verdict #3: the driver's 8-core scaling rerun used
+    # to clobber the committed 32-core record — run-unique names keep
+    # every record). The fixture dir tail disambiguates scaled fixtures
+    # that don't parse to a float sf.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    full_name = (
+        f"BENCH_full_{os.path.basename(SF_DIR.rstrip('/'))}_c{cpus}.json"
+    )
     with open(os.path.join(REPO, full_name), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(compact_line(payload, full_name))

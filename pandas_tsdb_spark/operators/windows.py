@@ -48,16 +48,18 @@ _WSER = "PARTITION BY user_id ORDER BY event_id"
 )
 def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank/dense_rank/ntile/percent_rank per group (pandas rank/qcut)."""
-    o = Tables(spark, sf_dir).orders
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("prk"),
-    )
+    # ONE spark.sql() call (r10-opt, catalog.Tables.sql_views): same
+    # single-exchange window plan, analyzed once.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT o_custkey, o_orderkey,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS prk
+    FROM {v}orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """)
 
 
 @query(
@@ -70,10 +72,12 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cumcount/reset_index: positional id within each series."""
-    w = W.partitionBy("user_id").orderBy("event_id")
-    return _ev(spark, sf_dir).select(
-        "user_id", "event_id", F.row_number().over(w).alias("seq")
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT user_id, event_id,
+           row_number() OVER ({_WSER}) AS seq
+    FROM {v}events
+    """)
 
 
 @query(
@@ -88,15 +92,14 @@ def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """shift(±n) per series."""
-    w = W.partitionBy("user_id").orderBy("event_id")
-    return _ev(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        "value",
-        F.lag("value").over(w).alias("prev_value"),
-        F.lead("value").over(w).alias("next_value"),
-        F.lag("value", 2).over(w).alias("prev2_value"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT user_id, event_id, value,
+           lag(value)     OVER ({_WSER}) AS prev_value,
+           lead(value)    OVER ({_WSER}) AS next_value,
+           lag(value, 2)  OVER ({_WSER}) AS prev2_value
+    FROM {v}events
+    """)
 
 
 @query(
@@ -109,12 +112,12 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """diff(): x - shift(x). Identical operands both engines -> no rounding."""
-    w = W.partitionBy("user_id").orderBy("event_id")
-    return _ev(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        (F.col("value") - F.lag("value").over(w)).alias("dv"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT user_id, event_id,
+           value - lag(value) OVER ({_WSER}) AS dv
+    FROM {v}events
+    """)
 
 
 @query(
@@ -133,13 +136,13 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     inf, pandas inf) — NULLIF on both sides pins the zero-divisor case
     to NULL deterministically (the try_divide semantics, spelled
     portably)."""
-    w = W.partitionBy("user_id").orderBy("event_id")
-    prev = F.lag("value").over(w)
-    return _ev(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        ((F.col("value") - prev) / F.nullif(prev, F.lit(0))).alias("pct"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT user_id, event_id,
+           (value - lag(value) OVER ({_WSER}))
+             / nullif(lag(value) OVER ({_WSER}), 0) AS pct
+    FROM {v}events
+    """)
 
 
 @query(
@@ -157,18 +160,15 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cumsum/cummax/running count per series."""
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return _ev(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        F.round(F.sum("value").over(w), 4).alias("cum_value"),
-        F.max("value").over(w).alias("cum_max"),
-        F.count("*").over(w).alias("cum_n"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 4) AS cum_value,
+           max(value) OVER w AS cum_max,
+           count(*)   OVER w AS cum_n
+    FROM {v}events
+    WINDOW w AS ({_WSER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """)
 
 
 @query(
@@ -190,19 +190,22 @@ def win_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rolling(7) count-based window with pandas min_periods=7 semantics
     (NULL until the frame is full)."""
-    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
-    full = F.count("*").over(w) >= 7
-    return _ev(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        F.when(
-            full,
-            F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
-            .cast("double") / F.lit(100.0) / 7,
-        ).alias("roll_avg"),
-        F.when(full, F.min("value").over(w)).alias("roll_min"),
-        F.when(full, F.round(F.stddev_samp("value").over(w), 4)).alias("roll_sd"),
-    )
+    # ONE spark.sql() call (r10-opt); 100.0D keeps the divisor a double
+    # (bare SQL floats parse as DECIMAL).
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT user_id, event_id,
+           CASE WHEN count(*) OVER w >= 7
+                THEN CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                          AS DOUBLE) / 100.0D / 7 END AS roll_avg,
+           CASE WHEN count(*) OVER w >= 7
+                THEN min(value) OVER w END AS roll_min,
+           CASE WHEN count(*) OVER w >= 7
+                THEN round(stddev_samp(value) OVER w, 4) END AS roll_sd
+    FROM {v}events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """)
 
 
 @query(
@@ -251,23 +254,18 @@ def win_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """expanding().mean()/min() per series."""
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return _ev(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        # exact integer-cents window sum (engine-aligned at any
-        # boundary — round-6 boundary sweep; see registry.sum2_col)
-        (
-            F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
-            .cast("double") / F.lit(100.0) / F.count("*").over(w)
-        ).alias("exp_avg"),
-        F.min("value").over(w).alias("exp_min"),
-    )
+    """expanding().mean()/min() per series. Exact integer-cents window
+    sum (engine-aligned at any boundary — round-6 boundary sweep; see
+    registry.sum2_col); 100.0D keeps the divisor a double."""
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+             / 100.0D / (count(*) OVER w) AS exp_avg,
+           min(value) OVER w AS exp_min
+    FROM {v}events
+    WINDOW w AS ({_WSER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """)
 
 
 @query(
@@ -283,17 +281,15 @@ def win_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last value of each series broadcast to every row."""
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    )
-    return _ev(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        F.first("value").over(w).alias("first_v"),
-        F.last("value").over(w).alias("last_v"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT user_id, event_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value)  OVER w AS last_v
+    FROM {v}events
+    WINDOW w AS ({_WSER}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """)
 
 
 @query(
@@ -731,10 +727,12 @@ def win_resample_tz_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_resample_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """resample('1h') across all users — emits the bucket timestamp
     itself (µs-aligned on both engines)."""
-    ev = _ev(spark, sf_dir)
-    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM {v}events GROUP BY 1
+    """)
 
 
 @query(
@@ -842,42 +840,37 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so the rounded quotient is too, and zero variance is
     a guarded NULL on both sides. Same single exchange as before; six
     sums over one frame replace one corr — all partial-aggregated."""
-    ev = _ev(spark, sf_dir)
-    wl = W.partitionBy("user_id").orderBy("event_id")
-    wf = wl.rowsBetween(-19, 0)
-    lagged = ev.select(
-        "user_id", "event_id", "value", F.lag("value").over(wl).alias("lag_v")
+    # ONE spark.sql() call (r10-opt): mirrors the oracle text — same
+    # single exchange, lag and frame share the user_id partitioning.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT user_id, event_id,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS corr_20
+    FROM (
+        SELECT user_id, event_id,
+               count(x) OVER wf AS n,
+               sum(x) OVER wf AS sx, sum(y) OVER wf AS sy,
+               sum(x * y) OVER wf AS sxy,
+               sum(x * x) OVER wf AS sxx, sum(y * y) OVER wf AS syy
+        FROM (
+            SELECT user_id, event_id,
+                   CASE WHEN value IS NOT NULL AND lag_v IS NOT NULL
+                        THEN CAST(round(value * 100) AS BIGINT) END AS x,
+                   CASE WHEN value IS NOT NULL AND lag_v IS NOT NULL
+                        THEN CAST(round(lag_v * 100) AS BIGINT) END AS y
+            FROM (
+                SELECT user_id, event_id, value,
+                       lag(value) OVER ({_WSER}) AS lag_v
+                FROM {v}events
+            )
+        )
+        WINDOW wf AS ({_WSER} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
-    both = F.col("value").isNotNull() & F.col("lag_v").isNotNull()
-    x = F.when(both, F.round(F.col("value") * 100).cast("long"))
-    y = F.when(both, F.round(F.col("lag_v") * 100).cast("long"))
-    m = lagged.select(
-        "user_id",
-        "event_id",
-        F.count(x).over(wf).alias("n"),
-        F.sum(x).over(wf).alias("sx"),
-        F.sum(y).over(wf).alias("sy"),
-        F.sum(x * y).over(wf).alias("sxy"),
-        F.sum(x * x).over(wf).alias("sxx"),
-        F.sum(y * y).over(wf).alias("syy"),
-    )
-    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
-    return m.select(
-        "user_id",
-        "event_id",
-        F.when(
-            (varx > 0) & (vary > 0),
-            F.round(
-                num
-                / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))),
-                6,
-            ),
-        ).alias("corr_20"),
-    )
+    """)
 
 
 @query(
@@ -906,18 +899,17 @@ def win_rank_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines by construction, sidestepping the Spark-nulls-first /
     DuckDB-nulls-last dialect split — so non-null rows take ranks
     1..n_nonnull directly, and null rows emit NULL."""
-    ev = Tables(spark, sf_dir).events
-    w_rank = W.partitionBy("user_id").orderBy(F.col("value").isNull(), "value")
-    w_ties = W.partitionBy("user_id", "value")
-    return ev.select(
-        "event_id",
-        "user_id",
-        "value",
-        F.when(
-            F.col("value").isNotNull(),
-            (2.0 * F.rank().over(w_rank) + F.count("*").over(w_ties) - 1) / 2.0,
-        ).alias("avg_rank"),
-    )
+    # ONE spark.sql() call (r10-opt); 2.0D keeps the arithmetic double.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT event_id, user_id, value,
+           CASE WHEN value IS NOT NULL THEN
+             (2.0D * rank() OVER (PARTITION BY user_id
+                                  ORDER BY (value IS NULL), value)
+              + count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0D
+           END AS avg_rank
+    FROM {v}events
+    """)
 
 
 @query(
@@ -942,20 +934,21 @@ def win_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties are impossible and ns-vs-µs precision can't flip the pick).
     open/close/high/low are raw parquet doubles (bit-identical across
     engines, no rounding needed); only the sum is rounded."""
-    ev = _ev(spark, sf_dir)
-    return ev.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
-    ).agg(
-        # null-aware edges: pandas ohlc / DuckDB arg_min/arg_max skip
-        # null values; Spark's min_by/max_by need the null-keyed guard
-        # (catalog._nn_key, round-5 null-injection sweep)
-        F.min_by("value", _nn_key("value", "event_id")).alias("open_v"),
-        F.max("value").alias("high_v"),
-        F.min("value").alias("low_v"),
-        F.max_by("value", _nn_key("value", "event_id")).alias("close_v"),
-        F.count("*").alias("n"),
-        F.round(F.sum("value"), 4).alias("total"),
-    )
+    # ONE spark.sql() call (r10-opt). Null-aware edges: pandas ohlc /
+    # DuckDB arg_min/arg_max skip null values; Spark's min_by/max_by
+    # need the null-keyed guard (catalog._nn_key spelled inline,
+    # round-5 null-injection sweep).
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           min_by(value, CASE WHEN value IS NOT NULL THEN event_id END)
+               AS open_v,
+           max(value) AS high_v, min(value) AS low_v,
+           max_by(value, CASE WHEN value IS NOT NULL THEN event_id END)
+               AS close_v,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM {v}events GROUP BY 1, 2
+    """)
 
 
 @query(
@@ -991,18 +984,18 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset 6 fooled); the 7-row frame is odd, so the median is an
     exact element — raw parquet doubles, bit-identical, no rounding.
     One exchange."""
-    ev = _ev(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("event_id")
-    frame = F.array_sort(
-        F.array(*[F.lag("value", i).over(w) for i in range(6, 0, -1)], F.col("value"))
-    )
-    full = F.count("value").over(w.rowsBetween(-6, 0)) == 7
-    return ev.select(
-        "event_id",
-        "user_id",
-        "value",
-        F.when(full, F.element_at(frame, 4)).alias("med7"),
-    )
+    # ONE spark.sql() call (r10-opt): all seven lags + the fullness
+    # count ride ONE window sort, exactly as before.
+    v = Tables(spark, sf_dir).sql_views()
+    lags = ", ".join(f"lag(value, {i}) OVER ({_WSER})" for i in range(6, 0, -1))
+    return spark.sql(f"""
+    SELECT event_id, user_id, value,
+           CASE WHEN count(value) OVER ({_WSER}
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) = 7
+                THEN element_at(array_sort(array({lags}, value)), 4)
+           END AS med7
+    FROM {v}events
+    """)
 
 
 @query(
@@ -1044,38 +1037,36 @@ def win_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     == 7 — seven NON-null observations (round-5 null sweep; see
     win_rolling_median); frame width is a constant 7, so lo/frac fold
     to literals at plan time. One exchange, one sort."""
-    ev = _ev(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("event_id")
-    arr = F.array_sort(
-        F.array(*[F.lag("value", i).over(w) for i in range(6, 0, -1)], F.col("value"))
+    # ONE spark.sql() call (r10-opt). The sorted array is materialized
+    # in its OWN subquery projection: the four element_at consumers
+    # would otherwise each re-evaluate the sort (common-subexpression
+    # elimination does not cross `when` branches — measured 3x slower
+    # inlined). CollapseProject keeps the split because collapsing
+    # would duplicate a non-cheap expression. Lerp positions fold at
+    # plan time: q25 -> arr[2] + (arr[3]-arr[2])*0.5, q75 -> arr[5] +
+    # (arr[6]-arr[5])*0.5; 0.5D keeps the fraction a double.
+    v = Tables(spark, sf_dir).sql_views()
+    lags = ", ".join(f"lag(value, {i}) OVER ({_WSER})" for i in range(6, 0, -1))
+    return spark.sql(f"""
+    WITH s AS (
+        SELECT event_id, user_id, value,
+               CASE WHEN count(value) OVER ({_WSER}
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) = 7
+                    THEN array_sort(array({lags}, value))
+               END AS arr
+        FROM {v}events
     )
-    full = F.count("value").over(w.rowsBetween(-6, 0)) == 7
-    # The sorted array is materialized in its OWN projection: the four
-    # element_at consumers below would otherwise each re-evaluate the
-    # sort (common-subexpression elimination does not cross `when`
-    # branches — measured 3x slower inlined). CollapseProject keeps the
-    # split because collapsing would duplicate a non-cheap expression.
-    d = ev.select(
-        "event_id", "user_id", "value", F.when(full, arr).alias("arr")
-    )
-
-    def lerp(a, q: float):
-        pos = (7 - 1) * q
-        lo = int(pos)
-        frac = pos - lo
-        base = F.element_at(a, lo + 1)
-        if frac == 0:
-            return base
-        return base + (F.element_at(a, lo + 2) - base) * F.lit(frac)
-
-    a = F.col("arr")
-    return d.select(
-        "event_id",
-        "user_id",
-        "value",
-        F.when(a.isNotNull(), lerp(a, 0.25)).alias("roll_q25"),
-        F.when(a.isNotNull(), lerp(a, 0.75)).alias("roll_q75"),
-    )
+    SELECT event_id, user_id, value,
+           CASE WHEN arr IS NOT NULL
+                THEN element_at(arr, 2)
+                     + (element_at(arr, 3) - element_at(arr, 2)) * 0.5D
+           END AS roll_q25,
+           CASE WHEN arr IS NOT NULL
+                THEN element_at(arr, 5)
+                     + (element_at(arr, 6) - element_at(arr, 5)) * 0.5D
+           END AS roll_q75
+    FROM s
+    """)
 
 
 @query(
@@ -1121,33 +1112,35 @@ def win_rolling_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-cents power sums sharing ONE window. The three sums ride
     the same sort + exchange; no applyInPandas kernel needed for a
     moment-expressible rolling statistic."""
-    cv = F.round(F.col("value") * 100).cast("long")
-    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
-    d = _ev(spark, sf_dir).select("user_id", "event_id", cv.alias("cv"))
-    d = d.select(
-        "user_id",
-        "event_id",
-        F.count("*").over(w).alias("n"),
-        F.sum("cv").over(w).cast("double").alias("s1"),
-        F.sum(F.col("cv") * F.col("cv")).over(w).cast("double").alias("s2"),
-        F.sum(F.col("cv") * F.col("cv") * F.col("cv"))
-        .over(w)
-        .cast("double")
-        .alias("s3"),
+    # ONE spark.sql() call (r10-opt): mirrors the oracle's association
+    # order exactly (bit-identity argument above); sqrt(42.0D)/5.0D is
+    # the n=7 adjusted-Fisher-Pearson constant.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cv
+      FROM {v}events
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             count(*) OVER w AS n,
+             CAST(sum(cv) OVER w AS DOUBLE) AS s1,
+             CAST(sum(cv * cv) OVER w AS DOUBLE) AS s2,
+             CAST(sum(cv * cv * cv) OVER w AS DOUBLE) AS s3
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
-    mean = F.col("s1") / F.lit(7)
-    m2 = F.col("s2") / F.lit(7) - mean * mean
-    m3 = (
-        F.col("s3") / F.lit(7)
-        - F.lit(3) * mean * (F.col("s2") / F.lit(7))
-        + F.lit(2) * mean * mean * mean
-    )
-    skew = (F.sqrt(F.lit(42.0)) / F.lit(5.0)) * m3 / (m2 * F.sqrt(m2))
-    return d.select(
-        "user_id",
-        "event_id",
-        F.when((F.col("n") >= 7) & (m2 > 0), skew).alias("roll_skew"),
-    )
+    SELECT user_id, event_id,
+           CASE WHEN n >= 7 AND (s2 / 7 - (s1 / 7) * (s1 / 7)) > 0 THEN
+             sqrt(42.0D) / 5.0D
+             * (s3 / 7 - 3 * (s1 / 7) * (s2 / 7)
+                + 2 * (s1 / 7) * (s1 / 7) * (s1 / 7))
+             / ((s2 / 7 - (s1 / 7) * (s1 / 7))
+                * sqrt(s2 / 7 - (s1 / 7) * (s1 / 7)))
+           END AS roll_skew
+    FROM s
+    """)
 
 
 @query(
@@ -1202,38 +1195,43 @@ def win_rolling_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one exchange, one sort); the 4th power exceeds int64/double
     precision so it accumulates in decimal(38,0) — exact — and casts
     to double once, identically in both engines."""
-    cv = F.round(F.col("value") * 100).cast("long")
-    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
-    d = _ev(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        cv.alias("cv"),
-        (cv * cv).alias("cv2"),
+    # ONE spark.sql() call (r10-opt): mirrors the oracle text; the 4th
+    # power sum accumulates in DECIMAL(38,0) (the HUGEINT twin) via the
+    # decimal(19,0) squared product, cast to double once.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH c AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cv,
+             CAST(round(value * 100) AS BIGINT)
+               * CAST(round(value * 100) AS BIGINT) AS cv2
+      FROM {v}events
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             count(*) OVER w AS n,
+             CAST(sum(cv) OVER w AS DOUBLE) AS s1,
+             CAST(sum(cv2) OVER w AS DOUBLE) AS s2,
+             CAST(sum(cv * cv2) OVER w AS DOUBLE) AS s3,
+             CAST(sum(CAST(cv2 AS DECIMAL(19,0))
+                      * CAST(cv2 AS DECIMAL(19,0))) OVER w AS DOUBLE) AS s4
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+      SELECT user_id, event_id, n,
+             s2 / 7 - (s1 / 7) * (s1 / 7) AS m2,
+             s4 / 7 - 4 * (s1 / 7) * (s3 / 7)
+                    + 6 * (s1 / 7) * (s1 / 7) * (s2 / 7)
+                    - 3 * (s1 / 7) * (s1 / 7) * (s1 / 7) * (s1 / 7) AS m4
+      FROM s
     )
-    cv2d = F.col("cv2").cast("decimal(19,0)")
-    d = d.select(
-        "user_id",
-        "event_id",
-        F.count("*").over(w).alias("n"),
-        F.sum("cv").over(w).cast("double").alias("s1"),
-        F.sum("cv2").over(w).cast("double").alias("s2"),
-        F.sum(F.col("cv") * F.col("cv2")).over(w).cast("double").alias("s3"),
-        F.sum(cv2d * cv2d).over(w).cast("double").alias("s4"),
-    )
-    mean = F.col("s1") / F.lit(7)
-    m2 = F.col("s2") / F.lit(7) - mean * mean
-    m4 = (
-        F.col("s4") / F.lit(7)
-        - F.lit(4) * mean * (F.col("s3") / F.lit(7))
-        + F.lit(6) * mean * mean * (F.col("s2") / F.lit(7))
-        - F.lit(3) * mean * mean * mean * mean
-    )
-    kurt = F.lit(2.4) * m4 / (m2 * m2) - F.lit(5.4)
-    return d.select(
-        "user_id",
-        "event_id",
-        F.when((F.col("n") >= 7) & (m2 > 0), kurt).alias("roll_kurt"),
-    )
+    SELECT user_id, event_id,
+           CASE WHEN n >= 7 AND m2 > 0
+                THEN 2.4D * m4 / (m2 * m2) - 5.4D END AS roll_kurt
+    FROM m
+    """)
 
 
 @query(
@@ -1288,43 +1286,47 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and their lags share one partition sort. Expressions as SQL
     # strings (selectExpr parses each in one py4j call; this builder
     # measured ~104 ms of Column-chain chatter per bench run).
+    # ONE spark.sql() call (r10-opt): the same three stages as CTEs —
+    # one parse+analysis instead of three selectExpr passes.
     wc = (
         "OVER (PARTITION BY user_id ORDER BY event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     wl = "OVER (PARTITION BY user_id ORDER BY event_id)"
-    b = _ev(spark, sf_dir).selectExpr(
-        "user_id",
-        "event_id",
-        "unix_micros(ts) - 1704067200000000 AS x",
-        "cast(round(value * 100, 0) as bigint) AS y",
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH b AS (
+      SELECT user_id, event_id,
+             unix_micros(ts) - 1704067200000000 AS x,
+             cast(round(value * 100, 0) as bigint) AS y
+      FROM {v}events
+    ),
+    cum AS (
+      SELECT user_id, event_id,
+             row_number() {wl} AS rn,
+             sum(x) {wc} AS cx,
+             sum(y) {wc} AS cy,
+             sum(x * y) {wc} AS cxy,
+             sum(cast(x as decimal(19,0)) * cast(x as decimal(19,0))) {wc}
+               AS cxx
+      FROM b
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             rn - coalesce(lag(rn, 20) {wl}, 0) AS n,
+             cast(cx - coalesce(lag(cx, 20) {wl}, 0L) as double) AS sx,
+             cast(cy - coalesce(lag(cy, 20) {wl}, 0L) as double) AS sy,
+             cast(cxy - coalesce(lag(cxy, 20) {wl}, 0L) as double) AS sxy,
+             cast(cxx - coalesce(lag(cxx, 20) {wl},
+                                 cast(0 as decimal(38,0))) as double) AS sxx
+      FROM cum
     )
-    cum = b.selectExpr(
-        "user_id",
-        "event_id",
-        f"row_number() {wl} AS rn",
-        f"sum(x) {wc} AS cx",
-        f"sum(y) {wc} AS cy",
-        f"sum(x * y) {wc} AS cxy",
-        f"sum(cast(x as decimal(19,0)) * cast(x as decimal(19,0))) {wc} AS cxx",
-    )
-    s = cum.selectExpr(
-        "user_id",
-        "event_id",
-        f"rn - coalesce(lag(rn, 20) {wl}, 0) AS n",
-        f"cast(cx - coalesce(lag(cx, 20) {wl}, 0L) as double) AS sx",
-        f"cast(cy - coalesce(lag(cy, 20) {wl}, 0L) as double) AS sy",
-        f"cast(cxy - coalesce(lag(cxy, 20) {wl}, 0L) as double) AS sxy",
-        f"cast(cxx - coalesce(lag(cxx, 20) {wl}, cast(0 as decimal(38,0)))"
-        " as double) AS sxx",
-    )
-    return s.selectExpr(
-        "user_id",
-        "event_id",
-        "CASE WHEN n = 20 AND 20.0D * sxx - sx * sx != 0.0D"
-        " THEN (20.0D * sxy - sx * sy) / (20.0D * sxx - sx * sx)"
-        " * 864000000.0D END AS slope_per_day",
-    )
+    SELECT user_id, event_id,
+           CASE WHEN n = 20 AND 20.0D * sxx - sx * sx != 0.0D
+                THEN (20.0D * sxy - sx * sy) / (20.0D * sxx - sx * sx)
+                     * 864000000.0D END AS slope_per_day
+    FROM s
+    """)
 
 
 @query(
@@ -1378,34 +1380,32 @@ def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice (measured ~3x at 1024x events). This shape is one exchange
     (reused), one join of pre-clustered sides, and ONE Window node for
     the chained prefix sum + running min."""
-    cv = F.round(F.col("value") * 100).cast("long")
-    wo = W.partitionBy("user_id").orderBy("event_id").rowsBetween(
-        W.unboundedPreceding, 0
+    # ONE spark.sql() call (r10-opt): the REPARTITION hint carries the
+    # explicit user_id exchange; CTE inlining gives both consumers the
+    # canonically-equal subtree, so the exchange still stage-reuses.
+    v = Tables(spark, sf_dir).sql_views()
+    wo = ("OVER (PARTITION BY user_id ORDER BY event_id "
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return spark.sql(f"""
+    WITH ev AS (
+      SELECT /*+ REPARTITION(user_id) */
+             user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cv
+      FROM {v}events
+    ),
+    stats AS (
+      SELECT user_id, count(*) AS n, CAST(sum(cv) AS BIGINT) AS sy
+      FROM ev GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, event_id, n,
+             CAST(sum(n * cv - sy) {wo} AS BIGINT) AS pre
+      FROM ev JOIN stats USING (user_id)
     )
-    ev = (
-        _ev(spark, sf_dir)
-        .select("user_id", "event_id", cv.alias("cv"))
-        .repartition("user_id")
-    )
-    stats = ev.groupBy("user_id").agg(
-        F.count("*").alias("n"), F.sum("cv").cast("long").alias("sy")
-    )
-    b = ev.join(stats, "user_id")
-    p = b.select(
-        "user_id",
-        "event_id",
-        "n",
-        F.sum(F.col("n") * F.col("cv") - F.col("sy")).over(wo).cast("long").alias("pre"),
-    )
-    return p.select(
-        "user_id",
-        "event_id",
-        (
-            (F.col("pre") - F.least(F.lit(0).cast("long"), F.min("pre").over(wo)))
-            .cast("double")
-            / (100.0 * F.col("n"))
-        ).alias("cusum"),
-    )
+    SELECT user_id, event_id,
+           CAST(pre - least(CAST(0 AS BIGINT), min(pre) {wo}) AS DOUBLE)
+             / (100.0D * n) AS cusum
+    FROM p
+    """)
 
 
 _HOUR_US_W = 3_600 * 1_000_000
@@ -1497,23 +1497,32 @@ def win_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute deviations. Subtract/abs/middle-element are all exact
     double ops on identical inputs, so the result is bit-identical to
     the DuckDB oracle with no rounding. One exchange."""
-    ev = _ev(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("event_id")
-    frame = F.array(
-        *[F.lag("value", i).over(w) for i in range(6, 0, -1)], F.col("value")
+    # ONE spark.sql() call (r10-opt): mirrors the oracle's CTE shape —
+    # fr and med materialize once per row instead of re-evaluating the
+    # sort under each consumer (CollapseProject keeps the split, the
+    # expressions are non-cheap). Same single exchange.
+    v = Tables(spark, sf_dir).sql_views()
+    lags = ", ".join(f"lag(value, {i}) OVER w" for i in range(6, 0, -1))
+    return spark.sql(f"""
+    WITH s AS (
+        SELECT event_id, user_id, value,
+               array({lags}, value) AS fr,
+               lag(value, 6) OVER w IS NOT NULL AS full_frame
+        FROM {v}events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    m AS (
+        SELECT event_id, user_id, value, fr, full_frame,
+               element_at(array_sort(fr), 4) AS med
+        FROM s
     )
-    med = F.element_at(F.array_sort(frame), 4)
-    mad = F.element_at(
-        F.array_sort(F.transform(frame, lambda x: F.abs(x - med))), 4
-    )
-    full = F.lag("value", 6).over(w).isNotNull()
-    return ev.select(
-        "event_id",
-        "user_id",
-        "value",
-        F.when(full, med).alias("med7"),
-        F.when(full, mad).alias("mad7"),
-    )
+    SELECT event_id, user_id, value,
+           CASE WHEN full_frame THEN med END AS med7,
+           CASE WHEN full_frame THEN
+                element_at(array_sort(transform(fr, x -> abs(x - med))), 4)
+           END AS mad7
+    FROM m
+    """)
 
 
 @query(
@@ -1567,36 +1576,38 @@ def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-null rows, pct_rank = (rank-1)/(n_nn-1), cume =
     (rank+ties-1)/n_nn; null rows emit NULL. On null-free data every
     formula reduces bit-for-bit to the native function it replaces."""
-    ev = _ev(spark, sf_dir)
-    s = ev.selectExpr(
-        "user_id",
-        "event_id",
-        "value",
-        "count(value) OVER (PARTITION BY user_id) AS n_nn",
-        "row_number() OVER (PARTITION BY user_id"
-        " ORDER BY (value IS NULL), value, event_id) AS rn",
-        "rank() OVER (PARTITION BY user_id"
-        " ORDER BY (value IS NULL), value) AS rk",
-        "count(*) OVER (PARTITION BY user_id, value) AS ties",
-    ).selectExpr(
-        "*",
-        "CAST(floor(n_nn / 4.0) AS BIGINT) AS q",
-        "n_nn - 4 * CAST(floor(n_nn / 4.0) AS BIGINT) AS r",
+    # ONE spark.sql() call (r10-opt): the same three stages as CTEs,
+    # one parse+analysis instead of three selectExpr passes.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH s AS (
+        SELECT user_id, event_id, value,
+               count(value) OVER (PARTITION BY user_id) AS n_nn,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY (value IS NULL), value, event_id) AS rn,
+               rank() OVER (PARTITION BY user_id
+                   ORDER BY (value IS NULL), value) AS rk,
+               count(*) OVER (PARTITION BY user_id, value) AS ties
+        FROM {v}events
+    ), t AS (
+        SELECT *, CAST(floor(n_nn / 4.0) AS BIGINT) AS q,
+               n_nn - 4 * CAST(floor(n_nn / 4.0) AS BIGINT) AS r
+        FROM s
     )
-    return s.selectExpr(
-        "user_id",
-        "event_id",
-        "CASE WHEN value IS NULL THEN NULL"
-        " WHEN rn <= r * (q + 1)"
-        " THEN CAST(floor(CAST(rn - 1 AS DOUBLE) / (q + 1)) AS INT) + 1"
-        " ELSE CAST(r + floor(CAST(rn - r * (q + 1) - 1 AS DOUBLE) / q) AS INT) + 1"
-        " END AS quartile",
-        "CASE WHEN value IS NULL THEN NULL"
-        " WHEN n_nn = 1 THEN CAST(0 AS DOUBLE)"
-        " ELSE CAST(rk - 1 AS DOUBLE) / (n_nn - 1) END AS pct_rank",
-        "CASE WHEN value IS NULL THEN NULL"
-        " ELSE CAST(rk + ties - 1 AS DOUBLE) / n_nn END AS cume",
-    )
+    SELECT user_id, event_id,
+           CASE WHEN value IS NULL THEN NULL
+                WHEN rn <= r * (q + 1)
+                THEN CAST(floor(CAST(rn - 1 AS DOUBLE) / (q + 1)) AS INT) + 1
+                ELSE CAST(r + floor(CAST(rn - r * (q + 1) - 1 AS DOUBLE) / q)
+                          AS INT) + 1
+           END AS quartile,
+           CASE WHEN value IS NULL THEN NULL
+                WHEN n_nn = 1 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(rk - 1 AS DOUBLE) / (n_nn - 1) END AS pct_rank,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE CAST(rk + ties - 1 AS DOUBLE) / n_nn END AS cume
+    FROM t
+    """)
 
 
 @query(
@@ -1639,23 +1650,27 @@ def win_rolling_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes). Fullness = count(value) over the frame == 7 (seven
     NON-null observations — round-5 null sweep; see
     win_rolling_median). One exchange."""
-    ev = _ev(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("event_id")
-    arr = F.array(
-        *[F.lag("value", i).over(w) for i in range(6, 0, -1)], F.col("value")
+    # ONE spark.sql() call (r10-opt): lag-array + bounded lambda
+    # filters, same single exchange; 2.0D/7.0D keep the ratios double.
+    v = Tables(spark, sf_dir).sql_views()
+    lags = ", ".join(f"lag(value, {i}) OVER ({_WSER})" for i in range(6, 0, -1))
+    rank = (
+        "size(filter(arr, e -> e < value))"
+        " + (size(filter(arr, e -> e = value)) + 1) / 2.0D"
     )
-    v = F.col("value")
-    less = F.size(F.filter(arr, lambda e: e < v))
-    eq = F.size(F.filter(arr, lambda e: e == v))
-    rank = less + (eq + F.lit(1)) / F.lit(2.0)
-    full = F.count("value").over(w.rowsBetween(-6, 0)) == 7
-    return ev.select(
-        "event_id",
-        "user_id",
-        "value",
-        F.when(full, rank).alias("rank7"),
-        F.when(full, rank / F.lit(7.0)).alias("rank7_pct"),
+    return spark.sql(f"""
+    WITH s AS (
+        SELECT event_id, user_id, value,
+               array({lags}, value) AS arr,
+               count(value) OVER ({_WSER}
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS cnt
+        FROM {v}events
     )
+    SELECT event_id, user_id, value,
+           CASE WHEN cnt = 7 THEN {rank} END AS rank7,
+           CASE WHEN cnt = 7 THEN ({rank}) / 7.0D END AS rank7_pct
+    FROM s
+    """)
 
 
 @query(
@@ -1696,27 +1711,26 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     the subset-key discipline every per-series op here follows. At
     100 TB this is one shuffle of (user, event, value), state per
     series is O(1)."""
-    ev = _ev(spark, sf_dir)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    # ONE spark.sql() call (r10-opt): mirrors the oracle's CTE chain —
+    # still one Exchange + one Sort feeding the stacked Window ops.
+    v = Tables(spark, sf_dir).sql_views()
+    wo = ("OVER (PARTITION BY user_id ORDER BY event_id "
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return spark.sql(f"""
+    WITH c AS (
+        SELECT user_id, event_id,
+               round(sum(value) {wo}, 4) AS equity
+        FROM {v}events
+    ), p AS (
+        SELECT user_id, event_id, equity,
+               max(equity) {wo} AS peak
+        FROM c
     )
-    equity = F.round(F.sum("value").over(w), 4)
-    c = ev.select("user_id", "event_id", equity.alias("equity"))
-    peak = F.max("equity").over(w)
-    p = c.select("user_id", "event_id", "equity", peak.alias("peak"))
-    dd = F.round(F.col("equity") - F.col("peak"), 4)
-    return p.select(
-        "user_id",
-        "event_id",
-        "equity",
-        "peak",
-        dd.alias("drawdown"),
-        F.round(F.min(F.col("equity") - F.col("peak")).over(w), 4).alias(
-            "max_drawdown"
-        ),
-    )
+    SELECT user_id, event_id, equity, peak,
+           round(equity - peak, 4) AS drawdown,
+           round(min(equity - peak) {wo}, 4) AS max_drawdown
+    FROM p
+    """)
 
 
 @query(
@@ -1768,32 +1782,29 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     all — the cast to double happens once, after the exact arithmetic,
     identically in both engines. At 100 TB: one shuffle on user_id,
     O(w) frame state per row (w=20, constant)."""
-    cv = F.round(F.col("value") * 100).cast("long")
-    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-19, 0)
-    d = _ev(spark, sf_dir).select("user_id", "event_id", cv.alias("cv"))
-    d = d.select(
-        "user_id",
-        "event_id",
-        F.count("*").over(w).alias("n"),
-        F.sum("cv").over(w).alias("s1"),
-        F.sum(F.col("cv") * F.col("cv")).over(w).alias("s2"),
+    # ONE spark.sql() call (r10-opt): mirrors the oracle's association
+    # order; D suffixes keep every literal a double.
+    v = Tables(spark, sf_dir).sql_views()
+    mid = "(CAST(s1 AS DOUBLE) / 20.0D) / 100.0D"
+    dev = ("2.0D * sqrt(CAST(20 * s2 - s1 * s1 AS DOUBLE) / 380.0D)"
+           " / 100.0D")
+    return spark.sql(f"""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cv
+      FROM {v}events
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             count(*) OVER w AS n,
+             sum(cv) OVER w AS s1,
+             sum(cv * cv) OVER w AS s2
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
-    mid = (F.col("s1").cast("double") / F.lit(20.0)) / F.lit(100.0)
-    dev = (
-        F.lit(2.0)
-        * F.sqrt(
-            (F.lit(20) * F.col("s2") - F.col("s1") * F.col("s1")).cast(
-                "double"
-            )
-            / F.lit(380.0)
-        )
-        / F.lit(100.0)
-    )
-    ok = F.col("n") >= 20
-    return d.select(
-        "user_id",
-        "event_id",
-        F.when(ok, mid).alias("bb_mid"),
-        F.when(ok, mid + dev).alias("bb_upper"),
-        F.when(ok, mid - dev).alias("bb_lower"),
-    )
+    SELECT user_id, event_id,
+           CASE WHEN n >= 20 THEN {mid} END AS bb_mid,
+           CASE WHEN n >= 20 THEN {mid} + {dev} END AS bb_upper,
+           CASE WHEN n >= 20 THEN {mid} - {dev} END AS bb_lower
+    FROM s
+    """)

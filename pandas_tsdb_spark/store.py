@@ -703,6 +703,24 @@ class TsStore:
             with open(os.path.join(path, "_schema.json")) as f:
                 schema = T.StructType.fromJson(json.load(f))
             return self.spark.createDataFrame([], schema)
+        if not merge_schema:
+            # Explicit schema from the sidecar (written on every append,
+            # field-union across evolved appends): (a) the scan skips the
+            # footer read schema inference pays per fetch; (b) the residual
+            # stale-listing race (a maintenance commit deleting every
+            # listed file between the manifest snapshot and first footer
+            # open) can no longer surface as UNABLE_TO_INFER_SCHEMA — with
+            # a supplied schema it is deferred to scan execution, where it
+            # is the documented FileNotFound re-fetch case. Fields absent
+            # from an old file read as NULL (same as mergeSchema); the
+            # as_of/mergeSchema path keeps footer-union semantics.
+            from pyspark.sql import types as T
+
+            try:
+                with open(os.path.join(path, "_schema.json")) as f:
+                    reader = reader.schema(T.StructType.fromJson(json.load(f)))
+            except OSError:
+                pass  # legacy store without a sidecar: infer as before
         return reader.option("basePath", path).parquet(*files)
 
     def _sweep_manifest_debris(self, name: str) -> None:
