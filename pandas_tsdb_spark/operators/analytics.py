@@ -79,24 +79,33 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag-gap flag -> running sum = session id -> per-session aggregate.
     Single shuffle on user_id serves both windows AND the final groupBy
     (same partitioning key), so the whole op is one exchange."""
-    ev = _ev(spark, sf_dir).select(
-        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    # ONE spark.sql() call (r10-opt): same one-exchange shape.
+    v = Tables(spark, sf_dir).sql_views()
+    wo = "OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
+    return spark.sql(f"""
+    WITH g AS (
+      SELECT user_id, event_id, value, unix_micros(ts) AS ts_us
+      FROM {v}events
+    ),
+    n AS (
+      SELECT *, CASE WHEN ts_us - lag(ts_us) {wo} IS NULL
+                      OR ts_us - lag(ts_us) {wo} > {_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM g
+    ),
+    s AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_seq
+      FROM n
     )
-    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    gap = F.col("ts_us") - F.lag("ts_us").over(w)
-    is_new = F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0)
-    seq = F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-    return (
-        ev.withColumn("session_seq", seq)
-        .groupBy("user_id", "session_seq")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.min("ts_us").alias("session_start_us"),
-            F.max("ts_us").alias("session_end_us"),
-            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
-            (F.round(F.sum("value") * 100) / F.lit(100.0)).alias("sum_value"),
-        )
-    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+           max(ts_us) - min(ts_us) AS duration_us,
+           round(sum(value) * 100) / 100.0D AS sum_value
+    FROM s GROUP BY user_id, session_seq
+    """)
 
 
 # ---------------------------------------------------------------------------
@@ -127,19 +136,24 @@ def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: maximal runs of consecutive active days per
     user via the classic day - row_number() constant-key trick. Distinct
     + window + groupBy all partition by user_id -> one shuffle."""
-    ev = _ev(spark, sf_dir)
-    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
-    return (
-        d.withColumn("island", F.date_sub(F.col("day"), rn))
-        .groupBy("user_id", "island")
-        .agg(
-            F.min("day").cast("timestamp").alias("start_day"),
-            F.max("day").cast("timestamp").alias("end_day"),
-            F.count("*").alias("n_days"),
-        )
-        .drop("island")
+    # ONE spark.sql() call (r10-opt): same one-exchange shape.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH d AS (
+      SELECT DISTINCT user_id, to_date(ts) AS day
+      FROM {v}events
+    ),
+    r AS (
+      SELECT user_id, day,
+             date_sub(day, row_number()
+                 OVER (PARTITION BY user_id ORDER BY day)) AS island
+      FROM d
     )
+    SELECT user_id, CAST(min(day) AS TIMESTAMP) AS start_day,
+           CAST(max(day) AS TIMESTAMP) AS end_day,
+           count(*) AS n_days
+    FROM r GROUP BY user_id, island
+    """)
 
 
 # ---------------------------------------------------------------------------
@@ -179,39 +193,31 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     user got. Three partial-aggregated shuffles on user_id (each stage's
     min() combines map-side); the stage joins are key-colocated so AQE
     plans them shuffle-free after the first exchange."""
-    ev = _ev(spark, sf_dir).select(
-        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    # ONE spark.sql() call (r10-opt): mirrors the oracle's CTE chain.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH s AS (
+      SELECT user_id, min(unix_micros(ts)) AS signup_us
+      FROM {v}events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(unix_micros(e.ts)) AS click_us
+      FROM {v}events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND unix_micros(e.ts) >= s.signup_us
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(unix_micros(e.ts)) AS purchase_us
+      FROM {v}events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND unix_micros(e.ts) >= c.click_us
+      GROUP BY e.user_id
     )
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("signup_us"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s, "user_id")
-        .filter(F.col("ts_us") >= F.col("signup_us"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("click_us"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts_us") >= F.col("click_us"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("purchase_us"))
-    )
-    stage = (
-        F.lit(1)
-        + F.when(F.col("click_us").isNull(), 0).otherwise(1)
-        + F.when(F.col("purchase_us").isNull(), 0).otherwise(1)
-    )
-    return (
-        s.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select("user_id", "signup_us", "click_us", "purchase_us",
-                stage.alias("stage"))
-    )
+    SELECT s.user_id, s.signup_us, c.click_us, p.purchase_us,
+           1 + CASE WHEN c.click_us IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN p.purchase_us IS NULL THEN 0 ELSE 1 END AS stage
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+           LEFT JOIN p ON s.user_id = p.user_id
+    """)
 
 
 # ---------------------------------------------------------------------------
@@ -241,21 +247,20 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer semantics in both engines; months_between() is float and
     engine-specific). first-order agg and the retention agg both hash
     on o_custkey first -> the join is co-partitioned."""
-    o = Tables(spark, sf_dir).orders
-    f = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
-    mnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
-    return (
-        o.join(f, "o_custkey")
-        .select(
-            F.date_trunc("month", "first_dt").alias("cohort_month"),
-            (mnum(F.col("o_orderdate")) - mnum(F.col("first_dt"))).alias(
-                "month_offset"
-            ),
-            "o_custkey",
-        )
-        .groupBy("cohort_month", "month_offset")
-        .agg(F.count_distinct("o_custkey").alias("n_customers"))
+    # ONE spark.sql() call (r10-opt): same co-partitioned join shape.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH f AS (
+      SELECT o_custkey, min(o_orderdate) AS first_dt FROM {v}orders
+      GROUP BY o_custkey
     )
+    SELECT date_trunc('month', f.first_dt) AS cohort_month,
+           (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+             - (year(f.first_dt) * 12 + month(f.first_dt)) AS month_offset,
+           count(DISTINCT o.o_custkey) AS n_customers
+    FROM {v}orders o JOIN f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """)
 
 
 # ---------------------------------------------------------------------------
@@ -280,11 +285,14 @@ def sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets the same rows; stratum key in the hash input makes it stratified
     by event_type). Pure map-side filter: no shuffle, fully pushed into
     the scan stage."""
-    ev = _ev(spark, sf_dir)
-    key = F.md5(F.concat_ws(":", "event_type", F.col("event_id").cast("string")))
-    return ev.filter(F.substring(key, 1, 2) <= "1f").select(
-        "event_id", "event_type", "value"
-    )
+    # ONE spark.sql() call (r10-opt): same pushed map-side filter.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT event_id, event_type, value
+    FROM {v}events
+    WHERE substr(md5(concat_ws(':', event_type,
+                               CAST(event_id AS STRING))), 1, 2) <= '1f'
+    """)
 
 
 @query(
@@ -308,14 +316,18 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes each map partition to its local top-50 BEFORE the exchange,
     so at 100 TB the shuffle carries 50 x partitions x |strata| rows,
     not the corpus."""
-    ev = _ev(spark, sf_dir)
-    key = F.md5(F.col("event_id").cast("string"))
-    w = W.partitionBy("event_type").orderBy(key, "event_id")
-    return (
-        ev.select("event_type", "event_id", "value")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 50)
-    )
+    # ONE spark.sql() call (r10-opt): WindowGroupLimit still prunes
+    # map-side (rk <= 50 over the window).
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT event_type, event_id, value, rk FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS STRING)), event_id) AS rk
+        FROM {v}events) t
+    WHERE rk <= 50
+    """)
 
 
 # ---------------------------------------------------------------------------
@@ -343,12 +355,17 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact percentile is a sort-based agg -- at 100 TB swap in
     percentile_approx (t-digest sketch, mergeable map-side) and drop
     the oracle to rows-only; both run in one hash-agg shuffle."""
-    li = Tables(spark, sf_dir).lineitem
-    qs = [
-        F.round(F.percentile("l_quantity", F.lit(p)), 4).alias(a)
-        for p, a in [(0.25, "q25"), (0.50, "q50"), (0.75, "q75"), (0.95, "q95")]
-    ]
-    return li.groupBy("l_returnflag").agg(*qs, F.count("*").alias("n"))
+    # ONE spark.sql() call (r10-opt); D suffixes keep fractions double.
+    v = Tables(spark, sf_dir).sql_views()
+    qs = ", ".join(
+        f"round(percentile(l_quantity, {p}D), 4) AS {a}"
+        for p, a in [(0.25, "q25"), (0.50, "q50"), (0.75, "q75"),
+                     (0.95, "q95")]
+    )
+    return spark.sql(f"""
+    SELECT l_returnflag, {qs}, count(*) AS n
+    FROM {v}lineitem GROUP BY l_returnflag
+    """)
 
 
 @query("agg_quantiles_approx", oracle=None)  # sketch-valued: rows-only
@@ -401,21 +418,23 @@ def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     so round(6) sits far above both engines' accumulation noise (the
     win_rolling_corr argument). One shuffle on user_id; the range frame
     runs in one pass over each sorted partition."""
-    ev = _ev(spark, sf_dir)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-_WEEK_US, 0)
+    # ONE spark.sql() call (r10-opt): mirrors the oracle text.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH b AS (
+      SELECT user_id, event_id, value, unix_micros(ts) AS ts_us
+      FROM {v}events
     )
-    z = (F.col("value") - F.avg("value").over(w)) / F.nullif(
-        F.stddev_samp("value").over(w), F.lit(0.0)
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.round(z, 6).alias("zscore"),
-        F.when(F.abs(z) > 2, 1).otherwise(0).alias("is_anomaly"),
-    )
+    SELECT user_id, event_id,
+           round((value - avg(value) OVER w)
+                 / nullif(stddev_samp(value) OVER w, 0.0D), 6) AS zscore,
+           CASE WHEN abs((value - avg(value) OVER w)
+                 / nullif(stddev_samp(value) OVER w, 0.0D)) > 2
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM b
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {_WEEK_US} PRECEDING AND CURRENT ROW)
+    """)
 
 
 # ---------------------------------------------------------------------------
@@ -449,33 +468,26 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer broadcast-size; the top-10 runs as TakeOrderedAndProject
     (no full sort). Tie-break on (revenue, date, orderkey) keeps LIMIT
     deterministic cross-engine."""
-    t = Tables(spark, sf_dir)
-    cut = F.lit(_Q3_CUT).cast("timestamp")
-    return (
-        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(F.col("o_orderdate") < cut)
-        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > cut)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            # exact integer e4 accumulation (see tpch.py helpers):
-            # round(sum(4dp floats), 2) can land on a genuine x.xx50 tie
-            (
-                F.sum(
-                    F.round(F.col("l_extendedprice") * 100).cast("long")
-                    * (
-                        F.lit(100)
-                        - F.round(F.col("l_discount") * 100).cast("long")
-                    )
-                ).cast("double")
-                / F.lit(10000.0)
-            ).alias("revenue")
-        )
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
-        .limit(10)
-    )
+    # ONE spark.sql() call (r10-opt): mirrors the oracle (exact integer
+    # e4 accumulation — see tpch.py helpers); the top-10 still plans as
+    # TakeOrderedAndProject.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0D AS revenue,
+           o.o_orderdate AS o_orderdate
+    FROM {v}customer c
+    JOIN {v}orders o ON c.c_custkey = o.o_custkey
+    JOIN {v}lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_CUT}'
+      AND l.l_shipdate > TIMESTAMP '{_Q3_CUT}'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """)
 
 
 @query(
@@ -503,37 +515,27 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation/region/supplier broadcast automatically; the big
     orders⋈lineitem join shuffles on the orderkey once; the year
     predicate prunes at the orders scan."""
-    t = Tables(spark, sf_dir)
-    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
-    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
-    return (
-        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
-        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
-        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            t.supplier,
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(t.region, F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "ASIA")
-        .groupBy("n_name")
-        .agg(
-            # exact integer e4 accumulation (see tpch.py helpers):
-            # round(sum(4dp floats), 2) can land on a genuine x.xx50 tie
-            (
-                F.sum(
-                    F.round(F.col("l_extendedprice") * 100).cast("long")
-                    * (
-                        F.lit(100)
-                        - F.round(F.col("l_discount") * 100).cast("long")
-                    )
-                ).cast("double")
-                / F.lit(10000.0)
-            ).alias("revenue")
-        )
-    )
+    # ONE spark.sql() call (r10-opt): mirrors the oracle (exact integer
+    # e4 accumulation — see tpch.py helpers); nation/region/supplier
+    # still auto-broadcast, the big join shuffles on orderkey once.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0D AS revenue
+    FROM {v}customer c
+    JOIN {v}orders o ON c.c_custkey = o.o_custkey
+    JOIN {v}lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN {v}supplier s ON l.l_suppkey = s.s_suppkey
+                      AND c.c_nationkey = s.s_nationkey
+    JOIN {v}nation n ON s.s_nationkey = n.n_nationkey
+    JOIN {v}region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """)
 
 
 @query(
@@ -555,14 +557,16 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic AND scales: the groupBy collapses map-side to
     |users|x|types| rows, and the argmax window rides the same user_id
     partitioning (exchange of aggregated rows only)."""
-    ev = _ev(spark, sf_dir)
-    cnts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
-    w = W.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
-    return (
-        cnts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("user_id", F.col("event_type").alias("mode_event"), "cnt")
-    )
+    # ONE spark.sql() call (r10-opt): mirrors the oracle text.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT user_id, event_type AS mode_event, cnt FROM (
+      SELECT user_id, event_type, count(*) AS cnt,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY count(*) DESC, event_type) AS rk
+      FROM {v}events GROUP BY user_id, event_type
+    ) WHERE rk = 1
+    """)
 
 
 @query(
@@ -585,13 +589,18 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment tuple per (group, partition), not rows. Rounded on both
     sides: the moment accumulation order differs across engines at
     ~1e-12 relative, far below the rounding decimals."""
-    li = Tables(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias("corr_qp"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
-        (F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4) + F.lit(0.0)).alias("slope_pq"),
-        F.count("*").alias("n"),
-    )
+    # ONE spark.sql() call (r10-opt): mirrors the oracle; + 0.0D
+    # normalizes -0.0 exactly like the + F.lit(0.0) it replaces.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) + 0.0D AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+           round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0D
+               AS slope_pq,
+           count(*) AS n
+    FROM {v}lineitem GROUP BY l_returnflag
+    """)
 
 
 _ETYPES = ("click", "error", "purchase", "signup", "view")
@@ -636,42 +645,37 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the moment inputs are bit-identical on ANY data (round-6 boundary
     sweep); corr itself rounds to 6 (engines
     accumulate moments in different orders, noise ~1e-12)."""
-    ev = _ev(spark, sf_dir)
-    daily = (
-        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
-        .agg(
-            *[
-                # exact integer-cents daily totals (sum2 idiom; round-6
-                # boundary sweep — corr amplifies any input mismatch)
-                (
-                    F.sum(
-                        F.round(
-                            F.when(F.col("event_type") == t, F.col("value"))
-                            * 100
-                        ).cast("long")
-                    ).cast("double")
-                    / F.lit(100.0)
-                ).alias(f"v_{t}")
-                for t in _ETYPES
-            ]
-        )
+    # ONE spark.sql() call (r10-opt): identical two-aggregate + stack
+    # plan, assembled as SQL text.
+    v = Tables(spark, sf_dir).sql_views()
+    cells = ",\n      ".join(
+        f"CAST(sum(CAST(round(CASE WHEN event_type = '{t}' THEN value END"
+        f" * 100) AS BIGINT)) AS DOUBLE) / 100.0D AS v_{t}"
+        for t in _ETYPES
     )
-    corrs = daily.agg(
-        *[
-            (F.round(F.corr(f"v_{a}", f"v_{b}"), 6) + F.lit(0.0)).alias(f"{a}__{b}")
-            for i, a in enumerate(_ETYPES)
-            for b in _ETYPES[i + 1 :]
-        ]
+    corrs = ",\n      ".join(
+        f"round(corr(v_{a}, v_{b}), 6) + 0.0D AS {a}__{b}"
+        for i, a in enumerate(_ETYPES)
+        for b in _ETYPES[i + 1 :]
     )
     stack_args = ", ".join(
-        f"'{a}', '{b}', `{a}__{b}`"
+        f"'{a}', '{b}', {a}__{b}"
         for i, a in enumerate(_ETYPES)
         for b in _ETYPES[i + 1 :]
     )
     n_pairs = len(_ETYPES) * (len(_ETYPES) - 1) // 2
-    return corrs.select(
-        F.expr(f"stack({n_pairs}, {stack_args}) AS (type_a, type_b, corr_r)")
+    return spark.sql(f"""
+    WITH daily AS (
+      SELECT to_date(date_trunc('day', ts)) AS day,
+      {cells}
+      FROM {v}events GROUP BY day
+    ),
+    c AS (
+      SELECT {corrs} FROM daily
     )
+    SELECT stack({n_pairs}, {stack_args}) AS (type_a, type_b, corr_r)
+    FROM c
+    """)
 
 
 @query(
@@ -716,35 +720,33 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT-sum -> HUGEINT promotion. Both exact 128-bit totals cast to
     double identically; the ratio rounds at 6 only because (n+1)/n is
     a float division."""
-    t = Tables(spark, sf_dir)
-    j = t.orders.join(
-        F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
-        F.col("o_custkey") == F.col("c_custkey"),
-    # a NULL order value carries no inequality information — and its
-    # rank would shift every other rank differently per engine (Spark
-    # sorts NULLS FIRST, DuckDB NULLS LAST; round-6 null sweep), so
-    # both sides exclude it before ranking
-    ).filter(F.col("o_totalprice").isNotNull())
-    w = W.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
-    r = j.select(
-        "c_mktsegment",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
-        F.col("o_totalprice"),
-        F.row_number().over(w).alias("i"),
+    # ONE spark.sql() call (r10-opt): same broadcast-join + one-window
+    # + one-exchange plan (BROADCAST hint carries the dim decision).
+    # NULL order values are excluded before ranking on both sides (a
+    # NULL carries no inequality information and the engines' null
+    # sort order differs — round-6 null sweep).
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH r AS (
+      SELECT /*+ BROADCAST(c) */ c.c_mktsegment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o_totalprice, o_orderkey) AS i
+      FROM {v}orders
+      JOIN (SELECT c_custkey, c_mktsegment FROM {v}customer) c
+        ON o_custkey = c.c_custkey
+      WHERE o_totalprice IS NOT NULL
     )
-    n = F.count("*")
-    total_c = F.sum("price_c").cast("double")
-    iwx = F.sum((F.col("i") * F.col("price_c")).cast("decimal(38,0)"))
-    gini = F.round(
-        F.lit(2.0) * iwx.cast("double") / (n * total_c)
-        - (n + F.lit(1.0)) / n,
-        6,
-    )
-    return r.groupBy("c_mktsegment").agg(
-        n.alias("n"),
-        (total_c / F.lit(100.0)).alias("total"),
-        gini.alias("gini"),
-    )
+    SELECT c_mktsegment,
+           count(*) AS n,
+           CAST(sum(price_c) AS DOUBLE) / 100.0D AS total,
+           round(
+             2.0D * CAST(sum(CAST(i * price_c AS DECIMAL(38,0))) AS DOUBLE)
+               / (count(*) * CAST(sum(price_c) AS DOUBLE))
+             - (count(*) + 1.0D) / count(*),
+             6) AS gini
+    FROM r GROUP BY c_mktsegment
+    """)
 
 
 # ---------------------------------------------------------------------------
@@ -801,24 +803,24 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality; the sketch twin below exists precisely to avoid that
     at 100 TB (and keeps the fixed-share support, the only contract a
     bounded-memory sketch can certify)."""
-    ev = _ev(spark, sf_dir)
-    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
-    w_rank = W.orderBy(F.col("n_events").desc())
-    w_all = W.partitionBy()
-    r = counts.select(
-        "user_id",
-        "n_events",
-        F.rank().over(w_rank).alias("rk"),
-        F.count("*").over(w_all).alias("n_keys"),
-        F.sum("n_events").over(w_all).alias("total"),
+    # ONE spark.sql() call (r10-opt): mirrors the oracle text.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH c AS (
+        SELECT user_id, count(*) AS n_events FROM {v}events
+        GROUP BY user_id
+    ), r AS (
+        SELECT user_id, n_events,
+               rank() OVER (ORDER BY n_events DESC) AS rk,
+               count(*) OVER () AS n_keys,
+               sum(n_events) OVER () AS total
+        FROM c
     )
-    return r.filter(
-        F.col("rk") <= F.greatest(F.lit(1), F.expr("n_keys div 10"))
-    ).select(
-        "user_id",
-        "n_events",
-        F.round(F.col("n_events") * 1.0e6 / F.col("total")).alias("ppm"),
-    )
+    SELECT user_id, n_events,
+           round(n_events * 1.0E6 / total) AS ppm
+    FROM r
+    WHERE rk <= greatest(1, n_keys div 10)
+    """)
 
 
 @query("agg_heavy_hitters_sketch", oracle=_HH_ORACLE, tags=("analytics",))
@@ -946,40 +948,35 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is a linear pass per key, never a self-join on
     version boundaries. Interval edges are emitted as exact µs
     integers."""
-    ev = _ev(spark, sf_dir)
+    # ONE spark.sql() call (r10-opt): the same five stages as CTEs —
+    # still one exchange + sort reused across lag/cumsum/agg/lead.
+    v = Tables(spark, sf_dir).sql_views()
     w = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
-    o = ev.selectExpr(
-        "user_id",
-        "event_type AS state",
-        "ts",
-        f"lag(event_type) {w} AS prev_state",
-        f"row_number() {w} AS rn",
-    ).selectExpr(
-        "user_id",
-        "state",
-        "ts",
-        "rn",
-        "CASE WHEN prev_state IS NULL OR prev_state != state"
-        " THEN 1 ELSE 0 END AS chg",
-    ).selectExpr(
-        "user_id",
-        "state",
-        "ts",
-        "sum(chg) OVER (PARTITION BY user_id ORDER BY rn"
-        " ROWS UNBOUNDED PRECEDING) AS version",
-    )
-    runs = o.groupBy("user_id", "state", "version").agg(
-        F.expr("min(unix_micros(ts))").alias("valid_from_us"),
-        F.expr("count(*)").alias("n_events"),
-    )
     wv = "OVER (PARTITION BY user_id ORDER BY version)"
-    return runs.selectExpr(
-        "user_id",
-        "state",
-        "version",
-        "valid_from_us",
-        f"lead(valid_from_us) {wv} AS valid_to_us",
-        f"CASE WHEN lead(valid_from_us) {wv} IS NULL THEN 1 ELSE 0 END"
-        " AS is_current",
-        "n_events",
+    return spark.sql(f"""
+    WITH o AS (
+        SELECT user_id, event_type AS state, ts,
+               lag(event_type) {w} AS prev_state,
+               row_number() {w} AS rn
+        FROM {v}events
+    ), marked AS (
+        SELECT *, CASE WHEN prev_state IS NULL
+                         OR prev_state != state THEN 1 ELSE 0 END AS chg
+        FROM o
+    ), versioned AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY rn
+                      ROWS UNBOUNDED PRECEDING) AS version
+        FROM marked
+    ), runs AS (
+        SELECT user_id, state, version,
+               min(unix_micros(ts)) AS valid_from_us,
+               count(*) AS n_events
+        FROM versioned GROUP BY user_id, state, version
     )
+    SELECT user_id, state, version, valid_from_us,
+           lead(valid_from_us) {wv} AS valid_to_us,
+           CASE WHEN lead(valid_from_us) {wv} IS NULL
+                THEN 1 ELSE 0 END AS is_current,
+           n_events
+    FROM runs
+    """)
