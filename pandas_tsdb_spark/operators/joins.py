@@ -53,11 +53,13 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left merge keeping unmatched customers (null right side)."""
-    t = Tables(spark, sf_dir)
-    cond = (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_totalprice") > 400000)
-    return t.customer.join(t.orders, cond, "left").select(
-        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
-    )
+    # ONE spark.sql() call (r10-opt, catalog.Tables.sql_views).
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM {v}customer LEFT JOIN {v}orders
+      ON c_custkey = o_custkey AND o_totalprice > 400000
+    """)
 
 
 @query(
@@ -76,20 +78,19 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer merge with nulls possible on both sides."""
-    o = Tables(spark, sf_dir).orders
-    left = (
-        o.filter(F.col("o_orderstatus") == "O")
-        .groupBy(F.col("o_custkey").alias("lk"))
-        .agg(F.count("*").alias("n_open"))
+    # ONE spark.sql() call (r10-opt): mirrors the oracle text.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH o_open AS (
+        SELECT o_custkey AS k, count(*) AS n_open
+        FROM {v}orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    ), o_done AS (
+        SELECT o_custkey AS k, count(*) AS n_done
+        FROM {v}orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
     )
-    right = (
-        o.filter(F.col("o_orderstatus") == "F")
-        .groupBy(F.col("o_custkey").alias("rk"))
-        .agg(F.count("*").alias("n_done"))
-    )
-    return left.join(right, F.col("lk") == F.col("rk"), "full").select(
-        F.coalesce("lk", "rk").alias("custkey"), "n_open", "n_done"
-    )
+    SELECT coalesce(o_open.k, o_done.k) AS custkey, n_open, n_done
+    FROM o_open FULL JOIN o_done ON o_open.k = o_done.k
+    """)
 
 
 @query(
@@ -102,11 +103,12 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas isin-mask: customers having a big order (EXISTS)."""
-    t = Tables(spark, sf_dir)
-    big = t.orders.filter(F.col("o_totalprice") > 300000)
-    return t.customer.join(
-        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
-    ).select("c_custkey", "c_name", "c_acctbal")
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT c_custkey, c_name, c_acctbal FROM {v}customer
+    WHERE EXISTS (SELECT 1 FROM {v}orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """)
 
 
 @query(
@@ -119,11 +121,13 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~isin mask (NOT EXISTS)."""
-    t = Tables(spark, sf_dir)
-    big = t.orders.filter(F.col("o_totalprice") > 300000)
-    return t.customer.join(
-        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
-    ).select("c_custkey", "c_name", "c_acctbal")
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT c_custkey, c_name, c_acctbal FROM {v}customer
+    WHERE NOT EXISTS (SELECT 1 FROM {v}orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 300000)
+    """)
 
 
 @query(
@@ -180,20 +184,18 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Equi key + range predicate => hash/sort-merge join with the interval
     as a join filter; no nested loop at any scale."""
-    t = Tables(spark, sf_dir)
-    cond = (
-        (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") >= F.col("o_orderdate"))
-        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
-    )
-    return (
-        t.orders.join(t.lineitem, cond)
-        .groupBy("o_orderkey")
-        .agg(
-            F.count("*").alias("n_quick"),
-            sum2_col("l_extendedprice").alias("quick_rev"),
-        )
-    )
+    # ONE spark.sql() call (r10-opt): mirrors the oracle text.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT o_orderkey, count(*) AS n_quick,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0D AS quick_rev
+    FROM {v}orders JOIN {v}lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderkey
+    """)
 
 
 @query(
@@ -210,20 +212,20 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure theta (band lookup) join — tiny broadcast dim, so the
     nested-loop side is O(1) per event row."""
-    t = Tables(spark, sf_dir)
-    bands = spark.createDataFrame(
-        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e9)],
-        "band string, lo double, hi double",
-    )
-    cond = (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
-    return (
-        t.events.join(F.broadcast(bands), cond)
-        .groupBy("band")
-        .agg(
-            F.count("*").alias("n_events"),
-            (F.round(F.sum("value") * 100) / F.lit(100.0)).alias("total_value"),
-        )
-    )
+    # ONE spark.sql() call (r10-opt): inline VALUES dim + BROADCAST
+    # hint replace the createDataFrame round trip entirely.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT /*+ BROADCAST(bands) */
+           band, count(*) AS n_events,
+           round(sum(value) * 100) / 100.0D AS total_value
+    FROM {v}events
+    JOIN (VALUES ('low', 0.0D, 50.0D),
+                 ('mid', 50.0D, 200.0D),
+                 ('high', 200.0D, 1.0E9)) AS bands(band, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY band
+    """)
 
 
 @query(
@@ -234,8 +236,10 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cartesian product (tiny dims only — guarded use)."""
-    t = Tables(spark, sf_dir)
-    return t.region.crossJoin(t.nation).select("r_name", "n_name")
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(
+        f"SELECT r_name, n_name FROM {v}region CROSS JOIN {v}nation"
+    )
 
 
 @query(
@@ -249,17 +253,13 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-join pair generation bucketed by an equi key (same region) —
     the shape that keeps pairwise ops sub-quadratic at scale."""
-    n = Tables(spark, sf_dir).nation
-    a, b = n.alias("a"), n.alias("b")
-    return a.join(
-        b,
-        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
-        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
-    ).select(
-        F.col("a.n_regionkey").alias("region_key"),
-        F.col("a.n_name").alias("name_a"),
-        F.col("b.n_name").alias("name_b"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT a.n_regionkey AS region_key, a.n_name AS name_a,
+           b.n_name AS name_b
+    FROM {v}nation a JOIN {v}nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """)
 
 
 _N_SALT = 8
@@ -288,28 +288,31 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE's skew-join split handles this adaptively at runtime; the salted
     plan is the explicit form that also works where AQE can't see the
     skew (e.g. a first-stage shuffle straight out of the scan)."""
-    ev = Tables(spark, sf_dir).events
-    hot = F.when(F.col("user_id") % 3 == 0, F.lit(0).cast("long")).otherwise(
-        F.col("user_id")
+    # ONE spark.sql() call (r10-opt): same salted shape — fact side
+    # salts by pmod(event_id, S), dim side explodes S ways.
+    v = Tables(spark, sf_dir).sql_views()
+    salts = ", ".join(str(s) for s in range(_N_SALT))
+    return spark.sql(f"""
+    WITH fact AS (
+      SELECT event_id, value,
+             CASE WHEN user_id % 3 = 0 THEN CAST(0 AS BIGINT)
+                  ELSE user_id END AS k,
+             pmod(event_id, {_N_SALT}) AS salt
+      FROM {v}events
+    ),
+    dim AS (
+      SELECT k, k_events, k_total, explode(array({salts})) AS salt
+      FROM (
+        SELECT CASE WHEN user_id % 3 = 0 THEN CAST(0 AS BIGINT)
+                    ELSE user_id END AS k,
+               count(*) AS k_events,
+               round(sum(value) * 100) / 100.0D AS k_total
+        FROM {v}events GROUP BY 1
+      )
     )
-    fact = ev.select(
-        "event_id",
-        "value",
-        hot.alias("k"),
-        F.pmod(F.col("event_id"), F.lit(_N_SALT)).alias("salt"),
-    )
-    dim = (
-        ev.select(hot.alias("k"), "value")
-        .groupBy("k")
-        .agg(
-            F.count("*").alias("k_events"),
-            (F.round(F.sum("value") * 100) / F.lit(100.0)).alias("k_total"),
-        )
-        .withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(_N_SALT)])))
-    )
-    return fact.join(dim, ["k", "salt"]).select(
-        "event_id", "k", "value", "k_events", "k_total"
-    )
+    SELECT event_id, k, value, k_events, k_total
+    FROM fact JOIN dim USING (k, salt)
+    """)
 
 
 # ---------------------------------------------------------------- bucketed
@@ -396,35 +399,24 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix, length band) to recover recall lost to single-key blocking
     — each pass is this same plan.
     """
-    t = Tables(spark, sf_dir)
-    names = t.part.groupBy("p_name").agg(F.count("*").alias("n_parts"))
-    a = names.select(
-        F.col("p_name").alias("name_a"),
-        F.col("n_parts").alias("n_a"),
-        F.substring("p_name", 1, 1).alias("blk"),
-        F.length("p_name").alias("len_a"),
-    )
-    b = names.select(
-        F.col("p_name").alias("name_b"),
-        F.col("n_parts").alias("n_b"),
-        F.substring("p_name", 1, 1).alias("blk"),
-        F.length("p_name").alias("len_b"),
-    )
-    return (
-        a.join(b, "blk")
-        .filter(
-            (F.col("name_a") < F.col("name_b"))
-            & (F.abs(F.col("len_a") - F.col("len_b")) <= 3)
-            & (F.levenshtein("name_a", "name_b") <= 3)
-        )
-        .select(
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").alias("dist"),
-            "n_a",
-            "n_b",
-        )
-    )
+    # ONE spark.sql() call (r10-opt): same blocked equi-join shape.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH names AS (
+      SELECT p_name, count(*) AS n_parts FROM {v}part GROUP BY p_name
+    ),
+    a AS (SELECT p_name AS name_a, n_parts AS n_a,
+                 substring(p_name, 1, 1) AS blk,
+                 length(p_name) AS len_a FROM names),
+    b AS (SELECT p_name AS name_b, n_parts AS n_b,
+                 substring(p_name, 1, 1) AS blk,
+                 length(p_name) AS len_b FROM names)
+    SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist, n_a, n_b
+    FROM a JOIN b USING (blk)
+    WHERE name_a < name_b
+      AND abs(len_a - len_b) <= 3
+      AND levenshtein(name_a, name_b) <= 3
+    """)
 
 
 @query(
@@ -452,14 +444,14 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimizer-does-it case for preferring declarative SQL at 100 TB.
     Deterministic: the LIMIT 1 carries a total order (orderdate DESC,
     orderkey DESC)."""
-    t = Tables(spark, sf_dir)
-    t.customer.createOrReplaceTempView("v_lat_customer")
-    t.orders.createOrReplaceTempView("v_lat_orders")
-    return spark.sql("""
+    # r10-opt: the memoized ptsdb_* views replace the two per-call
+    # createOrReplaceTempView registrations; still literal SQL.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
         SELECT c_custkey, c_name, o.o_orderkey AS last_orderkey,
                o.o_totalprice AS last_totalprice
-        FROM v_lat_customer,
-        LATERAL (SELECT o_orderkey, o_totalprice FROM v_lat_orders
+        FROM {v}customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM {v}orders
                  WHERE o_custkey = c_custkey
                  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o
         WHERE c_acctbal > 9000
@@ -535,63 +527,62 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from events in one pass each: A = 30-min-gap user sessions (the
     sessionize window), B = per-(event_type, day) activity spans.
     All arithmetic in integer µs — exactly engine-stable."""
-    ev = Tables(spark, sf_dir).events
-    from pyspark.sql import Window as W
-
-    sw = W.partitionBy("user_id").orderBy("us", "event_id")
-    gap = F.col("us") - F.lag("us").over(sw)
-    sess = (
-        ev.select("user_id", "event_id", F.unix_micros("ts").alias("us"))
-        .withColumn(
-            "session_seq",
-            F.sum(
-                F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
-            ).over(sw.rowsBetween(W.unboundedPreceding, W.currentRow)),
-        )
-        .groupBy("user_id", "session_seq")
-        .agg(F.min("us").alias("s_start"), F.max("us").alias("s_end"))
+    # ONE spark.sql() call (r10-opt): identical bucket-decomposition
+    # plan assembled as SQL text.
+    v = Tables(spark, sf_dir).sql_views()
+    sw = "OVER (PARTITION BY user_id ORDER BY us, event_id)"
+    return spark.sql(f"""
+    WITH g AS (
+      SELECT user_id, event_id, unix_micros(ts) AS us FROM {v}events
+    ),
+    n AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN us - lag(us) {sw} IS NULL
+                   OR us - lag(us) {sw} > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, session_seq,
+             min(us) AS s_start, max(us) AS s_end
+      FROM (SELECT user_id, us,
+                   sum(is_new) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM n)
+      GROUP BY user_id, session_seq
+    ),
+    spans AS (
+      SELECT event_type, day_us, min(us) AS w_start, max(us) AS w_end
+      FROM (SELECT event_type,
+                   CAST(unix_micros(ts) / {_DAY_US} AS BIGINT) * {_DAY_US}
+                     AS day_us,
+                   unix_micros(ts) AS us
+            FROM {v}events)
+      GROUP BY event_type, day_us
+    ),
+    sb AS (
+      SELECT *, explode(sequence(CAST(s_start / {_HOUR_US} AS BIGINT),
+                                 CAST(s_end / {_HOUR_US} AS BIGINT)))
+                  AS bucket
+      FROM sess
+    ),
+    wb AS (
+      SELECT *, explode(sequence(CAST(w_start / {_HOUR_US} AS BIGINT),
+                                 CAST(w_end / {_HOUR_US} AS BIGINT)))
+                  AS bucket
+      FROM spans
+    ),
+    pairs AS (
+      SELECT DISTINCT user_id, session_seq, event_type, day_us,
+             s_start, s_end, w_start, w_end
+      FROM sb JOIN wb USING (bucket)
+      WHERE s_start <= w_end AND w_start <= s_end
     )
-    spans = ev.select(
-        "event_type",
-        ((F.unix_micros("ts") / _DAY_US).cast("long") * _DAY_US).alias("day_us"),
-        F.unix_micros("ts").alias("us"),
-    ).groupBy("event_type", "day_us").agg(
-        F.min("us").alias("w_start"), F.max("us").alias("w_end")
-    )
-
-    def bucketed(df, lo, hi):
-        return df.withColumn(
-            "bucket",
-            F.explode(
-                F.sequence(
-                    (F.col(lo) / _HOUR_US).cast("long"),
-                    (F.col(hi) / _HOUR_US).cast("long"),
-                )
-            ),
-        )
-
-    pairs = (
-        bucketed(sess, "s_start", "s_end")
-        .join(
-            bucketed(spans, "w_start", "w_end"),
-            "bucket",
-        )
-        .filter(
-            (F.col("s_start") <= F.col("w_end"))
-            & (F.col("w_start") <= F.col("s_end"))
-        )
-        .select(
-            "user_id", "session_seq", "event_type", "day_us",
-            "s_start", "s_end", "w_start", "w_end",
-        )
-        .distinct()
-    )
-    return pairs.select(
-        "user_id", "session_seq", "event_type", "day_us",
-        (
-            F.least("s_end", "w_end") - F.greatest("s_start", "w_start")
-        ).alias("overlap_us"),
-    )
+    SELECT user_id, session_seq, event_type, day_us,
+           least(s_end, w_end) - greatest(s_start, w_start) AS overlap_us
+    FROM pairs
+    """)
 
 
 @query(

@@ -135,19 +135,21 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     order date. The EXISTS is expressed directly as a left-semi join —
     no decorrelation pass needed, no duplicate-orderkey inflation, and
     the quarter filter shrinks the orders build side before the join."""
-    t = Tables(spark, sf_dir)
-    o = t.orders.filter(
-        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
-    )
-    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    )
-    return (
-        o.join(t.lineitem, late, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("order_count"))
-    )
+    # ONE spark.sql() call (r10-opt): EXISTS plans as the same
+    # left-semi join over the quarter-pruned orders slice.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM {v}orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM {v}lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """)
 
 
 # ---------------------------------------------------------------- q10
@@ -178,22 +180,24 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders quarter predicate prunes the fact scan; nation broadcasts;
     the top-20 runs as TakeOrderedAndProject with a c_custkey
     tie-break so LIMIT is deterministic cross-engine."""
-    t = Tables(spark, sf_dir)
-    return (
-        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        )
-        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_returnflag") == "R")
-        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(_e4_out(F.sum(_net_e4())).alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-        .orderBy(F.desc("revenue"), "c_custkey")
-        .limit(20)
-    )
+    # ONE spark.sql() call (r10-opt): mirrors the oracle text.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum({_E4_NET_SQL.format(p='l.')}) AS DOUBLE) / 10000.0D
+             AS revenue,
+           c.c_acctbal, n.n_name
+    FROM {v}customer c
+    JOIN {v}orders o ON c.c_custkey = o.o_custkey
+    JOIN {v}lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN {v}nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """)
 
 
 # ---------------------------------------------------------------- q14
@@ -226,27 +230,22 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer e4 sums (module helpers) — bit-identical across
     engines — and the ratio/scale ops are then single IEEE ops, also
     bit-identical."""
-    t = Tables(spark, sf_dir)
-    net_e4 = _net_e4()
-    return (
-        t.lineitem.filter(
-            (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
-        )
-        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
-            (
-                F.lit(100.0)
-                * F.sum(
-                    F.when(F.col("p_type") == "PROMO", net_e4).otherwise(
-                        F.lit(0).cast("long")
-                    )
-                ).cast("double")
-                / F.sum(net_e4).cast("double")
-            ).alias("promo_revenue_pct"),
-            F.count("*").alias("n_rows"),
-        )
-    )
+    # ONE spark.sql() call (r10-opt): BROADCAST hint keeps the part
+    # dim on the build side; mirrors the oracle text.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT /*+ BROADCAST(p) */
+           100.0D * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN {_E4_NET_SQL.format(p='l.')}
+                     ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+               / CAST(sum({_E4_NET_SQL.format(p='l.')}) AS DOUBLE)
+               AS promo_revenue_pct,
+           count(*) AS n_rows
+    FROM {v}lineitem l
+    JOIN {v}part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """)
 
 
 # ---------------------------------------------------------------- q18
@@ -278,26 +277,23 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the partial agg collapses lineitem map-side; the expensive
     3-way join only ever sees the handful of qualifying orders — the
     aggregate-before-join shape the spec's HAVING intends."""
-    t = Tables(spark, sf_dir)
-    big = (
-        t.lineitem.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("raw_qty"))
-        .filter(F.col("raw_qty") > 250.5)
+    # ONE spark.sql() call (r10-opt): mirrors the oracle text.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS raw_qty
+      FROM {v}lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250.5D
     )
-    return (
-        big.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            "o_totalprice",
-            F.round("raw_qty", 2).alias("sum_qty"),
-        )
-        .orderBy(F.desc("o_totalprice"), "o_orderkey")
-        .limit(100)
-    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           o.o_orderdate AS o_orderdate, o.o_totalprice,
+           round(big.raw_qty, 2) AS sum_qty
+    FROM big
+    JOIN {v}orders o ON o.o_orderkey = big.l_orderkey
+    JOIN {v}customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """)
 
 
 # ---------------------------------------------------------------- q19
@@ -330,34 +326,26 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equi-key in a BroadcastHashJoin and evaluates the OR as a
     post-join filter; the p_brand IN (...) implied by the OR is pushed
     to the part side, shrinking the broadcast build."""
-    t = Tables(spark, sf_dir)
-    cond = (
-        (
-            (F.col("p_brand") == "Brand#3")
-            & F.col("p_size").between(1, 15)
-            & F.col("l_quantity").between(1, 15)
-        )
-        | (
-            (F.col("p_brand") == "Brand#13")
-            & F.col("p_size").between(1, 25)
-            & F.col("l_quantity").between(10, 25)
-        )
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & F.col("p_size").between(1, 35)
-            & F.col("l_quantity").between(20, 35)
-        )
-    )
-    return (
-        t.lineitem.join(
-            F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey")
-        )
-        .filter(cond)
-        .agg(
-            _e4_out(F.sum(_net_e4())).alias("revenue"),
-            F.count("*").alias("n_rows"),
-        )
-    )
+    # ONE spark.sql() call (r10-opt): BROADCAST hint keeps part on the
+    # build side; mirrors the oracle text.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT /*+ BROADCAST(p) */
+           CAST(sum({_E4_NET_SQL.format(p='l.')}) AS DOUBLE) / 10000.0D
+             AS revenue,
+           count(*) AS n_rows
+    FROM {v}lineitem l
+    JOIN {v}part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3'
+           AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#13'
+           AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#23'
+           AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 35)
+    """)
 
 
 # ---------------------------------------------------------------- q8
@@ -399,40 +387,30 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle moving data is the final year group-by of partial sums;
     both ratio legs are exact integer e4 sums (module helpers) so the
     division is bit-identical cross-engine."""
-    t = Tables(spark, sf_dir)
-    net_e4 = _net_e4()
-    cn = t.nation.select(
-        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
-    )
-    sn = t.nation.select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
-    )
-    return (
-        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-        )
-        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(t.region), F.col("cn_rkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "EUROPE")
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            (
-                F.lit(100.0)
-                * F.sum(
-                    F.when(F.col("sn_name") == "NATION_3", net_e4).otherwise(
-                        F.lit(0).cast("long")
-                    )
-                ).cast("double")
-                / F.sum(net_e4).cast("double")
-            ).alias("mkt_share_pct"),
-            F.count("*").alias("n_rows"),
-        )
-    )
+    # ONE spark.sql() call (r10-opt): BROADCAST hints carry the dim
+    # decisions (nation twice via aliases); mirrors the oracle text.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT /*+ BROADCAST(cn, r, s, sn) */
+           year(o.o_orderdate) AS o_year,
+           100.0D * CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                       THEN {_E4_NET_SQL.format(p='l.')}
+                       ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+                 / CAST(sum({_E4_NET_SQL.format(p='l.')}) AS DOUBLE)
+               AS mkt_share_pct,
+           count(*) AS n_rows
+    FROM {v}lineitem l
+    JOIN {v}orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN {v}customer c ON o.o_custkey = c.c_custkey
+    JOIN {v}nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN {v}region r   ON cn.n_regionkey = r.r_regionkey
+    JOIN {v}supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN {v}nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY year(o.o_orderdate)
+    """)
 
 
 # ---------------------------------------------------------------- q22
@@ -470,28 +448,26 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-cents sum / count — bit-identical in both engines at any
     customer count — so the strict > comparison against exact
     2-decimal balances can't straddle engine noise."""
-    t = Tables(spark, sf_dir)
-    thr = (
-        t.customer.filter(F.col("c_acctbal") > 0)
-        .agg((sum2_col("c_acctbal") / F.count("*")).alias("thr"))
-    )
-    return (
-        t.customer.crossJoin(F.broadcast(thr))
-        .filter(F.col("c_acctbal") > F.col("thr"))
-        .join(
-            t.orders.filter(
-                F.col("o_orderdate")
-                >= F.lit("2001-01-01 00:00:00").cast("timestamp")
-            ),
-            F.col("c_custkey") == F.col("o_custkey"),
-            "left_anti",
-        )
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count("*").alias("n_cust"),
-            sum2_col("c_acctbal").alias("total_bal"),
-        )
-    )
+    # ONE spark.sql() call (r10-opt): the scalar subquery plans as a
+    # 1-row broadcast, the NOT EXISTS as the same left-anti join.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT c.c_mktsegment, count(*) AS n_cust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0D AS total_bal
+    FROM {v}customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0D / count(*)
+        FROM {v}customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM {v}orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+      )
+    GROUP BY c.c_mktsegment
+    """)
 
 
 # ---------------------------------------------------------------- q7
@@ -528,30 +504,30 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation-pair predicate lands as a post-join filter on broadcast
     hash joins, so at 100 TB only the two-year l_shipdate slice of
     lineitem moves, and only into the final 4-group aggregation."""
-    t = Tables(spark, sf_dir)
-    cn = t.nation.select(
-        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    # ONE spark.sql() call (r10-opt): BROADCAST hints on both nation
+    # legs + supplier; mirrors the oracle text.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT cust_nation, supp_nation, l_year,
+           CAST(sum(volume_e4) AS DOUBLE) / 10000.0D AS revenue
+    FROM (
+      SELECT /*+ BROADCAST(cn, s, sn) */
+             cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+             year(l.l_shipdate) AS l_year,
+             {_E4_NET_SQL.format(p='l.')} AS volume_e4
+      FROM {v}lineitem l
+      JOIN {v}orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN {v}customer c ON o.o_custkey = c.c_custkey
+      JOIN {v}nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN {v}supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN {v}nation sn  ON s.s_nationkey = sn.n_nationkey
+      WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+          OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     )
-    sn = t.nation.select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
-    )
-    pair = (
-        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
-    ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
-    return (
-        t.lineitem.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-        )
-        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .filter(pair)
-        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(_e4_out(F.sum(_net_e4())).alias("revenue"))
-    )
+    GROUP BY cust_nation, supp_nation, l_year
+    """)
 
 
 # ---------------------------------------------------------------- q9
@@ -599,35 +575,29 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines' accumulation noise resolving it differently) — the sum of
     exact integers is bit-identical, and one final division by 1e4 is
     deterministic on both engines."""
-    t = Tables(spark, sf_dir)
-    sn = t.nation.select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    # ONE spark.sql() call (r10-opt): the join ORDER is preserved (the
+    # selective part broadcast prunes lineitem BEFORE the fact-fact
+    # orders SMJ — measured 6.3 -> 2.9 s at 16x); BROADCAST hints on
+    # part/supplier/nation.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT nation, o_year,
+           CAST(sum(amount_e4) AS DOUBLE) / 10000.0D AS sum_profit
+    FROM (
+      SELECT /*+ BROADCAST(p, s, sn) */
+             sn.n_name AS nation, year(o.o_orderdate) AS o_year,
+             {_E4_NET_SQL.format(p='l.')}
+               - 60 * CAST(round(p.p_retailprice * 100) AS BIGINT)
+                    * CAST(l.l_quantity AS BIGINT) AS amount_e4
+      FROM {v}lineitem l
+      JOIN {v}part p     ON l.l_partkey = p.p_partkey
+      JOIN {v}supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN {v}nation sn  ON s.s_nationkey = sn.n_nationkey
+      JOIN {v}orders o   ON l.l_orderkey = o.o_orderkey
+      WHERE p.p_type = 'STANDARD'
     )
-    ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_c = F.round(F.col("l_discount") * 100).cast("long")
-    retail_c = F.round(F.col("p_retailprice") * 100).cast("long")
-    qty = F.col("l_quantity").cast("long")
-    amount_e4 = ext_c * (F.lit(100) - disc_c) - F.lit(60) * retail_c * qty
-    return (
-        t.lineitem.join(
-            F.broadcast(t.part.filter(F.col("p_type") == "STANDARD")),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(
-            t.orders.select("o_orderkey", "o_orderdate"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .groupBy(
-            F.col("nation"), F.year("o_orderdate").alias("o_year")
-        )
-        .agg(
-            (F.sum(amount_e4).cast("double") / F.lit(10000.0)).alias(
-                "sum_profit"
-            )
-        )
-    )
+    GROUP BY nation, o_year
+    """)
 
 
 # ---------------------------------------------------------------- q12
@@ -657,21 +627,22 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-count pivot over a fact-fact join where one predicate
     (ship year) pushes into the scan and the other (lateness) is a
     cross-table residual evaluated post-join."""
-    t = Tables(spark, sf_dir)
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        t.lineitem.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        )
-        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
-        .groupBy("l_linestatus")
-        .agg(
-            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
-        )
-    )
+    # ONE spark.sql() call (r10-opt): mirrors the oracle text (FILTER
+    # counts == the sum(CASE) pair they replace on never-null inputs).
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT l.l_linestatus,
+           count(*) FILTER (WHERE o.o_orderpriority
+                            IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+           count(*) FILTER (WHERE o.o_orderpriority
+                            NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+    FROM {v}orders o
+    JOIN {v}lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_linestatus
+    """)
 
 
 # ---------------------------------------------------------------- q13
@@ -700,17 +671,19 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first groupBy shuffles on custkey (same key as the join, so
     AQE coalesces into one exchange); the second is a ~10-group
     rollup of partials — negligible at any scale."""
-    t = Tables(spark, sf_dir)
-    per_cust = (
-        t.customer.join(
-            t.orders.filter(F.col("o_orderpriority") != "5-LOW"),
-            F.col("c_custkey") == F.col("o_custkey"),
-            "left",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    # ONE spark.sql() call (r10-opt): mirrors the oracle text.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM {v}customer c
+      LEFT JOIN {v}orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
     )
-    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+    GROUP BY c_count
+    """)
 
 
 # ---------------------------------------------------------------- q15
@@ -745,22 +718,23 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares exact INTEGER e4 revenues (module helpers), so the float
     tie problem cannot arise at any scale; the double quotient is
     emitted only as output."""
-    t = Tables(spark, sf_dir)
-    rev = (
-        t.lineitem.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
-        )
-        .groupBy("l_suppkey")
-        .agg(F.sum(_net_e4()).alias("rev_e4"))
+    # ONE spark.sql() call (r10-opt): the scalar-subquery max plans as
+    # the same 1-row broadcast over the reused rev exchange.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH rev AS (
+      SELECT l_suppkey, sum({_E4_NET_SQL.format(p='')}) AS rev_e4
+      FROM {v}lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
     )
-    mx = rev.agg(F.max("rev_e4").alias("mx"))
-    return (
-        rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("rev_e4") == F.col("mx"))
-        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
-        .select("s_suppkey", "s_name", _e4_out(F.col("rev_e4")).alias("total_revenue"))
-    )
+    SELECT /*+ BROADCAST(s) */ s.s_suppkey, s.s_name,
+           CAST(r.rev_e4 AS DOUBLE) / 10000.0D AS total_revenue
+    FROM {v}supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev_e4 = (SELECT max(rev_e4) FROM rev)
+    """)
 
 
 # ---------------------------------------------------------------- q16
@@ -790,18 +764,22 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-count triggers Spark's two-phase distinct-aggregate
     expansion — partial distinct on (group, suppkey), then final
     count — the scalable plan for COUNT(DISTINCT) at 100 TB."""
-    t = Tables(spark, sf_dir)
-    p = t.part.filter(
-        (F.col("p_brand") != "Brand#3")
-        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
-    )
-    bad = t.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    return (
-        t.lineitem.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-    )
+    # ONE spark.sql() call (r10-opt): anti join first (tiny exclusion
+    # broadcast), then the filtered part broadcast — same plan order.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT /*+ BROADCAST(bad, p) */
+           p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM {v}lineitem l
+    LEFT ANTI JOIN (SELECT s_suppkey FROM {v}supplier
+                    WHERE s_acctbal < 0) bad
+      ON l.l_suppkey = bad.s_suppkey
+    JOIN {v}part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """)
 
 
 # ---------------------------------------------------------------- q17
@@ -837,25 +815,29 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_partkey, so AQE reuses the exchange. Threshold compare is safe
     cross-engine: round(sum,2)/count then *0.2 are bit-identical IEEE
     ops per registry.py (quantities are integral 1..50)."""
-    t = Tables(spark, sf_dir)
-    li_b = t.lineitem.join(
-        F.broadcast(t.part.filter(F.col("p_brand") == "Brand#3")),
-        F.col("p_partkey") == F.col("l_partkey"),
-    ).select("l_partkey", "l_quantity", "l_extendedprice")
-    thr = li_b.groupBy("l_partkey").agg(
-        (F.lit(0.2) * (F.round(F.sum("l_quantity"), 2) / F.count("*"))).alias(
-            "qty_thr"
-        )
+    # ONE spark.sql() call (r10-opt): mirrors the oracle's decorrelated
+    # two-pass shape; the li_b CTE inlines into both consumers with
+    # canonically-equal subtrees, so AQE still reuses the exchange.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH li_b AS (
+      SELECT /*+ BROADCAST(p) */
+             l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM {v}lineitem l
+      JOIN {v}part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#3'
+    ),
+    thr AS (
+      SELECT l_partkey,
+             0.2D * (round(sum(l_quantity), 2) / count(*)) AS qty_thr
+      FROM li_b GROUP BY l_partkey
     )
-    return (
-        li_b.join(thr.withColumnRenamed("l_partkey", "t_partkey"),
-                  F.col("l_partkey") == F.col("t_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_thr"))
-        .agg(
-            (F.round(F.sum("l_extendedprice"), 2) / F.lit(7.0)).alias("avg_yearly"),
-            F.count("*").alias("n_rows"),
-        )
-    )
+    SELECT round(sum(li_b.l_extendedprice), 2) / 7.0D AS avg_yearly,
+           count(*) AS n_rows
+    FROM li_b
+    JOIN thr ON li_b.l_partkey = thr.l_partkey
+    WHERE li_b.l_quantity < thr.qty_thr
+    """)
 
 
 # ---------------------------------------------------------------- q21
@@ -897,38 +879,37 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves the dedup groupBy AND both windows (same partitioning);
     no self-join of the fact table, which is the naive plan's killer
     at 100 TB."""
-    t = Tables(spark, sf_dir)
-    from pyspark.sql import Window
-
-    os_ = (
-        t.lineitem.join(
-            t.orders.filter(F.col("o_orderstatus") == "F"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .repartition("l_orderkey")
-        .groupBy("l_suppkey", "l_orderkey")
-        .agg(
-            F.max(
-                F.when(
-                    F.col("l_shipdate")
-                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
-                    1,
-                ).otherwise(0)
-            ).alias("late")
-        )
+    # ONE spark.sql() call (r10-opt): REPARTITION hint carries the
+    # explicit l_orderkey exchange that the dedup groupBy and both
+    # windows share; supplier broadcast by hint.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH j AS (
+      SELECT /*+ REPARTITION(l_orderkey) */
+             l.l_suppkey, l.l_orderkey, l.l_shipdate, o.o_orderdate
+      FROM {v}lineitem l
+      JOIN {v}orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    os AS (
+      SELECT l_suppkey, l_orderkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM j
+      GROUP BY l_suppkey, l_orderkey
+    ),
+    flagged AS (
+      SELECT l_suppkey, l_orderkey, late,
+             count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+             sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+      FROM os
     )
-    w = Window.partitionBy("l_orderkey")
-    flagged = os_.withColumn("n_supp", F.count("*").over(w)).withColumn(
-        "n_late", F.sum("late").over(w)
-    )
-    return (
-        flagged.filter(
-            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
-        )
-        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
-        .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
-    )
+    SELECT /*+ BROADCAST(s) */ s.s_name, count(*) AS numwait
+    FROM flagged f
+    JOIN {v}supplier s ON s.s_suppkey = f.l_suppkey
+    WHERE f.late = 1 AND f.n_supp > 1 AND f.n_late = 1
+    GROUP BY s.s_name
+    """)
 
 
 # ------------------------------------------------- derived partsupp
@@ -1011,47 +992,56 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     _partsupp), so the aggregate only ever sees the EUROPE x ECONOMY
     slice; at 100 TB the fact table is touched exactly once and
     aggregated at ~2% selectivity (9.7 -> 0.9 s at 64x)."""
-    from pyspark.sql import Window
-
-    t = Tables(spark, sf_dir)
-    dims = (
-        t.supplier.join(
-            F.broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey")
-        )
-        .join(F.broadcast(t.region), F.col("r_regionkey") == F.col("n_regionkey"))
-        .filter(F.col("r_name") == "EUROPE")
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    # ONE spark.sql() call (r10-opt): preserves the tuned structure —
+    # both dimension filters push below the partsupp aggregate as
+    # broadcast LEFT SEMI joins on the fact table (9.7 -> 0.9 s at
+    # 64x), the window min runs over the already-joined slice.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH dims AS (
+      SELECT /*+ BROADCAST(n, r) */
+             s_suppkey, s_name, s_acctbal, n_name
+      FROM {v}supplier s
+      JOIN {v}nation n ON n.n_nationkey = s.s_nationkey
+      JOIN {v}region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    p AS (
+      SELECT p_partkey, p_name FROM {v}part
+      WHERE p_size IN (1, 3, 5, 7) AND p_type = 'ECONOMY'
+    ),
+    li AS (
+      SELECT /*+ BROADCAST(pk, sk) */
+             l.l_partkey, l.l_suppkey, l.l_quantity, l.l_extendedprice
+      FROM {v}lineitem l
+      LEFT SEMI JOIN (SELECT p_partkey FROM p) pk
+        ON l.l_partkey = pk.p_partkey
+      LEFT SEMI JOIN (SELECT s_suppkey FROM dims) sk
+        ON l.l_suppkey = sk.s_suppkey
+    ),
+    ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             sum(CAST(l_quantity AS BIGINT)) AS ps_availqty,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS ps_supplycost_c
+      FROM li GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT /*+ BROADCAST(p, dims) */
+             p.p_partkey, p.p_name, dims.s_name, dims.n_name,
+             dims.s_acctbal, ps.ps_supplycost_c,
+             min(ps.ps_supplycost_c) OVER (PARTITION BY p.p_partkey)
+               AS min_cost_c
+      FROM ps
+      JOIN p ON p.p_partkey = ps.ps_partkey
+      JOIN dims ON dims.s_suppkey = ps.ps_suppkey
     )
-    p = t.part.filter(F.col("p_size").isin(1, 3, 5, 7) & (F.col("p_type") == "ECONOMY")).select(
-        "p_partkey", "p_name"
-    )
-    li = t.lineitem.join(
-        F.broadcast(p.select("p_partkey")),
-        F.col("l_partkey") == F.col("p_partkey"),
-        "left_semi",
-    ).join(
-        F.broadcast(dims.select("s_suppkey")),
-        F.col("l_suppkey") == F.col("s_suppkey"),
-        "left_semi",
-    )
-    ps = _partsupp(t, li)
-    best = (
-        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
-        .join(F.broadcast(dims), F.col("s_suppkey") == F.col("ps_suppkey"))
-        .withColumn(
-            "min_cost_c",
-            F.min("ps_supplycost_c").over(Window.partitionBy("p_partkey")),
-        )
-    )
-    return (
-        best.filter(F.col("ps_supplycost_c") == F.col("min_cost_c"))
-        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal",
-                "ps_supplycost_c")
-        .orderBy(
-            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
-        )
-        .limit(100)
-    )
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal, ps_supplycost_c
+    FROM best
+    WHERE ps_supplycost_c = min_cost_c
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """)
 
 
 # ---------------------------------------------------------------- q11
@@ -1101,42 +1091,51 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuation-3 trap; 32 -> 1.5 s at 64x with the semi-join).
     Top-100 by value with a partkey tie-break keeps the LIMIT
     deterministic."""
-    t = Tables(spark, sf_dir)
-    dims = (
-        t.supplier.join(
-            F.broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey")
-        )
-        .join(F.broadcast(t.region), F.col("r_regionkey") == F.col("n_regionkey"))
-        .filter(F.col("r_name") == "ASIA")
-        .select("s_suppkey")
+    # ONE spark.sql() call (r10-opt): preserves the tuned structure —
+    # region filter pushed below the partsupp aggregate as a broadcast
+    # semi-join; the tot leg carries NO broadcast hint on purpose (the
+    # NOTES.md continuation-3 trap: hinting a computed branch
+    # re-executes its subtree; AQE's runtime broadcast reuses byp's
+    # exchange for both legs).
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH dims AS (
+      SELECT /*+ BROADCAST(n, r) */ s_suppkey
+      FROM {v}supplier s
+      JOIN {v}nation n ON n.n_nationkey = s.s_nationkey
+      JOIN {v}region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ),
+    li AS (
+      SELECT /*+ BROADCAST(dims) */
+             l.l_partkey, l.l_suppkey, l.l_quantity, l.l_extendedprice
+      FROM {v}lineitem l
+      LEFT SEMI JOIN dims ON l.l_suppkey = dims.s_suppkey
+    ),
+    ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             sum(CAST(l_quantity AS BIGINT)) AS ps_availqty,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS ps_supplycost_c
+      FROM li GROUP BY l_partkey, l_suppkey
+    ),
+    byp AS (
+      SELECT ps_partkey,
+             CAST(sum(ps_supplycost_c * ps_availqty) AS BIGINT) AS value_c
+      FROM ps GROUP BY ps_partkey
+    ),
+    tot AS (
+      SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM byp
     )
-    li = t.lineitem.join(
-        F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
-    )
-    byp = (
-        _partsupp(t, li)
-        .groupBy("ps_partkey")
-        .agg(
-            F.sum(F.col("ps_supplycost_c") * F.col("ps_availqty"))
-            .cast("bigint")
-            .alias("value_c")
-        )
-    )
-    tot = byp.agg(
-        F.sum("value_c").cast("bigint").alias("total_c"),
-        F.count("*").cast("bigint").alias("n_parts"),
-    )
-    return (
-        byp.crossJoin(tot)
-        .filter(F.col("value_c") * F.col("n_parts") > F.col("total_c"))
-        .select(
-            "ps_partkey",
-            "value_c",
-            F.round(F.col("value_c") * 1.0 / F.col("total_c"), 9).alias("share"),
-        )
-        .orderBy(F.col("value_c").desc(), "ps_partkey")
-        .limit(100)
-    )
+    SELECT b.ps_partkey, b.value_c,
+           round(b.value_c * 1.0D / t.total_c, 9) AS share
+    FROM byp b CROSS JOIN tot t
+    WHERE b.value_c * t.n_parts > t.total_c
+    ORDER BY b.value_c DESC, b.ps_partkey
+    LIMIT 100
+    """)
 
 
 # ---------------------------------------------------------------- q20
@@ -1187,39 +1186,43 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     _partsupp), so only the red slice is ever aggregated; the final
     supplier restriction is a semi-join shape expressed as a
     grouped key set."""
-    t = Tables(spark, sf_dir)
-    yr = (
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    # ONE spark.sql() call (r10-opt): preserves the tuned structure —
+    # red-part filter pushed below the fused conditional aggregate as
+    # a broadcast semi-join; one lineitem scan, one (partkey, suppkey)
+    # shuffle; excess keys broadcast into the dims join.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH red AS (
+      SELECT p_partkey FROM {v}part WHERE p_name LIKE 'red%'
+    ),
+    li AS (
+      SELECT /*+ BROADCAST(red) */
+             l.l_partkey, l.l_suppkey, l.l_quantity, l.l_shipdate
+      FROM {v}lineitem l
+      LEFT SEMI JOIN red ON l.l_partkey = red.p_partkey
+    ),
+    ps AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS BIGINT)) AS availqty,
+             CAST(coalesce(sum(CASE
+               WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+               THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS qty96
+      FROM li GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+      SELECT l_suppkey FROM ps
+      WHERE qty96 > 0 AND availqty > 2 * qty96
+      GROUP BY l_suppkey
+    ),
+    dims AS (
+      SELECT /*+ BROADCAST(n, r) */ s_suppkey, s_name, n_name
+      FROM {v}supplier s
+      JOIN {v}nation n ON n.n_nationkey = s.s_nationkey
+      JOIN {v}region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
     )
-    red = t.part.filter(F.col("p_name").like("red%")).select("p_partkey")
-    li = t.lineitem.join(
-        F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
-    )
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("bigint")).alias("availqty"),
-        F.coalesce(
-            F.sum(F.when(yr, F.col("l_quantity").cast("bigint"))), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("qty96"),
-    )
-    excess = (
-        ps.filter((F.col("qty96") > 0) & (F.col("availqty") > 2 * F.col("qty96")))
-        .groupBy("l_suppkey")
-        .agg(F.lit(1).alias("_one"))
-        .select("l_suppkey")
-    )
-    dims = (
-        t.supplier.join(
-            F.broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey")
-        )
-        .join(F.broadcast(t.region), F.col("r_regionkey") == F.col("n_regionkey"))
-        .filter(F.col("r_name") == "EUROPE")
-        .select("s_suppkey", "s_name", "n_name")
-    )
-    return (
-        dims.join(F.broadcast(excess), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_name", "n_name")
-        .orderBy("s_name")
-    )
+    SELECT /*+ BROADCAST(e) */ s_name, n_name
+    FROM dims JOIN excess e ON e.l_suppkey = dims.s_suppkey
+    ORDER BY s_name
+    """)
