@@ -69,16 +69,17 @@ def pipeline_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a per-source threshold. The weights table is a handful of
     rows -> broadcast; the filter itself is map-side, so the 100 TB scan
     emits only the sampled subset and nothing shuffles."""
-    d = Tables(spark, sf_dir).documents
-    wt = spark.createDataFrame(
-        [(s, t) for s, t in MIXTURE.items()], "source string, thr string"
-    )
-    key = F.md5(F.concat_ws(":", "source", F.col("doc_id").cast("string")))
-    return (
-        d.join(F.broadcast(wt), "source", "left")
-        .filter(F.substring(key, 1, 2) <= F.coalesce("thr", F.lit(DEFAULT_KEEP)))
-        .select("doc_id", "source", "lang")
-    )
+    # ONE spark.sql() call (r10-opt): inline VALUES weights table +
+    # BROADCAST hint replace the createDataFrame round trip.
+    v = Tables(spark, sf_dir).sql_views()
+    vals = ", ".join(f"('{s}', '{t}')" for s, t in MIXTURE.items())
+    return spark.sql(f"""
+    SELECT /*+ BROADCAST(wt) */ d.doc_id, d.source, d.lang
+    FROM {v}documents d
+    LEFT JOIN (VALUES {vals}) AS wt(source, thr) ON d.source = wt.source
+    WHERE substr(md5(concat_ws(':', d.source, CAST(d.doc_id AS STRING))),
+                 1, 2) <= coalesce(wt.thr, '{DEFAULT_KEEP}')
+    """)
 
 
 # ------------------------------------------------------- train/val/test split
@@ -104,16 +105,17 @@ def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-based assignment is the only split that survives re-runs,
     repartitioning, and incremental corpus growth (a doc's split never
     changes when other docs arrive). Pure projection: no shuffle."""
-    d = Tables(spark, sf_dir).documents
-    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    return d.select(
-        "doc_id",
-        F.when(b <= "cc", "train").when(b <= "e5", "val").otherwise("test").alias(
-            "split"
-        ),
-        "lang",
-        "n_chars",
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) <= 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) <= 'e5'
+                THEN 'val'
+                ELSE 'test' END AS split,
+           lang, n_chars
+    FROM {v}documents
+    """)
 
 
 # ------------------------------------------------------- sequence packing
@@ -148,26 +150,22 @@ def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, partition instead by (lang, shard) where shard =
     hash-bucket of doc_id to bound per-partition state, at the cost of
     packing discontinuities at shard edges."""
-    d = Tables(spark, sf_dir).documents
-    n_tokens = F.size(F.split("text", " "))
-    w = (
-        W.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
+    # ONE spark.sql() call (r10-opt): same one-shuffle window cumsum.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT doc_id, lang, n_tokens,
+           cum_before div {PACK_BUDGET} AS pack_id,
+           cum_before + n_tokens AS cum_tokens
+    FROM (
+      SELECT doc_id, lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM (SELECT doc_id, lang, size(split(text, ' ')) AS n_tokens
+            FROM {v}documents)
     )
-    return (
-        d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
-        .withColumn(
-            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            F.expr(f"cum_before div {PACK_BUDGET}").alias("pack_id"),
-            (F.col("cum_before") + F.col("n_tokens")).alias("cum_tokens"),
-        )
-    )
+    """)
 
 
 # ------------------------------------------------------- end-to-end curation
@@ -202,13 +200,11 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain equi-join both engines plan identically. At 100 TB each stage
     is one linear shuffle; no step holds more than a key+id pair per
     group in state."""
-    from pandas_tsdb_spark.operators.llm_text import _spread
+    from pandas_tsdb_spark.operators.llm_text import _spread_hint
 
     t = Tables(spark, sf_dir)
-    d = _spread(t.documents)  # quality gate + splits are per-doc CPU
-    qual = d.filter(
-        (F.col("n_chars") >= 50) & (F.size(F.split("text", " ")) >= 10)
-    )
+    v = t.sql_views()
+    spread = _spread_hint(t.documents)
     # The winner row's attributes ride THROUGH the dedup aggregation:
     # min(struct(doc_id, ...)) compares lexicographically and doc_id —
     # unique — leads, so the min struct IS the min-doc_id row, attrs
@@ -220,26 +216,27 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # struct per group replaces a corpus scan, a corpus-wide exchange
     # and a join; the agg exchange carries (md5, 4 narrow fields) —
     # never text.
-    win = qual.groupBy(F.md5("text").alias("h")).agg(
-        F.min(
-            F.struct(
-                "doc_id",
-                "lang",
-                "source",
-                F.size(F.split("text", " ")).alias("n_tokens"),
-            )
-        ).alias("w")
+    # ONE spark.sql() call (r10-opt): same min(struct) winner-carry
+    # plan — 2 scans (documents + embeddings broadcast), 2 exchanges.
+    return spark.sql(f"""
+    WITH spread AS (
+      SELECT {spread} doc_id, lang, source, text, n_chars
+      FROM {v}documents
+    ),
+    win AS (
+      SELECT min(named_struct(
+               'doc_id', doc_id, 'lang', lang, 'source', source,
+               'n_tokens', size(split(text, ' ')))) AS w
+      FROM spread
+      WHERE n_chars >= 50 AND size(split(text, ' ')) >= 10
+      GROUP BY md5(text)
     )
-    return (
-        win.select("w.doc_id", "w.lang", "w.source", "w.n_tokens")
-        .join(
-            t.embeddings.select(
-                F.col("vec_id").alias("doc_id"), "label"
-            ),
-            "doc_id",
-        )
-        .select("doc_id", "lang", "source", "n_tokens", "label")
-    )
+    SELECT w.doc_id AS doc_id, w.lang AS lang, w.source AS source,
+           w.n_tokens AS n_tokens, e.label AS label
+    FROM win
+    JOIN (SELECT vec_id AS doc_id, label FROM {v}embeddings) e
+      ON w.doc_id = e.doc_id
+    """)
 
 
 # ------------------------------------------------------- training-order shuffle
@@ -270,14 +267,20 @@ def pipeline_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash exchange and a per-partition sort, and readers stream
     shards independently. Rerun-stable (md5, not rand()) so a resumed
     job or a backfilled partition reproduces the identical order."""
-    d = Tables(spark, sf_dir).documents
-    k = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
-    w = _w.Window.partitionBy("shard").orderBy("k", "doc_id")
-    return (
-        d.select("doc_id", k.alias("k"), F.substring(k, 1, 2).alias("shard"))
-        .withColumn("pos", F.row_number().over(w).cast("bigint"))
-        .select("doc_id", "shard", "pos")
+    # ONE spark.sql() call (r10-opt): mirrors the oracle text.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id,
+             md5(concat('shuffle:', CAST(doc_id AS STRING))) AS k,
+             substr(md5(concat('shuffle:', CAST(doc_id AS STRING))), 1, 2)
+               AS shard
+      FROM {v}documents
     )
+    """)
 
 
 # ------------------------------------------------- benchmark decontamination
@@ -425,28 +428,28 @@ def pipeline_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, so a 100 TB corpus is read once, never `epochs` times), and
     nothing shuffles. Epoch choice is md5-deterministic per doc:
     reruns and backfills regenerate byte-identical output."""
-    d = Tables(spark, sf_dir).documents
-    wt = spark.createDataFrame(
-        [(s, w, t) for s, (w, t) in UPSAMPLE.items()],
-        "source string, whole int, thr string",
+    # ONE spark.sql() call (r10-opt): inline VALUES weights + BROADCAST
+    # hint; same map-side sequence-explode.
+    v = Tables(spark, sf_dir).sql_views()
+    vals = ", ".join(
+        f"('{s}', {w}, '{t}')" for s, (w, t) in UPSAMPLE.items()
     )
-    key = F.md5(
-        F.concat(F.lit("ep:"), F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
+    return spark.sql(f"""
+    WITH r AS (
+      SELECT /*+ BROADCAST(wt) */ d.doc_id, d.source, d.lang,
+             coalesce(wt.whole, {UPSAMPLE_DEFAULT[0]})
+             + CASE WHEN substr(md5(concat('ep:', d.source, ':',
+                                   CAST(d.doc_id AS STRING))), 1, 2)
+                         <= coalesce(wt.thr, '{UPSAMPLE_DEFAULT[1]}')
+                    THEN 1 ELSE 0 END AS reps
+      FROM {v}documents d
+      LEFT JOIN (VALUES {vals}) AS wt(source, whole, thr)
+        ON d.source = wt.source
     )
-    reps = F.coalesce("whole", F.lit(UPSAMPLE_DEFAULT[0])) + F.when(
-        F.substring(key, 1, 2) <= F.coalesce("thr", F.lit(UPSAMPLE_DEFAULT[1])), 1
-    ).otherwise(0)
-    return (
-        d.join(F.broadcast(wt), "source", "left")
-        .withColumn("reps", reps)
-        .filter(F.col("reps") > 0)
-        .select(
-            "doc_id",
-            "source",
-            "lang",
-            F.explode(F.sequence(F.lit(0), F.col("reps") - 1)).alias("epoch"),
-        )
-    )
+    SELECT doc_id, source, lang,
+           explode(sequence(0, reps - 1)) AS epoch
+    FROM r WHERE reps > 0
+    """)
 
 
 _CHUNK, _STRIDE = 32, 24
@@ -492,54 +495,26 @@ def pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way a real pipeline would checksum shards. slice() is
     1-based; both engines clamp the final partial window to the array
     end (DuckDB list_slice clamps stop at len)."""
-    from pandas_tsdb_spark.operators.llm_text import _spread
+    # ONE spark.sql() call (r10-opt): same adaptive small/big split,
+    # same expressions (small branch divides by 24.0D double exactly
+    # as F.lit(float(_STRIDE)) did; the big branch keeps the original
+    # expr text verbatim). Null text chunks to NOTHING (round-5 sweep:
+    # engines' null propagation through greatest/sequence/concat_ws
+    # disagrees on ghost chunks). ADAPTIVE split (round-6 big-doc
+    # probe, llm_text._BIG_DOC_CHARS): docs at or under the cutoff take
+    # the codegen explode+slice path; bigger docs build per-chunk
+    # (size, md5) structs inside ONE transform() and posexplode the
+    # small struct — linear, cannot hang on a 4 MB document.
+    from pandas_tsdb_spark.operators.llm_text import (
+        _BIG_DOC_CHARS,
+        _spread_hint,
+    )
 
-    # null text chunks to NOTHING (both engines filter it; the engines'
-    # null-propagation through greatest/sequence/concat_ws otherwise
-    # disagree on whether a ghost chunk appears — round-5 sweep)
-    d = _spread(Tables(spark, sf_dir).documents).filter(
-        F.col("text").isNotNull()
-    )  # per-chunk md5 is the CPU
-    # ADAPTIVE chunk generation (round-6 big-doc probe; same split as
-    # dedup_lines, see llm_text._BIG_DOC_CHARS): docs at or under the
-    # cutoff take the codegen explode+slice path (the carried-array
-    # quadratic term is capped and codegen is ~2x the interpreted
-    # lambda on normal docs); bigger docs build per-chunk (size, md5)
-    # structs inside ONE transform() and posexplode only the small
-    # struct — linear, cannot hang on a 4 MB document.
-    from pandas_tsdb_spark.operators.llm_text import _BIG_DOC_CHARS
-
-    # raw char-length predicate: a scan-column codegen compare, so the
-    # tokenizing split below runs once per ROW, not once per branch
-    small = d.filter(F.length("text") <= _BIG_DOC_CHARS).select(
-        "doc_id",
-        F.split("text", " ").alias("tokens"),
-        F.size(F.split("text", " ")).alias("n_tok"),
-    )
-    big = d.filter(F.length("text") > _BIG_DOC_CHARS).select(
-        "doc_id",
-        F.split("text", " ").alias("tokens"),
-        F.size(F.split("text", " ")).alias("n_tok"),
-    )
-    n_chunks_m1 = F.ceil(
-        F.greatest(F.col("n_tok") - _CHUNK, F.lit(0)) / F.lit(float(_STRIDE))
-    ).cast("long")
-    sl = F.slice(
-        "tokens", (F.col("chunk_id") * _STRIDE + 1).cast("int"), _CHUNK
-    )
-    idx_small = small.select(
-        "doc_id",
-        "tokens",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks_m1)).alias(
-            "chunk_id"
-        ),
-    ).select(
-        "doc_id",
-        "chunk_id",
-        F.size(sl).alias("chunk_tokens"),
-        F.md5(F.concat_ws(" ", sl)).alias("chunk_md5"),
-    )
-    chunk_arr = F.expr(
+    t = Tables(spark, sf_dir)
+    v = t.sql_views()
+    spread = _spread_hint(t.documents)
+    sl = f"slice(tokens, cast(chunk_id * {_STRIDE} + 1 as int), {_CHUNK})"
+    chunk_arr = (
         f"transform(sequence(0L, cast(ceil(greatest(n_tok - {_CHUNK}, 0)"
         f" / {_STRIDE}.0) as long)),"
         f" i -> named_struct("
@@ -548,15 +523,38 @@ def pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'chunk_md5', md5(concat_ws(' ',"
         f" slice(tokens, cast(i * {_STRIDE} + 1 as int), {_CHUNK})))))"
     )
-    idx_big = big.select(
-        "doc_id", F.posexplode(chunk_arr).alias("pos", "c")
-    ).select(
-        "doc_id",
-        F.col("pos").cast("long").alias("chunk_id"),
-        F.col("c.chunk_tokens").alias("chunk_tokens"),
-        F.col("c.chunk_md5").alias("chunk_md5"),
+    return spark.sql(f"""
+    WITH d AS (
+      SELECT {spread} doc_id, text FROM {v}documents
+      WHERE text IS NOT NULL
+    ),
+    small AS (
+      SELECT doc_id, split(text, ' ') AS tokens,
+             size(split(text, ' ')) AS n_tok
+      FROM d WHERE length(text) <= {_BIG_DOC_CHARS}
+    ),
+    big AS (
+      SELECT doc_id, split(text, ' ') AS tokens,
+             size(split(text, ' ')) AS n_tok
+      FROM d WHERE length(text) > {_BIG_DOC_CHARS}
+    ),
+    idx_small AS (
+      SELECT doc_id, tokens,
+             explode(sequence(CAST(0 AS BIGINT),
+                 CAST(ceil(greatest(n_tok - {_CHUNK}, 0)
+                           / {float(_STRIDE)}D) AS BIGINT))) AS chunk_id
+      FROM small
     )
-    return idx_small.unionByName(idx_big)
+    SELECT doc_id, chunk_id,
+           size({sl}) AS chunk_tokens,
+           md5(concat_ws(' ', {sl})) AS chunk_md5
+    FROM idx_small
+    UNION ALL
+    SELECT doc_id, CAST(pos AS BIGINT) AS chunk_id,
+           c.chunk_tokens AS chunk_tokens, c.chunk_md5 AS chunk_md5
+    FROM big
+    LATERAL VIEW posexplode({chunk_arr}) pc AS pos, c
+    """)
 
 
 # --------------------------------------- temperature-scaled mixture weights
@@ -594,24 +592,22 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition table at any corpus size (sources are dozens, not
     millions). Nothing about the 100 TB scan survives past the first
     aggregate."""
-    d = Tables(spark, sf_dir).documents
-    s = d.groupBy("source").agg(
-        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
-    )
-    everything = _w.Window.partitionBy()
-    raw_share = F.col("n_chars").cast("double") / F.sum("n_chars").over(everything)
-    t = s.withColumn("raw_share", raw_share).withColumn(
-        "tw", F.sqrt(F.col("raw_share"))
-    )
-    tweight = F.col("tw") / F.sum("tw").over(everything)
-    return t.select(
-        "source",
-        "n_docs",
-        "n_chars",
-        F.round("raw_share", 6).alias("raw_share"),
-        F.round(tweight, 6).alias("temp_weight"),
-        F.round(tweight / F.col("raw_share"), 6).alias("epochs"),
-    )
+    # ONE spark.sql() call (r10-opt): mirrors the oracle's CTE chain.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH s AS (SELECT source, count(*) AS n_docs,
+                      sum(n_chars) AS n_chars
+               FROM {v}documents GROUP BY source),
+    t AS (SELECT *, CAST(n_chars AS DOUBLE) / sum(n_chars) OVER ()
+                      AS raw_share
+          FROM s),
+    w AS (SELECT *, sqrt(raw_share) AS tw FROM t)
+    SELECT source, n_docs, n_chars,
+           round(raw_share, 6) AS raw_share,
+           round(tw / sum(tw) OVER (), 6) AS temp_weight,
+           round((tw / sum(tw) OVER ()) / raw_share, 6) AS epochs
+    FROM w
+    """)
 
 
 # ------------------------------------------------------ token budgeting
@@ -626,6 +622,26 @@ _TB_QUALITY = f"""round(0.4 * least(len({_TB_TOKS}) / 50.0, 1.0)
                + 0.3 * (CAST(len(list_distinct({_TB_TOKS})) AS DOUBLE) / len({_TB_TOKS}))
                + 0.3 * (1.0 - CAST(len(list_filter({_TB_TOKS}, x -> x IN ('a', 'the')))
                                AS DOUBLE) / len({_TB_TOKS})), 6)"""
+
+
+def _doc_token_quality_sql() -> str:
+    """Spark-SQL twin of _doc_token_quality's quality Column (and of
+    the _TB_QUALITY DuckDB string): same association order, D-suffixed
+    double literals. Used by the monolithic-SQL form of
+    pipeline_token_budget; kept beside the Column twin so they cannot
+    drift apart."""
+    from pandas_tsdb_spark.operators.llm_text import STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = "split(lower(text), ' ')"
+    return (
+        f"round(0.4D * least(CAST(size({toks}) AS DOUBLE) / 50.0D, 1.0D)"
+        f" + 0.3D * (CAST(size(array_distinct({toks})) AS DOUBLE)"
+        f"           / CAST(size({toks}) AS DOUBLE))"
+        f" + 0.3D * (1.0D - CAST(size(filter({toks}, x -> x IN ({stop})))"
+        f"                       AS DOUBLE)"
+        f"                  / CAST(size({toks}) AS DOUBLE)), 6)"
+    )
 
 
 def _doc_token_quality():
@@ -690,25 +706,32 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     (range-partition by (quality desc, doc_id), per-partition token
     sums, driver-side offsets: the classic distributed prefix sum).
     Quality scoring itself is map-side, evaluated during the scan."""
-    from pandas_tsdb_spark.operators.llm_text import _spread
+    # ONE spark.sql() call (r10-opt): same spread + one-window plan;
+    # quality expr shared via _doc_token_quality_sql.
+    from pandas_tsdb_spark.operators.llm_text import _spread_hint
 
-    toks, quality = _doc_token_quality()
-    scored = (
-        _spread(Tables(spark, sf_dir).documents)
-        .filter(F.col("text").isNotNull() & (F.size(toks) > 0))
-        .select(
-            "doc_id",
-            "lang",
-            F.size(toks).cast("bigint").alias("n_tokens"),
-            quality.alias("quality"),
-        )
+    t = Tables(spark, sf_dir)
+    v = t.sql_views()
+    spread = _spread_hint(t.documents)
+    return spark.sql(f"""
+    WITH spread AS (
+      SELECT {spread} doc_id, lang, text FROM {v}documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(size(split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             {_doc_token_quality_sql()} AS quality
+      FROM spread
+      WHERE text IS NOT NULL AND size(split(lower(text), ' ')) > 0
     )
-    w = (
-        W.partitionBy("lang")
-        .orderBy(F.col("quality").desc(), "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    SELECT doc_id, lang, n_tokens, quality,
+           cum_tokens
+    FROM (
+      SELECT *, sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_tokens
+      FROM scored
     )
-    return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
-    )
+    WHERE cum_tokens <= {_BUDGET_TOKENS}
+    """)
