@@ -38,14 +38,15 @@ from pandas_tsdb_spark.registry import oracle_avg, oracle_avg2, oracle_sum2, que
 )
 def project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column select/compute/rename (pandas df[['a']] / assign)."""
-    li = Tables(spark, sf_dir).lineitem
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
-        F.upper("l_returnflag").alias("flag"),
-        (F.col("l_quantity") + 1).alias("qty_plus"),
-    )
+    # ONE spark.sql() call (r10-opt, catalog.Tables.sql_views).
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           upper(l_returnflag) AS flag,
+           l_quantity + 1 AS qty_plus
+    FROM {v}lineitem
+    """)
 
 
 @query(
@@ -59,14 +60,17 @@ def project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compound boolean mask: AND/OR/NOT, IN, BETWEEN (pandas df[mask])."""
-    li = Tables(spark, sf_dir).lineitem
-    return li.filter(
-        ((F.col("l_quantity") > 30) | (F.col("l_returnflag") == "A"))
-        & F.col("l_discount").between(0.02, 0.08)
-        & F.col("l_linestatus").isin("O", "F")
-        & ~((F.col("l_returnflag") == "N") & (F.col("l_quantity") < 5))
-    )
+    """Compound boolean mask: AND/OR/NOT, IN, BETWEEN (pandas df[mask]).
+    D suffixes keep the BETWEEN bounds double (bare SQL floats parse as
+    DECIMAL)."""
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT * FROM {v}lineitem
+    WHERE (l_quantity > 30 OR l_returnflag = 'A')
+      AND l_discount BETWEEN 0.02D AND 0.08D
+      AND l_linestatus IN ('O', 'F')
+      AND NOT (l_returnflag = 'N' AND l_quantity < 5)
+    """)
 
 
 @query(
@@ -81,16 +85,13 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """isna/notna/fillna semantics (fixtures are null-free, so nulls are
     manufactured with nullif and then filtered/filled)."""
-    o = Tables(spark, sf_dir).orders
-    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
-    return (
-        o.select(
-            "o_orderkey",
-            status_or_null.alias("status_or_null"),
-            F.coalesce(status_or_null, F.lit("PENDING")).alias("status_filled"),
-        )
-        .filter(F.col("status_or_null").isNotNull())
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled
+    FROM {v}orders
+    WHERE nullif(o_orderstatus, 'P') IS NOT NULL
+    """)
 
 
 @query(
@@ -108,11 +109,13 @@ def filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     The predicate lands in PushedFilters -> parquet row-group min/max
     pruning at scale.
     """
-    ev = Tables(spark, sf_dir).events
-    return ev.filter(
-        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-10 00:00:00").cast("timestamp"))
-    ).select("event_id", "user_id", "event_type", "value")
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT event_id, user_id, event_type, value
+    FROM {v}events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+    """)
 
 
 @query(
@@ -121,8 +124,11 @@ def filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """drop_duplicates() over a projection."""
-    li = Tables(spark, sf_dir).lineitem
-    return li.select("l_returnflag", "l_linestatus", "l_shipdate").distinct()
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(
+        f"SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate"
+        f" FROM {v}lineitem"
+    )
 
 
 @query(
@@ -139,16 +145,15 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """drop_duplicates(subset=..., keep='first') — first row per key in
     event_id order, made deterministic via row_number (unique key)."""
-    from pyspark.sql import Window as W
-
-    ev = Tables(spark, sf_dir).events
-    w = W.partitionBy("user_id", "event_type").orderBy("event_id")
-    return (
-        ev.select("user_id", "event_type", "event_id", "value")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT user_id, event_type, event_id, value FROM (
+        SELECT user_id, event_type, event_id, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_id) AS rn
+        FROM {v}events
+    ) WHERE rn = 1
+    """)
 
 
 # ------------------------------------------------------------- aggregations
@@ -169,15 +174,25 @@ def distinct_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-table reduce (pandas df.agg) — partial aggregation means the
     shuffle carries one state per partition regardless of table size."""
-    li = Tables(spark, sf_dir).lineitem
-    return li.agg(
-        sum2_col("l_quantity").alias("sum_qty"),
-        sum2_col("l_extendedprice").alias("sum_price"),
-        (sum2_col("l_extendedprice") / F.count("*")).alias("avg_price"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
-        F.count("*").alias("n_rows"),
-    )
+    # ONE spark.sql() call (r10-opt): sum2 quotient shape mirrors
+    # sum2_col operand for operand (cast(sum(bigint) as double)/100.0D).
+    v = Tables(spark, sf_dir).sql_views()
+
+    def sum2(col):
+        return (
+            f"cast(sum(cast(round({col} * 100) as bigint)) as double)"
+            f" / 100.0D"
+        )
+
+    return spark.sql(f"""
+    SELECT {sum2('l_quantity')} AS sum_qty,
+           {sum2('l_extendedprice')} AS sum_price,
+           ({sum2('l_extendedprice')}) / count(*) AS avg_price,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           count(*) AS n_rows
+    FROM {v}lineitem
+    """)
 
 
 Q1_ORACLE = f"""
@@ -290,12 +305,14 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nunique per group (expands to a two-phase distinct aggregate)."""
-    li = Tables(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.count("*").alias("n_rows"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM {v}lineitem GROUP BY l_returnflag
+    """)
 
 
 @query("agg_approx_distinct", oracle=None)  # approximate by design: rows-only
@@ -303,11 +320,13 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx nunique (HyperLogLog++) — the 100 TB path where exact
     distinct would shuffle every key. Value is approximate, so no oracle;
     tests assert it within rsd of the exact count instead."""
-    li = Tables(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.count("*").alias("n_rows"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT l_returnflag,
+           approx_count_distinct(l_partkey, 0.02D) AS approx_parts,
+           count(*) AS n_rows
+    FROM {v}lineitem GROUP BY l_returnflag
+    """)
 
 
 @query(
@@ -347,22 +366,28 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Σx² − (Σx)²/n) costs ~1 digit here (var is a sizable fraction of
     the second moment), far inside the rounding. Skew/kurtosis live in
     agg_skew_kurt."""
-    li = Tables(spark, sf_dir).lineitem
-    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
-    c = li.select("l_returnflag", "l_extendedprice", pc.alias("pc"))
-    n = F.count("*")
-    sum_pc = F.sum(F.col("pc").cast("decimal(38,0)")).cast("double")
-    sum_pc2 = F.sum((F.col("pc") * F.col("pc")).cast("decimal(38,0)")).cast(
-        "double"
+    # ONE spark.sql() call (r10-opt): same exact integer moments
+    # (DECIMAL(38,0) sums), same association order.
+    v = Tables(spark, sf_dir).sql_views()
+    sum_pc = "CAST(sum(CAST(pc AS DECIMAL(38,0))) AS DOUBLE)"
+    sum_pc2 = "CAST(sum(CAST(pc * pc AS DECIMAL(38,0))) AS DOUBLE)"
+    var_c2 = (
+        f"({sum_pc2} - {sum_pc} * {sum_pc} / count(*)) / (count(*) - 1)"
     )
-    var_c2 = (sum_pc2 - sum_pc * sum_pc / n) / (n - F.lit(1))
-    return c.groupBy("l_returnflag").agg(
-        F.round(F.sqrt(var_c2) / F.lit(100.0), 4).alias("sd_price"),
-        F.round(var_c2 / F.lit(10000.0), 4).alias("var_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
-        F.count("*").alias("n"),
+    return spark.sql(f"""
+    WITH c AS (
+      SELECT l_returnflag, l_extendedprice,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM {v}lineitem
     )
+    SELECT l_returnflag,
+           round(sqrt({var_c2}) / 100.0D, 4) AS sd_price,
+           round(({var_c2}) / 10000.0D, 4) AS var_price,
+           round(percentile(l_extendedprice, 0.5D), 4) AS median_price,
+           round(percentile(l_extendedprice, 0.9D), 4) AS p90_price,
+           count(*) AS n
+    FROM c GROUP BY l_returnflag
+    """)
 
 
 @query(
@@ -399,11 +424,13 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(l_quantity), not count(*), and its self-join must use IS NOT
     DISTINCT FROM — a plain equi-join silently drops the NULL-flag
     GROUP that Spark's groupBy keeps."""
-    li = Tables(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        (F.round(F.skewness("l_quantity"), 4) + F.lit(0.0)).alias("skew_qty"),
-        (F.round(F.kurtosis("l_quantity"), 4) + F.lit(0.0)).alias("kurt_qty"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT l_returnflag,
+           round(skewness(l_quantity), 4) + 0.0D AS skew_qty,
+           round(kurtosis(l_quantity), 4) + 0.0D AS kurt_qty
+    FROM {v}lineitem GROUP BY l_returnflag
+    """)
 
 
 @query(
@@ -431,44 +458,33 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity row on empty input. Same multiset of rows as CUBE by
     construction, including the data-NULL vs subtotal-NULL pairs on
     null-injected group keys (core-nulls sweep re-verified)."""
-    li = Tables(spark, sf_dir).lineitem
-    base = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity").alias("sq"), F.count("*").alias("cnt")
+    # ONE spark.sql() call (r10-opt): same finest-grain base + three
+    # re-aggregations, UNION ALL in the same level order.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sq, count(*) AS cnt
+      FROM {v}lineitem GROUP BY l_returnflag, l_linestatus
     )
-    lvl_rl = base.select(
-        "l_returnflag",
-        "l_linestatus",
-        F.round("sq", 2).alias("sum_qty"),
-        F.col("cnt").alias("n"),
-    )
-    lvl_r = base.groupBy("l_returnflag").agg(
-        F.round(F.sum("sq"), 2).alias("sum_qty"), F.sum("cnt").alias("n")
-    ).select(
-        "l_returnflag",
-        F.lit(None).cast("string").alias("l_linestatus"),
-        "sum_qty",
-        "n",
-    )
-    lvl_l = base.groupBy("l_linestatus").agg(
-        F.round(F.sum("sq"), 2).alias("sum_qty"), F.sum("cnt").alias("n")
-    ).select(
-        F.lit(None).cast("string").alias("l_returnflag"),
-        "l_linestatus",
-        "sum_qty",
-        "n",
-    )
-    lvl_g = base.agg(
-        F.round(F.sum("sq"), 2).alias("sum_qty"),
-        F.coalesce(F.sum("cnt"), F.lit(0).cast("long")).alias("n"),
-    ).select(
-        F.lit(None).cast("string").alias("l_returnflag"),
-        F.lit(None).cast("string").alias("l_linestatus"),
-        "sum_qty",
-        "n",
-    )
-    return (
-        lvl_rl.unionByName(lvl_r).unionByName(lvl_l).unionByName(lvl_g)
-    )
+    SELECT l_returnflag, l_linestatus,
+           round(sq, 2) AS sum_qty, cnt AS n
+    FROM base
+    UNION ALL
+    SELECT l_returnflag, CAST(NULL AS STRING) AS l_linestatus,
+           round(sum(sq), 2) AS sum_qty, sum(cnt) AS n
+    FROM base GROUP BY l_returnflag
+    UNION ALL
+    SELECT CAST(NULL AS STRING) AS l_returnflag, l_linestatus,
+           round(sum(sq), 2) AS sum_qty, sum(cnt) AS n
+    FROM base GROUP BY l_linestatus
+    UNION ALL
+    SELECT CAST(NULL AS STRING) AS l_returnflag,
+           CAST(NULL AS STRING) AS l_linestatus,
+           round(sum(sq), 2) AS sum_qty,
+           coalesce(sum(cnt), CAST(0 AS BIGINT)) AS n
+    FROM base
+    """)
 
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -491,12 +507,14 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Explicit pivot values -> single pass, no extra job to discover
     distinct values (matters at scale)."""
-    ev = Tables(spark, sf_dir).events
-    return (
-        ev.groupBy("user_id")
-        .pivot("event_type", _EVENT_TYPES)
-        .agg((F.round(F.sum("value") * 100) / F.lit(100.0)))
-    )
+    # ONE spark.sql() call (r10-opt): explicit-values PIVOT compiles to
+    # the same single-pass conditional aggregate as .pivot(values).
+    v = Tables(spark, sf_dir).sql_views()
+    in_list = ", ".join(f"'{t}' AS {t}" for t in _EVENT_TYPES)
+    return spark.sql(f"""
+    SELECT * FROM (SELECT user_id, event_type, value FROM {v}events)
+    PIVOT (round(sum(value) * 100) / 100.0D FOR event_type IN ({in_list}))
+    """)
 
 
 @query(
@@ -514,23 +532,19 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Masked aggregation (pandas sum-where) via when/otherwise."""
-    li = Tables(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        (
-            F.sum(
-                F.when(
-                    F.col("l_discount") > 0.05,
-                    F.round(F.col("l_extendedprice") * 100).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).cast("double")
-            / F.lit(100.0)
-        ).alias("high_disc_rev"),
-        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
-        (
-            F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))), 2)
-            / F.count(F.when(F.col("l_linestatus") == "O", 1))
-        ).alias("avg_open_qty"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_discount > 0.05D
+                         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END) AS DOUBLE) / 100.0D
+               AS high_disc_rev,
+           count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_big,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+             / count(CASE WHEN l_linestatus = 'O' THEN 1 END)
+               AS avg_open_qty
+    FROM {v}lineitem GROUP BY l_returnflag
+    """)
 
 
 @query(
@@ -545,11 +559,13 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupby().agg(list/set): collect_set sorted for determinism, then
     string-joined so the hash sees a scalar."""
-    ev = Tables(spark, sf_dir).events
-    return ev.groupBy("user_id").agg(
-        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
-        F.count("*").alias("n"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT user_id,
+           array_join(array_sort(collect_set(event_type)), ',') AS types,
+           count(*) AS n
+    FROM {v}events GROUP BY user_id
+    """)
 
 
 @query(
@@ -566,18 +582,16 @@ def agg_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportion of total. The total is a 1-row aggregate broadcast into
     the projection — never a second full scan per group. Integer/
     integer division in float64 is bit-identical cross-engine."""
-    ev = Tables(spark, sf_dir).events
-    total = ev.agg(F.count("*").alias("tot"))
-    return (
-        ev.groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "event_type",
-            "n",
-            (F.col("n").cast("double") / F.col("tot")).alias("frac"),
-        )
-    )
+    # ONE spark.sql() call (r10-opt): same 1-row broadcast cross join.
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH total AS (SELECT count(*) AS tot FROM {v}events)
+    SELECT /*+ BROADCAST(total) */ event_type, n,
+           CAST(n AS DOUBLE) / tot AS frac
+    FROM (SELECT event_type, count(*) AS n FROM {v}events
+          GROUP BY event_type)
+    CROSS JOIN total
+    """)
 
 
 @query(
@@ -595,13 +609,15 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean aggregate surface (pandas `all()`/`any()`/masked count):
     bool_and/bool_or/count_if — partial-aggregating JVM primitives, one
     exchange."""
-    ev = Tables(spark, sf_dir).events
-    return ev.groupBy("user_id").agg(
-        F.bool_and(F.col("value") > 0.5).alias("all_gt_half"),
-        F.bool_or(F.col("value") > 300).alias("any_gt300"),
-        F.count_if(F.col("value") > 100).alias("n_gt100"),
-        F.count_if(F.col("event_type") == "error").alias("n_err"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT user_id,
+           bool_and(value > 0.5D) AS all_gt_half,
+           bool_or(value > 300) AS any_gt300,
+           count_if(value > 100) AS n_gt100,
+           count_if(event_type = 'error') AS n_err
+    FROM {v}events GROUP BY user_id
+    """)
 
 
 @query(
@@ -620,15 +636,12 @@ def filter_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides (ns-vs-µs precision cannot move a minute boundary). Map-only:
     no shuffle, and the hour/minute extraction stays inside
     whole-stage codegen."""
-    ev = Tables(spark, sf_dir).events
-    mod = F.hour("ts") * 60 + F.minute("ts")
-    return ev.filter(mod.between(570, 960)).select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "value",
-        F.hour("ts").alias("hh"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT event_id, user_id, event_type, value, hour(ts) AS hh
+    FROM {v}events
+    WHERE hour(ts) * 60 + minute(ts) BETWEEN 570 AND 960
+    """)
 
 
 @query("agg_sketch_rollup", oracle=None)  # sketch estimates are impl-specific
@@ -675,21 +688,16 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one hash-agg. l_quantity in [1, 50] -> 10 buckets of width 5,
     top bucket right-closed (least(..., 9)). Map-side bucket compute,
     one exchange carrying <= 10 groups per partition."""
-    li = Tables(spark, sf_dir).lineitem
-    bucket = F.least(
-        F.floor(F.col("l_quantity") / 5.0).cast("int"), F.lit(9)
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT bucket, bucket * 5.0D AS lo, (bucket + 1) * 5.0D AS hi, n
+    FROM (
+      SELECT least(CAST(floor(l_quantity / 5.0D) AS INT), 9) AS bucket,
+             count(*) AS n
+      FROM {v}lineitem
+      GROUP BY least(CAST(floor(l_quantity / 5.0D) AS INT), 9)
     )
-    return (
-        li.select(bucket.alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n"))
-        .select(
-            "bucket",
-            (F.col("bucket") * 5.0).alias("lo"),
-            ((F.col("bucket") + 1) * 5.0).alias("hi"),
-            "n",
-        )
-    )
+    """)
 
 
 @query(
@@ -721,29 +729,31 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window total; p = cnt/total is a long/long division (identical
     doubles cross-engine), and the entropy sum is rounded at 6 digits
     before the normalizing division (registry float doctrine)."""
-    from pyspark.sql import Window as W
-
-    d = Tables(spark, sf_dir).documents
-    c = d.groupBy("lang", "source").agg(F.count("*").alias("cnt"))
-    p = c.select(
-        "lang",
-        (F.col("cnt") / F.sum("cnt").over(W.partitionBy("lang"))).alias("p"),
+    # ONE spark.sql() call (r10-opt): same one-exchange shape; the
+    # norm division reuses the rounded entropy exactly as withColumn
+    # did (CTE stage).
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH c AS (
+      SELECT lang, source, count(*) AS cnt FROM {v}documents
+      GROUP BY lang, source
+    ),
+    p AS (
+      SELECT lang,
+             cnt / sum(cnt) OVER (PARTITION BY lang) AS p
+      FROM c
+    ),
+    e AS (
+      SELECT lang, count(*) AS n_sources,
+             -round(sum(p * ln(p)), 6) AS entropy
+      FROM p GROUP BY lang
     )
-    ent = -F.round(F.sum(F.col("p") * F.log("p")), 6)
-    return (
-        p.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_sources"),
-            ent.alias("entropy"),
-        )
-        .withColumn(
-            "norm_entropy",
-            F.when(
-                F.col("n_sources") > 1,
-                F.round(F.col("entropy") / F.log(F.col("n_sources").cast("double")), 6),
-            ),
-        )
-    )
+    SELECT lang, n_sources, entropy,
+           CASE WHEN n_sources > 1
+                THEN round(entropy / ln(CAST(n_sources AS DOUBLE)), 6)
+           END AS norm_entropy
+    FROM e
+    """)
 
 
 @query(
@@ -771,14 +781,16 @@ def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join broadcasts the customer dim under AQE; conditional counts
     partial-aggregate map-side, so the exchange carries
     |segments|x|statuses| cells, not rows."""
-    t = Tables(spark, sf_dir)
-    j = t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-    return j.groupBy("c_mktsegment").agg(
-        F.count_if(F.col("o_orderstatus") == "F").alias("cnt_f"),
-        F.count_if(F.col("o_orderstatus") == "O").alias("cnt_o"),
-        F.count_if(F.col("o_orderstatus") == "P").alias("cnt_p"),
-        F.count("*").alias("total"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT c_mktsegment,
+           count_if(o_orderstatus = 'F') AS cnt_f,
+           count_if(o_orderstatus = 'O') AS cnt_o,
+           count_if(o_orderstatus = 'P') AS cnt_p,
+           count(*) AS total
+    FROM {v}orders JOIN {v}customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """)
 
 
 @query(
@@ -801,10 +813,12 @@ def agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-arrival nondeterminism). One hash-agg exchange; the
     struct array materializes per GROUP, so memory is bounded by the
     key's own row count (same envelope as any LISTAGG)."""
-    return Tables(spark, sf_dir).events.groupBy("user_id").agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list("
-            "struct(event_id, event_type))), x -> x.event_type), ',')"
-        ).alias("type_seq"),
-        F.expr("count(*)").alias("n"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT user_id,
+           array_join(transform(array_sort(collect_list(
+               struct(event_id, event_type))), x -> x.event_type), ',')
+             AS type_seq,
+           count(*) AS n
+    FROM {v}events GROUP BY user_id
+    """)

@@ -42,20 +42,22 @@ from pandas_tsdb_spark.registry import query
 )
 def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """upper/lower/substr/concat/length/replace/regex/like/trim."""
-    c = Tables(spark, sf_dir).customer
-    return c.select(
-        "c_custkey",
-        F.upper("c_name").alias("name_up"),
-        F.lower("c_mktsegment").alias("seg_lo"),
-        F.substring("c_name", 1, 9).alias("name_pfx"),
-        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
-        F.length("c_name").alias("name_len"),
-        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C")).alias("name_short"),
-        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
-        F.col("c_name").like("Customer#%").alias("is_cust"),
-        F.regexp_replace("c_mktsegment", "[AEIOU]", "_").alias("seg_mask"),
-        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
-    )
+    # ONE spark.sql() call (r10-opt, catalog.Tables.sql_views).
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT c_custkey,
+           upper(c_name) AS name_up,
+           lower(c_mktsegment) AS seg_lo,
+           substring(c_name, 1, 9) AS name_pfx,
+           concat_ws('-', c_mktsegment, c_name) AS seg_name,
+           length(c_name) AS name_len,
+           replace(c_name, 'Customer#', 'C') AS name_short,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           (c_name LIKE 'Customer#%') AS is_cust,
+           regexp_replace(c_mktsegment, '[AEIOU]', '_') AS seg_mask,
+           trim(concat('  ', c_mktsegment, ' ')) AS seg_trim
+    FROM {v}customer
+    """)
 
 
 @query(
@@ -82,23 +84,23 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     dayofweek epochs differ (Spark 1=Sun, DuckDB 0=Sun) — normalized in
     the oracle, not here, so the engine keeps Spark-native semantics.
     """
-    o = Tables(spark, sf_dir).orders
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("y"),
-        F.month("o_orderdate").alias("m"),
-        F.dayofmonth("o_orderdate").alias("d"),
-        F.quarter("o_orderdate").alias("q"),
-        F.dayofweek("o_orderdate").alias("dow_sun1"),
-        F.weekofyear("o_orderdate").alias("iso_week"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_ts"),
-        F.datediff(
-            F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")
-        ).alias("days_to_y2k"),
-        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
-        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("epoch_millis"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           quarter(o_orderdate) AS q,
+           dayofweek(o_orderdate) AS dow_sun1,
+           weekofyear(o_orderdate) AS iso_week,
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_ts,
+           datediff(CAST('2000-01-01' AS DATE), CAST(o_orderdate AS DATE))
+               AS days_to_y2k,
+           date_format(o_orderdate, 'yyyy-MM') AS ym,
+           unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS epoch_millis
+    FROM {v}orders
+    """)
 
 
 @query(
@@ -120,21 +122,21 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """abs/ceil/floor/ln/log10/exp/pow/sqrt/sign/mod (codegen'd)."""
-    li = Tables(spark, sf_dir).lineitem
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.abs(F.col("l_extendedprice") - 30000).alias("abs_dev"),
-        F.ceil("l_extendedprice").alias("price_ceil"),
-        F.floor("l_extendedprice").alias("price_floor"),
-        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
-        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
-        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
-        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
-        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_side"),
-        (F.col("l_orderkey") % 7).alias("mod7"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 30000) AS abs_dev,
+           ceil(l_extendedprice) AS price_ceil,
+           floor(l_extendedprice) AS price_floor,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(log10(l_extendedprice), 6) AS log10_price,
+           round(exp(l_discount), 6) AS exp_disc,
+           power(l_quantity, 2) AS qty_sq,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           signum(l_discount - 0.05D) AS disc_side,
+           l_orderkey % 7 AS mod7
+    FROM {v}lineitem
+    """)
 
 
 @query(
@@ -154,21 +156,19 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     """np.where/mask/fillna/clip: CASE, greatest/least, coalesce/nullif."""
-    s = Tables(spark, sf_dir).supplier
-    return s.select(
-        "s_suppkey",
-        F.when(F.col("s_acctbal") < 0, "neg")
-        .when(F.col("s_acctbal") < 5000, "mid")
-        .otherwise("high")
-        .alias("bal_band"),
-        F.greatest("s_acctbal", F.lit(1000.0)).alias("floor_1k"),
-        F.least("s_acctbal", F.lit(5000.0)).alias("cap_5k"),
-        F.least(F.greatest("s_acctbal", F.lit(0.0)), F.lit(8000.0)).alias("clipped"),
-        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias(
-            "name_filled"
-        ),
-        (F.col("s_acctbal").isNotNull() & (F.col("s_acctbal") > 0)).alias("in_credit"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT s_suppkey,
+           CASE WHEN s_acctbal < 0 THEN 'neg'
+                WHEN s_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           greatest(s_acctbal, 1000.0D) AS floor_1k,
+           least(s_acctbal, 5000.0D) AS cap_5k,
+           least(greatest(s_acctbal, 0.0D), 8000.0D) AS clipped,
+           coalesce(nullif(s_name, ''), 'unknown') AS name_filled,
+           (s_acctbal IS NOT NULL AND s_acctbal > 0) AS in_credit
+    FROM {v}supplier
+    """)
 
 
 @query(
@@ -187,18 +187,17 @@ def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """astype() surface. double->int goes through floor() explicitly:
     bare CAST truncates in Spark but ROUNDS in DuckDB."""
-    t = Tables(spark, sf_dir)
-    return (
-        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "l_orderkey",
-            F.floor("l_quantity").cast("bigint").alias("qty_int"),
-            F.col("l_linenumber").cast("string").alias("line_str"),
-            F.col("l_linenumber").cast("double").alias("line_dbl"),
-            F.substring("c_name", 10, 9).cast("bigint").alias("cust_num"),
-        )
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT l_orderkey,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_int,
+           CAST(l_linenumber AS STRING) AS line_str,
+           CAST(l_linenumber AS DOUBLE) AS line_dbl,
+           CAST(substring(c_name, 10, 9) AS BIGINT) AS cust_num
+    FROM {v}lineitem
+    JOIN {v}orders ON l_orderkey = o_orderkey
+    JOIN {v}customer ON o_custkey = c_custkey
+    """)
 
 
 @query(
@@ -227,27 +226,18 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL) and every element access is try_element_at (the plain ANSI
     element_at is a hard job failure on the first array shorter than
     the index)."""
-    e = Tables(spark, sf_dir).embeddings
-    return e.select(
-        "vec_id",
-        F.when(
-            F.col("embedding").isNotNull(), F.size("embedding")
-        ).alias("dim"),
-        F.try_element_at("embedding", F.lit(1)).alias("e0"),
-        F.try_element_at("embedding", F.lit(64)).alias("e_last"),
-        F.try_element_at(
-            F.array_sort(F.slice("embedding", 1, 3)), F.lit(1)
-        ).alias("s3_a"),
-        F.try_element_at(
-            F.array_sort(F.slice("embedding", 1, 3)), F.lit(2)
-        ).alias("s3_b"),
-        F.try_element_at(
-            F.array_sort(F.slice("embedding", 1, 3)), F.lit(3)
-        ).alias("s3_c"),
-        F.array_contains(F.array(F.col("label")), F.col("label")).alias(
-            "self_contains"
-        ),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT vec_id,
+           CASE WHEN embedding IS NOT NULL THEN size(embedding) END AS dim,
+           try_element_at(embedding, 1) AS e0,
+           try_element_at(embedding, 64) AS e_last,
+           try_element_at(array_sort(slice(embedding, 1, 3)), 1) AS s3_a,
+           try_element_at(array_sort(slice(embedding, 1, 3)), 2) AS s3_b,
+           try_element_at(array_sort(slice(embedding, 1, 3)), 3) AS s3_c,
+           array_contains(array(label), label) AS self_contains
+    FROM {v}embeddings
+    """)
 
 
 @query(
@@ -273,18 +263,17 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's array_to_string both propagate it, but Spark's size(NULL)
     is -1 under the legacy sizeOfNull default, so n_terms is gated
     explicitly; an aggregate over an empty evens list is '' in both."""
-    p = Tables(spark, sf_dir).part
-    seq = F.sequence(F.lit(1), F.col("p_size"))
-    return p.select(
-        "p_partkey",
-        F.aggregate(
-            F.transform(seq, lambda x: x * x), F.lit(0), lambda a, x: a + x
-        ).cast("bigint").alias("sq_sum"),
-        F.array_join(F.filter(seq, lambda x: x % 2 == 0), ",").alias("evens"),
-        F.when(F.col("p_size").isNotNull(), F.size(seq).cast("bigint")).alias(
-            "n_terms"
-        ),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    seq = "sequence(1, p_size)"
+    return spark.sql(f"""
+    SELECT p_partkey,
+           CAST(aggregate(transform({seq}, x -> x * x), 0,
+                          (a, x) -> a + x) AS BIGINT) AS sq_sum,
+           array_join(filter({seq}, x -> x % 2 = 0), ',') AS evens,
+           CASE WHEN p_size IS NOT NULL
+                THEN CAST(size({seq}) AS BIGINT) END AS n_terms
+    FROM {v}part
+    """)
 
 
 @query(
@@ -310,20 +299,17 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     create_map/element_at/size/map_keys. try_cast + the oracle's
     json_valid guard keep the op TOTAL on dirty props (NULL /
     wrong-typed / malformed) — see fn_json."""
-    ev = Tables(spark, sf_dir).events
-    m = F.create_map(
-        F.lit("k"),
-        F.get_json_object("props", "$.k").try_cast("double"),
-        F.lit("v"),
-        F.col("value"),
-    )
-    return ev.select(
-        "event_id",
-        F.element_at(m, "k").alias("k_val"),
-        F.element_at(m, "v").alias("v_val"),
-        F.size(m).alias("m_size"),
-        F.array_join(F.map_keys(m), ",").alias("keys"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    m = ("map('k', try_cast(get_json_object(props, '$.k') AS DOUBLE),"
+         " 'v', value)")
+    return spark.sql(f"""
+    SELECT event_id,
+           element_at({m}, 'k') AS k_val,
+           element_at({m}, 'v') AS v_val,
+           size({m}) AS m_size,
+           array_join(map_keys({m}), ',') AS keys
+    FROM {v}events
+    """)
 
 
 @query(
@@ -353,17 +339,16 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     json_valid guard because DuckDB's json_extract throws). The
     re-serialize keeps NULL fields (ignoreNullFields=false) so packed
     matches DuckDB's struct serialization on null k."""
-    ev = Tables(spark, sf_dir).events
-    k_num = F.get_json_object("props", "$.k").try_cast("bigint")
-    return ev.select(
-        "event_id",
-        k_num.alias("k_num"),
-        F.get_json_object("props", "$.k").alias("k_str"),
-        F.to_json(
-            F.struct(F.col("event_id"), k_num.alias("k")),
-            {"ignoreNullFields": "false"},
-        ).alias("packed"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    k_num = "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+    return spark.sql(f"""
+    SELECT event_id,
+           {k_num} AS k_num,
+           get_json_object(props, '$.k') AS k_str,
+           to_json(named_struct('event_id', event_id, 'k', {k_num}),
+                   map('ignoreNullFields', 'false')) AS packed
+    FROM {v}events
+    """)
 
 
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -390,14 +375,15 @@ def fn_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong default; production keeps a maintained vocabulary (or runs
     one distinct() when it truly is unknown). Pure map-side projection:
     zero shuffles, fully inside whole-stage codegen."""
-    od = Tables(spark, sf_dir).orders
-    cols = [
-        F.when(F.col("o_orderpriority") == v, 1)
-        .otherwise(0)
-        .alias("is_" + v.split("-", 1)[1].lower().replace(" ", "_"))
-        for v in _PRIORITIES
-    ]
-    return od.select("o_orderkey", *cols)
+    v = Tables(spark, sf_dir).sql_views()
+    cols = ",\n           ".join(
+        f"CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END AS "
+        + "is_" + p.split("-", 1)[1].lower().replace(" ", "_")
+        for p in _PRIORITIES
+    )
+    return spark.sql(
+        f"SELECT o_orderkey,\n           {cols}\n    FROM {v}orders"
+    )
 
 
 @query(
@@ -418,20 +404,15 @@ def fn_bin_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, evaluated map-side during the scan (zero extra pass,
     zero shuffle beyond the 10-group agg). That is the 100 TB shape:
     histogramming is a projection, never a sort."""
-    li = Tables(spark, sf_dir).lineitem
-    bin_ = F.least(
-        F.lit(9),
-        F.greatest(
-            F.lit(0), F.floor((F.col("l_extendedprice") - 900.0) / 9510.0)
-        ),
-    ).cast("bigint")
-    return (
-        li.groupBy(bin_.alias("bin"))
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        )
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    bin_ = ("CAST(least(9, greatest(0,"
+            " floor((l_extendedprice - 900.0D) / 9510.0D))) AS BIGINT)")
+    return spark.sql(f"""
+    SELECT {bin_} AS bin, count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM {v}lineitem
+    GROUP BY {bin_}
+    """)
 
 
 @query(
@@ -476,41 +457,35 @@ def fn_bin_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     (otherwise the NULL group shifts every CDF fraction, differently
     per engine — Spark windows order NULLS FIRST, DuckDB NULLS LAST);
     null rows then drop out of the output via the equi-join."""
-    li = Tables(spark, sf_dir).lineitem
-    from pyspark.sql import Window as W
-
-    hist = (
-        li.filter(F.col("l_quantity").isNotNull())
-        .groupBy(F.col("l_quantity").alias("v"))
-        .agg(F.count("*").alias("c"))
+    # ONE spark.sql() call (r10-opt): same histogram -> CDF -> binmap
+    # broadcast chain (hints carry the two broadcasts).
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH hist AS (
+      SELECT l_quantity AS v, count(*) AS c FROM {v}lineitem
+      WHERE l_quantity IS NOT NULL GROUP BY l_quantity
+    ),
+    total AS (SELECT sum(c) AS n FROM hist),
+    cdf AS (
+      SELECT /*+ BROADCAST(total) */ v,
+             CAST(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / n AS frac
+      FROM hist CROSS JOIN total
+    ),
+    binmap AS (
+      SELECT v, CASE WHEN frac <= 0.25D THEN 0
+                     WHEN frac <= 0.50D THEN 1
+                     WHEN frac <= 0.75D THEN 2
+                     ELSE 3 END AS bin
+      FROM cdf
     )
-    total = hist.agg(F.sum("c").alias("n"))
-    cdf = (
-        hist.crossJoin(F.broadcast(total))
-        .withColumn(
-            "frac",
-            F.sum("c").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, 0))
-            .cast("double")
-            / F.col("n"),
-        )
-    )
-    binmap = cdf.select(
-        "v",
-        F.when(F.col("frac") <= 0.25, 0)
-        .when(F.col("frac") <= 0.50, 1)
-        .when(F.col("frac") <= 0.75, 2)
-        .otherwise(3)
-        .alias("bin"),
-    )
-    return (
-        li.join(F.broadcast(binmap), F.col("l_quantity") == F.col("v"))
-        .groupBy("bin")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.round(F.min("l_quantity"), 2).alias("lo"),
-            F.round(F.max("l_quantity"), 2).alias("hi"),
-        )
-    )
+    SELECT /*+ BROADCAST(b) */ b.bin, count(*) AS n_rows,
+           round(min(l.l_quantity), 2) AS lo,
+           round(max(l.l_quantity), 2) AS hi
+    FROM {v}lineitem l JOIN binmap b ON l.l_quantity = b.v
+    GROUP BY b.bin
+    """)
 
 
 @query(
@@ -539,21 +514,18 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     by nulling the WHOLE struct (aggregate max skips null inputs in
     both engines; pandas idxmax skips NaN the same way). An all-null
     series yields best_v/best_eid NULL while n still counts its rows."""
-    ev = Tables(spark, sf_dir).events
-    st = F.when(
-        F.col("value").isNotNull(),
-        F.struct(F.col("value").alias("v"), F.col("event_id").alias("eid")),
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    WITH a AS (
+      SELECT user_id,
+             max(CASE WHEN value IS NOT NULL
+                      THEN named_struct('v', value, 'eid', event_id)
+                 END) AS st,
+             count(*) AS n
+      FROM {v}events GROUP BY user_id
     )
-    return (
-        ev.groupBy("user_id")
-        .agg(F.max(st).alias("st"), F.count("*").alias("n"))
-        .select(
-            "user_id",
-            F.col("st.v").alias("best_v"),
-            F.col("st.eid").alias("best_eid"),
-            "n",
-        )
-    )
+    SELECT user_id, st.v AS best_v, st.eid AS best_eid, n FROM a
+    """)
 
 
 @query(
@@ -571,15 +543,15 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise expression surface (AND/shift/XOR/popcount) — all
     whole-stage-codegen integer ops; the building blocks the hash/
     fingerprint operators (simhash, pipeline_shuffle shards) lean on."""
-    ev = Tables(spark, sf_dir).events
-    c = F.col("event_id")
-    return ev.select(
-        "event_id",
-        c.bitwiseAND(F.lit(255)).alias("lo8"),
-        F.shiftright(c, 4).alias("hi_shift"),
-        c.bitwiseXOR(F.lit(170)).alias("xored"),
-        F.bit_count(c).alias("popcount"),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT event_id,
+           event_id & 255 AS lo8,
+           shiftright(event_id, 4) AS hi_shift,
+           event_id ^ 170 AS xored,
+           bit_count(event_id) AS popcount
+    FROM {v}events
+    """)
 
 
 @query(
@@ -604,17 +576,12 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors with TRY_CAST, a CASE-guarded divide (its double division
     would produce inf), and native NULL-on-out-of-bounds list
     indexing. All map-side, codegen'd."""
-    o = Tables(spark, sf_dir).orders
-    return o.select(
-        "o_orderkey",
-        F.col("o_orderpriority").try_cast("int").alias("pri_int"),
-        F.col("o_orderkey").cast("string").try_cast("int").alias(
-            "key_roundtrip"
-        ),
-        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3).alias(
-            "safe_div"
-        ),
-        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(9)).alias(
-            "oob_elem"
-        ),
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT o_orderkey,
+           try_cast(o_orderpriority AS INT) AS pri_int,
+           try_cast(CAST(o_orderkey AS STRING) AS INT) AS key_roundtrip,
+           try_divide(o_totalprice, o_custkey % 3) AS safe_div,
+           try_element_at(split(o_orderpriority, '-'), 9) AS oob_elem
+    FROM {v}orders
+    """)

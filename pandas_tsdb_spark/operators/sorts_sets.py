@@ -30,17 +30,14 @@ from pandas_tsdb_spark.registry import query
 def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sort_values([a,b], ascending=[...]) with explicit null placement;
     LIMIT makes the order observable through the order-insensitive hash."""
-    o = Tables(spark, sf_dir).orders
-    maybe = F.nullif(F.col("o_orderstatus"), F.lit("P"))
-    return (
-        o.select("o_orderkey", "o_orderstatus", "o_totalprice", maybe.alias("maybe_status"))
-        .orderBy(
-            F.col("maybe_status").asc_nulls_first(),
-            F.col("o_totalprice").desc(),
-            F.col("o_orderkey"),
-        )
-        .limit(200)
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           nullif(o_orderstatus, 'P') AS maybe_status
+    FROM {v}orders
+    ORDER BY maybe_status ASC NULLS FIRST, o_totalprice DESC, o_orderkey
+    LIMIT 200
+    """)
 
 
 @query(
@@ -53,12 +50,12 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """head(n) after sort — TakeOrderedAndProject, no global sort."""
-    li = Tables(spark, sf_dir).lineitem
-    return (
-        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
-        .limit(50)
-    )
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM {v}lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 50
+    """)
 
 
 @query(
@@ -94,16 +91,13 @@ _HI = "SELECT o_custkey AS k, o_totalprice AS v FROM orders WHERE o_totalprice >
 _LO = "SELECT o_custkey AS k, o_totalprice AS v FROM orders WHERE o_totalprice < 50000"
 
 
-def _hi_lo(t: Tables) -> tuple[DataFrame, DataFrame]:
-    o = t.orders.select(F.col("o_custkey").alias("k"), F.col("o_totalprice").alias("v"))
-    return o.filter(F.col("v") > 350000), o.filter(F.col("v") < 50000)
-
-
 @query("set_union_all", oracle=f"{_HI} UNION ALL {_LO}")
 def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pd.concat: bag union, duplicates kept."""
-    hi, lo = _hi_lo(Tables(spark, sf_dir))
-    return hi.unionByName(lo)
+    v = Tables(spark, sf_dir).sql_views()
+    hi = _HI.replace("FROM orders", f"FROM {v}orders")
+    lo = _LO.replace("FROM orders", f"FROM {v}orders")
+    return spark.sql(f"{hi} UNION ALL {lo}")
 
 
 @query(
@@ -112,8 +106,10 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """concat + drop_duplicates: set union."""
-    hi, lo = _hi_lo(Tables(spark, sf_dir))
-    return hi.unionByName(lo).distinct()
+    v = Tables(spark, sf_dir).sql_views()
+    hi = _HI.replace("FROM orders", f"FROM {v}orders")
+    lo = _LO.replace("FROM orders", f"FROM {v}orders")
+    return spark.sql(f"SELECT k, v FROM ({hi} UNION {lo})")
 
 
 @query(
@@ -126,10 +122,12 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers appearing in both status classes (set semantics)."""
-    o = Tables(spark, sf_dir).orders
-    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
-    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
-    return a.intersect(b)
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT o_custkey AS k FROM {v}orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey AS k FROM {v}orders WHERE o_orderstatus = 'F'
+    """)
 
 
 @query(
@@ -142,10 +140,12 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference (distinct semantics, pandas index difference)."""
-    o = Tables(spark, sf_dir).orders
-    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
-    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
-    return a.subtract(b)
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT o_custkey AS k FROM {v}orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey AS k FROM {v}orders WHERE o_orderstatus = 'F'
+    """)
 
 
 @query(
@@ -164,10 +164,12 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     (generate replicated rows from count deltas), one shuffle on the
     key — contrast set_except's distinct semantics (the other §2.7
     row)."""
-    o = Tables(spark, sf_dir).orders
-    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
-    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
-    return a.exceptAll(b)
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT o_custkey AS k FROM {v}orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS k FROM {v}orders WHERE o_orderstatus = 'F'
+    """)
 
 
 @query(
@@ -190,17 +192,14 @@ def reshape_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL UNPIVOT drops them by definition, so the oracle is spelled as
     the explicit UNION ALL (one SELECT per measure), which preserves
     NULL val rows."""
-    o = Tables(spark, sf_dir).orders
-    return (
-        o.select(
-            "o_orderkey",
-            "o_totalprice",
-            F.col("o_custkey").cast("double").alias("custkey_d"),
-        )
-        .unpivot(
-            ["o_orderkey"],
-            ["o_totalprice", "custkey_d"],
-            "metric",
-            "val",
-        )
+    # ONE spark.sql() call (r10-opt): SQL UNPIVOT INCLUDE NULLS is the
+    # exact twin of DataFrame.unpivot (which keeps NULL values).
+    v = Tables(spark, sf_dir).sql_views()
+    return spark.sql(f"""
+    SELECT o_orderkey, metric, val FROM (
+      SELECT o_orderkey, o_totalprice,
+             CAST(o_custkey AS DOUBLE) AS custkey_d
+      FROM {v}orders
     )
+    UNPIVOT INCLUDE NULLS (val FOR metric IN (o_totalprice, custkey_d))
+    """)
