@@ -193,10 +193,33 @@ _DRIVER_VERIFIED_R8 = frozenset({
     "win_resample_tz_wmon",
 })
 
+# All 50 rows of CORRECTNESS_r09.json: 48 full rows+schema+hash passes
+# plus 2 run-only entries (ann_lsh/ann_recall, err=no_oracle — ✗-oracle
+# by design, each carrying an in-band raise_error recall floor).
+# Zero failures.
+_DRIVER_VERIFIED_R9 = frozenset({
+    "agg_groupby", "ann_lsh", "ann_recall", "dedup_exact", "dedup_lines",
+    "fn_array", "fn_json", "fn_map", "join_asof", "join_asof_cogroup",
+    "join_broadcast", "join_inner", "knn_label", "lang_id",
+    "multimodal_cols", "pipeline_cluster_balance", "pipeline_curate",
+    "pipeline_curate_embedding", "pipeline_curate_semantic",
+    "pipeline_decontaminate", "pipeline_token_budget",
+    "rollup_continuous", "sim_pairs_threshold", "sim_topk",
+    "sink_partition_prune", "store_maintenance_roundtrip",
+    "stream_store_ingest", "stream_tumbling", "text_dup_ngrams",
+    "text_lm_bigram", "text_lm_score", "text_pii_scrub", "text_tfidf",
+    "topk_per_group", "tpch_q6", "udaf_grouped", "udf_scalar",
+    "udtf_table", "upsert_cdc", "vec_kmeans", "vec_quantize_int8",
+    "vec_semdedup", "win_downsample_m4", "win_ewm", "win_resample",
+    "win_resample_ffill", "win_resample_tz_quarter",
+    "win_resample_tz_sydney", "win_resample_tz_year",
+    "win_rolling_time",
+})
+
 _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R1 | _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3
     | _DRIVER_VERIFIED_R4 | _DRIVER_VERIFIED_R5 | _DRIVER_VERIFIED_R6
-    | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8
+    | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8 | _DRIVER_VERIFIED_R9
 )
 
 # Ops whose registered builder was rewritten AFTER their last driver row
@@ -207,31 +230,27 @@ _DRIVER_VERIFIED = (
 # entries were re-attested in CORRECTNESS_r06 and moved to
 # _DRIVER_VERIFIED_R6.
 _REVERIFY: list[str] = [
-    # round-9: the manifest layer gained size-capped Iceberg-style
-    # sharding (store.py: content-addressed per-partition shard files +
-    # root pointer, lease-held shard GC), the fetch() range pruning
-    # changed (null-date partitions degrade gracefully), and the
-    # stable-pair check now compares gen+token. Re-attest every op
-    # whose builder drives the store read/maintain loop.
-    "store_maintenance_roundtrip", "rollup_continuous",
-    "stream_store_ingest", "upsert_cdc", "sink_partition_prune",
-    # round-9 verdict #6: ann_lsh rewritten — adaptive planes
-    # (~128 vectors/bucket at any n), 16 tables, 8-mask query-directed
-    # multi-probe; floor raised 0.5 -> 0.65 and asserted in-band via
-    # ann_recall's raise_error (lab: recall@1 0.85 at 512k with 4.35%
-    # candidates vs the old fixed geometry's 41.6% scan).
-    "ann_lsh", "ann_recall",
-    # r9 OPTIMIZATION round: builders rewritten for plan-shape or
-    # construction-cost wins (shared pairs exchange in text_tfidf,
-    # min(struct) winner-carry in pipeline_curate, monolithic-SQL
-    # forms elsewhere). Oracles unchanged, results verified equal
-    # locally at all SFs — surface them for fresh driver hash rows on
-    # the shipped code.
-    "text_tfidf", "pipeline_curate", "text_lm_score", "text_lm_bigram",
-    "lang_id", "pipeline_decontaminate", "dedup_lines", "dedup_exact",
-    "win_downsample_m4", "agg_groupby", "join_broadcast", "join_inner",
-    "join_asof", "topk_per_group", "text_pii_scrub", "tpch_q6",
-    "win_rolling_time", "win_resample", "stream_tumbling",
+    # r10 OPTIMIZATION round: ~130 builders converted to the
+    # monolithic-SQL form (oracles unchanged, every conversion
+    # oracle-gated locally at 3 SFs and plain-session-checked from a
+    # foreign cwd). The 50-slot driver window can re-hash ~45 of them;
+    # ordered most-structurally-changed first (derived-partsupp TPC-H
+    # shapes, hint-carried repartitions/broadcasts, window-frame
+    # rewrites, argmax-pair upsert), the remainder rotate next round.
+    "upsert_cdc", "tpch_q2", "tpch_q11", "tpch_q20", "tpch_q21",
+    "tpch_q9", "tpch_q15", "tpch_q17", "tpch_q22", "tpch_q16",
+    "join_interval_overlap", "join_skew_salted", "join_fuzzy_blocked",
+    "win_cusum", "win_rolling_slope", "win_rolling_quantile",
+    "win_rolling_median", "win_rolling_mad", "win_rolling_rank",
+    "win_rolling_kurt", "win_rolling_skew", "win_rolling_corr",
+    "win_ntile_percent", "win_rank_avg", "win_resample_ohlc",
+    "pipeline_chunk", "pipeline_curate", "pipeline_token_budget",
+    "pipeline_upsample", "pipeline_mixture", "pipeline_shuffle",
+    "corr_matrix", "agg_gini", "agg_stats", "agg_grouping_sets",
+    "agg_pivot", "agg_heavy_hitters", "scd2_intervals", "sessionize",
+    "gaps_islands", "funnel", "cohort_retention", "sample_stratified",
+    "fn_map", "fn_json", "fn_bin_qcut", "reshape_melt", "join_theta",
+    "join_lateral", "tpch_q3",
 ]
 
 

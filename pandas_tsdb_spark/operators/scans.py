@@ -7,6 +7,7 @@ cluster the same code writes to any Hadoop-compatible FS.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -243,9 +244,24 @@ def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 1.09 s -> 0.7 s. For skewed days, add a salt term to
     # spread one day over k writers.
     dated = ev.withColumn("event_date", F.to_date("ts"))
-    dated.repartition("event_date").write.mode("overwrite").partitionBy(
-        "event_date"
-    ).parquet(path)
+    # SPARK_GRAFT_DAY_SALT (r10-opt, round-9 verdict #5 measurement):
+    # writers per day directory. Measured at 256x (tools/ab_q20_salt.py,
+    # 4 reps interleaved): salt=4 is ~9% faster wall-clock (8.59 vs
+    # 9.42 s) but fragments 30 x 9 MB day files into 113 x 2.2 MB —
+    # already far under the 128 MB-1 GB guidance, so the default stays
+    # 1 (layout quality over a single-session 9%). At 100 TB pick
+    # salt ~= ceil(day_bytes / target_file_size); the knob is the same
+    # mechanism production would drive from table stats. Salt only
+    # changes the file LAYOUT, never the read-back aggregate.
+    salt = int(os.environ.get("SPARK_GRAFT_DAY_SALT", "1"))
+    part = (
+        dated.repartition("event_date")
+        if salt <= 1
+        else dated.repartition(
+            "event_date", F.pmod(F.col("event_id"), F.lit(salt))
+        )
+    )
+    part.write.mode("overwrite").partitionBy("event_date").parquet(path)
     # explicit schema: a zero-row increment commits no day directories
     # and an inference read-back dies on the empty layout (round-6
     # zero-row sweep) — the exact first-run-of-an-incremental-pipeline
