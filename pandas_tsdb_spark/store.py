@@ -656,6 +656,31 @@ class TsStore:
             reader = reader.option("mergeSchema", "true")
         import time as _time
 
+        # Explicit schema from the sidecar (written on every append,
+        # field-union across evolved appends): the scan skips the
+        # footer read schema inference pays per fetch, and the
+        # stale-listing race can never surface as
+        # UNABLE_TO_INFER_SCHEMA. CRITICAL caveat (caught by the
+        # full-suite contention storm, r10): with a user-supplied
+        # schema Spark skips checkFilesExist, so a file deleted
+        # between the manifest snapshot and the relation's listing is
+        # SILENTLY DROPPED from the file index — an empty/partial read
+        # instead of a loud failure. The guard below therefore compares
+        # the materialized index (df.inputFiles(), driver-side, no job)
+        # against the manifest list and RETRIES inside the snapshot
+        # loop on any mismatch. Fields absent from an old file read as
+        # NULL (same as mergeSchema); the as_of/mergeSchema path keeps
+        # footer-union inference semantics.
+        sidecar = None
+        if not merge_schema:
+            from pyspark.sql import types as T
+
+            try:
+                with open(os.path.join(path, "_schema.json")) as f:
+                    sidecar = T.StructType.fromJson(json.load(f))
+            except OSError:
+                sidecar = None  # legacy store: infer as before
+
         files: list[str] | None = None
         for attempt in range(12):
             try:
@@ -687,7 +712,24 @@ class TsStore:
                     and root2.get("gen") == man.get("gen")
                     and root2.get("token") == man.get("token")
                 ):
-                    break
+                    if not files:
+                        break  # typed-empty case below
+                    if sidecar is None:
+                        # inference path: a vanished file fails loudly
+                        # at footer read / scan (documented re-fetch)
+                        return reader.option("basePath", path).parquet(
+                            *files
+                        )
+                    df = (
+                        reader.schema(sidecar)
+                        .option("basePath", path)
+                        .parquet(*files)
+                    )
+                    if len(df.inputFiles()) == len(files):
+                        return df
+                    # a post-commit delete raced the listing and the
+                    # index silently dropped files: stale snapshot —
+                    # retry the whole pair
             files = None
             _time.sleep(0.02 * attempt)  # let the commit burst pass
         if files is None:
@@ -695,33 +737,13 @@ class TsStore:
                 f"series {name!r}: maintenance commits landed during all "
                 "12 listing attempts — retry the fetch"
             )
-        if not files:
-            # every file in range is retired/unsealed (e.g. delete_keys
-            # emptied the slice): typed empty via the schema sidecar
-            from pyspark.sql import types as T
+        # every file in range is retired/unsealed (e.g. delete_keys
+        # emptied the slice): typed empty via the schema sidecar
+        from pyspark.sql import types as T
 
-            with open(os.path.join(path, "_schema.json")) as f:
-                schema = T.StructType.fromJson(json.load(f))
-            return self.spark.createDataFrame([], schema)
-        if not merge_schema:
-            # Explicit schema from the sidecar (written on every append,
-            # field-union across evolved appends): (a) the scan skips the
-            # footer read schema inference pays per fetch; (b) the residual
-            # stale-listing race (a maintenance commit deleting every
-            # listed file between the manifest snapshot and first footer
-            # open) can no longer surface as UNABLE_TO_INFER_SCHEMA — with
-            # a supplied schema it is deferred to scan execution, where it
-            # is the documented FileNotFound re-fetch case. Fields absent
-            # from an old file read as NULL (same as mergeSchema); the
-            # as_of/mergeSchema path keeps footer-union semantics.
-            from pyspark.sql import types as T
-
-            try:
-                with open(os.path.join(path, "_schema.json")) as f:
-                    reader = reader.schema(T.StructType.fromJson(json.load(f)))
-            except OSError:
-                pass  # legacy store without a sidecar: infer as before
-        return reader.option("basePath", path).parquet(*files)
+        with open(os.path.join(path, "_schema.json")) as f:
+            schema = T.StructType.fromJson(json.load(f))
+        return self.spark.createDataFrame([], schema)
 
     def _sweep_manifest_debris(self, name: str) -> None:
         """Finish any manifest-committed transaction a crash cut short
